@@ -1,0 +1,87 @@
+"""CLI entry points mirroring the reference tools' flags.
+
+  copy-row     — /root/reference/.../CopyRow.java usage (lines 45-56):
+                 --sourceTable, --destinationTable, --rowKey (toBytesBinary
+                 escaped), --override, --timestamp
+  corrupt-rows — CorruptRowsMR.java usage (lines 187-196):
+                 --table, --outputDir, --traceCells
+
+Improvement over the reference: errors propagate as a nonzero exit code
+instead of being swallowed (CopyRow.java:145-147 logs and returns normally).
+
+Tables are parquet-backed cells directories in this environment; against a
+real cluster the same flags resolve through sources/hbase.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from symat_hbase_tools_spark.functions.bytes_binary import to_bytes_binary
+from symat_hbase_tools_spark.operators.audit import audit, counters_of, write_report_tsv
+from symat_hbase_tools_spark.operators.copy_row import copy_row
+from symat_hbase_tools_spark.session import get_spark
+
+
+def _load_cells(spark, table: str):
+    return spark.read.parquet(table)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="symat-spark")
+    sub = parser.add_subparsers(dest="tool", required=True)
+
+    cp = sub.add_parser("copy-row", help="copy one row between cells tables")
+    cp.add_argument("--sourceTable", required=True)
+    cp.add_argument("--destinationTable", required=True)
+    cp.add_argument("--rowKey", required=True, help="toBytesBinary-escaped key")
+    cp.add_argument("--override", action="store_true", help="rewrite cell timestamps")
+    cp.add_argument("--timestamp", type=int, default=None, help="epoch millis for --override")
+    cp.add_argument("--output", required=True, help="path to write the updated dest cells")
+
+    cr = sub.add_parser("corrupt-rows", help="row-integrity audit")
+    cr.add_argument("--table", required=True)
+    cr.add_argument("--outputDir", required=True)
+    cr.add_argument("--traceCells", action="store_true", help="log failing cells (never in prod)")
+
+    args = parser.parse_args(argv)
+    spark = get_spark(f"symat-spark-{args.tool}")
+    try:
+        if args.tool == "copy-row":
+            import time
+
+            key = to_bytes_binary(args.rowKey)
+            ts = None
+            if args.override:
+                ts = args.timestamp if args.timestamp is not None else int(time.time() * 1000)
+            src = _load_cells(spark, args.sourceTable)
+            dst = (
+                src
+                if args.destinationTable == args.sourceTable
+                else _load_cells(spark, args.destinationTable)
+            )
+            new_dest, n = copy_row(src, dst, key, ts)
+            if n == 0:
+                print(f"no data found for row key {args.rowKey!r}; nothing written")
+                return 0
+            new_dest.write.mode("overwrite").parquet(args.output)
+            print(f"copied {n} cells of row {args.rowKey!r}")
+            return 0
+        cells = _load_cells(spark, args.table)
+        report, counters = audit(cells)
+        if args.traceCells:
+            report.show(100, truncate=False)
+        write_report_tsv(report, args.outputDir)
+        c = counters_of(counters)
+        print(f"TOTAL_ROWS={c.total} SUCCESS_ROWS={c.success} FAILED_ROWS={c.failed}")
+        return 0 if c.failed == 0 else 2
+    except SystemExit:
+        raise
+    except Exception as exc:  # noqa: BLE001
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,150 @@
+"""The cell layer: HBase-semantics long-format cells as a DataFrame.
+
+The reference's fundamental abstraction is the versioned HBase cell
+(row key / family / qualifier / timestamp / type / value — enumerated by the
+cell rebuild at /root/reference/src/main/java/org/apache/symat/CopyRow.java:128-136).
+Spark mapping (SURVEY.md §1.2): one DataFrame row per cell:
+
+    cells(row BINARY, family STRING, qualifier BINARY, ts LONG,
+          type STRING, value BINARY)
+
+Spark's BinaryType ordering is unsigned lexicographic, so ``orderBy("row")``
+reproduces HBase scan order exactly.
+
+Derivation from the driver's relational tables is a deterministic pure
+function (FIXTURES.md §B): the whole encode is built-in column expressions
+(format_string/encode/explode) — no Python UDF — so at 100 TB it stays inside
+whole-stage codegen and the narrow explode adds no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CELLS_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.BinaryType(), False),
+        T.StructField("family", T.StringType(), False),
+        T.StructField("qualifier", T.BinaryType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("value", T.BinaryType(), True),
+    ]
+)
+
+#: fixed base cell timestamp (2024-01-01T00:00:00Z epoch millis) — keeps every
+#: derived fixture deterministic so the DuckDB oracle can inline it.
+CELL_TS = 1_704_067_200_000
+
+#: customer row-key render — 'cust#%08d' % c_custkey
+CUSTOMER_KEY_FMT = "cust#%08d"
+
+#: qualifiers encoded for the customer cell fixtures; values rendered as
+#: canonical strings (doubles via '%.2f' so Spark and DuckDB agree bit-for-bit)
+CUSTOMER_QUALIFIERS = ("c_acctbal", "c_mktsegment", "c_name", "c_nationkey")
+
+#: deterministic "corruption" marker — ~2% of customer rows (FIXTURES.md §B.3)
+CORRUPT_MOD, CORRUPT_REMAINDER = 50, 7
+
+
+def customer_value_columns(prefix: str = "") -> dict[str, F.Column]:
+    """Canonical string renderings of the encoded customer columns."""
+    c = lambda name: F.col(prefix + name)  # noqa: E731
+    return {
+        "c_acctbal": F.format_string("%.2f", c("c_acctbal")),
+        "c_mktsegment": c("c_mktsegment"),
+        "c_name": c("c_name"),
+        "c_nationkey": c("c_nationkey").cast("string"),
+    }
+
+
+def encode_table_as_cells(
+    df: DataFrame,
+    key_col: F.Column,
+    value_cols: dict[str, F.Column],
+    family: str = "cf",
+    ts: int = CELL_TS,
+) -> DataFrame:
+    """Encode a relational table into the canonical cells schema.
+
+    One cell per (row, qualifier); pure built-in expressions (array of structs
+    + explode) so the plan is a narrow map — no shuffle, codegen throughout.
+    """
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.encode(v.cast("string"), "UTF-8").alias("v"),
+            )
+            for q, v in sorted(value_cols.items())
+        ]
+    )
+    return df.select(
+        F.encode(key_col.cast("string"), "UTF-8").alias("row"),
+        F.explode(entries).alias("cell"),
+    ).select(
+        "row",
+        F.lit(family).alias("family"),
+        F.encode(F.col("cell.q"), "UTF-8").cast("binary").alias("qualifier"),
+        F.lit(ts).cast("long").alias("ts"),
+        F.lit("Put").alias("type"),
+        F.col("cell.v").cast("binary").alias("value"),
+    )
+
+
+def customer_cells(customer: DataFrame, with_corrupt_marker: bool = False) -> DataFrame:
+    """cells_customer / cells_corrupt fixtures (FIXTURES.md §B.1, §B.3)."""
+    key = F.format_string(CUSTOMER_KEY_FMT, F.col("c_custkey"))
+    cells = encode_table_as_cells(customer, key, customer_value_columns())
+    if not with_corrupt_marker:
+        return cells
+    marker = customer.filter(
+        F.col("c_custkey") % CORRUPT_MOD == CORRUPT_REMAINDER
+    ).select(
+        F.encode(F.format_string(CUSTOMER_KEY_FMT, F.col("c_custkey")), "UTF-8").alias("row"),
+        F.lit("cf").alias("family"),
+        F.encode(F.lit("corrupt"), "UTF-8").cast("binary").alias("qualifier"),
+        F.lit(CELL_TS).cast("long").alias("ts"),
+        F.lit("Put").alias("type"),
+        F.encode(F.lit("1"), "UTF-8").cast("binary").alias("value"),
+    )
+    return cells.unionByName(marker)
+
+
+def customer_cells_versioned(customer: DataFrame, n_versions: int = 3) -> DataFrame:
+    """cells_versioned fixture: n versions per cell at ts = CELL_TS + 1000*i.
+
+    The LATEST version (i = n-1) carries the plain value; older versions carry
+    ``<value>@v<i>`` so latest-version-wins reads are easy to assert.
+    """
+    key = F.format_string(CUSTOMER_KEY_FMT, F.col("c_custkey"))
+    parts = []
+    for i in range(n_versions):
+        vals = customer_value_columns()
+        if i < n_versions - 1:
+            vals = {q: F.concat(v.cast("string"), F.lit(f"@v{i}")) for q, v in vals.items()}
+        parts.append(
+            encode_table_as_cells(customer, key, vals, ts=CELL_TS + 1000 * i)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def cells_to_wide(cells: DataFrame, qualifiers: list[str]) -> DataFrame:
+    """cells -> wide table, latest-version-wins per (row, qualifier).
+
+    Scale note: implemented as ONE hash aggregation with ``max_by(value, ts)``
+    per qualifier — partial (map-side) aggregation applies, unlike the naive
+    window row_number()==1 formulation which needs a full sort per partition.
+    """
+    q_str = F.decode(F.col("qualifier"), "UTF-8")
+    v_str = F.decode(F.col("value"), "UTF-8")
+    aggs = [
+        F.max_by(F.when(q_str == q, v_str), F.when(q_str == q, F.col("ts"))).alias(q)
+        for q in qualifiers
+    ]
+    return cells.filter(F.col("type") == "Put").groupBy("row").agg(*aggs)

@@ -1,0 +1,104 @@
+"""Cell-layer tests: encoding, point get, key-only scan, projection,
+latest-version-wins, wide codec — SURVEY.md §2.1 operators on FIXTURES.md §B
+fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from symat_hbase_tools_spark.operators import kv
+from symat_hbase_tools_spark.plans.explain import (
+    assert_read_schema_only,
+    plan_string,
+)
+from symat_hbase_tools_spark.sources.cells import (
+    CELL_TS,
+    CUSTOMER_QUALIFIERS,
+    customer_cells,
+    customer_cells_versioned,
+    cells_to_wide,
+)
+
+
+def test_cells_shape(spark, customer):
+    cells = customer_cells(customer)
+    n_cust = customer.count()
+    assert cells.count() == n_cust * len(CUSTOMER_QUALIFIERS)
+    assert [f.name for f in cells.schema.fields] == [
+        "row",
+        "family",
+        "qualifier",
+        "ts",
+        "type",
+        "value",
+    ]
+    # encoding is a narrow map: no shuffle in the plan
+    assert "Exchange" not in plan_string(cells, "simple")
+
+
+def test_point_get(spark, customer):
+    cells = customer_cells(customer)
+    got = kv.point_get(cells, b"cust#00000042").collect()
+    assert len(got) == len(CUSTOMER_QUALIFIERS)
+    by_q = {bytes(r["qualifier"]).decode(): bytes(r["value"]).decode() for r in got}
+    ref = customer.filter(F.col("c_custkey") == 42).collect()[0]
+    assert by_q["c_name"] == ref["c_name"]
+    assert by_q["c_nationkey"] == str(ref["c_nationkey"])
+    assert by_q["c_acctbal"] == "%.2f" % ref["c_acctbal"]
+    assert all(r["ts"] == CELL_TS for r in got)
+
+
+def test_point_get_missing_row_is_empty(spark, customer):
+    cells = customer_cells(customer)
+    assert kv.point_get(cells, b"cust#99999999").count() == 0
+
+
+def test_keyonly_scan(spark, customer):
+    cells = customer_cells(customer)
+    keys = kv.keyonly_scan(cells)
+    assert keys.count() == customer.count()
+    assert keys.columns == ["row"]
+
+
+def test_keyonly_scan_prunes_columns(spark, customer, tmp_path):
+    # write cells to parquet so ReadSchema pruning is observable
+    path = str(tmp_path / "cells")
+    customer_cells(customer).write.parquet(path)
+    keys = kv.keyonly_scan(spark.read.parquet(path))
+    assert_read_schema_only(keys, {"row"})
+
+
+def test_column_projection(spark, customer):
+    cells = customer_cells(customer)
+    proj = kv.column_projection(cells, ["c_name", "c_acctbal"])
+    assert proj.count() == customer.count() * 2
+    quals = {bytes(r["qualifier"]).decode() for r in proj.select("qualifier").distinct().collect()}
+    assert quals == {"c_name", "c_acctbal"}
+
+
+def test_list_families(spark, customer):
+    assert kv.list_families(customer_cells(customer)) == ["cf"]
+
+
+def test_latest_cells(spark, customer):
+    versioned = customer_cells_versioned(customer, n_versions=3)
+    assert versioned.count() == customer.count() * len(CUSTOMER_QUALIFIERS) * 3
+    latest = kv.latest_cells(versioned)
+    assert latest.count() == customer.count() * len(CUSTOMER_QUALIFIERS)
+    sample = latest.filter(F.col("row") == F.lit(b"cust#00000042")).collect()
+    assert all(r["ts"] == CELL_TS + 2000 for r in sample)
+    # latest version carries the plain (un-suffixed) value
+    assert all(not bytes(r["value"]).decode().endswith("@v0") for r in sample)
+    assert all(not bytes(r["value"]).decode().endswith("@v1") for r in sample)
+
+
+def test_cells_to_wide_roundtrip(spark, customer):
+    versioned = customer_cells_versioned(customer, n_versions=3)
+    wide = cells_to_wide(versioned, list(CUSTOMER_QUALIFIERS))
+    assert wide.count() == customer.count()
+    ref = customer.filter(F.col("c_custkey") == 7).collect()[0]
+    row = wide.filter(F.col("row") == F.lit(b"cust#00000007")).collect()[0]
+    assert row["c_name"] == ref["c_name"]
+    assert row["c_nationkey"] == str(ref["c_nationkey"])
+    assert row["c_mktsegment"] == ref["c_mktsegment"]
+    assert row["c_acctbal"] == "%.2f" % ref["c_acctbal"]
