@@ -1,0 +1,311 @@
+"""Driver-contract query inventory: Spark callables + DuckDB oracle SQL.
+
+Every implemented operator from SURVEY.md §2 appears here twice: a PySpark
+callable ``(spark, sf_dir) -> DataFrame`` and an equivalent ANSI-SQL string
+DuckDB runs on the same parquet. Column names AND types are aligned pairwise
+(the driver hash-compares after sorting columns by name).
+
+DuckDB/Spark parity gotchas handled here:
+  * DuckDB ``SUM(integer)`` returns HUGEINT — every integer sum is wrapped in
+    ``CAST(... AS BIGINT)`` to match Spark's LongType.
+  * money sums go through DECIMAL(18,6) on both sides (order-independent
+    exact addition), final cast to DOUBLE — see operators/relational.py.
+  * timestamps are rendered as 'yyyy-MM-dd' strings or epoch-second BIGINTs.
+  * DuckDB reads events.ts at nanosecond precision while Spark truncates to
+    micros; only epoch_us/epoch-second/hour-truncated derivations are
+    compared, which agree under floor division.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from symat_hbase_tools_spark.operators import kv, relational
+from symat_hbase_tools_spark.operators.audit import audit
+from symat_hbase_tools_spark.operators.copy_row import copy_row_cells
+from symat_hbase_tools_spark.operators.diff import cells_diff
+from symat_hbase_tools_spark.sources.cells import (
+    CELL_TS,
+    customer_cells,
+    customer_cells_versioned,
+)
+from symat_hbase_tools_spark.sources.tables import load_table
+
+POINT_GET_CUSTKEY = 42
+BUMP_TS = 1_786_000_000_000
+PROJECTION_QUALIFIERS = ("c_acctbal", "c_name")
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders (customer -> cells unpivot)
+
+_QUAL_VALUE_SQL = (
+    ("c_acctbal", "printf('%.2f', c_acctbal)"),
+    ("c_mktsegment", "c_mktsegment"),
+    ("c_name", "c_name"),
+    ("c_nationkey", "CAST(c_nationkey AS VARCHAR)"),
+)
+_ROW_KEY_SQL = "printf('cust#%08d', c_custkey)"
+
+
+def _unpivot_sql(where: str = "TRUE", ts: int = CELL_TS, quals=None) -> str:
+    """UNION ALL unpivot of customer into cells rows (row_key/family/qualifier/ts/value)."""
+    quals = quals or [q for q, _ in _QUAL_VALUE_SQL]
+    parts = [
+        f"SELECT {_ROW_KEY_SQL} AS row_key, 'cf' AS family, '{q}' AS qualifier, "
+        f"CAST({ts} AS BIGINT) AS ts, {v} AS value FROM customer WHERE {where}"
+        for q, v in _QUAL_VALUE_SQL
+        if q in quals
+    ]
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# cell-layer queries (Spark side)
+
+
+def _pretty_cells(cells: DataFrame, *cols: str) -> DataFrame:
+    rendered = {
+        "row_key": F.decode(F.col("row"), "UTF-8").alias("row_key"),
+        "family": F.col("family"),
+        "qualifier": F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+        "ts": F.col("ts"),
+        "value": F.decode(F.col("value"), "UTF-8").alias("value"),
+    }
+    return cells.select(*[rendered[c] for c in cols])
+
+
+def kv_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = customer_cells(load_table(spark, sf_dir, "customer"))
+    key = ("cust#%08d" % POINT_GET_CUSTKEY).encode()
+    return _pretty_cells(
+        kv.point_get(cells, key), "row_key", "family", "qualifier", "ts", "value"
+    )
+
+
+def kv_keyonly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = customer_cells(load_table(spark, sf_dir, "customer"))
+    return kv.keyonly_scan(cells).select(F.decode(F.col("row"), "UTF-8").alias("row_key"))
+
+
+def kv_column_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = customer_cells(load_table(spark, sf_dir, "customer"))
+    proj = kv.column_projection(cells, list(PROJECTION_QUALIFIERS))
+    return _pretty_cells(proj, "row_key", "qualifier", "value")
+
+
+def kv_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = customer_cells(load_table(spark, sf_dir, "customer"), with_corrupt_marker=True)
+    return audit(cells)[0]
+
+
+def kv_audit_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = customer_cells(load_table(spark, sf_dir, "customer"), with_corrupt_marker=True)
+    return audit(cells)[1]
+
+
+def kv_copy_row_bump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = customer_cells(load_table(spark, sf_dir, "customer"))
+    key = ("cust#%08d" % POINT_GET_CUSTKEY).encode()
+    puts = copy_row_cells(cells, key, override_ts=BUMP_TS)
+    return _pretty_cells(puts, "row_key", "family", "qualifier", "ts", "value")
+
+
+def kv_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    versioned = customer_cells_versioned(load_table(spark, sf_dir, "customer"))
+    return _pretty_cells(kv.latest_cells(versioned), "row_key", "qualifier", "ts", "value")
+
+
+def kv_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    snap_a = customer_cells(customer)
+    modified = customer.filter(F.col("c_custkey") % 97 != 0).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    snap_b = customer_cells(modified)
+    return cells_diff(snap_a, snap_b)
+
+
+# ---------------------------------------------------------------------------
+# inventory
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # cell layer (reference surface)
+    "kv_point_get": kv_point_get,
+    "kv_keyonly_scan": kv_keyonly_scan,
+    "kv_column_projection": kv_column_projection,
+    "kv_audit_report": kv_audit_report,
+    "kv_audit_counters": kv_audit_counters,
+    "kv_copy_row_bump": kv_copy_row_bump,
+    "kv_latest_version": kv_latest_version,
+    "kv_table_diff": kv_table_diff,
+    # relational surface
+    "q1_pricing_summary": relational.q1_pricing_summary,
+    "q3_shipping_priority": relational.q3_shipping_priority,
+    "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+    "top_parts_per_brand": relational.top_parts_per_brand,
+    "customer_order_deltas": relational.customer_order_deltas,
+    "segment_distinct_counts": relational.segment_distinct_counts,
+    "approx_distinct_parts": relational.approx_distinct_parts,
+    "orders_without_lineitems": relational.orders_without_lineitems,
+    "events_json_extract": relational.events_json_extract,
+    "events_hourly": relational.events_hourly,
+    "events_sessionize": relational.events_sessionize,
+}
+
+_MONEY = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _money(expr: str) -> str:
+    return _MONEY.format(expr=expr)
+
+
+ORACLE_SQL: dict[str, str] = {
+    "kv_point_get": _unpivot_sql(where=f"c_custkey = {POINT_GET_CUSTKEY}"),
+    "kv_keyonly_scan": f"SELECT {_ROW_KEY_SQL} AS row_key FROM customer",
+    "kv_column_projection": (
+        "SELECT row_key, qualifier, value FROM ("
+        + _unpivot_sql(quals=list(PROJECTION_QUALIFIERS))
+        + ")"
+    ),
+    "kv_audit_report": (
+        f"SELECT {_ROW_KEY_SQL} AS row_key, "
+        f"'CorruptCellError, message: corrupt marker present for row ' || {_ROW_KEY_SQL} AS error "
+        "FROM customer WHERE c_custkey % 50 = 7"
+    ),
+    "kv_audit_counters": (
+        "SELECT COUNT(*) AS total, "
+        "COUNT(*) FILTER (WHERE c_custkey % 50 <> 7) AS success, "
+        "COUNT(*) FILTER (WHERE c_custkey % 50 = 7) AS failed FROM customer"
+    ),
+    "kv_copy_row_bump": _unpivot_sql(
+        where=f"c_custkey = {POINT_GET_CUSTKEY}", ts=BUMP_TS
+    ),
+    "kv_latest_version": (
+        "SELECT row_key, qualifier, CAST(ts + 2000 AS BIGINT) AS ts, value FROM ("
+        + _unpivot_sql()
+        + ")"
+    ),
+    "kv_table_diff": (
+        f"SELECT row_key AS row, family, qualifier, 'removed' AS change, "
+        "value AS old_value, CAST(NULL AS VARCHAR) AS new_value FROM ("
+        + _unpivot_sql(where="c_custkey % 97 = 0")
+        + ") UNION ALL "
+        f"SELECT {_ROW_KEY_SQL} AS row, 'cf' AS family, 'c_acctbal' AS qualifier, "
+        "'changed' AS change, printf('%.2f', c_acctbal) AS old_value, "
+        "printf('%.2f', c_acctbal + 100) AS new_value "
+        "FROM customer WHERE c_custkey % 97 <> 0 AND c_custkey % 10 = 0"
+    ),
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               {_money('l_extendedprice')} AS sum_base_price,
+               {_money('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {_money('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               SUM(l_quantity) / COUNT(*) AS avg_qty,
+               {_money('l_extendedprice')} / COUNT(*) AS avg_price,
+               {_money('l_discount')} / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey,
+               {_money('l_extendedprice * (1 - l_discount)')} AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "q5_local_supplier_volume": f"""
+        SELECT n_name, {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    "top_parts_per_brand": f"""
+        WITH per_part AS (
+            SELECT p_brand, p_partkey,
+                   {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, p_partkey
+        )
+        SELECT p_brand, p_partkey, revenue, rk FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
+            FROM per_part
+        ) WHERE rk <= 3
+    """,
+    "customer_order_deltas": """
+        SELECT o_custkey, o_orderkey,
+               o_totalprice - lag(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS price_delta
+        FROM orders
+    """,
+    "segment_distinct_counts": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               COUNT(DISTINCT c_nationkey) AS n_nations,
+               COUNT(DISTINCT CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
+                                   THEN c_custkey END) AS n_buyers
+        FROM customer GROUP BY c_mktsegment
+    """,
+    # approx_distinct_parts: HLL sketch values are engine-specific — no oracle
+    # (driver records a rows-only check); exact twin: segment_distinct_counts.
+    "orders_without_lineitems": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+        GROUP BY o_orderstatus
+    """,
+    "events_json_extract": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    "events_hourly": f"""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               event_type, COUNT(*) AS n_events,
+               {_money('value')} AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH g AS (
+            SELECT user_id,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+                        WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000 THEN 1
+                        ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        )
+        SELECT user_id, CAST(SUM(is_new) + 1 AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM g GROUP BY user_id
+    """,
+}
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """The driver's smoke query: Q1 pricing summary at sf0.001."""
+    return relational.q1_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,221 @@
+"""Relational operator surface over the driver's TPC-H-ish tables.
+
+The reference has no relational layer (SURVEY.md §2.5) — this is the engine's
+general query surface: filters, projections, equi/broadcast joins, group-by
+aggregates, windows, top-k, set ops, JSON/date functions. Everything is
+built-in DataFrame API so Catalyst gets pushdown/pruning/join-selection and
+Tungsten gets whole-stage codegen; there is deliberately not a single Python
+UDF in this module.
+
+Oracle determinism notes (every query here is hash-compared against DuckDB):
+  * Sums of 2-decimal doubles are order-dependent in IEEE double. Every money
+    aggregate therefore casts the per-row expression to DECIMAL(18,6) first —
+    exact, order-free — then casts the final sum to DOUBLE. ``money_sum``.
+  * Sums of integral doubles (l_quantity) are exact in double; summed as-is.
+  * Averages are explicit exact-sum / count so both engines divide the same
+    two numbers.
+  * Timestamps never appear raw in output — rendered 'yyyy-MM-dd' or as epoch
+    seconds (BIGINT) so ns-vs-us precision can't skew the hash.
+  * Every ORDER BY that feeds a LIMIT or window rank carries a unique-key
+    tiebreak so the selected row *set* is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from symat_hbase_tools_spark.sources.tables import load_table
+
+#: gap that splits two events of one user into separate sessions (8 h, in µs)
+SESSION_GAP_US = 8 * 3600 * 1_000_000
+
+
+def money_sum(expr: F.Column, alias: str) -> F.Column:
+    """Order-independent sum of a money expression (see module docstring)."""
+    return F.sum(expr.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-by with 8 aggregates.
+
+    Plan check: filter + 11->7 column pruning pushed to the parquet scan, one
+    partial-aggregated exchange on (returnflag, linestatus) — 6 groups, so the
+    reduce side is trivial at any scale.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            money_sum(F.col("l_extendedprice"), "sum_base_price"),
+            money_sum(disc_price, "sum_disc_price"),
+            money_sum(charge, "sum_charge"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / n).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, group, top-10 by revenue (orderkey tiebreak)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join; dims broadcast, facts shuffle once."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k per group: revenue rank of parts within brand (window + filter)."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.col("p_partkey"))
+    return (
+        per_part.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def customer_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window: per-customer order-to-order price delta."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        # raw double subtraction of identical inputs — bit-identical in DuckDB
+        (F.col("o_totalprice") - prev).alias("price_delta"),
+    )
+
+
+def segment_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates per market segment (incl. a semi-joined one)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    buyers = customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).groupBy("c_mktsegment").agg(F.countDistinct("c_custkey").alias("n_buyers"))
+    base = customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+    return base.join(buyers, "c_mktsegment", "left").fillna(0, ["n_buyers"])
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the 100 TB path for distinct counts.
+
+    Sketch values are engine-specific, so this query has no SQL oracle (the
+    driver records a rows-only check); the exact twin is
+    ``segment_distinct_counts``. rsd pinned for determinism across runs.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: anti join (orders with no lineitem) + status counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction over the events stream table (batch view)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregate (batch twin of the streaming query)."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+    return events.groupBy(hour, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum(F.col("value"), "sum_value"),
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap > 8h starts a new session (lag + count)."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    prev = F.lag(us).over(w)
+    is_new = F.when(prev.isNull(), 0).when(us - prev > SESSION_GAP_US, 1).otherwise(0)
+    return (
+        events.select("user_id", is_new.alias("is_new"))
+        .groupBy("user_id")
+        .agg(
+            (F.sum("is_new") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""Local mirror of the driver's t2 gate: every queries() entry that has an
+oracle_sql() twin runs on both engines over the same parquet; row count,
+column names, and values must match EXACTLY (the driver hashes values, so a
+1-ulp float drift is a failure — the queries are designed for bit-equality,
+see symat_hbase_tools_spark/entry.py docstring)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def canon_cell(x):
+    if x is None:
+        return None
+    if isinstance(x, float):
+        if math.isnan(x):
+            return "NaN"
+        return x
+    if hasattr(x, "item"):  # numpy scalar
+        return canon_cell(x.item())
+    if isinstance(x, (bytes, bytearray)):
+        return bytes(x)
+    return x
+
+
+def canon_rows(pdf):
+    cols = sorted(pdf.columns)
+    rows = [tuple(canon_cell(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    return sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r)), cols
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+def test_every_query_has_callable():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(name, spark, duck):
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(ORACLES[name]).df()
+    s_rows, s_cols = canon_rows(spark_pdf)
+    d_rows, d_cols = canon_rows(duck_pdf)
+    assert s_cols == d_cols, f"{name}: columns {s_cols} != {d_cols}"
+    assert len(s_rows) == len(d_rows), f"{name}: {len(s_rows)} vs {len(d_rows)} rows"
+    for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+        assert a == b, f"{name}: row {i} differs:\n  spark={a}\n  duck ={b}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_no_oracle_queries_still_run(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0 and len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
