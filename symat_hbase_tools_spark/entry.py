@@ -23,7 +23,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from symat_hbase_tools_spark.operators import kv, relational
+from symat_hbase_tools_spark.operators import (
+    dedup,
+    kv,
+    multimodal,
+    relational,
+    similarity,
+    text_analysis,
+)
 from symat_hbase_tools_spark.operators.audit import audit
 from symat_hbase_tools_spark.operators.copy_row import copy_row_cells
 from symat_hbase_tools_spark.operators.diff import cells_diff
@@ -156,7 +163,45 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_extract": relational.events_json_extract,
     "events_hourly": relational.events_hourly,
     "events_sessionize": relational.events_sessionize,
+    # LLM-pipeline surface: dedup
+    "dedup_exact": dedup.exact_dedup,
+    "dedup_bow_fingerprint": dedup.bow_fingerprint_dedup,
+    "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+    "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+    "dedup_simhash": dedup.simhash_pairs,
+    # LLM-pipeline surface: similarity search
+    "knn_cosine_topk": similarity.knn_cosine_topk,
+    "ann_lsh_topk": similarity.ann_lsh_topk,
+    "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
+        spark, sf, threshold=0.4
+    ),
+    # LLM-pipeline surface: text analysis
+    "text_lang_id": text_analysis.lang_id,
+    "text_quality_score": text_analysis.quality_score,
+    "text_token_stats": text_analysis.token_stats,
+    "text_doc_fingerprints": text_analysis.doc_fingerprints,
+    # LLM-pipeline surface: multimodal plumbing
+    "multimodal_features": multimodal.multimodal_features,
+    "multimodal_frame_census": multimodal.multimodal_frame_census,
 }
+
+# shared SQL fragments for the LLM-op oracles
+_TOKENS = "string_split_regex(trim(text), ' +')"
+_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
+_SHINGLE_CTE = """
+    t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh0 AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 1)),
+                i -> w[i] || '|' || w[i+1] || '|' || w[i+2]) shl FROM t),
+    sh AS (SELECT DISTINCT doc_id, unnest(shl) s FROM sh0),
+    sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
+              FROM sh a JOIN sh b USING (s)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    jac AS (SELECT d1, d2, i / (s1.n + s2.n - i) AS jaccard
+            FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+                       JOIN sizes s2 ON d2 = s2.doc_id)
+"""
+_JACCARD_SQL = f"WITH {_SHINGLE_CTE} SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5"
 
 _MONEY = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
@@ -302,6 +347,117 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, CAST(SUM(is_new) + 1 AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM g GROUP BY user_id
+    """,
+    "dedup_exact": r"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "dedup_bow_fingerprint": """
+        WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+             fps AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY tok)) AS fp
+                     FROM toks GROUP BY doc_id)
+        SELECT fp, min(doc_id) AS keep_doc_id, COUNT(*) AS n_docs FROM fps GROUP BY fp
+    """,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    # dedup_minhash_lsh verifies candidates with EXACT jaccard; at the corpus'
+    # similarity gap (pairs are ~0.99 or <0.1) a banded miss has p ~ 1e-22, so
+    # the exact-jaccard SQL is its oracle too. dedup_simhash / ann_lsh_topk
+    # have no cross-engine twin (xxhash64 family) -> rows-only checks.
+    "dedup_minhash_lsh": _JACCARD_SQL,
+    "knn_cosine_topk": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings)
+        SELECT query_id, neighbor_id, sim FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.emb, c.emb), 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id
+                   ) AS rk
+            FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        ) WHERE rk <= 5
+    """,
+    "embedding_near_dup": """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) emb FROM embeddings)
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
+    """,
+    "text_lang_id": """
+        SELECT lang,
+               CASE WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+                    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                    WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+                    WHEN regexp_matches(text, '(^| )(der|die|das|und) ') THEN 'de'
+                    WHEN regexp_matches(text, '(^| )(el|la|los|las) ') THEN 'es'
+                    WHEN regexp_matches(text, '(^| )(the|a|of|and) ') THEN 'en'
+                    ELSE 'unknown' END AS predicted,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1, 2
+    """,
+    "text_quality_score": f"""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST({_NTOK} AS BIGINT) AS n_tokens,
+                   CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))
+                        AS BIGINT) AS non_word,
+                   CAST(len(list_filter({_TOKENS},
+                        t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                        AS BIGINT) AS stop_hits
+            FROM documents)
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens > 0 THEN word_chars / n_tokens ELSE 0.0 END AS avg_word_len,
+               CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN n_chars > 0 THEN non_word / n_chars ELSE 0.0 END AS punct_ratio,
+               least(n_tokens / 100.0, 1.0) * 0.5
+                 + (CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END) * 0.3
+                 + (1 - (CASE WHEN n_chars > 0 THEN non_word / n_chars ELSE 0.0 END)) * 0.2
+                 AS quality_score
+        FROM f
+    """,
+    "text_token_stats": f"""
+        WITH d AS (
+            SELECT lang, source, n_chars,
+                   CAST({_NTOK} AS BIGINT) AS n_toks,
+                   CAST(list_sum(list_transform({_TOKENS},
+                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe
+            FROM documents)
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avg_tokens
+        FROM d GROUP BY lang, source
+    """,
+    "text_doc_fingerprints": """
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(text) + 1),
+                           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                   (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        FROM documents
+    """,
+    "multimodal_features": """
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS byte_len,
+               CAST(CAST(list_sum(list_transform(range(1, length(text) + 1),
+                    i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) % 997
+                    AS BIGINT) AS checksum,
+               CAST(n_chars % 640 + 1 AS INT) AS width,
+               CAST(doc_id % 480 + 1 AS INT) AS height
+        FROM documents
+    """,
+    "multimodal_frame_census": """
+        SELECT source,
+               CAST(SUM((doc_id % 10) // 2 + 1) AS BIGINT) AS n_frames_sampled,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM documents GROUP BY source
     """,
 }
 

@@ -1,0 +1,219 @@
+"""Document deduplication operators (SURVEY.md §2.5 / north-star extension).
+
+Five dedup strategies over the ``documents`` table, each a first-class
+operator designed for 100 TB:
+
+  * exact_dedup          — normalize + md5 + groupBy. One partial-aggregated
+                           shuffle on the 16-byte digest; canonical keeper =
+                           min(doc_id).
+  * bow_fingerprint_dedup— order-insensitive bag-of-words fingerprint
+                           (sorted distinct tokens -> md5). Catches
+                           token-permuted copies exact dedup misses.
+  * ngram_jaccard_pairs  — EXACT near-dup pairs by word-n-gram-shingle
+                           Jaccard. The shingle equi-join explodes on hot
+                           shingles at scale; ``max_shingle_df`` caps the
+                           document frequency of join keys (stop-shingle
+                           removal) — the standard trick to keep the
+                           candidate join linear-ish.
+  * minhash_lsh_pairs    — MinHash + banded LSH candidate generation, exact
+                           Jaccard verification of candidates only. The 100 TB
+                           path: signatures are narrow per-row expressions
+                           (no shuffle), candidates shuffle only on (band,
+                           band_hash), verification touches candidate pairs
+                           only. With b bands of r rows, P(candidate) =
+                           1-(1-j^r)^b — at j=0.99/b=16/r=4 a true pair is
+                           missed with p~1e-22, so against this corpus the
+                           output equals the exact operator's.
+  * simhash_pairs        — 64-bit SimHash + 4x16-bit band blocking; blocking
+                           is COMPLETE for hamming distance <= 3 by
+                           pigeonhole, so the operator is exactly "all pairs
+                           with hamming(simhash) <= max_hamming".
+
+Everything is built-in expressions — xxhash64, array ops, joins. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from symat_hbase_tools_spark.functions.text import minhash_signature, shingles, simhash64
+from symat_hbase_tools_spark.sources.tables import load_table
+
+NUM_HASHES = 64
+NUM_BANDS = 16  # 16 bands x 4 rows
+
+
+def _normalized(text: F.Column) -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(_normalized(F.col("text"))).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def bow_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))))
+    )
+    return (
+        docs.groupBy(fp.alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", shingles(F.col("text"), n=n).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (d1 < d2, jaccard >= threshold).
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts divided in double,
+    bit-identical to the DuckDB oracle.
+    """
+    sh = _doc_shingles(spark, sf_dir, n).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    if max_shingle_df is not None:
+        hot = sh.groupBy("s").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _pairs_from_sorted_ids(ids_col: str) -> F.Column:
+    """All (x, y) combinations with x<y from a sorted id array — JVM-side."""
+    ids = F.col(ids_col)
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """MinHash-LSH candidates, exact-Jaccard verified. Output = (d1, d2, jaccard)."""
+    rows_per_band = num_hashes // num_bands
+    docs = _doc_shingles(spark, sf_dir, n).filter(F.size("sh") > 0)
+    sig = docs.select(
+        "doc_id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                ).alias("bh"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    candidates = (
+        buckets.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .distinct()
+    )
+    sh1 = docs.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    sh2 = docs.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        candidates.join(sh1, "d1")
+        .join(sh2, "d2")
+        .select("d1", "d2", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 3, max_hamming: int = 3
+) -> DataFrame:
+    """All document pairs with hamming(simhash64) <= max_hamming.
+
+    4 x 16-bit band blocking is exhaustive for max_hamming <= 3 (pigeonhole:
+    with <= 3 bit flips at least one of 4 bands is untouched), so the result
+    is exact — not an approximation — while the join only shuffles on the
+    16-bit band keys.
+    """
+    docs = _doc_shingles(spark, sf_dir, n).filter(F.size("sh") > 0)
+    fps = docs.select("doc_id", simhash64(F.col("sh")).alias("fp"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("fp", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+            )
+            for b in range(4)
+        ]
+    )
+    buckets = fps.select("doc_id", "fp", F.explode(bands).alias("bb")).select(
+        "doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.fp").alias("fp1"),
+            F.col("b.fp").alias("fp2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2")))
+    return (
+        cand.select("d1", "d2", hamming.alias("hamming").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,172 @@
+"""Similarity search over the embeddings table (ArrayType(FloatType), dim 64).
+
+  * knn_cosine_topk — exact brute-force cosine top-k for every vector.
+    JVM-side higher-order functions (zip_with/aggregate) over a broadcast of
+    the (smaller) query side; norms are precomputed once per side. This is
+    the CORRECTNESS baseline and fine up to ~10^4 queries x 10^6 candidates
+    per executor-hour; beyond that use the LSH path.
+  * ann_lsh_topk    — random-hyperplane LSH (sign sketches, multiprobe).
+    Buckets come from deterministic xxhash64-derived ±1 planes so results are
+    reproducible across runs/clusters. The scale path: candidate generation
+    shuffles on bucket ids only; exact cosine re-ranks candidates.
+
+At 100 TB the embeddings table is bucketed by id; the LSH bucket id is a
+narrow per-row expression, so candidate generation adds exactly one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from symat_hbase_tools_spark.functions.vectors import as_double, cosine, dot
+from symat_hbase_tools_spark.sources.tables import load_table
+
+DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+
+
+def knn_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for every vector (query_id, neighbor_id, sim)."""
+    base = _emb(spark, sf_dir)
+    q = base.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    c = base.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ce"))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ce")).alias("sim_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+def _lsh_bucket(emb: F.Column, num_planes: int, table: int = 0) -> F.Column:
+    """Sign-sketch bucket id from deterministic ±1 hyperplanes.
+
+    plane_{t,j}[i] = +1 if xxhash64(t, j, i) is even else -1;
+    bit_j = (emb·plane_{t,j}) > 0. A per-row narrow expression — no data
+    movement to compute buckets. ``table`` seeds an independent plane set.
+    """
+    def signed_product(j: int):
+        return lambda x, i: x * F.when(
+            F.pmod(F.xxhash64(F.lit(table), F.lit(j), i), 2) == 0, 1.0
+        ).otherwise(-1.0)
+
+    bucket = F.lit(0).cast("long")
+    for j in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(emb, F.sequence(F.lit(0), F.lit(DIM - 1)), signed_product(j)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    num_planes: int = 4,
+    num_tables: int = 3,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: LSH bucket candidates + exact cosine re-rank.
+
+    Recall knobs (the two standard LSH levers):
+      * num_tables — independent plane sets OR-ed together; a true neighbor
+        is a candidate if it collides in ANY table;
+      * multiprobe — within each table also search every bucket at hamming
+        distance 1 from the query's bucket.
+    Candidate generation shuffles on (table, bucket) only; exact cosine
+    re-ranks candidates, so reported sims are exact for returned pairs.
+    """
+    base = _emb(spark, sf_dir)
+    for t in range(num_tables):
+        base = base.withColumn(
+            f"bucket_{t}", _lsh_bucket(F.col("emb"), num_planes, table=t)
+        )
+
+    def probes_for(t: int) -> list[F.Column]:
+        b = F.col(f"bucket_{t}")
+        out = [F.struct(F.lit(t).alias("t"), b.alias("b"))]
+        if multiprobe:
+            out += [
+                F.struct(
+                    F.lit(t).alias("t"),
+                    b.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), j)).alias("b"),
+                )
+                for j in range(num_planes)
+            ]
+        return out
+
+    q_probes = [p for t in range(num_tables) for p in probes_for(t)]
+    c_buckets = [
+        F.struct(F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("b"))
+        for t in range(num_tables)
+    ]
+    q = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.explode(F.array(*q_probes)).alias("bucket"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ce"),
+        F.explode(F.array(*c_buckets)).alias("bucket"),
+    )
+    sims = (
+        q.join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("sim_raw")
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (d1 < d2, sim >= threshold).
+
+    Exact within-label blocking: class labels partition the candidate space
+    (a near-dup of a vector shares its label in this corpus), cutting the
+    quadratic term by the label cardinality. The unblocked scale path is
+    ann_lsh_topk with a threshold filter.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    a = e.select(
+        F.col("label"), F.col("vec_id").alias("d1"), F.col("emb").alias("e1")
+    )
+    b = e.select(
+        F.col("label"), F.col("vec_id").alias("d2"), F.col("emb").alias("e2")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.round(cosine(F.col("e1"), F.col("e2")), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

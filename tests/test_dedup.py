@@ -1,0 +1,74 @@
+"""Dedup operator tests at sf0.001 (500 docs, ~28 planted near-dup pairs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from symat_hbase_tools_spark.operators import dedup
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    """Ground-truth shingle-jaccard pairs at threshold 0.3 (below everything
+    planted, above the noise floor of ~0.07)."""
+    rows = dedup.ngram_jaccard_pairs(spark, SF_DIR, threshold=0.3).collect()
+    return {(r["d1"], r["d2"]): r["jaccard"] for r in rows}
+
+
+def test_exact_dedup_no_dups_in_corpus(spark, documents):
+    out = dedup.exact_dedup(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in out) == documents.count()
+    assert all(r["n_docs"] == 1 for r in out)  # corpus has no byte-identical dups
+
+
+def test_bow_fingerprint_finds_permuted_docs(spark, documents):
+    out = dedup.bow_fingerprint_dedup(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in out) == documents.count()
+    # 31-word vocab -> many docs share a token SET even though texts differ
+    assert any(r["n_docs"] > 1 for r in out)
+    assert len(out) < documents.count()
+
+
+def test_ngram_jaccard_finds_planted_neardups(spark, exact_pairs):
+    out = dedup.ngram_jaccard_pairs(spark, SF_DIR, threshold=0.5).collect()
+    got = {(r["d1"], r["d2"]) for r in out}
+    want = {p for p, j in exact_pairs.items() if j >= 0.5}
+    assert got == want
+    assert len(got) > 10  # the generator plants ~28 pairs at this sf
+    assert all(r["d1"] < r["d2"] for r in out)
+
+
+def test_minhash_lsh_matches_exact(spark, exact_pairs):
+    """At this corpus' similarity gap LSH recall is ~1 - 1e-22: outputs equal."""
+    lsh = dedup.minhash_lsh_pairs(spark, SF_DIR, threshold=0.5).collect()
+    got = {(r["d1"], r["d2"]): r["jaccard"] for r in lsh}
+    want = {p: j for p, j in exact_pairs.items() if j >= 0.5}
+    assert got == want  # same pairs AND same exact-jaccard values
+
+
+def test_simhash_pairs_are_near_dups(spark, exact_pairs):
+    """SimHash on small shingle sets trades recall for precision: measured on
+    this corpus, hamming<=3 finds ~10/27 of the 0.99-jaccard pairs with ZERO
+    false positives (thin bit-vote margins flip a few bits per edit). Assert
+    perfect precision and the measured recall floor."""
+    out = dedup.simhash_pairs(spark, SF_DIR, max_hamming=3).collect()
+    got = {(r["d1"], r["d2"]) for r in out}
+    high = {p for p, j in exact_pairs.items() if j >= 0.9}
+    assert len(got) >= 8
+    for p in got:  # precision: every reported pair is a genuine near-dup
+        assert p in exact_pairs, f"simhash pair {p} has jaccard < 0.3"
+    assert len(got & high) >= 0.3 * len(high)
+    # at a looser radius recall rises while precision holds (measured 19/27)
+    relaxed = {(r["d1"], r["d2"])
+               for r in dedup.simhash_pairs(spark, SF_DIR, max_hamming=6).collect()}
+    assert len(relaxed & high) >= 0.6 * len(high)
+    assert all(p in exact_pairs for p in relaxed)
+
+
+def test_shingle_df_cap_prunes_hot_shingles(spark):
+    capped = dedup.ngram_jaccard_pairs(
+        spark, SF_DIR, threshold=0.5, max_shingle_df=2
+    )
+    # still finds the planted pairs: their shared shingles are rare by design
+    assert capped.count() > 0

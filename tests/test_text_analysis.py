@@ -1,0 +1,83 @@
+"""Text-analysis operator tests: Python recomputation as the per-doc oracle."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from symat_hbase_tools_spark.functions.text import FINGERPRINT_MOD, STOPWORDS
+from symat_hbase_tools_spark.operators import text_analysis
+from tests.conftest import SF_DIR
+
+
+def py_quality(text: str) -> dict:
+    toks = re.split(" +", text.strip()) if text.strip() else []
+    n_tokens = len(toks)
+    word_chars = len(text.replace(" ", ""))
+    n_chars = len(text)
+    non_word = n_chars - len(re.sub("[^a-z ]", "", text))
+    stop_hits = sum(t in STOPWORDS for t in toks)
+    return {
+        "n_tokens": n_tokens,
+        "avg_word_len": word_chars / n_tokens if n_tokens else 0.0,
+        "stopword_ratio": stop_hits / n_tokens if n_tokens else 0.0,
+        "punct_ratio": non_word / n_chars if n_chars else 0.0,
+        "quality_score": min(n_tokens / 100.0, 1.0) * 0.5
+        + (stop_hits / n_tokens if n_tokens else 0.0) * 0.3
+        + (1 - (non_word / n_chars if n_chars else 0.0)) * 0.2,
+    }
+
+
+def test_quality_score_matches_python(spark, documents):
+    sample = {r["doc_id"]: r["text"] for r in documents.limit(20).collect()}
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text_analysis.quality_score(spark, SF_DIR).collect()
+        if r["doc_id"] in sample
+    }
+    for doc_id, text in sample.items():
+        want = py_quality(text)
+        got = out[doc_id]
+        for k, v in want.items():
+            assert got[k] == v, f"doc {doc_id} {k}: {got[k]} != {v}"
+
+
+def test_fingerprint_matches_python(spark, documents):
+    sample = {r["doc_id"]: r["text"] for r in documents.limit(20).collect()}
+    out = {r["doc_id"]: r["fp"] for r in text_analysis.doc_fingerprints(spark, SF_DIR).collect()}
+    for doc_id, text in sample.items():
+        h = 0
+        for ch in text:
+            h = (h * 31 + ord(ch)) % FINGERPRINT_MOD
+        assert out[doc_id] == h
+
+
+def test_lang_id_labels(spark):
+    out = text_analysis.lang_id(spark, SF_DIR).collect()
+    valid = {"zh", "ja", "ru", "ar", "de", "es", "en", "unknown"}
+    assert all(r["predicted"] in valid for r in out)
+    assert sum(r["n_docs"] for r in out) == 500
+
+
+def test_lang_id_script_rules(spark):
+    from symat_hbase_tools_spark.operators.text_analysis import lang_id_expr
+
+    df = spark.createDataFrame(
+        [("这是中文文本",), ("これは日本語です",), ("это русский текст",),
+         ("هذا نص عربي",), ("der hund und die katze",), ("el gato la casa",),
+         ("the quick brown fox of doom",), ("zzz qqq xxx",)],
+        "text string",
+    )
+    got = [r["p"] for r in df.select(lang_id_expr(F.col("text")).alias("p")).collect()]
+    assert got == ["zh", "ja", "ru", "ar", "de", "es", "en", "unknown"]
+
+
+def test_token_stats_consistency(spark, documents):
+    out = text_analysis.token_stats(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in out) == documents.count()
+    total_chars = documents.agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r["total_chars"] for r in out) == total_chars
+    for r in out:
+        assert r["avg_tokens"] == r["total_tokens"] / r["n_docs"]
+        assert r["total_bpe_tokens"] >= r["total_tokens"]  # >=1 BPE token per word
