@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+
+Each query is timed over full materialization (collect) so lazy plans can't
+hide work. One tiny warm-up action runs first so JVM/codegen startup isn't
+billed to the first query. Run `python bench.py --baseline` to time the same
+queries on DuckDB (the BASELINE.md numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+#: headline set — every category of the engine exercised at bench scale
+HEADLINE = [
+    "kv_audit_report",
+    "kv_latest_version",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_parts_per_brand",
+    "customer_order_deltas",
+    "events_hourly",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+    "text_quality_score",
+    "text_token_stats",
+    "multimodal_features",
+]
+
+
+def run_spark() -> dict:
+    from symat_hbase_tools_spark.entry import QUERIES
+    from symat_hbase_tools_spark.session import get_spark
+
+    spark = get_spark("symat-bench", cpus=CPUS)
+    # warm-up: JVM + codegen + parquet footer caches out of the timings
+    spark.range(1000).selectExpr("sum(id)").collect()
+    QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        rows = QUERIES[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)
+    return timings
+
+
+def run_duckdb_baseline() -> dict:
+    import duckdb
+
+    from symat_hbase_tools_spark.entry import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {CPUS}")
+    tables = (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in ORACLE_SQL:
+            continue
+        t0 = time.perf_counter()
+        con.execute(ORACLE_SQL[name]).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# duckdb {name}: {timings[name]:.3f}s", file=sys.stderr)
+    return timings
+
+
+def main() -> None:
+    baseline = "--baseline" in sys.argv
+    timings = run_duckdb_baseline() if baseline else run_spark()
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_baseline_total_sec" if baseline else "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

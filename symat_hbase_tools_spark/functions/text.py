@@ -41,12 +41,14 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.aggregate(per_word, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
-def shingles(text: Column, n: int = 3, sep: str = "|") -> Column:
-    """Distinct word n-gram shingles of the text, as an array column.
+def shingles_from_words(words: Column, n: int = 3, sep: str = "|") -> Column:
+    """Distinct word n-gram shingles from a PRE-MATERIALIZED words array.
 
-    A narrow per-row expression (no explode/shuffle); n-1 short docs yield [].
+    ``words`` must be a real column (not an inline split(...) expression):
+    higher-order functions run interpreted, so an inlined split would be
+    re-evaluated for every element_at — measured ~10x slower. Callers do
+    ``.withColumn("words", F.split(text, " "))`` first.
     """
-    words = F.split(text, " ")
     positions = F.when(
         F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -56,41 +58,85 @@ def shingles(text: Column, n: int = 3, sep: str = "|") -> Column:
     return F.array_distinct(F.transform(positions, gram))
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
-    """num_hashes-wide MinHash signature as array<long>.
+def shingles(text: Column, n: int = 3, sep: str = "|") -> Column:
+    """Distinct word n-gram shingles of a text column (convenience form —
+    prefer ``shingles_from_words`` on hot paths, see its docstring)."""
+    return shingles_from_words(F.split(text, " "), n=n, sep=sep)
 
-    Hash family: xxhash64(seed_j, shingle) — deterministic, JVM-side. The
-    whole signature is a per-row narrow expression; empty shingle sets get
-    Long.MAX sentinels (never collide into a band match).
+
+def shingle_hashes(shingle_arr: Column) -> Column:
+    """One xxhash64 per shingle — the single expensive hash pass; the MinHash
+    permutation family and SimHash bit-votes below reuse these hashes."""
+    return F.transform(shingle_arr, lambda s: F.xxhash64(s))
+
+
+def _permutation_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j odd, b_j) constants for the linear hash family.
+
+    31-bit constants so a_j * (h & mask31) + b_j stays < 2^62 — no long
+    overflow, which matters because Spark 4 runs ANSI mode (overflow throws).
     """
-    def hash_with_seed(j: int):
-        # NB: a plain `lambda s, j=j` would be seen by PySpark as a 2-arg
-        # lambda and j would get bound to the array INDEX — closure instead.
-        return lambda s: F.xxhash64(F.lit(j), s)
+    import random
 
-    sigs = [
-        F.coalesce(
-            F.array_min(F.transform(shingle_arr, hash_with_seed(j))),
-            F.lit((1 << 63) - 1 - j),
-        )
-        for j in range(num_hashes)
+    rng = random.Random(0x5EED)
+    return [
+        ((rng.getrandbits(31) | 1), rng.getrandbits(31)) for _ in range(num_hashes)
     ]
-    return F.array(*sigs)
 
 
-def simhash64(shingle_arr: Column) -> Column:
-    """64-bit SimHash of a shingle set (xxhash64 bit-vote), as a long."""
-    def bit_sum(j: int) -> Column:
-        vote = lambda s: F.when(  # noqa: E731
-            F.shiftright(F.xxhash64(s), j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-        return F.aggregate(shingle_arr, F.lit(0), lambda acc, s: acc + vote(s))
+def minhash_permutations(h: Column, num_hashes: int = 64) -> list[Column]:
+    """The MinHash permutation family applied to one shingle-hash column.
 
-    fp = F.lit(0).cast("long")
-    for j in range(64):
-        fp = fp + F.when(bit_sum(j) > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-            F.lit(0).cast("long")
+    Classic construction: ONE strong hash per shingle (``shingle_hashes``),
+    then cheap universal-family permutations
+    h_j = (a_j * (h & mask31) + b_j) mod (2^31 - 1) — num_hashes
+    multiply-add-mods instead of num_hashes full string hashes per shingle.
+    The mod is essential: without it a_j*h+b_j is MONOTONE in h, every
+    "permutation" picks the same argmin shingle and the signature
+    degenerates to one hash function.
+
+    Returned as plain column expressions so callers build the signature as
+    ``explode(hashes) -> groupBy(doc).agg(min(perm_j)...)`` — a codegen'd
+    partially-aggregated hash aggregate. (The per-row alternative,
+    64 x array_min(transform(...)), runs interpreted — higher-order
+    functions get no whole-stage codegen — and measured ~20x slower.)
+    31-bit constants keep a_j * (h & mask31) + b_j < 2^62: no long overflow,
+    which matters because Spark 4 runs ANSI mode (overflow throws).
+    """
+    mask31 = (1 << 31) - 1
+    mersenne = (1 << 31) - 1
+    return [
+        F.pmod(
+            F.lit(a).cast("long") * h.bitwiseAND(F.lit(mask31)) + F.lit(b),
+            F.lit(mersenne),
         )
+        for a, b in _permutation_constants(num_hashes)
+    ]
+
+
+def simhash_vote_aggs(h: Column, bits: int = 64) -> list[Column]:
+    """Per-bit SimHash vote aggregates (+1/-1 per shingle hash, summed).
+
+    Used as ``explode(hashes) -> groupBy(doc).agg(*votes)`` — codegen'd hash
+    aggregation, same rationale as ``minhash_permutations``.
+    """
+    return [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"vote_{j}")
+        for j in range(bits)
+    ]
+
+
+def simhash_from_votes(bits: int = 64) -> Column:
+    """Assemble the SimHash long from the ``vote_j`` aggregate columns."""
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(
+            F.col(f"vote_{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
     return fp
 
 

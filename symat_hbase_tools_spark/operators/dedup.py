@@ -37,11 +37,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from symat_hbase_tools_spark.functions.text import minhash_signature, shingles, simhash64
+from symat_hbase_tools_spark.functions.text import (
+    minhash_permutations,
+    shingle_hashes,
+    shingles_from_words,
+    simhash_from_votes,
+    simhash_vote_aggs,
+)
 from symat_hbase_tools_spark.sources.tables import load_table
 
-NUM_HASHES = 64
-NUM_BANDS = 16  # 16 bands x 4 rows
+#: 8 bands x 4 rows: for a true pair at jaccard j, P(missed) = (1-j^4)^8 —
+#: ~2e-12 at j=0.99 (this corpus' near-dup band), 0.60 at j=0.5. Halving from
+#: 16 bands costs recall only in the [0.5, 0.8) range, which the exact
+#: verification step cannot repair; raise NUM_BANDS when hunting borderline
+#: pairs, at linear signature/bucket cost.
+NUM_HASHES = 32
+NUM_BANDS = 8
 
 
 def _normalized(text: F.Column) -> F.Column:
@@ -69,8 +80,17 @@ def bow_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_shingles(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", shingles(F.col("text"), n=n).alias("sh")
+    # The signature/shingle math is compute-bound per row. A small corpus
+    # arrives as ONE parquet split and would pin a single core; fan out to
+    # the cluster's parallelism. (At real scale the source already has
+    # more splits than cores and this is a no-op.)
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    # two projections: materialize the words array, THEN shingle — keeps the
+    # split out of the interpreted shingle lambda (see shingles_from_words)
+    return docs.withColumn("words", F.split(F.col("text"), " ")).select(
+        "doc_id", shingles_from_words(F.col("words"), n=n).alias("sh")
     )
 
 
@@ -86,8 +106,12 @@ def ngram_jaccard_pairs(
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts divided in double,
     bit-identical to the DuckDB oracle.
     """
+    # join key = xxhash64(shingle): fixed-width long comparisons instead of
+    # string equality through the whole self-join (the hot path at scale).
+    # A key collision would need two distinct shingles in one corpus to share
+    # an xxhash64 — p < n^2 / 2^64, irrelevant even at 10^8 distinct shingles.
     sh = _doc_shingles(spark, sf_dir, n).select(
-        "doc_id", F.explode("sh").alias("s")
+        "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
     )
     if max_shingle_df is not None:
         hot = sh.groupBy("s").count().filter(F.col("count") > max_shingle_df)
@@ -139,8 +163,20 @@ def minhash_lsh_pairs(
     """MinHash-LSH candidates, exact-Jaccard verified. Output = (d1, d2, jaccard)."""
     rows_per_band = num_hashes // num_bands
     docs = _doc_shingles(spark, sf_dir, n).filter(F.size("sh") > 0)
-    sig = docs.select(
-        "doc_id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    # Signature via explode -> ONE codegen'd hash aggregate (64 min() aggs,
+    # partial aggregation map-side). Each shingle is hashed once; the 64
+    # permutations are multiply-add-mods on that hash. ~20x faster than the
+    # per-row higher-order-function formulation (HOFs run interpreted).
+    exploded = docs.select(
+        "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("h")
+    )
+    perms = minhash_permutations(F.col("h"), num_hashes)
+    sig = (
+        exploded.groupBy("doc_id")
+        .agg(*[F.min(p).alias(f"m{j}") for j, p in enumerate(perms)])
+        .select(
+            "doc_id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
+        )
     )
     bands = F.array(
         *[
@@ -187,7 +223,13 @@ def simhash_pairs(
     16-bit band keys.
     """
     docs = _doc_shingles(spark, sf_dir, n).filter(F.size("sh") > 0)
-    fps = docs.select("doc_id", simhash64(F.col("sh")).alias("fp"))
+    # bit votes via explode -> codegen'd hash aggregate (see minhash note)
+    fps = (
+        docs.select("doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("h"))
+        .groupBy("doc_id")
+        .agg(*simhash_vote_aggs(F.col("h")))
+        .select("doc_id", simhash_from_votes().alias("fp"))
+    )
     bands = F.array(
         *[
             F.struct(

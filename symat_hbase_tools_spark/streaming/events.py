@@ -1,0 +1,129 @@
+"""Structured Streaming surface over the events stream table.
+
+The reference has no streaming (SURVEY.md §2.5); this is the engine's
+extension surface for continuous ingestion: tumbling/sliding windows,
+session windows, and watermark-based late-data handling.
+
+Batch/stream parity is the correctness contract: every streaming aggregate
+here has a batch twin in operators/relational.py, and tests assert the
+streaming result on bounded input equals the batch result. For production
+the file source swaps for Kafka; everything downstream is unchanged — that
+is the point of the unified DataFrame API.
+
+Scale notes: streaming aggregations shuffle on (window, key) exactly like
+their batch twins; state store size is bounded by the watermark horizon.
+``session_window`` state merges per key — the 100 TB-stream concern is key
+cardinality (user_id), not event volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from symat_hbase_tools_spark.session import apply_runtime_confs
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _staged_dir(sf_dir: str) -> str:
+    """The file stream source requires a DIRECTORY to watch; the test data is
+    a single parquet file. Stage a symlink dir (idempotent, read-only data
+    untouched)."""
+    import hashlib
+    import os
+
+    stage = os.path.join(
+        "/tmp", "symat_stream", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return stage
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (file source; Kafka in production)."""
+    apply_runtime_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_staged_dir(sf_dir))
+    )
+    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def tumbling_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1h tumbling window counts/sums; late data beyond the watermark dropped."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """6h windows sliding hourly — overlap handled by the engine's state store."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "8 hours", watermark: str = "12 hours") -> DataFrame:
+    """Per-user session windows (gap-based merge in the state store)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events", F.unix_timestamp("w.start").alias("session_start"))
+    )
+
+
+def run_bounded(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
+    """Drain a bounded stream into a memory sink and return the result table.
+
+    For bounded parquet input availableNow + processAllAvailable drives the
+    query to completion synchronously — deterministic, test-friendly.
+    """
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(query_name)

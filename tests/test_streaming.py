@@ -1,0 +1,61 @@
+"""Streaming surface tests: batch/stream parity on bounded input
+(SURVEY.md §7 Phase 4 — deterministic availableNow drain into memory sink)."""
+
+from __future__ import annotations
+
+import pytest
+
+from symat_hbase_tools_spark.operators import relational
+from symat_hbase_tools_spark.streaming import events as streaming
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    return streaming.stream_events(spark, SF_DIR)
+
+
+def test_tumbling_matches_batch(spark, stream):
+    got = streaming.run_bounded(
+        streaming.tumbling_hourly(stream), "t_tumbling"
+    ).collect()
+    want = relational.events_hourly(spark, SF_DIR).collect()
+    to_set = lambda rows: {  # noqa: E731
+        (r["hour_epoch"], r["event_type"], r["n_events"], r["sum_value"]) for r in rows
+    }
+    assert to_set(got) == to_set(want)
+
+
+def test_sliding_window_overlap(spark, stream):
+    got = streaming.run_bounded(
+        streaming.sliding_counts(stream), "t_sliding"
+    ).collect()
+    # every event lands in exactly 6 sliding windows (6h window, 1h slide)
+    total_batch = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(r["n_events"] for r in got) == 6 * total_batch
+
+
+def test_session_counts_match_batch(spark, stream):
+    got = streaming.run_bounded(
+        streaming.session_counts(stream), "t_sessions"
+    ).collect()
+    per_user_sessions: dict[int, int] = {}
+    per_user_events: dict[int, int] = {}
+    for r in got:
+        per_user_sessions[r["user_id"]] = per_user_sessions.get(r["user_id"], 0) + 1
+        per_user_events[r["user_id"]] = per_user_events.get(r["user_id"], 0) + r["n_events"]
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in relational.events_sessionize(spark, SF_DIR).collect()
+    }
+    got_pairs = {
+        u: (per_user_sessions[u], per_user_events[u]) for u in per_user_sessions
+    }
+    assert got_pairs == want
+
+
+def test_watermark_drops_nothing_on_ordered_bounded_input(spark, stream):
+    """availableNow over one bounded file: watermark never truncates."""
+    got = streaming.run_bounded(streaming.tumbling_hourly(stream), "t_wm")
+    total = sum(r["n_events"] for r in got.collect())
+    assert total == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
