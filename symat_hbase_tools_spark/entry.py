@@ -38,6 +38,7 @@ from symat_hbase_tools_spark.sources.cells import (
     CELL_TS,
     customer_cells,
     customer_cells_versioned,
+    customer_cells_with_deletes,
 )
 from symat_hbase_tools_spark.sources.tables import load_table
 
@@ -125,6 +126,11 @@ def kv_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pretty_cells(kv.latest_cells(versioned), "row_key", "qualifier", "ts", "value")
 
 
+def kv_visible_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = customer_cells_with_deletes(load_table(spark, sf_dir, "customer"))
+    return _pretty_cells(kv.visible_cells(cells), "row_key", "qualifier", "ts", "value")
+
+
 def kv_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     snap_a = customer_cells(customer)
@@ -150,6 +156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_audit_counters": kv_audit_counters,
     "kv_copy_row_bump": kv_copy_row_bump,
     "kv_latest_version": kv_latest_version,
+    "kv_visible_cells": kv_visible_cells,
     "kv_table_diff": kv_table_diff,
     # relational surface
     "q1_pricing_summary": relational.q1_pricing_summary,
@@ -159,6 +166,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_deltas": relational.customer_order_deltas,
     "segment_distinct_counts": relational.segment_distinct_counts,
     "approx_distinct_parts": relational.approx_distinct_parts,
+    "rollup_order_counts": relational.rollup_order_counts,
+    "cube_returnflag_linestatus": relational.cube_returnflag_linestatus,
+    "pivot_status_by_priority": relational.pivot_status_by_priority,
+    "price_percentiles": relational.price_percentiles,
+    "price_percentiles_approx": relational.price_percentiles_approx,
+    "asof_purchase_signup": relational.asof_purchase_signup,
     "orders_without_lineitems": relational.orders_without_lineitems,
     "events_json_extract": relational.events_json_extract,
     "events_hourly": relational.events_hourly,
@@ -347,6 +360,50 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, CAST(SUM(is_new) + 1 AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM g GROUP BY user_id
+    """,
+    "kv_visible_cells": (
+        "SELECT row_key, qualifier, ts, value FROM ("
+        + _unpivot_sql(quals=["c_mktsegment", "c_name", "c_nationkey"])
+        + " UNION ALL "
+        + _unpivot_sql(where="c_custkey % 25 <> 3", quals=["c_acctbal"])
+        + ")"
+    ),
+    "rollup_order_counts": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "cube_returnflag_linestatus": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "pivot_status_by_priority": """
+        SELECT o_orderpriority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "price_percentiles": """
+        SELECT l_returnflag,
+               CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+               CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # price_percentiles_approx: KLL-sketch values are engine-specific — no
+    # oracle (rows-only); the exact twin above is the correctness gate.
+    "asof_purchase_signup": """
+        WITH w AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+                   max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS last_signup_us
+            FROM events)
+        SELECT event_id, user_id, us AS purchase_us, last_signup_us,
+               us - last_signup_us AS us_since_signup
+        FROM w WHERE event_type = 'purchase'
     """,
     "dedup_exact": r"""
         SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

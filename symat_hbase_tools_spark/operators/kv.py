@@ -46,25 +46,50 @@ def list_families(cells: DataFrame) -> list[str]:
     return [r["family"] for r in cells.select("family").distinct().collect()]
 
 
+def visible_cells(cells: DataFrame) -> DataFrame:
+    """Readable cells under HBase delete-marker semantics.
+
+    A (row, family, qualifier) whose LATEST version is a ``Delete`` marker is
+    invisible; otherwise the latest Put wins. Same single max_by aggregation
+    as ``latest_cells`` plus a type filter — no extra shuffle.
+    """
+    return latest_cells(cells).filter(F.col("type") == "Put")
+
+
 def latest_cells(cells: DataFrame) -> DataFrame:
     """Latest-version-wins view over a versioned cells table.
 
-    One hash aggregation with max_by(struct(ts,type,value), ts): partial
-    aggregation applies map-side, so the shuffle carries one pre-reduced row
-    per (row,family,qualifier) per map task — strictly better at scale than
-    Window.partitionBy(...).orderBy(desc ts) + row_number()==1, which must
-    shuffle every version then sort each partition.
+    Implemented as ONE plain ``max`` over a sortable packed encoding
+    ``hex(ts) | type-marker | value``. Var-width max (binary/string) has no
+    HashAggregate support in Spark — the plan is a SortAggregate — but the
+    property that matters at scale holds: PARTIAL aggregation runs map-side,
+    so the exchange carries one pre-reduced row per (row,family,qualifier)
+    per task. The window row_number()==1 formulation shuffles every version
+    of every cell and still sorts; this shuffles the reduced set only.
+
+    Tie semantics at equal ts follow HBase: the marker byte orders Delete
+    ('1') above Put ('0'), so a delete marker wins against a Put at the
+    same timestamp.
     """
-    packed = F.max_by(F.struct("ts", "type", "value"), F.col("ts")).alias("c")
-    return (
+    packed = F.concat(
+        F.encode(F.lpad(F.hex(F.col("ts")), 16, "0"), "UTF-8"),
+        F.encode(F.when(F.col("type") == "Delete", "1").otherwise("0"), "UTF-8"),
+        F.coalesce(F.col("value"), F.lit(b"")),
+    )
+    unpacked = (
         cells.groupBy("row", "family", "qualifier")
-        .agg(packed)
-        .select(
-            "row",
-            "family",
-            "qualifier",
-            F.col("c.ts").alias("ts"),
-            F.col("c.type").alias("type"),
-            F.col("c.value").alias("value"),
-        )
+        .agg(F.max(packed).alias("p"))
+    )
+    ts = F.conv(F.decode(F.substring("p", 1, 16), "UTF-8"), 16, 10).cast("long")
+    ctype = F.when(
+        F.decode(F.substring("p", 17, 1), "UTF-8") == "1", "Delete"
+    ).otherwise("Put")
+    value = F.expr("substring(p, 18, 2147483647)")
+    return unpacked.select(
+        "row",
+        "family",
+        "qualifier",
+        ts.alias("ts"),
+        ctype.alias("type"),
+        value.alias("value"),
     )

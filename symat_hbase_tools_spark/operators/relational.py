@@ -204,6 +204,94 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (status, priority): per-group, per-status subtotal, grand total.
+
+    One expand + hash aggregate; at scale rollup multiplies shuffle rows by
+    the number of grouping sets (3 here) — acceptable for low-cardinality
+    dimension rollups, which is their use case.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the Q1 grouping — all 4 grouping sets in one pass."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority with one column per status."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .fillna(0, ["O", "F", "P"])
+    )
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per return flag (median, p90).
+
+    Exact percentile requires a per-group sort — fine for bounded groups.
+    The unbounded-scale twin is ``price_percentiles_approx`` (KLL-sketch
+    based, mergeable, single pass).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+    )
+
+
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles — the 100 TB path (no per-group sort; sketch
+    values are engine-specific, so no SQL oracle: rows-only check)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+    )
+
+
+def asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase event, the user's most recent signup
+    at-or-before it.
+
+    Spark has no native ASOF JOIN; when both sides share a partition key the
+    idiomatic formulation is a per-key ordered window with a running
+    last-non-null — one shuffle on user_id, no range explosion. (For keyless
+    as-of joins, bucketize the time axis and equi-join buckets.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    signup_us = F.when(F.col("event_type") == "signup", us)
+    return (
+        events.withColumn("last_signup_us", F.max(signup_us).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            us.alias("purchase_us"),
+            "last_signup_us",
+            (us - F.col("last_signup_us")).alias("us_since_signup"),
+        )
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: gap > 8h starts a new session (lag + count)."""
     events = load_table(spark, sf_dir, "events")

@@ -134,6 +134,29 @@ def customer_cells_versioned(customer: DataFrame, n_versions: int = 3) -> DataFr
     return out
 
 
+#: deterministic delete-marker selector for the cells_with_deletes fixture
+DELETE_MOD, DELETE_REMAINDER = 25, 3
+
+
+def customer_cells_with_deletes(customer: DataFrame) -> DataFrame:
+    """cells fixture with HBase delete markers: for every customer with
+    c_custkey % 25 == 3 a ``type='Delete'`` cell at ts CELL_TS+1000 masks the
+    ``c_acctbal`` qualifier (CopyRow.java:135 carries cell type through;
+    delete-marker-wins is standard HBase read semantics)."""
+    base = customer_cells(customer)
+    markers = customer.filter(
+        F.col("c_custkey") % DELETE_MOD == DELETE_REMAINDER
+    ).select(
+        F.encode(F.format_string(CUSTOMER_KEY_FMT, F.col("c_custkey")), "UTF-8").alias("row"),
+        F.lit("cf").alias("family"),
+        F.encode(F.lit("c_acctbal"), "UTF-8").cast("binary").alias("qualifier"),
+        F.lit(CELL_TS + 1000).cast("long").alias("ts"),
+        F.lit("Delete").alias("type"),
+        F.lit(None).cast("binary").alias("value"),
+    )
+    return base.unionByName(markers)
+
+
 def cells_to_wide(cells: DataFrame, qualifiers: list[str]) -> DataFrame:
     """cells -> wide table, latest-version-wins per (row, qualifier).
 

@@ -1,0 +1,104 @@
+"""Plan-quality tests: assert the physical plan SHAPE the engine is designed
+to produce — pushdown, pruning, broadcast, partial aggregation. A correct
+result with the wrong plan is a 100 TB incident waiting; these tests make
+plan regressions fail CI."""
+
+from __future__ import annotations
+
+import pytest
+
+from symat_hbase_tools_spark.operators import relational
+from symat_hbase_tools_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_read_schema_only,
+    plan_string,
+)
+from tests.conftest import SF_DIR
+
+
+def test_q1_scan_is_pruned_and_pushed(spark):
+    df = relational.q1_pricing_summary(spark, SF_DIR)
+    plan = plan_string(df)
+    # filter reaches the parquet scan
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # only the 7 needed columns of 11 are read
+    assert_read_schema_only(
+        df,
+        {
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        },
+    )
+
+
+def test_q1_aggregation_is_partial(spark):
+    plan = plan_string(relational.q1_pricing_summary(spark, SF_DIR), "simple")
+    # two HashAggregates (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "SortAggregate" not in plan
+
+
+def test_q3_q5_broadcast_dims(spark):
+    assert_broadcast_join(relational.q3_shipping_priority(spark, SF_DIR))
+    assert_broadcast_join(relational.q5_local_supplier_volume(spark, SF_DIR))
+
+
+def test_q5_no_fact_fact_shuffle_explosion(spark):
+    """lineitem⋈orders is the only big join; all dims must be broadcast —
+    i.e. at most ONE of the joins is a shuffle join."""
+    plan = plan_string(relational.q5_local_supplier_volume(spark, SF_DIR), "simple")
+    shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert shuffle_joins <= 1, plan
+
+
+def test_point_get_pushes_binary_equality(spark, customer, tmp_path):
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.operators import kv
+    from symat_hbase_tools_spark.sources.cells import customer_cells
+
+    path = str(tmp_path / "cells_pg")
+    customer_cells(customer).write.parquet(path)
+    got = kv.point_get(spark.read.parquet(path), b"cust#00000042")
+    plan = plan_string(got)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "row" in pushed and ("EqualTo" in pushed or "IsNotNull" in pushed), plan
+
+
+def test_latest_cells_partial_agg_no_window(spark, customer):
+    """latest-version-wins must be a partially-aggregated agg (map-side
+    combine -> one row per key per task on the wire), NOT a window over all
+    versions. (Var-width max has no HashAggregate support, so the agg itself
+    is a SortAggregate — the partial_ prefix is the scale property.)"""
+    from symat_hbase_tools_spark.operators import kv
+    from symat_hbase_tools_spark.sources.cells import customer_cells_versioned
+
+    plan = plan_string(kv.latest_cells(customer_cells_versioned(customer)), "simple")
+    assert "Window" not in plan
+    assert "partial_max" in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_audit_single_aggregation_no_join(spark, customer):
+    from symat_hbase_tools_spark.operators.audit import audit
+    from symat_hbase_tools_spark.sources.cells import customer_cells
+
+    report, _ = audit(customer_cells(customer, with_corrupt_marker=True))
+    plan = plan_string(report, "simple")
+    assert "Join" not in plan  # the probe is one aggregation, not a self-join
+    assert "HashAggregate" in plan
+
+
+def test_knn_has_no_cartesian_product(spark):
+    from symat_hbase_tools_spark.operators import similarity
+
+    plan = plan_string(similarity.knn_cosine_topk(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
