@@ -1,0 +1,79 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The built-in windows (streaming/events.py) cover time-bucketed aggregation;
+this module is the escape hatch for operator semantics Spark lacks — here, a
+per-user running profile (event count, value sum, last-seen timestamp) that
+emits an updated row per user per micro-batch and expires idle users via
+processing-time timeout.
+
+State design for scale: state lives in the state store partitioned by the
+group key, so memory is O(active keys), not O(events); the timeout bounds
+"active". This is the Spark-native equivalent of a custom HBase
+coprocessor-style running aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double, last_seen_us bigint"
+STATE_SCHEMA = "n bigint, total double, last_us bigint"
+
+
+def _make_update_fn(idle_timeout_ms: int | None):
+    def update_user_profile(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_us = max(last_us, int(pdf["us"].max()))
+        state.update((n, total, last_us))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [total],
+                "last_seen_us": [last_us],
+            }
+        )
+
+    return update_user_profile
+
+
+def user_profiles(stream: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Running per-user profile over the events stream.
+
+    In production pass ``idle_timeout_ms`` (e.g. 1h) so idle users expire
+    from the state store — with ProcessingTimeTimeout the engine schedules
+    state-cleanup triggers, which also means an availableNow bounded drain
+    keeps running cleanup batches instead of terminating; bounded tests run
+    with no timeout.
+    """
+    from pyspark.sql import functions as F
+
+    with_us = stream.select(
+        "user_id", "value", F.unix_micros(F.col("ts")).alias("us")
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        _make_update_fn(idle_timeout_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
