@@ -166,6 +166,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_deltas": relational.customer_order_deltas,
     "segment_distinct_counts": relational.segment_distinct_counts,
     "approx_distinct_parts": relational.approx_distinct_parts,
+    "part_name_analysis": relational.part_name_analysis,
+    "monthly_order_stats": relational.monthly_order_stats,
     "rollup_order_counts": relational.rollup_order_counts,
     "cube_returnflag_linestatus": relational.cube_returnflag_linestatus,
     "pivot_status_by_priority": relational.pivot_status_by_priority,
@@ -368,6 +370,25 @@ ORACLE_SQL: dict[str, str] = {
         + _unpivot_sql(where="c_custkey % 25 <> 3", quals=["c_acctbal"])
         + ")"
     ),
+    "part_name_analysis": r"""
+        SELECT CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT) AS brand_num,
+               string_split(p_name, ' ')[1] AS first_word,
+               COUNT(*) AS n_parts,
+               COUNT(DISTINCT p_type) AS n_types,
+               MAX(upper(p_name)) AS max_name_upper,
+               CAST(SUM(length(p_name)) AS BIGINT) AS total_name_len
+        FROM part GROUP BY 1, 2
+    """,
+    "monthly_order_stats": """
+        SELECT CAST(year(o_orderdate) AS INT) AS y,
+               CAST(month(o_orderdate) AS INT) AS m,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               CAST(COUNT(*) FILTER (WHERE dayofweek(o_orderdate) IN (0, 6)) AS BIGINT)
+                   AS weekend_orders
+        FROM orders GROUP BY 1, 2
+    """,
     "rollup_order_counts": """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price

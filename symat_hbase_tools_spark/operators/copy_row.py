@@ -20,13 +20,25 @@ CELL_KEY = ["row", "family", "qualifier", "ts"]
 
 
 def copy_row_cells(
-    cells: DataFrame, row_key: bytes, override_ts: int | None = None
+    cells: DataFrame,
+    row_key: bytes,
+    override_ts: int | None = None,
+    latest_only: bool = True,
 ) -> DataFrame:
     """The cells that CopyRow would write: one row's cells, ts optionally
     rewritten (T1). Empty result == the reference's empty-row guard case
     (CopyRow.java:114-117) — the caller checks ``.limit(1).count()``.
+
+    ``latest_only=True`` matches the reference exactly: its ``Get`` uses the
+    default max-versions=1, so only the newest visible version of each
+    qualifier is read and copied (CopyRow.java:107-113). Pass False to copy
+    every stored version (a full-history replica repair).
     """
     row = cells.filter(F.col("row") == F.lit(row_key))
+    if latest_only:
+        from symat_hbase_tools_spark.operators.kv import visible_cells
+
+        row = visible_cells(row)
     if override_ts is not None:
         row = row.withColumn("ts", F.lit(int(override_ts)).cast("long"))
     return row
@@ -48,13 +60,14 @@ def copy_row(
     dest: DataFrame,
     row_key: bytes,
     override_ts: int | None = None,
+    latest_only: bool = True,
 ) -> tuple[DataFrame, int]:
     """Full CopyRow flow. Returns (new_dest_cells, n_cells_copied).
 
     n_cells_copied == 0 reproduces the empty-row guard: dest is returned
     unchanged and nothing is written (CopyRow.java:114-117).
     """
-    puts = copy_row_cells(source, row_key, override_ts)
+    puts = copy_row_cells(source, row_key, override_ts, latest_only)
     n = puts.count()
     if n == 0:
         return dest, 0

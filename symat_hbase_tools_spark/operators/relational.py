@@ -204,6 +204,45 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: regexp extraction, casing, substring stats.
+
+    brand_num extracted from 'Brand#NN'; per (brand_num, first word of name):
+    counts, distinct types, max upper-cased name.
+    """
+    part = load_table(spark, sf_dir, "part")
+    brand_num = F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int")
+    first_word = F.substring_index("p_name", " ", 1)
+    return (
+        part.groupBy(brand_num.alias("brand_num"), first_word.alias("first_word"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+            F.max(F.upper("p_name")).alias("max_name_upper"),
+            F.sum(F.length("p_name")).alias("total_name_len"),
+        )
+    )
+
+
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface: month truncation, extraction, day-of-week."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice"), "total_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(
+                F.when(F.dayofweek("o_orderdate").isin(1, 7), 1).otherwise(0)
+            ).alias("weekend_orders"),
+        )
+    )
+
+
 def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (status, priority): per-group, per-status subtotal, grand total.
 
