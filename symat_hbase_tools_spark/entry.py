@@ -126,6 +126,15 @@ def kv_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pretty_cells(kv.latest_cells(versioned), "row_key", "qualifier", "ts", "value")
 
 
+RANGE_START, RANGE_STOP = b"cust#00000100", b"cust#00000200"
+
+
+def kv_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = customer_cells(load_table(spark, sf_dir, "customer"))
+    ranged = kv.range_scan(cells, RANGE_START, RANGE_STOP)
+    return _pretty_cells(ranged, "row_key", "qualifier", "value")
+
+
 def kv_visible_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = customer_cells_with_deletes(load_table(spark, sf_dir, "customer"))
     return _pretty_cells(kv.visible_cells(cells), "row_key", "qualifier", "ts", "value")
@@ -156,6 +165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_audit_counters": kv_audit_counters,
     "kv_copy_row_bump": kv_copy_row_bump,
     "kv_latest_version": kv_latest_version,
+    "kv_range_scan": kv_range_scan,
     "kv_visible_cells": kv_visible_cells,
     "kv_table_diff": kv_table_diff,
     # relational surface
@@ -177,7 +187,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_without_lineitems": relational.orders_without_lineitems,
     "events_json_extract": relational.events_json_extract,
     "events_hourly": relational.events_hourly,
+    "events_sliding_6h": relational.events_sliding_6h,
     "events_sessionize": relational.events_sessionize,
+    "nation_setops": relational.nation_customer_supplier_setops,
     # LLM-pipeline surface: dedup
     "dedup_exact": dedup.exact_dedup,
     "dedup_bow_fingerprint": dedup.bow_fingerprint_dedup,
@@ -350,6 +362,21 @@ ORACLE_SQL: dict[str, str] = {
                {_money('value')} AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "events_sliding_6h": """
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - i * 3600 AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events, range(0, 6) r(i)
+        GROUP BY 1, 2
+    """,
+    "nation_setops": """
+        WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+             s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        SELECT nk, 'both' AS membership FROM c INTERSECT SELECT nk, 'both' FROM s
+        UNION ALL
+        SELECT nk, 'customers_only' FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+        UNION ALL
+        SELECT nk, 'suppliers_only' FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)
+    """,
     "events_sessionize": """
         WITH g AS (
             SELECT user_id,
@@ -363,6 +390,11 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS n_events
         FROM g GROUP BY user_id
     """,
+    "kv_range_scan": (
+        "SELECT row_key, qualifier, value FROM ("
+        + _unpivot_sql(where="c_custkey >= 100 AND c_custkey < 200")
+        + ")"
+    ),
     "kv_visible_cells": (
         "SELECT row_key, qualifier, ts, value FROM ("
         + _unpivot_sql(quals=["c_mktsegment", "c_name", "c_nationkey"])

@@ -27,6 +27,24 @@ def point_get(cells: DataFrame, row_key: bytes) -> DataFrame:
     return cells.filter(F.col("row") == F.lit(row_key))
 
 
+def range_scan(
+    cells: DataFrame, start_row: bytes | None = None, stop_row: bytes | None = None
+) -> DataFrame:
+    """HBase scan-range equivalent: start_row <= row < stop_row.
+
+    BinaryType comparisons are unsigned lexicographic — identical to HBase
+    key order — and both bounds push down to the parquet scan (row-group
+    min/max pruning); on the connector they become real scan ranges
+    (the DataSourceV2 pushdown noted in SURVEY §4.1).
+    """
+    out = cells
+    if start_row is not None:
+        out = out.filter(F.col("row") >= F.lit(start_row))
+    if stop_row is not None:
+        out = out.filter(F.col("row") < F.lit(stop_row))
+    return out
+
+
 def keyonly_scan(cells: DataFrame) -> DataFrame:
     """All distinct row keys; values never read (S2).
 

@@ -204,6 +204,40 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_customer_supplier_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: INTERSECT / EXCEPT over nation keys.
+
+    Output: one row per nation key with its membership class
+    ('both' | 'customers_only' | 'suppliers_only').
+    """
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    )
+    c_set, s_set = customer.distinct(), supplier.distinct()
+    both = c_set.intersect(s_set).withColumn("membership", F.lit("both"))
+    c_only = c_set.subtract(s_set).withColumn("membership", F.lit("customers_only"))
+    s_only = s_set.subtract(c_set).withColumn("membership", F.lit("suppliers_only"))
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+def events_sliding_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming 6h/1h sliding window (each event falls in
+    6 windows — modeled by exploding the 6 window starts per event)."""
+    events = load_table(spark, sf_dir, "events")
+    hour0 = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+    starts = F.explode(
+        F.transform(F.sequence(F.lit(0), F.lit(5)), lambda i: hour0 - i * 3600)
+    )
+    return (
+        events.select(starts.alias("window_start"), "event_type")
+        .groupBy("window_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function surface: regexp extraction, casing, substring stats.
 

@@ -72,6 +72,19 @@ def test_point_get_pushes_binary_equality(spark, customer, tmp_path):
     assert "row" in pushed and ("EqualTo" in pushed or "IsNotNull" in pushed), plan
 
 
+def test_range_scan_pushes_both_bounds(spark, customer, tmp_path):
+    from symat_hbase_tools_spark.operators import kv
+    from symat_hbase_tools_spark.sources.cells import customer_cells
+
+    path = str(tmp_path / "cells_rs")
+    customer_cells(customer).write.parquet(path)
+    got = kv.range_scan(spark.read.parquet(path), b"cust#00000050", b"cust#00000100")
+    plan = plan_string(got)
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "GreaterThanOrEqual(row" in pushed and "LessThan(row" in pushed, plan
+    assert got.count() == 50 * 4
+
+
 def test_latest_cells_partial_agg_no_window(spark, customer):
     """latest-version-wins must be a partially-aggregated agg (map-side
     combine -> one row per key per task on the wire), NOT a window over all
