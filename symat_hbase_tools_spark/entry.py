@@ -190,6 +190,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_6h": relational.events_sliding_6h,
     "events_sessionize": relational.events_sessionize,
     "nation_setops": relational.nation_customer_supplier_setops,
+    "heavy_hitter_users": relational.heavy_hitter_users,
+    "sketch_event_stats": relational.sketch_event_stats,
     # LLM-pipeline surface: dedup
     "dedup_exact": dedup.exact_dedup,
     "dedup_bow_fingerprint": dedup.bow_fingerprint_dedup,
@@ -199,6 +201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # LLM-pipeline surface: similarity search
     "knn_cosine_topk": similarity.knn_cosine_topk,
     "ann_lsh_topk": similarity.ann_lsh_topk,
+    "ann_ivf_topk": similarity.ann_ivf_topk,
     "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
         spark, sf, threshold=0.4
     ),
@@ -368,6 +371,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM events, range(0, 6) r(i)
         GROUP BY 1, 2
     """,
+    "heavy_hitter_users": """
+        SELECT user_id, COUNT(*) AS n_events FROM events
+        GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+    """,
+    # sketch_event_stats / ann_ivf_topk: sketch estimates and k-means cells
+    # are engine-specific -> rows-only checks; exact twins are the gates.
     "nation_setops": """
         WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
              s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)

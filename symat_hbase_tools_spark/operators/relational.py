@@ -365,6 +365,39 @@ def asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitter_users(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Exact heavy hitters: top-k users by event count (tiebreak user_id)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(k)
+    )
+
+
+def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch surface (Apache DataSketches, built into Spark 4):
+    per event type, HLL distinct-user estimates and KLL value quantiles next
+    to their exact twins.
+
+    This is the 100 TB statistics path: one bounded-size sketch per
+    partition merged map-side — group cardinality and quantiles without
+    per-key shuffles or sorts. Sketch estimates are engine-specific, so the
+    query is a rows-only check; the exact columns are gated via the exact
+    operators (segment_distinct_counts, price_percentiles).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("hll_users"),
+        F.expr(
+            "kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.5)"
+        ).alias("kll_p50_value"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50_value"),
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: gap > 8h starts a new session (lag + count)."""
     events = load_table(spark, sf_dir, "events")

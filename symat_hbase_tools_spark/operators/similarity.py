@@ -185,6 +185,77 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
+
+    Classic IVF: fit a small k-means codebook (seeded — deterministic),
+    assign every vector to its nearest centroid ("cell"), then for each
+    query probe the n_probe nearest cells and exact-re-rank only their
+    members. Expected candidate fraction ~ n_probe/n_cells.
+
+    Scale shape: the codebook is tiny and broadcast; assignment is a narrow
+    per-row argmin over n_cells centroids; the search join shuffles on cell
+    id only. Train the codebook on a sample at 100 TB (KMeans over a 1%
+    sample loses little for coarse quantization).
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = _emb(spark, sf_dir)
+    with_vec = base.withColumn("features", array_to_vector("emb"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(with_vec)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    assigned = model.transform(with_vec).select("vec_id", "emb", "cell")
+
+    bc = spark.sparkContext.broadcast(centers)
+
+    def query_probes(batches):
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            probes = np.argsort(d, axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"].repeat(n_probe),
+                    "qe": pdf["emb"].repeat(n_probe),
+                    "cell": probes.ravel(),
+                }
+            )
+
+    q = base.mapInPandas(
+        query_probes, schema="query_id long, qe array<double>, cell int"
+    )
+    sims = (
+        q.join(assigned.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("emb", "ce"), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("sim_raw")
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
 def embedding_near_dup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.9
 ) -> DataFrame:

@@ -71,3 +71,16 @@ def test_near_dup_pairs_threshold(spark):
     assert similarity.embedding_near_dup_pairs(spark, SF_DIR, threshold=0.9).count() == 0
     some = similarity.embedding_near_dup_pairs(spark, SF_DIR, threshold=0.4).collect()
     assert all(r["d1"] < r["d2"] and r["sim"] >= 0.4 for r in some)
+
+
+def test_ann_ivf_recall(spark):
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.knn_cosine_topk(spark, SF_DIR, k=5).collect()}
+    ivf = similarity.ann_ivf_topk(spark, SF_DIR, k=5).collect()
+    aset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(brute & aset) / len(brute)
+    assert recall >= 0.3, f"IVF recall@5 = {recall:.3f}"
+    # deterministic across runs (seeded codebook)
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.ann_ivf_topk(spark, SF_DIR, k=5).collect()}
+    assert aset == again
