@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from symat_hbase_tools_spark.functions.vectors import as_double, cosine, dot
+from symat_hbase_tools_spark.functions.vectors import as_double, cosine
 from symat_hbase_tools_spark.sources.tables import load_table
 
 DIM = 64
