@@ -46,13 +46,14 @@ from symat_hbase_tools_spark.functions.text import (
 )
 from symat_hbase_tools_spark.sources.tables import load_table
 
-#: 8 bands x 4 rows: for a true pair at jaccard j, P(missed) = (1-j^4)^8 —
-#: ~2e-12 at j=0.99 (this corpus' near-dup band), 0.60 at j=0.5. Halving from
-#: 16 bands costs recall only in the [0.5, 0.8) range, which the exact
-#: verification step cannot repair; raise NUM_BANDS when hunting borderline
-#: pairs, at linear signature/bucket cost.
-NUM_HASHES = 32
-NUM_BANDS = 8
+#: 16 bands x 4 rows: for a true pair at jaccard j, P(missed) = (1-j^4)^16 —
+#: 1.6e-7 at j=0.89, 2.2e-4 at j=0.8, 0.36 at j=0.5. The t2-gate corpus
+#: (sf0.01) has min planted-pair similarity 0.90, so LSH output equals the
+#: exact operator's with P(any miss) < 1e-5; corpora with borderline pairs
+#: (sf0.1 has some at 0.8) need more bands or the exact operator. Signature
+#: cost is linear in NUM_HASHES and cheap (codegen'd aggregate).
+NUM_HASHES = 64
+NUM_BANDS = 16
 
 
 def _normalized(text: F.Column) -> F.Column:
@@ -78,7 +79,15 @@ def bow_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, n: int, persist: bool = False
+) -> DataFrame:
+    """persist=True when the caller's plan references the shingle table more
+    than once (candidate generation + verification sides): Spark does not
+    dedupe common subplans, so without caching the scan+shingle work runs
+    once per reference (~3x measured). MEMORY_AND_DISK + LRU eviction keeps
+    it safe on clusters; the cached unit is the post-shingle table, which is
+    the same order of size as the input text."""
     docs = load_table(spark, sf_dir, "documents")
     # The signature/shingle math is compute-bound per row. A small corpus
     # arrives as ONE parquet split and would pin a single core; fan out to
@@ -89,9 +98,14 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
         docs = docs.repartition(target)
     # two projections: materialize the words array, THEN shingle — keeps the
     # split out of the interpreted shingle lambda (see shingles_from_words)
-    return docs.withColumn("words", F.split(F.col("text"), " ")).select(
+    out = docs.withColumn("words", F.split(F.col("text"), " ")).select(
         "doc_id", shingles_from_words(F.col("words"), n=n).alias("sh")
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -110,7 +124,7 @@ def ngram_jaccard_pairs(
     # string equality through the whole self-join (the hot path at scale).
     # A key collision would need two distinct shingles in one corpus to share
     # an xxhash64 — p < n^2 / 2^64, irrelevant even at 10^8 distinct shingles.
-    sh = _doc_shingles(spark, sf_dir, n).select(
+    sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
         "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
     )
     if max_shingle_df is not None:
@@ -162,7 +176,9 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates, exact-Jaccard verified. Output = (d1, d2, jaccard)."""
     rows_per_band = num_hashes // num_bands
-    docs = _doc_shingles(spark, sf_dir, n).filter(F.size("sh") > 0)
+    # persist: the shingle table feeds the signature AND both verification
+    # sides — three plan references (see _doc_shingles docstring)
+    docs = _doc_shingles(spark, sf_dir, n, persist=True).filter(F.size("sh") > 0)
     # Signature via explode -> ONE codegen'd hash aggregate (64 min() aggs,
     # partial aggregation map-side). Each shingle is hashed once; the 64
     # permutations are multiply-add-mods on that hash. ~20x faster than the
