@@ -27,6 +27,7 @@ from symat_hbase_tools_spark.operators import (
     dedup,
     kv,
     multimodal,
+    pipeline,
     relational,
     similarity,
     text_analysis,
@@ -205,6 +206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
         spark, sf, threshold=0.4
     ),
+    "pipeline_curated_search": pipeline.curated_similarity_search,
     # LLM-pipeline surface: text analysis
     "text_lang_id": text_analysis.lang_id,
     "text_quality_score": text_analysis.quality_score,
@@ -503,6 +505,20 @@ ORACLE_SQL: dict[str, str] = {
                round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
+    """,
+    "pipeline_curated_search": f"""
+        WITH kept AS (SELECT doc_id FROM documents WHERE {_NTOK} >= 40),
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings
+                   WHERE vec_id IN (SELECT doc_id FROM kept))
+        SELECT query_id, neighbor_id, sim FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.emb, c.emb), 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id
+                   ) AS rk
+            FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        ) WHERE rk <= 3
     """,
     "text_lang_id": """
         SELECT lang,

@@ -31,9 +31,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    """Exact top-k cosine neighbors for every vector (query_id, neighbor_id, sim).
+    """Exact top-k cosine neighbors for every vector (query_id, neighbor_id, sim)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return brute_topk(spark, e, k=k)
 
-    Distributed brute-force pattern: the QUERY side (here: the whole table —
+
+def brute_topk(spark: SparkSession, e: DataFrame, k: int = 5) -> DataFrame:
+    """Exact brute-force cosine top-k over a (vec_id, embedding) DataFrame.
+
+    Distributed brute-force pattern: the QUERY side (here: the whole input —
     assumed broadcastable, the standard case for "find neighbors of these
     items") ships to every task as a normalized float64 matrix; candidates
     stream through mapInPandas where one BLAS matmul per Arrow batch computes
@@ -46,8 +52,6 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """
     import numpy as np
     import pandas as pd
-
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q_pdf = e.toPandas().sort_values("vec_id")
     q_ids = q_pdf["vec_id"].to_numpy()
     q_mat = np.array(q_pdf["embedding"].tolist(), dtype=np.float64)
