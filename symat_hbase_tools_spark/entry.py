@@ -191,6 +191,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_6h": relational.events_sliding_6h,
     "events_sessionize": relational.events_sessionize,
     "nation_setops": relational.nation_customer_supplier_setops,
+    "q13_customer_order_histogram": relational.q13_customer_order_histogram,
+    "top_customer_per_nation": relational.top_customer_per_nation,
+    "nation_pair_volume": relational.nation_pair_volume,
     "heavy_hitter_users": relational.heavy_hitter_users,
     "sketch_event_stats": relational.sketch_event_stats,
     # LLM-pipeline surface: dedup
@@ -372,6 +375,32 @@ ORACLE_SQL: dict[str, str] = {
                event_type, COUNT(*) AS n_events
         FROM events, range(0, 6) r(i)
         GROUP BY 1, 2
+    """,
+    "q13_customer_order_histogram": """
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+        SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count
+    """,
+    "top_customer_per_nation": """
+        SELECT c_nationkey, c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    "nation_pair_volume": f"""
+        SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               {_money('l_extendedprice * (1 - l_discount)')} AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
     """,
     "heavy_hitter_users": """
         SELECT user_id, COUNT(*) AS n_events FROM events

@@ -365,6 +365,67 @@ def asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join count, then a histogram of the counts.
+
+    Two aggregations, both partial; the left anti-preserving outer join keeps
+    customers with zero orders in the c_count=0 bucket.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: the max-acctbal customer of every nation.
+
+    Spark formulation: window max + filter (one shuffle on nation); the
+    DuckDB oracle uses the literal correlated subquery — same semantics,
+    engine-appropriate plans. Ties (two customers at the nation max) are all
+    returned, matching the correlated form.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        customer.withColumn("max_bal", F.max("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") == F.col("max_bal"))
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between customer/supplier nation pairs
+    per year (two nation dimensions joined from one broadcast table)."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"))
+    )
+
+
 def heavy_hitter_users(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Exact heavy hitters: top-k users by event count (tiebreak user_id)."""
     events = load_table(spark, sf_dir, "events")

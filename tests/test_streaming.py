@@ -59,3 +59,43 @@ def test_watermark_drops_nothing_on_ordered_bounded_input(spark, stream):
     got = streaming.run_bounded(streaming.tumbling_hourly(stream), "t_wm")
     total = sum(r["n_events"] for r in got.collect())
     assert total == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
+def test_stream_dedup_matches_batch(spark, stream):
+    """Streaming dropDuplicates (dedup in motion): duplicate the input by
+    unioning the stream with itself, dedup on event_id, count must equal the
+    batch distinct count."""
+    from pyspark.sql import functions as F
+
+    doubled = stream.union(stream)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = streaming.run_bounded(deduped, "t_dedup").collect()
+    want = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert got[-1]["n"] == want
+
+
+def test_foreach_batch_sink(spark, stream, tmp_path):
+    """foreachBatch custom-sink path: per-micro-batch parquet append with
+    the batch id recorded (the exactly-once bookkeeping hook)."""
+    out = str(tmp_path / "fb")
+    from pyspark.sql import functions as F
+
+    def write_batch(df, epoch_id):
+        df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+    q = (
+        streaming.tumbling_hourly(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    want = relational.events_hourly(spark, SF_DIR).count()
+    assert back.filter(F.col("epoch") == back.agg(F.max("epoch")).collect()[0][0]).count() == want
