@@ -45,6 +45,12 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--outputDir", required=True)
     cr.add_argument("--traceCells", action="store_true", help="log failing cells (never in prod)")
 
+    q = sub.add_parser("query", help="run any inventory query against a test-data dir")
+    q.add_argument("--name", required=True, help="queries() name, or 'list' to enumerate")
+    q.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20, help="rows to display")
+    q.add_argument("--output", default=None, help="optional parquet output path")
+
     args = parser.parse_args(argv)
     spark = get_spark(f"symat-spark-{args.tool}")
     try:
@@ -67,6 +73,22 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             new_dest.write.mode("overwrite").parquet(args.output)
             print(f"copied {n} cells of row {args.rowKey!r}")
+            return 0
+        if args.tool == "query":
+            from symat_hbase_tools_spark.entry import QUERIES
+
+            if args.name == "list":
+                for name in sorted(QUERIES):
+                    print(name)
+                return 0
+            if args.name not in QUERIES:
+                print(f"error: unknown query {args.name!r}; try --name list", file=sys.stderr)
+                return 1
+            df = QUERIES[args.name](spark, args.sfDir)
+            df.show(args.limit, truncate=False)
+            if args.output:
+                df.write.mode("overwrite").parquet(args.output)
+                print(f"wrote {args.output}")
             return 0
         cells = _load_cells(spark, args.table)
         report, counters = audit(cells)
