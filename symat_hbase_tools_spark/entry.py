@@ -59,12 +59,15 @@ _QUAL_VALUE_SQL = (
 _ROW_KEY_SQL = "printf('cust#%08d', c_custkey)"
 
 
-def _unpivot_sql(where: str = "TRUE", ts: int = CELL_TS, quals=None) -> str:
+def _unpivot_sql(
+    where: str = "TRUE", ts: int = CELL_TS, quals=None, with_custkey: bool = False
+) -> str:
     """UNION ALL unpivot of customer into cells rows (row_key/family/qualifier/ts/value)."""
     quals = quals or [q for q, _ in _QUAL_VALUE_SQL]
+    extra = ", c_custkey, c_acctbal" if with_custkey else ""
     parts = [
         f"SELECT {_ROW_KEY_SQL} AS row_key, 'cf' AS family, '{q}' AS qualifier, "
-        f"CAST({ts} AS BIGINT) AS ts, {v} AS value FROM customer WHERE {where}"
+        f"CAST({ts} AS BIGINT) AS ts, {v} AS value{extra} FROM customer WHERE {where}"
         for q, v in _QUAL_VALUE_SQL
         if q in quals
     ]
@@ -141,6 +144,77 @@ def kv_visible_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pretty_cells(kv.visible_cells(cells), "row_key", "qualifier", "ts", "value")
 
 
+def kv_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from symat_hbase_tools_spark.operators.cdc import scd2_history
+
+    versioned = customer_cells_versioned(load_table(spark, sf_dir, "customer"))
+    hist = scd2_history(versioned)
+    return hist.select(
+        F.decode(F.col("row"), "UTF-8").alias("row_key"),
+        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
+        F.decode(F.col("value"), "UTF-8").alias("value"),
+        "valid_from",
+        "valid_to",
+    )
+
+
+CHANGESET_TS = CELL_TS + 5000
+
+
+def kv_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE emulation: acctbal +50 for custkey%10==0, mktsegment deleted for
+    custkey%20==5; returns the post-merge visible table."""
+    from symat_hbase_tools_spark.operators.cdc import apply_changeset
+
+    customer = load_table(spark, sf_dir, "customer")
+    snapshot = customer_cells(customer)
+    key = F.encode(F.format_string("cust#%08d", F.col("c_custkey")), "UTF-8")
+    upserts = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        key.alias("row"),
+        F.lit("cf").alias("family"),
+        F.encode(F.lit("c_acctbal"), "UTF-8").cast("binary").alias("qualifier"),
+        F.lit(CHANGESET_TS).cast("long").alias("ts"),
+        F.lit("Put").alias("type"),
+        F.encode(F.format_string("%.2f", F.col("c_acctbal") + 50), "UTF-8").alias("value"),
+    )
+    deletes = customer.filter(F.col("c_custkey") % 20 == 5).select(
+        key.alias("row"),
+        F.lit("cf").alias("family"),
+        F.encode(F.lit("c_mktsegment"), "UTF-8").cast("binary").alias("qualifier"),
+        F.lit(CHANGESET_TS).cast("long").alias("ts"),
+        F.lit("Delete").alias("type"),
+        F.lit(None).cast("binary").alias("value"),
+    )
+    merged = apply_changeset(snapshot, upserts.unionByName(deletes))
+    return _pretty_cells(kv.visible_cells(merged), "row_key", "qualifier", "value")
+
+
+SAMPLE_FRACTION = 0.2
+SAMPLE_STRATA = {"en": 0.25, "zh": 0.75}  # rebalance: downsample en, keep zh
+SAMPLE_SEED = 42
+
+
+def doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-independent 20% sample of documents (portable md5 scheme)."""
+    from symat_hbase_tools_spark.operators.sampling import portable_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return portable_sample(docs, ["doc_id"], SAMPLE_FRACTION, seed=SAMPLE_SEED).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rebalancing sample: counts per lang after stratified draw."""
+    from symat_hbase_tools_spark.operators.sampling import portable_stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = portable_stratified_sample(
+        docs, ["doc_id"], "lang", SAMPLE_STRATA, default_fraction=0.5, seed=SAMPLE_SEED
+    )
+    return out.groupBy("lang").agg(F.count("*").alias("n_docs")).orderBy("lang")
+
+
 def kv_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     snap_a = customer_cells(customer)
@@ -168,6 +242,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_latest_version": kv_latest_version,
     "kv_range_scan": kv_range_scan,
     "kv_visible_cells": kv_visible_cells,
+    "kv_scd2_history": kv_scd2_history,
+    "kv_apply_changeset": kv_apply_changeset,
     "kv_table_diff": kv_table_diff,
     # relational surface
     "q1_pricing_summary": relational.q1_pricing_summary,
@@ -218,6 +294,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # LLM-pipeline surface: multimodal plumbing
     "multimodal_features": multimodal.multimodal_features,
     "multimodal_frame_census": multimodal.multimodal_frame_census,
+    # sampling surface
+    "doc_sample": doc_sample,
+    "doc_sample_stratified": doc_sample_stratified,
 }
 
 # shared SQL fragments for the LLM-op oracles
@@ -270,6 +349,26 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT row_key, qualifier, CAST(ts + 2000 AS BIGINT) AS ts, value FROM ("
         + _unpivot_sql()
         + ")"
+    ),
+    "kv_scd2_history": (
+        # three versions per cell: @v0 [ts, ts+1000), @v1 [ts+1000, ts+2000),
+        # plain [ts+2000, NULL)
+        "SELECT row_key, qualifier, value || '@v0' AS value, ts AS valid_from, "
+        "CAST(ts + 1000 AS BIGINT) AS valid_to FROM (" + _unpivot_sql() + ") "
+        "UNION ALL "
+        "SELECT row_key, qualifier, value || '@v1', CAST(ts + 1000 AS BIGINT), "
+        "CAST(ts + 2000 AS BIGINT) FROM (" + _unpivot_sql() + ") "
+        "UNION ALL "
+        "SELECT row_key, qualifier, value, CAST(ts + 2000 AS BIGINT), "
+        "CAST(NULL AS BIGINT) FROM (" + _unpivot_sql() + ")"
+    ),
+    "kv_apply_changeset": (
+        "SELECT row_key, qualifier, "
+        "CASE WHEN qualifier = 'c_acctbal' AND c_custkey % 10 = 0 "
+        "     THEN printf('%.2f', c_acctbal + 50) ELSE value END AS value "
+        "FROM ("
+        + _unpivot_sql(with_custkey=True)
+        + ") WHERE NOT (qualifier = 'c_mktsegment' AND c_custkey % 20 = 5)"
     ),
     "kv_table_diff": (
         f"SELECT row_key AS row, family, qualifier, 'removed' AS change, "
@@ -622,6 +721,19 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM((doc_id % 10) // 2 + 1) AS BIGINT) AS n_frames_sampled,
                COUNT(DISTINCT doc_id) AS n_docs
         FROM documents GROUP BY source
+    """,
+    # portable md5 sampling: cutoffs are _md5_cut(fraction) hex strings —
+    # 0.2->33333333, 0.25->40000000, 0.75->c0000000, 0.5->80000000
+    "doc_sample": """
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE substr(md5(concat_ws(chr(31), '42', doc_id)), 1, 8) < '33333333'
+    """,
+    "doc_sample_stratified": """
+        SELECT lang, COUNT(*) AS n_docs FROM documents
+        WHERE substr(md5(concat_ws(chr(31), '42', doc_id)), 1, 8) <
+              CASE lang WHEN 'en' THEN '40000000' WHEN 'zh' THEN 'c0000000'
+                        ELSE '80000000' END
+        GROUP BY lang ORDER BY lang
     """,
 }
 

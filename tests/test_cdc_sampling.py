@@ -1,0 +1,101 @@
+"""CDC (merge/SCD2) and consistent-sampling operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from symat_hbase_tools_spark.operators import kv
+from symat_hbase_tools_spark.operators.cdc import apply_changeset, scd2_history
+from symat_hbase_tools_spark.operators.sampling import (
+    hash_sample,
+    portable_sample,
+    portable_stratified_sample,
+    stratified_hash_sample,
+)
+from symat_hbase_tools_spark.sources.cells import CELL_TS, customer_cells, customer_cells_versioned
+
+
+def test_scd2_windows_chain(spark, customer):
+    hist = scd2_history(customer_cells_versioned(customer))
+    one = hist.filter(
+        (F.col("row") == F.lit(b"cust#00000007"))
+        & (F.decode("qualifier", "UTF-8") == "c_name")
+    ).orderBy("valid_from").collect()
+    assert [(r["valid_from"], r["valid_to"]) for r in one] == [
+        (CELL_TS, CELL_TS + 1000),
+        (CELL_TS + 1000, CELL_TS + 2000),
+        (CELL_TS + 2000, None),
+    ]
+    # windows chain: valid_to of version i == valid_from of version i+1
+    assert bytes(one[-1]["value"]).decode().startswith("Customer#")
+
+
+def test_apply_changeset_upsert_and_delete(spark, customer):
+    snap = customer_cells(customer)
+    key = b"cust#00000005"  # custkey 5: %20==5 -> mktsegment deleted
+    deletes = spark.createDataFrame(
+        [(key, "cf", b"c_mktsegment", CELL_TS + 5000, "Delete", None)],
+        "row binary, family string, qualifier binary, ts long, type string, value binary",
+    )
+    merged = kv.visible_cells(apply_changeset(snap, deletes))
+    gone = merged.filter(
+        (F.col("row") == F.lit(key)) & (F.decode("qualifier", "UTF-8") == "c_mktsegment")
+    )
+    assert gone.count() == 0
+    still = merged.filter(F.col("row") == F.lit(key))
+    assert still.count() == 3  # other qualifiers intact
+
+
+def test_hash_sample_is_layout_independent(spark, documents):
+    s1 = {r["doc_id"] for r in hash_sample(documents, ["doc_id"], 0.2).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in hash_sample(documents.repartition(13), ["doc_id"], 0.2).collect()
+    }
+    assert s1 == s2  # repartitioning must not change the sample
+    n = documents.count()
+    assert 0.1 * n < len(s1) < 0.3 * n
+
+
+def test_portable_sample_matches_duckdb(spark, documents):
+    """The md5 scheme must select the IDENTICAL row set in DuckDB."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    got = {r["doc_id"] for r in portable_sample(documents, ["doc_id"], 0.2).collect()}
+    want = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet') "
+            "WHERE substr(md5(concat_ws(chr(31), '42', doc_id)), 1, 8) < '33333333'"
+        ).fetchall()
+    }
+    assert got == want and got
+
+
+def test_portable_stratified_layout_independent(spark, documents):
+    fr = {"en": 0.25, "zh": 0.75}
+    a = {
+        r["doc_id"]
+        for r in portable_stratified_sample(
+            documents, ["doc_id"], "lang", fr, default_fraction=0.5
+        ).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in portable_stratified_sample(
+            documents.repartition(7), ["doc_id"], "lang", fr, default_fraction=0.5
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_stratified_sample_fractions(spark, documents):
+    langs = [r["lang"] for r in documents.select("lang").distinct().collect()]
+    fracs = {langs[0]: 1.0, langs[1]: 0.0}
+    out = stratified_hash_sample(documents, "lang", fracs)
+    got = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs[0] in got and langs[1] not in got
+    n_full = documents.filter(F.col("lang") == langs[0]).count()
+    assert out.filter(F.col("lang") == langs[0]).count() == n_full
