@@ -271,6 +271,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customer_per_nation": relational.top_customer_per_nation,
     "nation_pair_volume": relational.nation_pair_volume,
     "heavy_hitter_users": relational.heavy_hitter_users,
+    "min_cost_supplier": relational.min_cost_supplier,
+    "market_share": relational.market_share,
     "sketch_event_stats": relational.sketch_event_stats,
     # LLM-pipeline surface: dedup
     "dedup_exact": dedup.exact_dedup,
@@ -504,6 +506,37 @@ ORACLE_SQL: dict[str, str] = {
     "heavy_hitter_users": """
         SELECT user_id, COUNT(*) AS n_events FROM events
         GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+    """,
+    "min_cost_supplier": """
+        WITH costs AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+        )
+        SELECT p_partkey, p_brand, s_name AS supplier, s_acctbal, unit_cost
+        FROM costs
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_size < 15
+          AND unit_cost = (SELECT MIN(c2.unit_cost) FROM costs c2
+                           WHERE c2.l_partkey = costs.l_partkey)
+    """,
+    "market_share": """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                      AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA'
+        GROUP BY 1
     """,
     # sketch_event_stats / ann_ivf_topk: sketch estimates and k-means cells
     # are engine-specific -> rows-only checks; exact twins are the gates.

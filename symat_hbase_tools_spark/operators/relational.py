@@ -426,6 +426,77 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part (correlated-min subquery).
+
+    No partsupp table in the driver schema, so unit supply cost is derived
+    from lineitem: min(l_extendedprice / l_quantity) per (part, supplier).
+    Decorrelated as a window-min over the grouped costs, not a self-join:
+    the fact-sized exchange ships partially-aggregated (part, supplier)
+    rows, and the window's second exchange only moves that already-tiny
+    grouped set — two exchanges total, one of them negligible at any scale.
+    Ties at the per-part min are all returned (matches the correlated form).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    costs = (
+        lineitem.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    return (
+        costs.withColumn(
+            "min_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(part.filter(F.col("p_size") < 15)), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("s_name").alias("supplier"),
+            "s_acctbal",
+            "unit_cost",
+        )
+    )
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: target nation's share of AMERICA-region order volume
+    per year — a conditional-aggregate ratio over a star join.
+
+    Customer side restricts to region AMERICA (semi via broadcast inner);
+    supplier side tags each row with its nation for the CASE split. The ratio
+    divides two order-free DECIMAL sums, so the double result is identical
+    across engines and row orders.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n_cust = nation.select(F.col("n_nationkey").alias("cn_key"), "n_regionkey")
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    target = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.sum(target).cast("double") / F.sum(volume).cast("double")).alias("mkt_share")
+        )
+    )
+
+
 def heavy_hitter_users(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Exact heavy hitters: top-k users by event count (tiebreak user_id)."""
     events = load_table(spark, sf_dir, "events")

@@ -115,3 +115,21 @@ def test_knn_has_no_cartesian_product(spark):
     plan = plan_string(similarity.knn_cosine_topk(spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+def test_min_cost_supplier_two_exchanges_no_self_join(spark):
+    """Q2 shape: window-min over grouped costs, not a decorrelated self-join —
+    exactly two exchanges (fact agg + tiny grouped set), dims broadcast."""
+    df = relational.min_cost_supplier(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SortMergeJoin" not in plan
+    assert_broadcast_join(df)
+
+
+def test_market_share_all_dims_broadcast(spark):
+    """Q8 shape: the only shuffle is the final year aggregation; every
+    dimension join is a BroadcastHashJoin."""
+    df = relational.market_share(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan
