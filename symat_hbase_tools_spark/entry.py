@@ -189,6 +189,47 @@ def kv_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pretty_cells(kv.visible_cells(merged), "row_key", "qualifier", "value")
 
 
+REPAIR_TS = CELL_TS + 9000
+
+
+def _corrupted_replica(cells: DataFrame) -> DataFrame:
+    """Deterministically diverged replica of a cells snapshot: tampered
+    c_acctbal (custkey%7==0), missing c_name (custkey%11==0), extraneous
+    c_bogus qualifier (custkey%13==0)."""
+    qual = F.decode("qualifier", "UTF-8")
+    custkey = F.regexp_extract(F.decode("row", "UTF-8"), r"cust#(\d+)", 1).cast("long")
+    tampered = F.when(
+        (qual == "c_acctbal") & (custkey % 7 == 0), F.encode(F.lit("CORRUPT"), "UTF-8")
+    ).otherwise(F.col("value"))
+    replica = cells.withColumn("value", tampered).filter(
+        ~((qual == "c_name") & (custkey % 11 == 0))
+    )
+    bogus = (
+        cells.filter((qual == "c_name") & (custkey % 13 == 0))
+        .withColumn("qualifier", F.encode(F.lit("c_bogus"), "UTF-8").cast("binary"))
+        .withColumn("value", F.encode(F.lit("junk"), "UTF-8").cast("binary"))
+    )
+    return replica.unionByName(bogus)
+
+
+def kv_repair_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end replica repair: diff -> changeset -> apply; the repaired
+    visible view must equal the authoritative one (the oracle is the plain
+    authoritative unpivot)."""
+    from symat_hbase_tools_spark.operators.repair import repair
+
+    auth = customer_cells(load_table(spark, sf_dir, "customer"))
+    repaired, _ = repair(auth, _corrupted_replica(auth), REPAIR_TS)
+    return _pretty_cells(kv.visible_cells(repaired), "row_key", "qualifier", "value")
+
+
+def kv_repair_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from symat_hbase_tools_spark.operators.repair import repair_changeset, repair_counters
+
+    auth = customer_cells(load_table(spark, sf_dir, "customer"))
+    return repair_counters(repair_changeset(auth, _corrupted_replica(auth), REPAIR_TS))
+
+
 SAMPLE_FRACTION = 0.2
 SAMPLE_STRATA = {"en": 0.25, "zh": 0.75}  # rebalance: downsample en, keep zh
 SAMPLE_SEED = 42
@@ -244,6 +285,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_visible_cells": kv_visible_cells,
     "kv_scd2_history": kv_scd2_history,
     "kv_apply_changeset": kv_apply_changeset,
+    "kv_repair_replica": kv_repair_replica,
+    "kv_repair_counters": kv_repair_counters,
     "kv_table_diff": kv_table_diff,
     # relational surface
     "q1_pricing_summary": relational.q1_pricing_summary,
@@ -363,6 +406,14 @@ ORACLE_SQL: dict[str, str] = {
         "UNION ALL "
         "SELECT row_key, qualifier, value, CAST(ts + 2000 AS BIGINT), "
         "CAST(NULL AS BIGINT) FROM (" + _unpivot_sql() + ")"
+    ),
+    "kv_repair_replica": (
+        "SELECT row_key, qualifier, value FROM (" + _unpivot_sql() + ")"
+    ),
+    "kv_repair_counters": (
+        "SELECT COUNT(*) FILTER (WHERE c_custkey % 7 = 0) AS restored, "
+        "COUNT(*) FILTER (WHERE c_custkey % 11 = 0) AS backfilled, "
+        "COUNT(*) FILTER (WHERE c_custkey % 13 = 0) AS deleted FROM customer"
     ),
     "kv_apply_changeset": (
         "SELECT row_key, qualifier, "

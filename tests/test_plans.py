@@ -133,3 +133,23 @@ def test_market_share_all_dims_broadcast(spark):
     plan = plan_string(df, "simple")
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 5, plan
+
+
+def test_repair_diff_reuses_agg_partitioning(spark, customer, tmp_path):
+    """Storage-backed repair diff: the visible-view aggregations partition on
+    (row, family, qualifier), which the full-outer join consumes directly —
+    two exchanges total, none for the join. (On fixture cells with a LITERAL
+    family, constant folding narrows the join keys and costs two extra
+    exchanges — that shape is a fixture artifact, not the production plan.)"""
+    from symat_hbase_tools_spark.operators.repair import repair_changeset
+    from symat_hbase_tools_spark.sources.cells import customer_cells
+
+    a_path, r_path = str(tmp_path / "auth"), str(tmp_path / "replica")
+    auth = customer_cells(customer)
+    auth.write.parquet(a_path)
+    auth.write.parquet(r_path)
+    cs = repair_changeset(
+        spark.read.parquet(a_path), spark.read.parquet(r_path), 999_999
+    )
+    plan = plan_string(cs, "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
