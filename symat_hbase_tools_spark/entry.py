@@ -309,6 +309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": relational.events_hourly,
     "events_sliding_6h": relational.events_sliding_6h,
     "events_sessionize": relational.events_sessionize,
+    "purchase_attribution": relational.purchase_attribution,
     "nation_setops": relational.nation_customer_supplier_setops,
     "q13_customer_order_histogram": relational.q13_customer_order_histogram,
     "top_customer_per_nation": relational.top_customer_per_nation,
@@ -612,6 +613,15 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, CAST(SUM(is_new) + 1 AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM g GROUP BY user_id
+    """,
+    "purchase_attribution": """
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND epoch_us(c.ts) <= epoch_us(p.ts)
+         AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
     """,
     "kv_range_scan": (
         "SELECT row_key, qualifier, value FROM ("

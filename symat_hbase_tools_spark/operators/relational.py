@@ -204,6 +204,38 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming interval join: purchases matched to the
+    same user's clicks in the preceding hour. Comparisons run at microsecond
+    precision on both engines (Spark ts is already micro-truncated; the
+    oracle compares epoch_us), so the matched row set is identical."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        )
+    )
+
+
 def nation_customer_supplier_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-op surface: INTERSECT / EXCEPT over nation keys.
 

@@ -108,6 +108,50 @@ def session_counts(stream: DataFrame, gap: str = "8 hours", watermark: str = "12
     )
 
 
+def purchase_attribution(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same user's
+    clicks in the preceding hour.
+
+    Both sides carry a watermark, and the join's time-range condition bounds
+    the state store: a buffered click is evicted once the purchase-side
+    watermark passes click_ts + 1 hour. Without the range condition the state
+    grows without bound — THE stream-stream join scale rule. Batch twin:
+    relational.purchase_attribution (hash-checked against DuckDB).
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        )
+    )
+
+
 def run_bounded(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Drain a bounded stream into a memory sink and return the result table.
 

@@ -99,3 +99,17 @@ def test_foreach_batch_sink(spark, stream, tmp_path):
     back = spark.read.parquet(out)
     want = relational.events_hourly(spark, SF_DIR).count()
     assert back.filter(F.col("epoch") == back.agg(F.max("epoch")).collect()[0][0]).count() == want
+
+
+def test_stream_stream_join_matches_batch(spark, stream):
+    """Purchase->click interval join: streaming result (append mode) must
+    equal the batch twin row-for-row on bounded input."""
+    got = streaming.run_bounded(
+        streaming.purchase_attribution(stream), "t_ssjoin", output_mode="append"
+    ).collect()
+    want = relational.purchase_attribution(spark, SF_DIR).collect()
+    to_set = lambda rows: {  # noqa: E731
+        (r["purchase_id"], r["click_id"], r["user_id"], r["gap_us"]) for r in rows
+    }
+    assert to_set(got) == to_set(want)
+    assert len(got) == len(want)  # no dup emission from state replay
