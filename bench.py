@@ -29,8 +29,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "min_cost_supplier",
+    "market_share",
     "top_parts_per_brand",
     "customer_order_deltas",
+    "purchase_attribution",
+    "kv_repair_replica",
     "events_hourly",
     "events_sessionize",
     "dedup_exact",
