@@ -189,6 +189,47 @@ def kv_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pretty_cells(kv.visible_cells(merged), "row_key", "qualifier", "value")
 
 
+def kv_major_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Major compaction of the versioned+deleted fixture: only the latest
+    live Put per coordinate survives."""
+    from symat_hbase_tools_spark.operators.compaction import major_compact
+    from symat_hbase_tools_spark.sources.cells import customer_cells_versioned_with_deletes
+
+    cells = customer_cells_versioned_with_deletes(load_table(spark, sf_dir, "customer"))
+    return _pretty_cells(major_compact(cells), "row_key", "qualifier", "ts", "value")
+
+
+def kv_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from symat_hbase_tools_spark.operators.compaction import compaction_report
+    from symat_hbase_tools_spark.sources.cells import customer_cells_versioned_with_deletes
+
+    cells = customer_cells_versioned_with_deletes(load_table(spark, sf_dir, "customer"))
+    return compaction_report(cells)
+
+
+def kv_retain_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSIONS=2 retention over the 3-version fixture: @v1 + plain survive."""
+    from symat_hbase_tools_spark.operators.compaction import retain_versions
+
+    cells = customer_cells_versioned(load_table(spark, sf_dir, "customer"))
+    return _pretty_cells(retain_versions(cells, 2), "row_key", "qualifier", "ts", "value")
+
+
+def kv_expire_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL sweep: cut-off between v1 and the latest version leaves only the
+    newest version of every cell."""
+    from symat_hbase_tools_spark.operators.compaction import expire_ttl
+
+    cells = customer_cells_versioned(load_table(spark, sf_dir, "customer"))
+    return _pretty_cells(
+        expire_ttl(cells, now_ms=CELL_TS + 3000, ttl_ms=1500),
+        "row_key",
+        "qualifier",
+        "ts",
+        "value",
+    )
+
+
 REPAIR_TS = CELL_TS + 9000
 
 
@@ -287,6 +328,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_apply_changeset": kv_apply_changeset,
     "kv_repair_replica": kv_repair_replica,
     "kv_repair_counters": kv_repair_counters,
+    "kv_major_compact": kv_major_compact,
+    "kv_compaction_report": kv_compaction_report,
+    "kv_retain_versions": kv_retain_versions,
+    "kv_expire_ttl": kv_expire_ttl,
     "kv_table_diff": kv_table_diff,
     # relational surface
     "q1_pricing_summary": relational.q1_pricing_summary,
@@ -410,6 +455,31 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "kv_repair_replica": (
         "SELECT row_key, qualifier, value FROM (" + _unpivot_sql() + ")"
+    ),
+    "kv_major_compact": (
+        "SELECT row_key, qualifier, ts, value FROM ("
+        + _unpivot_sql(ts=CELL_TS + 2000, with_custkey=True)
+        + ") WHERE NOT (qualifier = 'c_acctbal' AND c_custkey % 25 = 3)"
+    ),
+    "kv_compaction_report": (
+        "SELECT CAST(12 * COUNT(*) + COUNT(CASE WHEN c_custkey % 25 = 3 THEN 1 END)"
+        "        AS BIGINT) AS cells_before, "
+        "CAST(4 * COUNT(*) - COUNT(CASE WHEN c_custkey % 25 = 3 THEN 1 END)"
+        "        AS BIGINT) AS cells_after, "
+        "CAST(8 * COUNT(*) + 2 * COUNT(CASE WHEN c_custkey % 25 = 3 THEN 1 END)"
+        "        AS BIGINT) AS reclaimed FROM customer"
+    ),
+    "kv_retain_versions": (
+        "SELECT row_key, qualifier, ts, value || '@v1' AS value FROM ("
+        + _unpivot_sql(ts=CELL_TS + 1000)
+        + ") UNION ALL SELECT row_key, qualifier, ts, value FROM ("
+        + _unpivot_sql(ts=CELL_TS + 2000)
+        + ")"
+    ),
+    "kv_expire_ttl": (
+        "SELECT row_key, qualifier, ts, value FROM ("
+        + _unpivot_sql(ts=CELL_TS + 2000)
+        + ")"
     ),
     "kv_repair_counters": (
         "SELECT COUNT(*) FILTER (WHERE c_custkey % 7 = 0) AS restored, "

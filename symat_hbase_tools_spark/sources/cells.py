@@ -157,6 +157,25 @@ def customer_cells_with_deletes(customer: DataFrame) -> DataFrame:
     return base.unionByName(markers)
 
 
+def customer_cells_versioned_with_deletes(customer: DataFrame) -> DataFrame:
+    """Versioned fixture (3 versions/cell) plus delete markers: customers
+    with c_custkey % 25 == 3 get a ``Delete`` on ``c_acctbal`` at
+    CELL_TS + 5000, above every Put version — the full compaction scenario
+    (shadowed versions AND deleted data)."""
+    base = customer_cells_versioned(customer)
+    markers = customer.filter(
+        F.col("c_custkey") % DELETE_MOD == DELETE_REMAINDER
+    ).select(
+        F.encode(F.format_string(CUSTOMER_KEY_FMT, F.col("c_custkey")), "UTF-8").alias("row"),
+        F.lit("cf").alias("family"),
+        F.encode(F.lit("c_acctbal"), "UTF-8").cast("binary").alias("qualifier"),
+        F.lit(CELL_TS + 5000).cast("long").alias("ts"),
+        F.lit("Delete").alias("type"),
+        F.lit(None).cast("binary").alias("value"),
+    )
+    return base.unionByName(markers)
+
+
 def cells_to_wide(cells: DataFrame, qualifiers: list[str]) -> DataFrame:
     """cells -> wide table, latest-version-wins per (row, qualifier).
 
