@@ -271,6 +271,32 @@ def kv_repair_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repair_counters(repair_changeset(auth, _corrupted_replica(auth), REPAIR_TS))
 
 
+PACK_BUDGET = 2048
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing of documents (2048-token budget)."""
+    from symat_hbase_tools_spark.operators.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), PACK_BUDGET)
+
+
+def doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from symat_hbase_tools_spark.operators.packing import pack_sequences, packing_stats
+
+    packed = pack_sequences(load_table(spark, sf_dir, "documents"), PACK_BUDGET)
+    return packing_stats(packed, PACK_BUDGET)
+
+
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over n-gram Jaccard near-dup pairs: cluster id
+    (canonical survivor), member count, members dedup would drop."""
+    from symat_hbase_tools_spark.operators.clustering import dedup_clusters
+
+    pairs = dedup.ngram_jaccard_pairs(spark, sf_dir)
+    return dedup_clusters(pairs)
+
+
 SAMPLE_FRACTION = 0.2
 SAMPLE_STRATA = {"en": 0.25, "zh": 0.75}  # rebalance: downsample en, keep zh
 SAMPLE_SEED = 42
@@ -388,6 +414,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sampling surface
     "doc_sample": doc_sample,
     "doc_sample_stratified": doc_sample_stratified,
+    # training-pipeline assembly
+    "doc_pack_sequences": doc_pack_sequences,
+    "doc_pack_stats": doc_pack_stats,
+    "doc_dedup_clusters": doc_dedup_clusters,
 }
 
 # shared SQL fragments for the LLM-op oracles
@@ -898,6 +928,45 @@ ORACLE_SQL: dict[str, str] = {
               CASE lang WHEN 'en' THEN '40000000' WHEN 'zh' THEN 'c0000000'
                         ELSE '80000000' END
         GROUP BY lang ORDER BY lang
+    """,
+    "doc_pack_sequences": f"""
+        WITH t AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens AS BIGINT) AS start_offset
+              FROM t)
+        SELECT doc_id, n_tokens, start_offset,
+               start_offset // 2048 AS seq_id
+        FROM c
+    """,
+    "doc_pack_stats": f"""
+        WITH t AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens AS BIGINT) AS start_offset
+              FROM t)
+        SELECT start_offset // 2048 AS seq_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_tokens) AS DOUBLE) / 2048 AS fill
+        FROM c GROUP BY 1
+    """,
+    "doc_dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION SELECT d2, d1 FROM pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION
+                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (SELECT a AS node, least(a, MIN(b)) AS cluster
+                   FROM reach GROUP BY a)
+        SELECT cluster, COUNT(*) AS n_members,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+        FROM labels GROUP BY cluster
     """,
 }
 

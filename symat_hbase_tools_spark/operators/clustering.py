@@ -1,0 +1,89 @@
+"""Duplicate-cluster assignment: connected components over near-dup pairs.
+
+Pairwise dedup output (ngram_jaccard / minhash_lsh / simhash pairs) tells
+you WHICH documents are near-duplicates; keeping one document per GROUP
+needs the transitive closure — if A~B and B~C, all three are one cluster
+even when A~C was never emitted. This is connected components on the
+similarity graph.
+
+Algorithm: iterative min-label propagation. Every node starts labeled with
+itself; each round a node takes the min of its own and its neighbors'
+labels; converged when no label changes. Each round is one shuffle (join on
+node + min-aggregate); rounds needed = graph diameter, and near-dup graphs
+are shallow (tight clusters), so 3-5 rounds is typical. For adversarial
+long-chain graphs the literature's large-star/small-star variant
+(Kiveris et al., "Connected Components in MapReduce and Beyond") halves
+the diameter per round; the propagation loop below is the right default
+for dedup workloads. Lineage is broken per round (localCheckpoint) so the
+plan doesn't grow with iterations — the standard Spark iterative-algorithm
+discipline.
+
+min(doc_id) per cluster = the canonical survivor, matching exact_dedup's
+keep-lowest-id convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster id (= min member id) for every node appearing in ``pairs``.
+
+    Output: node, cluster. Deterministic: labels are ids, min is order-free.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # neighbor minimum, merged with own label
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("cluster").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "cluster")
+
+
+def dedup_clusters(pairs: DataFrame, src: str = "d1", dst: str = "d2") -> DataFrame:
+    """Cluster report over near-dup pairs: cluster id (canonical survivor),
+    member count, members dropped by dedup (size - 1)."""
+    cc = connected_components(pairs, src, dst)
+    return (
+        cc.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .withColumn("n_dropped", (F.col("n_members") - 1).cast("bigint"))
+    )

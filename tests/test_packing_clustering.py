@@ -1,0 +1,71 @@
+"""Sequence-packing and dedup-clustering operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from symat_hbase_tools_spark.operators.clustering import (
+    connected_components,
+    dedup_clusters,
+)
+from symat_hbase_tools_spark.operators.packing import pack_sequences, packing_stats
+
+BUDGET = 100
+
+
+def test_packing_is_a_contiguous_tape(spark, documents):
+    packed = pack_sequences(documents, BUDGET).orderBy("doc_id").collect()
+    # offsets chain: each doc starts where the previous one ended
+    tape = 0
+    for r in packed:
+        assert r["start_offset"] == tape
+        assert r["seq_id"] == tape // BUDGET
+        tape += r["n_tokens"]
+    assert tape == sum(r["n_tokens"] for r in packed)
+
+
+def test_packing_is_layout_independent(spark, documents):
+    a = {(r["doc_id"], r["seq_id"]) for r in pack_sequences(documents, BUDGET).collect()}
+    b = {
+        (r["doc_id"], r["seq_id"])
+        for r in pack_sequences(documents.repartition(13), BUDGET, n_partitions=3).collect()
+    }
+    assert a == b
+
+
+def test_packing_stats_fill(spark, documents):
+    packed = pack_sequences(documents, BUDGET)
+    stats = packing_stats(packed, BUDGET)
+    total_docs = documents.count()
+    assert stats.agg(F.sum("n_docs")).collect()[0][0] == total_docs
+    # every fully-interior sequence starts at most `budget` tokens
+    assert stats.filter(F.col("fill") < 0).count() == 0
+
+
+def test_connected_components_transitive(spark):
+    # chain 1-2-3, pair 10-11, singleton edge 20-21: three clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "d1 long, d2 long"
+    )
+    got = {
+        (r["node"], r["cluster"]) for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # worst-case diameter: a 12-node path; min label must reach the far end
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "d1 long, d2 long"
+    )
+    labels = connected_components(pairs)
+    assert labels.filter(F.col("cluster") != 0).count() == 0
+
+
+def test_dedup_clusters_report(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "d1 long, d2 long")
+    got = {
+        (r["cluster"], r["n_members"], r["n_dropped"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert got == {(1, 3, 2), (10, 2, 1)}
