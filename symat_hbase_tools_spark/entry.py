@@ -297,6 +297,14 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination sweep: training docs sharing >=5 shingles
+    with the benchmark subset (doc_id % 50 == 0)."""
+    from symat_hbase_tools_spark.operators.contamination import benchmark_contamination
+
+    return benchmark_contamination(spark, sf_dir)
+
+
 SAMPLE_FRACTION = 0.2
 SAMPLE_STRATA = {"en": 0.25, "zh": 0.75}  # rebalance: downsample en, keep zh
 SAMPLE_SEED = 42
@@ -381,6 +389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_6h": relational.events_sliding_6h,
     "events_sessionize": relational.events_sessionize,
     "purchase_attribution": relational.purchase_attribution,
+    "events_by_segment": relational.events_by_segment,
     "nation_setops": relational.nation_customer_supplier_setops,
     "q13_customer_order_histogram": relational.q13_customer_order_histogram,
     "top_customer_per_nation": relational.top_customer_per_nation,
@@ -418,6 +427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_stats": doc_pack_stats,
     "doc_dedup_clusters": doc_dedup_clusters,
+    "doc_contamination": doc_contamination,
 }
 
 # shared SQL fragments for the LLM-op oracles
@@ -953,6 +963,19 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
                CAST(SUM(n_tokens) AS DOUBLE) / 2048 AS fill
         FROM c GROUP BY 1
+    """,
+    "doc_contamination": f"""
+        WITH {_SHINGLE_CTE}
+        SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0) tr
+        JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0) be USING (s)
+        GROUP BY tr.doc_id HAVING COUNT(*) >= 5
+    """,
+    "events_by_segment": """
+        SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
     """,
     "doc_dedup_clusters": f"""
         WITH RECURSIVE {_SHINGLE_CTE},

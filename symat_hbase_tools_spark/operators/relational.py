@@ -204,6 +204,22 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join: events enriched with
+    the customer dimension (broadcast), aggregated per segment/type."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        events.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value"), "sum_value"),
+        )
+    )
+
+
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming interval join: purchases matched to the
     same user's clicks in the preceding hour. Comparisons run at microsecond

@@ -152,6 +152,25 @@ def purchase_attribution(stream: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def segment_enriched_counts(stream: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the (static)
+    customer dimension and aggregate per segment/type.
+
+    The static side is re-read per micro-batch and broadcast — no state
+    store involvement at all (stream-static joins are stateless), which is
+    why dimension enrichment is the cheapest join a stream can do. Batch
+    twin: relational.events_by_segment (oracle-paired)."""
+    dim = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return (
+        stream.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def run_bounded(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Drain a bounded stream into a memory sink and return the result table.
 

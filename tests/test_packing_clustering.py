@@ -69,3 +69,13 @@ def test_dedup_clusters_report(spark):
         for r in dedup_clusters(pairs).collect()
     }
     assert got == {(1, 3, 2), (10, 2, 1)}
+
+
+def test_contamination_flags_only_train_docs(spark):
+    from symat_hbase_tools_spark.operators.contamination import benchmark_contamination
+    from tests.conftest import SF_DIR
+
+    out = benchmark_contamination(spark, SF_DIR)
+    rows = out.collect()
+    assert all(r["doc_id"] % 50 != 0 for r in rows)  # benchmark never flags itself
+    assert all(r["n_overlap"] >= 5 for r in rows)

@@ -113,3 +113,18 @@ def test_stream_stream_join_matches_batch(spark, stream):
     }
     assert to_set(got) == to_set(want)
     assert len(got) == len(want)  # no dup emission from state replay
+
+
+def test_stream_static_enrichment_matches_batch(spark, stream):
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    customer = load_table(spark, SF_DIR, "customer")
+    got = streaming.run_bounded(
+        streaming.segment_enriched_counts(stream, customer), "t_enrich"
+    ).collect()
+    want = relational.events_by_segment(spark, SF_DIR).collect()
+    to_set = lambda rows: {  # noqa: E731
+        (r["c_mktsegment"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in rows
+    }
+    assert to_set(got) == to_set(want)
