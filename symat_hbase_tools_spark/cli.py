@@ -45,6 +45,23 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--outputDir", required=True)
     cr.add_argument("--traceCells", action="store_true", help="log failing cells (never in prod)")
 
+    rp = sub.add_parser(
+        "repair", help="make a replica cells table match an authoritative one"
+    )
+    rp.add_argument("--authoritativeTable", required=True)
+    rp.add_argument("--replicaTable", required=True)
+    rp.add_argument("--output", required=True, help="path for the repaired cells")
+    rp.add_argument(
+        "--repairTimestamp",
+        type=int,
+        default=None,
+        help="epoch millis for repair versions (default: now, like CopyRow)",
+    )
+
+    cm = sub.add_parser("compact", help="major-compact a cells table")
+    cm.add_argument("--table", required=True)
+    cm.add_argument("--output", required=True, help="path for the compacted cells")
+
     q = sub.add_parser("query", help="run any inventory query against a test-data dir")
     q.add_argument("--name", required=True, help="queries() name, or 'list' to enumerate")
     q.add_argument("--sfDir", default="/root/testdata/sf0.001")
@@ -73,6 +90,44 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             new_dest.write.mode("overwrite").parquet(args.output)
             print(f"copied {n} cells of row {args.rowKey!r}")
+            return 0
+        if args.tool == "repair":
+            import time
+
+            from symat_hbase_tools_spark.operators.repair import (
+                repair,
+                repair_counters,
+            )
+
+            ts = (
+                args.repairTimestamp
+                if args.repairTimestamp is not None
+                else int(time.time() * 1000)
+            )
+            auth = _load_cells(spark, args.authoritativeTable)
+            replica = _load_cells(spark, args.replicaTable)
+            repaired, changeset = repair(auth, replica, ts)
+            repaired.write.mode("overwrite").parquet(args.output)
+            c = repair_counters(changeset).collect()[0]
+            print(
+                f"RESTORED_CELLS={c['restored']} BACKFILLED_CELLS={c['backfilled']} "
+                f"DELETED_CELLS={c['deleted']}"
+            )
+            n_changes = c["restored"] + c["backfilled"] + c["deleted"]
+            return 0 if n_changes == 0 else 2
+        if args.tool == "compact":
+            from symat_hbase_tools_spark.operators.compaction import (
+                compaction_report,
+                major_compact,
+            )
+
+            cells = _load_cells(spark, args.table)
+            major_compact(cells).write.mode("overwrite").parquet(args.output)
+            r = compaction_report(cells).collect()[0]
+            print(
+                f"CELLS_BEFORE={r['cells_before']} CELLS_AFTER={r['cells_after']} "
+                f"RECLAIMED={r['reclaimed']}"
+            )
             return 0
         if args.tool == "query":
             from symat_hbase_tools_spark.entry import QUERIES
