@@ -40,6 +40,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "doc_dedup_clusters",
+    "doc_contamination",
+    "doc_pack_sequences",
     "knn_cosine_topk",
     "text_quality_score",
     "text_token_stats",

@@ -38,10 +38,14 @@ def connected_components(
 
     Output: node, cluster. Deterministic: labels are ids, min is order-free.
     """
+    # materialize the edge list ONCE: every propagation round joins against
+    # it, and without the checkpoint the (possibly expensive) pair-generating
+    # plan upstream — an LSH or shingle self-join — would re-run per round.
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -55,13 +59,25 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("cluster").alias("n_min"))
         )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.a, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
+            ).alias("cluster"),
+        )
+        # pointer jumping (path halving): follow each label to ITS label —
+        # convergence in O(log diameter) rounds instead of O(diameter),
+        # which is what makes iterative CC viable on long chains at scale.
+        lut = propagated.select(
+            F.col("node").alias("_n"), F.col("cluster").alias("_c")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            propagated.join(lut, propagated.cluster == lut._n, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
-                ).alias("cluster"),
+                F.coalesce(F.col("_c"), F.col("cluster")).alias("cluster"),
             )
             .localCheckpoint(eager=True)
         )
