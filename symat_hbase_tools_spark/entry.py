@@ -230,6 +230,16 @@ def kv_expire_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming KV ingest: events materialized as cells,
+    read latest-version-wins — the last value each user wrote per event
+    type. Shares event_cell_puts verbatim with streaming/ingest.py."""
+    from symat_hbase_tools_spark.streaming.ingest import event_cell_puts
+
+    cells = event_cell_puts(load_table(spark, sf_dir, "events"))
+    return _pretty_cells(kv.visible_cells(cells), "row_key", "qualifier", "ts", "value")
+
+
 REPAIR_TS = CELL_TS + 9000
 
 
@@ -363,6 +373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_repair_replica": kv_repair_replica,
     "kv_repair_counters": kv_repair_counters,
     "kv_major_compact": kv_major_compact,
+    "events_kv_state": events_kv_state,
     "kv_compaction_report": kv_compaction_report,
     "kv_retain_versions": kv_retain_versions,
     "kv_expire_ttl": kv_expire_ttl,
@@ -390,6 +401,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": relational.events_sessionize,
     "purchase_attribution": relational.purchase_attribution,
     "events_by_segment": relational.events_by_segment,
+    "customer_balance_distribution": relational.customer_balance_distribution,
+    "fuzzy_name_pairs": relational.fuzzy_name_pairs,
     "nation_setops": relational.nation_customer_supplier_setops,
     "q13_customer_order_histogram": relational.q13_customer_order_histogram,
     "top_customer_per_nation": relational.top_customer_per_nation,
@@ -521,6 +534,21 @@ ORACLE_SQL: dict[str, str] = {
         + _unpivot_sql(ts=CELL_TS + 2000)
         + ")"
     ),
+    "events_kv_state": """
+        WITH cells AS (
+            SELECT printf('user#%08d', user_id) AS row_key,
+                   event_type AS qualifier,
+                   epoch_us(ts) AS ts,
+                   printf('%.3f', value) AS value
+            FROM events
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY row_key, qualifier
+                       ORDER BY ts DESC, value DESC) AS rn
+            FROM cells
+        )
+        SELECT row_key, qualifier, ts, value FROM ranked WHERE rn = 1
+    """,
     "kv_repair_counters": (
         "SELECT COUNT(*) FILTER (WHERE c_custkey % 7 = 0) AS restored, "
         "COUNT(*) FILTER (WHERE c_custkey % 11 = 0) AS backfilled, "
@@ -976,6 +1004,22 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events LEFT JOIN customer ON user_id = c_custkey
         GROUP BY 1, 2
+    """,
+    "customer_balance_distribution": """
+        SELECT c_custkey, c_acctbal,
+               CAST(ntile(10) OVER w AS INT) AS decile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    "fuzzy_name_pairs": """
+        SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
+               a.s_name AS n1, b.s_name AS n2,
+               CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS distance
+        FROM supplier a JOIN supplier b
+          ON a.s_suppkey < b.s_suppkey
+         AND abs(length(a.s_name) - length(b.s_name)) <= 1
+        WHERE levenshtein(a.s_name, b.s_name) <= 1
     """,
     "doc_dedup_clusters": f"""
         WITH RECURSIVE {_SHINGLE_CTE},

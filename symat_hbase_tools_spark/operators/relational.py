@@ -204,6 +204,48 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window surface: decile (ntile), percent_rank, cume_dist
+    over account balance. One shuffle (single window spec, unique-key
+    tiebreak keeps every rank deterministic)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def fuzzy_name_pairs(
+    spark: SparkSession, sf_dir: str, max_distance: int = 1
+) -> DataFrame:
+    """Edit-distance fuzzy matching: supplier-name pairs within levenshtein
+    <= max_distance. Blocked by name length (|len(a)-len(b)| <= d is a
+    necessary condition), which turns the quadratic all-pairs scan into a
+    banded self-join — the standard blocking trick; at corpus scale the
+    block key would also include a cheap prefix/phonetic bucket."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    a = supplier.select(
+        F.col("s_suppkey").alias("k1"),
+        F.col("s_name").alias("n1"),
+        F.length("s_name").alias("l1"),
+    )
+    b = supplier.select(
+        F.col("s_suppkey").alias("k2"),
+        F.col("s_name").alias("n2"),
+        F.length("s_name").alias("l2"),
+    )
+    return (
+        a.join(b, (F.col("k1") < F.col("k2")) & (F.abs(F.col("l1") - F.col("l2")) <= max_distance))
+        .withColumn("distance", F.levenshtein("n1", "n2").cast("bigint"))
+        .filter(F.col("distance") <= max_distance)
+        .select("k1", "k2", "n1", "n2", "distance")
+    )
+
+
 def events_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-static enrichment join: events enriched with
     the customer dimension (broadcast), aggregated per segment/type."""

@@ -128,3 +128,25 @@ def test_stream_static_enrichment_matches_batch(spark, stream):
         for r in rows
     }
     assert to_set(got) == to_set(want)
+
+
+def test_streaming_kv_ingest_matches_batch(spark, stream, tmp_path):
+    """LSM ingest: append-only micro-batch cell writes; visible_cells over
+    the ingested directory equals the batch-twin KV state."""
+    import __spark_entry__  # noqa: F401  (ensures entry import side effects)
+
+    from symat_hbase_tools_spark.entry import events_kv_state
+    from symat_hbase_tools_spark.operators.kv import visible_cells
+    from symat_hbase_tools_spark.streaming.ingest import ingest_events
+
+    path, ckpt = str(tmp_path / "cells"), str(tmp_path / "ckpt")
+    ingest_events(stream, path, ckpt)
+    got = {
+        (bytes(r["row"]), bytes(r["qualifier"]), r["ts"], bytes(r["value"]))
+        for r in visible_cells(spark.read.parquet(path)).collect()
+    }
+    want = {
+        (r["row_key"].encode(), r["qualifier"].encode(), r["ts"], r["value"].encode())
+        for r in events_kv_state(spark, SF_DIR).collect()
+    }
+    assert got == want and got
