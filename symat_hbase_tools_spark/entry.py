@@ -230,6 +230,25 @@ def kv_expire_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INDEX_SEGMENT = "BUILDING"
+
+
+def kv_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index query: customers in one market segment found via the
+    index table (range scan on index -> broadcast semi-join probe), not a
+    full-table value scan."""
+    from symat_hbase_tools_spark.operators.index import (
+        build_value_index,
+        index_lookup,
+        indexed_get,
+    )
+
+    cells = customer_cells(load_table(spark, sf_dir, "customer"))
+    idx = build_value_index(cells, "c_mktsegment")
+    keys = index_lookup(idx, INDEX_SEGMENT.encode())
+    return _pretty_cells(indexed_get(cells, keys), "row_key", "qualifier", "value")
+
+
 def events_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming KV ingest: events materialized as cells,
     read latest-version-wins — the last value each user wrote per event
@@ -374,6 +393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_repair_counters": kv_repair_counters,
     "kv_major_compact": kv_major_compact,
     "events_kv_state": events_kv_state,
+    "kv_index_lookup": kv_index_lookup,
     "kv_compaction_report": kv_compaction_report,
     "kv_retain_versions": kv_retain_versions,
     "kv_expire_ttl": kv_expire_ttl,
@@ -532,6 +552,11 @@ ORACLE_SQL: dict[str, str] = {
     "kv_expire_ttl": (
         "SELECT row_key, qualifier, ts, value FROM ("
         + _unpivot_sql(ts=CELL_TS + 2000)
+        + ")"
+    ),
+    "kv_index_lookup": (
+        "SELECT row_key, qualifier, value FROM ("
+        + _unpivot_sql(where="c_mktsegment = 'BUILDING'")
         + ")"
     ),
     "events_kv_state": """
