@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
     cm.add_argument("--table", required=True)
     cm.add_argument("--output", required=True, help="path for the compacted cells")
 
+    sq = sub.add_parser("sql", help="run ad-hoc Spark SQL over the test tables")
+    sq.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    sq.add_argument("--limit", type=int, default=20, help="rows to display")
+    sq.add_argument("--output", default=None, help="optional parquet output path")
+    sq.add_argument("statement", help="SQL over tables region/nation/.../embeddings")
+
     q = sub.add_parser("query", help="run any inventory query against a test-data dir")
     q.add_argument("--name", required=True, help="queries() name, or 'list' to enumerate")
     q.add_argument("--sfDir", default="/root/testdata/sf0.001")
@@ -128,6 +134,16 @@ def main(argv: list[str] | None = None) -> int:
                 f"CELLS_BEFORE={r['cells_before']} CELLS_AFTER={r['cells_after']} "
                 f"RECLAIMED={r['reclaimed']}"
             )
+            return 0
+        if args.tool == "sql":
+            from symat_hbase_tools_spark.sources.tables import register_views
+
+            register_views(spark, args.sfDir)
+            df = spark.sql(args.statement)
+            df.show(args.limit, truncate=False)
+            if args.output:
+                df.write.mode("overwrite").parquet(args.output)
+                print(f"wrote {args.output}")
             return 0
         if args.tool == "query":
             from symat_hbase_tools_spark.entry import QUERIES

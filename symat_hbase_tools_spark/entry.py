@@ -230,6 +230,13 @@ def kv_expire_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kv_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel: the versioned table as of CELL_TS+1000 (the @v1 state)."""
+    versioned = customer_cells_versioned(load_table(spark, sf_dir, "customer"))
+    snap = kv.snapshot_as_of(versioned, CELL_TS + 1000)
+    return _pretty_cells(snap, "row_key", "qualifier", "ts", "value")
+
+
 INDEX_SEGMENT = "BUILDING"
 
 
@@ -394,6 +401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_major_compact": kv_major_compact,
     "events_kv_state": events_kv_state,
     "kv_index_lookup": kv_index_lookup,
+    "kv_snapshot_as_of": kv_snapshot_as_of,
     "kv_compaction_report": kv_compaction_report,
     "kv_retain_versions": kv_retain_versions,
     "kv_expire_ttl": kv_expire_ttl,
@@ -552,6 +560,11 @@ ORACLE_SQL: dict[str, str] = {
     "kv_expire_ttl": (
         "SELECT row_key, qualifier, ts, value FROM ("
         + _unpivot_sql(ts=CELL_TS + 2000)
+        + ")"
+    ),
+    "kv_snapshot_as_of": (
+        "SELECT row_key, qualifier, ts, value || '@v1' AS value FROM ("
+        + _unpivot_sql(ts=CELL_TS + 1000)
         + ")"
     ),
     "kv_index_lookup": (

@@ -74,6 +74,16 @@ def visible_cells(cells: DataFrame) -> DataFrame:
     return latest_cells(cells).filter(F.col("type") == "Put")
 
 
+def snapshot_as_of(cells: DataFrame, as_of_ts: int) -> DataFrame:
+    """Time-travel read: the visible table as it was at ``as_of_ts`` —
+    HBase's ``Scan.setTimeRange(0, ts+1)`` semantics. The ts bound is a
+    pushed-down scan filter (row-group stats prune files written after the
+    snapshot point), then the normal latest-version-wins resolution runs on
+    the surviving versions. Versioned cells make every historical state a
+    filter away — no snapshot copies."""
+    return visible_cells(cells.filter(F.col("ts") <= int(as_of_ts)))
+
+
 def latest_cells(cells: DataFrame) -> DataFrame:
     """Latest-version-wins view over a versioned cells table.
 

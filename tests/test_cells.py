@@ -102,3 +102,16 @@ def test_cells_to_wide_roundtrip(spark, customer):
     assert row["c_nationkey"] == str(ref["c_nationkey"])
     assert row["c_mktsegment"] == ref["c_mktsegment"]
     assert row["c_acctbal"] == "%.2f" % ref["c_acctbal"]
+
+
+def test_snapshot_as_of_returns_historical_state(spark, customer):
+    from symat_hbase_tools_spark.operators.kv import snapshot_as_of
+    from symat_hbase_tools_spark.sources.cells import CELL_TS, customer_cells_versioned
+
+    versioned = customer_cells_versioned(customer)
+    from pyspark.sql import functions as F
+
+    snap = snapshot_as_of(versioned, CELL_TS + 1000)
+    assert snap.count() == customer.count() * 4
+    vals = snap.select(F.decode("value", "UTF-8").alias("v"))
+    assert vals.filter(~F.col("v").endswith("@v1")).count() == 0
