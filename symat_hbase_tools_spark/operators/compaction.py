@@ -65,3 +65,54 @@ def expire_ttl(cells: DataFrame, now_ms: int, ttl_ms: int) -> DataFrame:
     expired. A pushed-down range filter — row-group stats prune whole files
     of old data, which is exactly how TTL sweeps stay cheap at 100 TB."""
     return cells.filter(F.col("ts") >= int(now_ms) - int(ttl_ms))
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction (the OPTIMIZE-style rewrite): coalesce a cells
+    directory into ~target-sized, row-range-sorted files.
+
+    The append-only streaming ingest leaves one file per micro-batch; this
+    periodic rewrite restores scan efficiency — fewer tasks, full row
+    groups, and row-range-disjoint files so key-range scans prune at the
+    FILE level (the same property bulkload's region files have). Rewrites
+    to a new path; the caller swaps atomically (rename / metastore repoint).
+
+    Returns {files_before, files_after, bytes}.
+    """
+    import math
+
+    df = spark.read.parquet(src_path)
+    # Hadoop FS listing works for any scheme (local, HDFS, s3a, ...)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs_path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = fs_path.getFileSystem(conf)
+    statuses = [
+        s
+        for s in fs.listStatus(fs_path)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    ]
+    total_bytes = sum(s.getLen() for s in statuses)
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    (
+        df.repartitionByRange(n_files, "row")
+        .sortWithinPartitions("row", "family", "qualifier", "ts")
+        .write.mode("overwrite")
+        .parquet(dst_path)
+    )
+    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    files_after = sum(
+        1
+        for s in fs.listStatus(dst)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    )
+    return {
+        "files_before": len(statuses),
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }

@@ -67,3 +67,27 @@ def test_expire_ttl_is_pushed_down(spark, customer, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(ts" in plan  # filter reached the scan
     assert out.count() == customer.count() * 4
+
+
+def test_compact_files_coalesces_and_sorts(spark, customer, tmp_path):
+    """Many small ingest files -> few row-range-sorted files, same data."""
+    from symat_hbase_tools_spark.operators.compaction import compact_files
+    from symat_hbase_tools_spark.sources.cells import customer_cells
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    cells = customer_cells(customer)
+    # simulate micro-batch appends: 10 tiny files
+    for i in range(10):
+        cells.filter(F.col("ts") % 10 == i % 10).write.mode("append").parquet(src)
+    cells.repartition(20).write.mode("append").parquet(src)
+    report = compact_files(spark, src, dst, target_file_bytes=10**9)
+    assert report["files_before"] > report["files_after"] == 1
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(dst)
+    assert after.count() == before.count()
+    # within-file row order: sorted by key (file-level range pruning works)
+    one_file = after.withColumn("_f", F.input_file_name()).filter(
+        F.col("_f") == after.withColumn("_f", F.input_file_name()).select("_f").first()[0]
+    )
+    collected = [bytes(r["row"]) for r in one_file.select("row").collect()]
+    assert collected == sorted(collected)
