@@ -439,6 +439,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_cost_supplier": relational.min_cost_supplier,
     "market_share": relational.market_share,
     "sketch_event_stats": relational.sketch_event_stats,
+    "q4_order_priority": relational.q4_order_priority,
+    "q11_part_value_share": relational.q11_part_value_share,
+    "q14_promo_revenue": relational.q14_promo_revenue,
+    "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+    "q18_large_volume_customers": relational.q18_large_volume_customers,
+    "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+    "q22_idle_customers": relational.q22_idle_customers,
     # LLM-pipeline surface: dedup
     "dedup_exact": dedup.exact_dedup,
     "dedup_bow_fingerprint": dedup.bow_fingerprint_dedup,
@@ -765,6 +772,84 @@ ORACLE_SQL: dict[str, str] = {
         JOIN nation n2 ON s_nationkey = n2.n_nationkey
         WHERE r_name = 'AMERICA'
         GROUP BY 1
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+    "q11_part_value_share": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+            FROM lineitem GROUP BY l_partkey)
+        SELECT l_partkey, part_value FROM per_part
+        WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6)))
+                                        AS DOUBLE) / COUNT(*)
+                            FROM per_part) * 1.5
+    """,
+    "q14_promo_revenue": """
+        SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+               100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                      AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    """,
+    "q17_small_quantity_revenue": """
+        WITH li AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#13'),
+        a AS (SELECT l_partkey AS a_partkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*) AS avg_qty
+              FROM li GROUP BY 1)
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+               AS avg_yearly
+        FROM li JOIN a ON l_partkey = a_partkey
+        WHERE l_quantity < 0.5 * avg_qty
+    """,
+    "q18_large_volume_customers": """
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_totalprice, sum_qty
+        FROM big JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+    """,
+    "q19_disjunctive_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q22_idle_customers": """
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                                       AS DOUBLE) / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY c_nationkey
     """,
     # sketch_event_stats / ann_ivf_topk: sketch estimates and k-means cells
     # are engine-specific -> rows-only checks; exact twins are the gates.

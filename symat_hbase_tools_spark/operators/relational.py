@@ -635,3 +635,195 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-subquery priority count, decorrelated as a
+    left-semi join whose condition spans both sides (late-shipment orders).
+
+    No commit/receipt dates in the driver schema, so "late" means a lineitem
+    shipped more than 60 days after the order date. The semi join keeps each
+    order at most once regardless of how many lineitems qualify — exactly the
+    EXISTS semantics; the fact table shuffles once on the join key.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose value exceeds a fraction of the global
+    total (scalar-subquery HAVING).
+
+    The scalar total is a second aggregation over the same grouped result —
+    Catalyst plans it as a 1-row broadcast cross join, so the fact scans once,
+    the grouped set scans twice (it is |part|-sized, negligible), and no
+    per-row correlated evaluation ever happens. DECIMAL sums keep the
+    threshold comparison bit-identical across engines.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "part_value")
+    )
+    avg_value = per_part.agg(
+        (
+            F.sum(F.col("part_value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("t")
+    )
+    return (
+        per_part.join(F.broadcast(avg_value))
+        .filter(F.col("part_value") > F.col("t") * 1.5)
+        .select("l_partkey", "part_value")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share per year — a conditional
+    CASE aggregate ratio over a broadcast part join. Both sums are DECIMAL
+    (order-free), divided once per group, so the double ratio is identical
+    across engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(revenue).cast("double")).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of small-quantity lineitems, where "small"
+    is relative to the part's own average quantity (correlated AVG).
+
+    Decorrelated in two map-reduce passes over the brand-restricted fact
+    slice: the broadcast part filter shrinks lineitem first, the per-part
+    average is a partial-aggregated shuffle on l_partkey, and the filtered
+    fact joins back to that tiny aggregate (AQE picks broadcast). The
+    correlated subquery never executes per-row. Average compares as exact
+    decimal-sum / count on both engines.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    li = lineitem.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            (money_sum(F.col("l_extendedprice"), "s"))
+        )
+        .select((F.col("s") / 7.0).alias("avg_yearly"))
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING-subquery IN), joined back to customer and order dimensions.
+
+    The heavy lineitem aggregation happens FIRST (partial agg on the natural
+    join key, no pre-join blowup); only the few qualifying orderkeys flow
+    into the joins, which AQE turns into broadcasts at any realistic
+    selectivity. Integral quantity sums are exact in double.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning both
+    join sides (brand x size x quantity bands).
+
+    The per-side conjuncts (partkey equality, the brand/size/quantity range
+    unions) are pushed below the join by Catalyst — the scan reads only rows
+    that can satisfy SOME disjunct; the residual cross-side disjunction
+    evaluates post-join inside codegen. One broadcast join, one scalar agg.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disjunct = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(disjunct)
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders (scalar AVG subquery + NOT EXISTS anti join), grouped by nation.
+
+    The scalar average broadcasts as a 1-row cross join; the anti join
+    against date-filtered orders is the NOT EXISTS — the date predicate is
+    pushed into the orders scan before the join, so the anti join probes
+    only the recent slice. Threshold comparison uses the same exact
+    decimal-sum/count average on both engines. (Every customer in the
+    driver data has SOME order, so idleness is defined over 2001+.)
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    pos = customer.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
