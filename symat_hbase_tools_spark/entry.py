@@ -465,6 +465,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_score": text_analysis.quality_score,
     "text_token_stats": text_analysis.token_stats,
     "text_doc_fingerprints": text_analysis.doc_fingerprints,
+    "text_repetition_signals": text_analysis.repetition_signals,
+    "doc_mixture_weights": text_analysis.mixture_weights,
+    "doc_length_histogram": text_analysis.length_histogram,
+    "boilerplate_shingles": text_analysis.boilerplate_shingles,
     # LLM-pipeline surface: multimodal plumbing
     "multimodal_features": multimodal.multimodal_features,
     "multimodal_frame_census": multimodal.multimodal_frame_census,
@@ -1060,6 +1064,60 @@ ORACLE_SQL: dict[str, str] = {
                            i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
                    (h, c) -> (h * 31 + c) % 1000000007) AS fp
         FROM documents
+    """,
+    "text_repetition_signals": """
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w,
+                          trim(text) = '' AS empty
+                   FROM documents),
+        u AS (SELECT doc_id, unnest(w) AS word FROM t WHERE NOT empty),
+        uc AS (SELECT doc_id, word, COUNT(*) AS c FROM u GROUP BY 1, 2),
+        ua AS (SELECT doc_id, MAX(c) AS topc, CAST(SUM(c) AS BIGINT) AS ntok,
+                      COUNT(*) AS ndist
+               FROM uc GROUP BY 1),
+        b0 AS (SELECT doc_id, list_transform(range(1, len(w)),
+                          i -> w[i] || ' ' || w[i+1]) AS bl
+               FROM t WHERE NOT empty),
+        bu AS (SELECT doc_id, unnest(bl) AS bigram FROM b0),
+        bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bu GROUP BY 1, 2),
+        ba AS (SELECT doc_id, MAX(c) AS topb FROM bc GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(ntok, 0) AS n_tokens,
+               COALESCE(ndist, 0) AS n_distinct,
+               CASE WHEN ntok > 0 THEN topc / ntok ELSE 0.0 END AS top_unigram_frac,
+               CASE WHEN ntok > 0 THEN ndist / ntok ELSE 0.0 END AS distinct_ratio,
+               CASE WHEN ntok > 1 THEN topb / (ntok - 1) ELSE 0.0 END AS top_bigram_frac
+        FROM documents d
+        LEFT JOIN ua ON d.doc_id = ua.doc_id
+        LEFT JOIN ba ON d.doc_id = ba.doc_id
+    """,
+    "doc_mixture_weights": f"""
+        WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                          CAST(SUM(ntok) AS BIGINT) AS total_tokens
+                   FROM (SELECT lang, source, CAST({_NTOK} AS BIGINT) AS ntok
+                         FROM documents)
+                   GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS corpus_docs,
+                       COUNT(*) AS n_groups FROM g)
+        SELECT lang, source, n_docs, total_tokens,
+               n_docs / corpus_docs AS share,
+               (corpus_docs / n_groups) / n_docs AS weight
+        FROM g, tot
+    """,
+    "doc_length_histogram": f"""
+        SELECT bucket, n_docs, min_chars, max_chars, total_tokens,
+               bucket * 200 AS bucket_lo
+        FROM (SELECT n_chars // 200 AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                     CAST(SUM(CAST({_NTOK} AS BIGINT)) AS BIGINT) AS total_tokens
+              FROM documents GROUP BY 1)
+    """,
+    "boilerplate_shingles": f"""
+        WITH {_SHINGLE_CTE}
+        SELECT s AS shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        FROM sh GROUP BY s
+        ORDER BY doc_freq DESC, shingle
+        LIMIT 20
     """,
     "multimodal_features": """
         SELECT doc_id,

@@ -8,13 +8,14 @@ has an exact DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from symat_hbase_tools_spark.functions.text import (
     STOPWORDS,
     bpe_ish_token_count,
     rolling_fingerprint,
+    shingles_from_words,
     token_count,
     tokens,
 )
@@ -105,3 +106,127 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic rolling-hash fingerprint per document."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: top-unigram
+    fraction, distinct-token ratio, top-bigram fraction.
+
+    Repetitious machine-generated text shows a high top-n-gram share; these
+    are the standard filters a pre-training pipeline computes per document.
+    Shape: posexplode(tokens) -> one window (lead) partitioned by doc_id for
+    bigrams -> two partial-aggregated groupBys keyed by doc. Everything is
+    keyed on doc_id or (doc_id, gram), so partitions stay balanced at any
+    corpus size; no per-row Python. Fractions divide the same exact integers
+    on both engines — bit-identical doubles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
+    )
+    uni_counts = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    uni = uni_counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_unigram_cnt"),
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("word").over(w)
+    bigrams = words.select(
+        "doc_id",
+        F.when(nxt.isNotNull(), F.concat_ws(" ", F.col("word"), nxt)).alias("bigram"),
+    ).filter(F.col("bigram").isNotNull())
+    bi = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_cnt"))
+    )
+    n_tok = F.col("n_tokens")
+    return (
+        docs.select("doc_id")
+        .join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(n_tok, F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+            F.when(n_tok > 0, F.col("top_unigram_cnt") / n_tok)
+            .otherwise(F.lit(0.0))
+            .alias("top_unigram_frac"),
+            F.when(n_tok > 0, F.col("n_distinct") / n_tok)
+            .otherwise(F.lit(0.0))
+            .alias("distinct_ratio"),
+            F.when(n_tok > 1, F.col("top_bigram_cnt") / (n_tok - 1))
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus mixture census and resampling weights to a
+    uniform target mix — the bookkeeping step before weighted sampling
+    assembles a training blend.
+
+    weight > 1 means the group must be upsampled to reach the uniform
+    target share, < 1 downsampled. The global totals are a second (tiny)
+    aggregation over the grouped result, broadcast back as a 1-row cross
+    join — the fact table scans once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").alias("corpus_docs"), F.count(F.lit(1)).alias("n_groups")
+    )
+    return g.join(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        (F.col("n_docs") / F.col("corpus_docs")).alias("share"),
+        ((F.col("corpus_docs") / F.col("n_groups")) / F.col("n_docs")).alias("weight"),
+    )
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length histogram in 200-char buckets — the length-filter
+    design census (choose truncation/min-length cutoffs from it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 200).cast("bigint")
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * 200).cast("bigint"))
+    )
+
+
+def boilerplate_shingles(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k word-trigram shingles by document frequency — boilerplate
+    detection (navigation chrome, license headers, templated sentences
+    recur across many documents and get stripped before training).
+
+    Shingles are distinct-per-document (shingles_from_words), so COUNT(*)
+    after the explode IS document frequency; one partial-aggregated shuffle
+    on the shingle, then a driver-side top-k of an already-aggregated set.
+    Deterministic under ties via the shingle-string tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.withColumn("words", F.split(F.col("text"), " "))
+        .select("doc_id", F.explode(shingles_from_words(F.col("words"))).alias("shingle"))
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "shingle")
+        .limit(k)
+    )

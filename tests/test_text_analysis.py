@@ -81,3 +81,57 @@ def test_token_stats_consistency(spark, documents):
     for r in out:
         assert r["avg_tokens"] == r["total_tokens"] / r["n_docs"]
         assert r["total_bpe_tokens"] >= r["total_tokens"]  # >=1 BPE token per word
+
+
+def test_repetition_signals_match_python(spark, documents):
+    sample = {r["doc_id"]: r["text"] for r in documents.limit(20).collect()}
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text_analysis.repetition_signals(spark, SF_DIR).collect()
+    }
+    assert len(out) == documents.count()  # every doc present, even empty ones
+    for doc_id, text in sample.items():
+        toks = re.split(" +", text.strip()) if text.strip() else []
+        got = out[doc_id]
+        assert got["n_tokens"] == len(toks)
+        assert got["n_distinct"] == len(set(toks))
+        if toks:
+            from collections import Counter
+
+            top_uni = Counter(toks).most_common(1)[0][1]
+            assert got["top_unigram_frac"] == top_uni / len(toks)
+            assert got["distinct_ratio"] == len(set(toks)) / len(toks)
+        if len(toks) > 1:
+            bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            top_bi = Counter(bigrams).most_common(1)[0][1]
+            assert got["top_bigram_frac"] == top_bi / (len(toks) - 1)
+
+
+def test_mixture_weights_sum_to_one(spark):
+    rows = text_analysis.mixture_weights(spark, SF_DIR).collect()
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    # resampled doc mass (n_docs * weight) is uniform across groups
+    masses = {round(r["n_docs"] * r["weight"], 6) for r in rows}
+    assert len(masses) == 1
+
+
+def test_length_histogram_covers_corpus(spark, documents):
+    rows = text_analysis.length_histogram(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == documents.count()
+    for r in rows:
+        assert r["bucket_lo"] == r["bucket"] * 200
+        assert r["bucket_lo"] <= r["min_chars"] <= r["max_chars"] < r["bucket_lo"] + 200
+
+
+def test_boilerplate_shingles_are_document_frequencies(spark, documents):
+    rows = text_analysis.boilerplate_shingles(spark, SF_DIR, k=5).collect()
+    assert len(rows) == 5
+    freqs = [r["doc_freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    # spot-check the top shingle's doc frequency by direct containment scan
+    top = rows[0]
+    words = top["shingle"].split("|")
+    needle = " ".join(words)
+    n = documents.filter(F.col("text").contains(needle)).count()
+    # containment can overcount (substring of longer words) but never undercount
+    assert n >= top["doc_freq"]
