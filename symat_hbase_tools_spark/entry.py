@@ -367,6 +367,22 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("lang").agg(F.count("*").alias("n_docs")).orderBy("lang")
 
 
+def doc_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: portable (shard, pos) per doc."""
+    from symat_hbase_tools_spark.operators.sampling import shuffle_assign
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shuffle_assign(docs, ["doc_id"], n_shards=256, seed=SAMPLE_SEED)
+
+
+def doc_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10-per-language reservoir sample (portable ranking)."""
+    from symat_hbase_tools_spark.operators.sampling import reservoir_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return reservoir_per_group(docs, ["lang"], ["doc_id"], n=10, seed=SAMPLE_SEED)
+
+
 def kv_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     snap_a = customer_cells(customer)
@@ -475,6 +491,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sampling surface
     "doc_sample": doc_sample,
     "doc_sample_stratified": doc_sample_stratified,
+    "doc_shuffle_assign": doc_shuffle_assign,
+    "doc_reservoir_per_lang": doc_reservoir_per_lang,
     # training-pipeline assembly
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_stats": doc_pack_stats,
@@ -1147,6 +1165,28 @@ ORACLE_SQL: dict[str, str] = {
               CASE lang WHEN 'en' THEN '40000000' WHEN 'zh' THEN 'c0000000'
                         ELSE '80000000' END
         GROUP BY lang ORDER BY lang
+    """,
+    "doc_shuffle_assign": """
+        WITH h AS (SELECT doc_id, lang,
+                          md5(concat_ws(chr(31), '42', doc_id)) AS h
+                   FROM documents),
+        s AS (SELECT doc_id, lang, h,
+                     CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                           + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 256
+                          AS INT) AS shard
+              FROM h)
+        SELECT doc_id, lang, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                    AS BIGINT) AS pos
+        FROM s
+    """,
+    "doc_reservoir_per_lang": """
+        WITH r AS (SELECT doc_id, lang, n_chars,
+                          ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY md5(concat_ws(chr(31), '42', doc_id)),
+                                       doc_id) AS rk
+                   FROM documents)
+        SELECT doc_id, lang, n_chars FROM r WHERE rk <= 10
     """,
     "doc_pack_sequences": f"""
         WITH t AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens

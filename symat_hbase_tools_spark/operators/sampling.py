@@ -83,3 +83,68 @@ def portable_stratified_sample(
         cut = F.when(F.col(strata_col) == value, F.lit(_md5_cut(frac))).otherwise(cut)
     hexval = F.md5(F.concat_ws("\x1f", F.lit(str(seed)), *[F.col(c) for c in key_cols]))
     return df.filter(F.substring(hexval, 1, _HEX_WIDTH) < cut)
+
+
+# -- training-data assembly: deterministic global shuffle & reservoirs -------
+
+_HEX16 = "0123456789abcdef"
+
+
+def _portable_hex(key_cols: list[str], seed: int) -> Column:
+    return F.md5(F.concat_ws("\x1f", F.lit(str(seed)), *[F.col(c) for c in key_cols]))
+
+
+def shuffle_assign(
+    df: DataFrame, key_cols: list[str], n_shards: int = 256, seed: int = 42
+) -> DataFrame:
+    """Deterministic global training-data shuffle: every row gets a (shard,
+    pos) such that reading shards in order, each sorted by pos, is a uniform
+    random permutation of the corpus — reproducible on any engine/layout.
+
+    Mechanics: h = md5(seed, key); shard = first byte of h (256 shards);
+    pos = rank of h within the shard. The shard assignment is a narrow
+    pushable expression; the per-shard rank is ONE window partitioned by
+    shard — i.e., the whole "shuffle the corpus" job costs exactly one
+    repartition + per-shard sort, which is the information-theoretic floor
+    for a permutation. At 100 TB use more shards (two leading bytes =
+    65536) so a shard fits an executor; the shape is unchanged.
+
+    Any md5-capable engine re-derives identical (shard, pos) — the split
+    manifest needs no export.
+    """
+    from pyspark.sql import Window
+
+    h = _portable_hex(key_cols, seed)
+    df = df.withColumn("h", h)
+    nib1 = F.expr(f"instr('{_HEX16}', substr(h, 1, 1)) - 1")
+    nib2 = F.expr(f"instr('{_HEX16}', substr(h, 2, 1)) - 1")
+    shard = (nib1 * 16 + nib2) % n_shards
+    w = Window.partitionBy("shard").orderBy("h", *key_cols)
+    return (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("h")
+    )
+
+
+def reservoir_per_group(
+    df: DataFrame, group_cols: list[str], key_cols: list[str], n: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic n-per-group sample (the distributed stand-in for
+    per-group reservoir sampling): rank rows within each group by their
+    portable key-hash and keep the n smallest.
+
+    Equivalent in distribution to a uniform without-replacement reservoir,
+    but layout-independent, reproducible, and cross-engine verifiable.
+    One window partitioned by the group columns — partial sort per group,
+    no global ordering. Groups with fewer than n rows keep everything.
+    """
+    from pyspark.sql import Window
+
+    h = _portable_hex(key_cols, seed)
+    w = Window.partitionBy(*group_cols).orderBy(h, *key_cols)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+        .drop("rk")
+    )

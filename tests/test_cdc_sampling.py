@@ -99,3 +99,45 @@ def test_stratified_sample_fractions(spark, documents):
     assert langs[0] in got and langs[1] not in got
     n_full = documents.filter(F.col("lang") == langs[0]).count()
     assert out.filter(F.col("lang") == langs[0]).count() == n_full
+
+
+def test_shuffle_assign_is_a_permutation(spark, documents):
+    from symat_hbase_tools_spark.operators.sampling import shuffle_assign
+
+    out = shuffle_assign(documents.select("doc_id"), ["doc_id"]).collect()
+    assert len(out) == documents.count()
+    assert len({r["doc_id"] for r in out}) == len(out)  # every doc exactly once
+    # positions are 1..count(shard) within each shard (contiguous ranks)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+    assert all(0 <= s < 256 for s in by_shard)
+
+
+def test_shuffle_assign_layout_independent(spark, documents):
+    from symat_hbase_tools_spark.operators.sampling import shuffle_assign
+
+    a = {(r["doc_id"], r["shard"], r["pos"])
+         for r in shuffle_assign(documents.select("doc_id"), ["doc_id"]).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"])
+         for r in shuffle_assign(documents.select("doc_id").repartition(13), ["doc_id"]).collect()}
+    assert a == b
+
+
+def test_reservoir_per_group_sizes_and_determinism(spark, documents):
+    from symat_hbase_tools_spark.operators.sampling import reservoir_per_group
+
+    out = reservoir_per_group(documents, ["lang"], ["doc_id"], n=7).collect()
+    sizes: dict[str, int] = {}
+    for r in out:
+        sizes[r["lang"]] = sizes.get(r["lang"], 0) + 1
+    group_counts = {
+        r["lang"]: r["n"]
+        for r in documents.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(7, group_counts[lang])
+    again = reservoir_per_group(documents.repartition(11), ["lang"], ["doc_id"], n=7).collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in again}
