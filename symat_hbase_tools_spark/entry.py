@@ -462,6 +462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_customers": relational.q18_large_volume_customers,
     "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
     "q22_idle_customers": relational.q22_idle_customers,
+    "price_quantity_stats": relational.price_quantity_stats,
     # LLM-pipeline surface: dedup
     "dedup_exact": dedup.exact_dedup,
     "dedup_bow_fingerprint": dedup.bow_fingerprint_dedup,
@@ -872,6 +873,35 @@ ORACLE_SQL: dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2001-01-01')
         GROUP BY c_nationkey
+    """,
+    # moments assembled from exact DECIMAL power sums — see
+    # relational.price_quantity_stats for why not built-in stddev/corr
+    "price_quantity_stats": """
+        WITH g AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                                 AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, n,
+               sx / CAST(n AS DOUBLE) AS avg_qty,
+               sy / CAST(n AS DOUBLE) AS avg_price,
+               round(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS stddev_qty,
+               round(sqrt((CAST(n AS DOUBLE) * syy - sy * sy)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS stddev_price,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6) AS covar_qty_price,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                           * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
+        FROM g
     """,
     # sketch_event_stats / ann_ivf_topk: sketch estimates and k-means cells
     # are engine-specific -> rows-only checks; exact twins are the gates.

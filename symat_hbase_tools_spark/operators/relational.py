@@ -827,3 +827,49 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("c_acctbal"), "totacctbal"),
         )
     )
+
+
+def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-aggregate surface: stddev / covariance / correlation of
+    quantity vs extended price per return flag.
+
+    Built-in stddev/corr accumulate in double, so their results are
+    partition-order-dependent and can drift a ulp between engines. Instead,
+    the five power sums (sx, sy, sxx, syy, sxy) accumulate as DECIMAL(38,6)
+    — exact, order-free — and the moments are assembled from them in double
+    with the identical expression on both engines: bit-identical results,
+    and the aggregation is still a single partial-aggregated pass.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    d = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    g = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(x)).cast("double").alias("sx"),
+        F.sum(d(y)).cast("double").alias("sy"),
+        F.sum(d(x * x)).cast("double").alias("sxx"),
+        F.sum(d(y * y)).cast("double").alias("syy"),
+        F.sum(d(x * y)).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var_x = (n * sxx - sx * sx) / (n * (n - 1))
+    var_y = (n * syy - sy * sy) / (n * (n - 1))
+    covar = (n * sxy - sx * sy) / (n * (n - 1))
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # the large power sums (syy ~ 1e13 at 6 decimals) convert decimal->double
+    # with engine-specific last-ulp rounding, so derived moments are rounded
+    # to 6 decimals (same convention as the similarity scores); the plain
+    # averages divide already-bit-identical sums and stay unrounded.
+    return g.select(
+        "l_returnflag",
+        F.col("n"),
+        (sx / n).alias("avg_qty"),
+        (sy / n).alias("avg_price"),
+        F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
+        F.round(F.sqrt(var_y), 6).alias("stddev_price"),
+        F.round(covar, 6).alias("covar_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )

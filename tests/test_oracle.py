@@ -79,3 +79,33 @@ def test_no_oracle_queries_still_run(name, spark):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_price_quantity_stats_close_to_builtin(spark):
+    """The decimal-power-sum moments must agree with Spark's built-in
+    stddev/covar/corr to float tolerance (they differ only in summation
+    order / final rounding)."""
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.operators.relational import price_quantity_stats
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    got = {r["l_returnflag"]: r for r in price_quantity_stats(spark, SF_DIR).collect()}
+    ref = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.stddev("l_quantity").alias("sd_q"),
+            F.stddev("l_extendedprice").alias("sd_p"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("cv"),
+            F.corr("l_quantity", "l_extendedprice").alias("cr"),
+        )
+        .collect()
+    }
+    for flag, r in got.items():
+        b = ref[flag]
+        assert abs(r["stddev_qty"] - b["sd_q"]) < 1e-5
+        assert abs(r["stddev_price"] - b["sd_p"]) < 1e-4
+        assert abs(r["covar_qty_price"] - b["cv"]) < 1e-4
+        assert abs(r["corr_qty_price"] - b["cr"]) < 1e-6
