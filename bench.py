@@ -47,6 +47,11 @@ HEADLINE = [
     "text_quality_score",
     "text_token_stats",
     "multimodal_features",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "price_quantity_stats",
+    "text_repetition_signals",
+    "doc_shuffle_assign",
 ]
 
 

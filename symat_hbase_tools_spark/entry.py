@@ -877,18 +877,29 @@ ORACLE_SQL: dict[str, str] = {
     # moments assembled from exact DECIMAL power sums — see
     # relational.price_quantity_stats for why not built-in stddev/corr
     "price_quantity_stats": """
-        WITH g AS (
+        WITH base AS (
+            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS xq,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+            FROM lineitem),
+        s AS (
             SELECT l_returnflag,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
-                        AS DOUBLE) AS sxx,
-                   CAST(SUM(CAST(l_extendedprice * l_extendedprice
-                                 AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
-                        AS DOUBLE) AS sxy
-            FROM lineitem GROUP BY 1)
+                   CAST(SUM(xq) AS BIGINT) AS sx_i,
+                   CAST(SUM(c) AS BIGINT) AS sy_c,
+                   CAST(SUM(xq * xq) AS BIGINT) AS sxx_i,
+                   CAST(SUM((c * c) // 1000000000) AS BIGINT) AS syy_hi,
+                   CAST(SUM((c * c) % 1000000000) AS BIGINT) AS syy_lo,
+                   CAST(SUM(xq * c) AS BIGINT) AS sxy_c
+            FROM base GROUP BY 1),
+        g AS (
+            SELECT l_returnflag, n,
+                   CAST(sx_i AS DOUBLE) AS sx,
+                   CAST(sy_c AS DOUBLE) / 100.0 AS sy,
+                   CAST(sxx_i AS DOUBLE) AS sxx,
+                   (CAST(syy_hi AS DOUBLE) * 1000000000.0
+                    + CAST(syy_lo AS DOUBLE)) / 10000.0 AS syy,
+                   CAST(sxy_c AS DOUBLE) / 100.0 AS sxy
+            FROM s)
         SELECT l_returnflag, n,
                sx / CAST(n AS DOUBLE) AS avg_qty,
                sy / CAST(n AS DOUBLE) AS avg_price,

@@ -834,27 +834,39 @@ def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity vs extended price per return flag.
 
     Built-in stddev/corr accumulate in double, so their results are
-    partition-order-dependent and can drift a ulp between engines. Instead,
-    the five power sums (sx, sy, sxx, syy, sxy) accumulate as DECIMAL(38,6)
-    — exact, order-free — and the moments are assembled from them in double
-    with the identical expression on both engines: bit-identical results,
-    and the aggregation is still a single partial-aggregated pass.
+    partition-order-dependent and can drift a ulp between engines. Instead
+    the five power sums accumulate EXACTLY as plain longs — quantity is
+    integral, price becomes integer cents (2 decimals), and the one sum that
+    could overflow a long (sum of squared cents, ~1e14 per row) is carried
+    as a hi/lo pair split at 1e9 — then the moments are assembled in double
+    from identical integers with the identical expression on both engines:
+    bit-identical results. All-long aggregation stays on the codegen hash
+    fast path (the DECIMAL(38) formulation ran on BigDecimal, ~3x slower
+    than Q1; this runs at Q1 speed). Overflow headroom: sum(lo) < 1e9/row —
+    safe past 6e9 rows/group (sf100) under ANSI mode.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity")
-    y = F.col("l_extendedprice")
-    d = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    xq = F.col("l_quantity").cast("long")  # integral by construction
+    c = F.round(F.col("l_extendedprice") * 100).cast("long")  # exact cents
+    cc = c * c
+    split = F.lit(1_000_000_000).cast("long")
     g = lineitem.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(d(x)).cast("double").alias("sx"),
-        F.sum(d(y)).cast("double").alias("sy"),
-        F.sum(d(x * x)).cast("double").alias("sxx"),
-        F.sum(d(y * y)).cast("double").alias("syy"),
-        F.sum(d(x * y)).cast("double").alias("sxy"),
+        F.sum(xq).alias("sx_i"),
+        F.sum(c).alias("sy_c"),
+        F.sum(xq * xq).alias("sxx_i"),
+        # hi = (cc - cc%split)/split: the numerator is an exact multiple of
+        # split, so the double division is exact — no floor-rounding hazard
+        F.sum(((cc - cc % split) / split).cast("long")).alias("syy_hi"),
+        F.sum(cc % split).alias("syy_lo"),
+        F.sum(xq * c).alias("sxy_c"),
     )
     n = F.col("n").cast("double")
-    sx, sy = F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    sx = F.col("sx_i").cast("double")
+    sy = F.col("sy_c").cast("double") / 100.0
+    sxx = F.col("sxx_i").cast("double")
+    syy = (F.col("syy_hi").cast("double") * 1.0e9 + F.col("syy_lo").cast("double")) / 1.0e4
+    sxy = F.col("sxy_c").cast("double") / 100.0
     var_x = (n * sxx - sx * sx) / (n * (n - 1))
     var_y = (n * syy - sy * sy) / (n * (n - 1))
     covar = (n * sxy - sx * sy) / (n * (n - 1))
