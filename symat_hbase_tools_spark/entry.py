@@ -8,8 +8,9 @@ DuckDB runs on the same parquet. Column names AND types are aligned pairwise
 DuckDB/Spark parity gotchas handled here:
   * DuckDB ``SUM(integer)`` returns HUGEINT — every integer sum is wrapped in
     ``CAST(... AS BIGINT)`` to match Spark's LongType.
-  * money sums go through DECIMAL(18,6) on both sides (order-independent
-    exact addition), final cast to DOUBLE — see operators/relational.py.
+  * money sums accumulate exact integer micros (hi/lo-split longs) on both
+    sides — order-independent exact addition on the codegen fast path —
+    then assemble the double once per group; see operators/relational.py.
   * timestamps are rendered as 'yyyy-MM-dd' strings or epoch-second BIGINTs.
   * DuckDB reads events.ts at nanosecond precision while Spark truncates to
     micros; only epoch_us/epoch-second/hour-truncated derivations are
@@ -519,11 +520,20 @@ _SHINGLE_CTE = """
 """
 _JACCARD_SQL = f"WITH {_SHINGLE_CTE} SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5"
 
-_MONEY = "CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+# exact integer-micros money sum, hi/lo-split longs — mirrors
+# relational.money_sum_expr term for term (see its docstring)
+_MONEY_LO = "(((CAST(round(({expr}) * 1000000) AS BIGINT) % 1000000000) + 1000000000) % 1000000000)"
+_MONEY_HI = (
+    "CAST((CAST(round(({expr}) * 1000000) AS BIGINT) - " + _MONEY_LO + ") / 1000000000 AS BIGINT)"
+)
+_MONEY = (
+    "((CAST(SUM(" + _MONEY_HI + ") AS DOUBLE) * 1000000000.0"
+    " + CAST(SUM(" + _MONEY_LO + ") AS DOUBLE)) / 1000000.0)"
+)
 
 
 def _money(expr: str) -> str:
-    return _MONEY.format(expr=expr)
+    return _MONEY.replace("{expr}", expr)
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -779,13 +789,10 @@ ORACLE_SQL: dict[str, str] = {
           AND unit_cost = (SELECT MIN(c2.unit_cost) FROM costs c2
                            WHERE c2.l_partkey = costs.l_partkey)
     """,
-    "market_share": """
+    "market_share": f"""
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-               CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
-                             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-                             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                      AS DOUBLE) AS mkt_share
+               {_money("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+               / {_money('l_extendedprice * (1 - l_discount)')} AS mkt_share
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -806,28 +813,24 @@ ORACLE_SQL: dict[str, str] = {
                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         GROUP BY o_orderpriority
     """,
-    "q11_part_value_share": """
+    "q11_part_value_share": f"""
         WITH per_part AS (
             SELECT l_partkey,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                        AS DECIMAL(18,6))) AS DOUBLE) AS part_value
+                   {_money('l_extendedprice * (1 - l_discount)')} AS part_value
             FROM lineitem GROUP BY l_partkey)
         SELECT l_partkey, part_value FROM per_part
         WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6)))
                                         AS DOUBLE) / COUNT(*)
                             FROM per_part) * 1.5
     """,
-    "q14_promo_revenue": """
+    "q14_promo_revenue": f"""
         SELECT CAST(year(l_shipdate) AS INT) AS l_year,
-               100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
-                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                      AS DOUBLE) AS promo_revenue_pct
+               100.0 * {_money("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+               / {_money('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1
     """,
-    "q17_small_quantity_revenue": """
+    "q17_small_quantity_revenue": f"""
         WITH li AS (
             SELECT l_partkey, l_quantity, l_extendedprice
             FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -836,7 +839,7 @@ ORACLE_SQL: dict[str, str] = {
                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
                        / COUNT(*) AS avg_qty
               FROM li GROUP BY 1)
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+        SELECT {_money('l_extendedprice')} / 7.0
                AS avg_yearly
         FROM li JOIN a ON l_partkey = a_partkey
         WHERE l_quantity < 0.5 * avg_qty
@@ -851,9 +854,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM big JOIN orders ON l_orderkey = o_orderkey
                  JOIN customer ON o_custkey = c_custkey
     """,
-    "q19_disjunctive_revenue": """
-        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                    AS DOUBLE) AS revenue
+    "q19_disjunctive_revenue": f"""
+        SELECT {_money('l_extendedprice * (1 - l_discount)')} AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
                AND l_quantity BETWEEN 1 AND 11)
@@ -862,9 +864,9 @@ ORACLE_SQL: dict[str, str] = {
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
     """,
-    "q22_idle_customers": """
+    "q22_idle_customers": f"""
         SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+               {_money('c_acctbal')} AS totacctbal
         FROM customer
         WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
                                        AS DOUBLE) / COUNT(*)
@@ -968,19 +970,19 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(length(p_name)) AS BIGINT) AS total_name_len
         FROM part GROUP BY 1, 2
     """,
-    "monthly_order_stats": """
+    "monthly_order_stats": f"""
         SELECT CAST(year(o_orderdate) AS INT) AS y,
                CAST(month(o_orderdate) AS INT) AS m,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+               {_money('o_totalprice')} AS total_price,
                COUNT(DISTINCT o_custkey) AS n_customers,
                CAST(COUNT(*) FILTER (WHERE dayofweek(o_orderdate) IN (0, 6)) AS BIGINT)
                    AS weekend_orders
         FROM orders GROUP BY 1, 2
     """,
-    "rollup_order_counts": """
+    "rollup_order_counts": f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+               {_money('o_totalprice')} AS total_price
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     "cube_returnflag_linestatus": """
@@ -1261,9 +1263,9 @@ ORACLE_SQL: dict[str, str] = {
         JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0) be USING (s)
         GROUP BY tr.doc_id HAVING COUNT(*) >= 5
     """,
-    "events_by_segment": """
+    "events_by_segment": f"""
         SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               {_money('value')} AS sum_value
         FROM events LEFT JOIN customer ON user_id = c_custkey
         GROUP BY 1, 2
     """,

@@ -9,8 +9,9 @@ UDF in this module.
 
 Oracle determinism notes (every query here is hash-compared against DuckDB):
   * Sums of 2-decimal doubles are order-dependent in IEEE double. Every money
-    aggregate therefore casts the per-row expression to DECIMAL(18,6) first —
-    exact, order-free — then casts the final sum to DOUBLE. ``money_sum``.
+    aggregate therefore accumulates exact integer micros in hi/lo-split longs
+    — exact, order-free, and on the codegen hash-agg fast path — then
+    assembles the double once per group. ``money_sum`` / ``money_sum_expr``.
   * Sums of integral doubles (l_quantity) are exact in double; summed as-is.
   * Averages are explicit exact-sum / count so both engines divide the same
     two numbers.
@@ -31,9 +32,35 @@ from symat_hbase_tools_spark.sources.tables import load_table
 SESSION_GAP_US = 8 * 3600 * 1_000_000
 
 
+#: money expressions carry <= 6 decimals (price 2, discounted 4, charged 6),
+#: so integer MICROS represent them exactly
+_MICROS = 1_000_000
+#: hi/lo split keeps each long sum in range past 1e10 rows per group (sf100+)
+_SPLIT = 1_000_000_000
+
+
+def money_sum_expr(expr: F.Column) -> F.Column:
+    """Order-independent exact sum of a money expression (unaliased).
+
+    Accumulates integer micros in plain longs — the codegen hash-aggregate
+    fast path. (The previous DECIMAL(18,6) formulation promotes to a
+    precision-28 BigDecimal accumulator, measured ~3x slower per sum at
+    sf0.1.) The micros split hi/lo at 1e9 so group sums stay in-range past
+    1e10 rows per group under ANSI mode; pmod keeps the hi*split+lo identity
+    exact for negative money (acctbal). Both engines round the same double
+    to the same micros and add the same integers — bit-identical results.
+    """
+    m = F.round(expr * _MICROS).cast("long")
+    lo = F.pmod(m, F.lit(_SPLIT).cast("long"))
+    hi = ((m - lo) / _SPLIT).cast("long")  # exact: numerator is a multiple of the split
+    return (
+        F.sum(hi).cast("double") * float(_SPLIT) + F.sum(lo).cast("double")
+    ) / float(_MICROS)
+
+
 def money_sum(expr: F.Column, alias: str) -> F.Column:
     """Order-independent sum of a money expression (see module docstring)."""
-    return F.sum(expr.cast("decimal(18,6)")).cast("double").alias(alias)
+    return money_sum_expr(expr).alias(alias)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,8 +83,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(disc_price, "sum_disc_price"),
             money_sum(charge, "sum_charge"),
             (F.sum("l_quantity") / n).alias("avg_qty"),
-            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / n).alias("avg_price"),
-            (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / n).alias("avg_disc"),
+            (money_sum_expr(F.col("l_extendedprice")) / n).alias("avg_price"),
+            (money_sum_expr(F.col("l_discount")) / n).alias("avg_disc"),
             n.alias("count_order"),
         )
     )
@@ -571,8 +598,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_supp = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    target = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0).cast("decimal(18,6)"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
@@ -582,7 +609,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            (F.sum(target).cast("double") / F.sum(volume).cast("double")).alias("mkt_share")
+            (money_sum_expr(target) / money_sum_expr(volume)).alias("mkt_share")
         )
     )
 
@@ -689,20 +716,18 @@ def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo-type revenue share per year — a conditional
-    CASE aggregate ratio over a broadcast part join. Both sums are DECIMAL
-    (order-free), divided once per group, so the double ratio is identical
-    across engines."""
+    CASE aggregate ratio over a broadcast part join. Both sums are exact
+    integer-micros (order-free), divided once per group, so the double
+    ratio is identical across engines."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
-        F.lit(0).cast("decimal(18,6)")
-    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
     return (
         lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").cast("int").alias("l_year"))
         .agg(
-            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(revenue).cast("double")).alias(
+            (F.lit(100.0) * money_sum_expr(promo) / money_sum_expr(revenue)).alias(
                 "promo_revenue_pct"
             )
         )
