@@ -47,6 +47,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # right-size the iteration: the edge list is usually MUCH smaller than
+    # the corpus that produced it (near-dup pairs are rare). Counting the
+    # checkpointed edges is free, and coalescing to ~1M edges/partition
+    # keeps every per-round stage from paying 32-task scheduling overhead
+    # on a few hundred rows — the same arithmetic that keeps partitions
+    # right-sized when the edge list is billions of rows at corpus scale.
+    n_edges = edges.count()
+    parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
+    if parts < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(parts)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -63,6 +73,7 @@ def connected_components(
             neighbor_min, labels.node == neighbor_min.a, "left"
         ).select(
             "node",
+            F.col("cluster").alias("prev"),
             F.least(
                 F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
             ).alias("cluster"),
@@ -70,6 +81,8 @@ def connected_components(
         # pointer jumping (path halving): follow each label to ITS label —
         # convergence in O(log diameter) rounds instead of O(diameter),
         # which is what makes iterative CC viable on long chains at scale.
+        # The moved flag rides along so the convergence check below is a
+        # filter over the checkpointed result, not another join.
         lut = propagated.select(
             F.col("node").alias("_n"), F.col("cluster").alias("_c")
         )
@@ -78,17 +91,14 @@ def connected_components(
             .select(
                 "node",
                 F.coalesce(F.col("_c"), F.col("cluster")).alias("cluster"),
+                (F.coalesce(F.col("_c"), F.col("cluster")) != F.col("prev")).alias(
+                    "moved"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("moved").limit(1).count()
+        labels = new_labels.select("node", "cluster")
         if changed == 0:
             break
     return labels.select("node", "cluster")
