@@ -153,3 +153,52 @@ def test_repair_diff_reuses_agg_partitioning(spark, customer, tmp_path):
     )
     plan = plan_string(cs, "simple")
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_q19_disjuncts_push_to_both_scans(spark):
+    """The OR-of-ANDs predicate must split into per-side conjunct unions
+    pushed into BOTH parquet scans (quantity bands on lineitem, brand/size
+    bands on part), leaving only the cross-side residual above the join."""
+    plan = plan_string(relational.q19_disjunctive_revenue(spark, SF_DIR))
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters: ")[1:]]
+    assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
+    assert any("p_brand" in p and "Or(" in p for p in pushed), pushed
+    assert_broadcast_join(relational.q19_disjunctive_revenue(spark, SF_DIR))
+
+
+def test_q4_semi_join_not_inner(spark):
+    """EXISTS must stay a semi join (no duplicate-order inflation)."""
+    plan = plan_string(relational.q4_order_priority(spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan, plan
+
+
+def test_q17_aggregates_before_join(spark):
+    """The correlated AVG decorrelation must partial-aggregate the per-part
+    averages BEFORE joining back — no per-row correlated evaluation and the
+    brand filter pushed to the part scan."""
+    plan = plan_string(relational.q17_small_quantity_revenue(spark, SF_DIR))
+    assert "Brand#13" in plan  # pushed predicate visible in scan or filter
+    simple = plan_string(relational.q17_small_quantity_revenue(spark, SF_DIR), "simple")
+    assert simple.count("HashAggregate") >= 2
+
+
+def test_money_sum_is_long_typed(spark):
+    """money_sum must aggregate longs (codegen fast path), not decimals —
+    the DECIMAL accumulator regression costs ~3x per sum."""
+    plan = plan_string(relational.q1_pricing_summary(spark, SF_DIR), "simple")
+    assert "sum(" in plan
+    # no decimal cast feeding an aggregate buffer anywhere in the agg
+    import re
+
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert agg_lines and not any(re.search(r"sum\([^)]*decimal", ln) for ln in agg_lines), agg_lines
+
+
+def test_shuffle_assign_single_window_exchange(spark):
+    """The global shuffle costs exactly one exchange (the shard window)."""
+    from symat_hbase_tools_spark.operators.sampling import shuffle_assign
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    plan = plan_string(shuffle_assign(docs, ["doc_id"]), "simple")
+    assert plan.count("Exchange") == 1, plan
