@@ -464,6 +464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
     "q22_idle_customers": relational.q22_idle_customers,
     "price_quantity_stats": relational.price_quantity_stats,
+    "customer_running_totals": relational.customer_running_totals,
     # LLM-pipeline surface: dedup
     "dedup_exact": dedup.exact_dedup,
     "dedup_bow_fingerprint": dedup.bow_fingerprint_dedup,
@@ -876,7 +877,24 @@ ORACLE_SQL: dict[str, str] = {
                             AND o_orderdate >= TIMESTAMP '2001-01-01')
         GROUP BY c_nationkey
     """,
-    # moments assembled from exact DECIMAL power sums — see
+    "customer_running_totals": """
+        WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders)
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_index,
+               CAST(CAST(SUM(cents) OVER wf AS BIGINT) AS DOUBLE) / 100.0
+                   AS running_spend,
+               CAST(CAST(SUM(cents) OVER w3 AS BIGINT) AS DOUBLE)
+                   / (CAST(COUNT(*) OVER w3 AS DOUBLE) * 100.0) AS moving_avg3,
+               strftime(first_value(o_orderdate) OVER wf, '%Y-%m-%d')
+                   AS first_order_date
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wf AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w3 AS (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    # moments assembled from exact integer power sums — see
     # relational.price_quantity_stats for why not built-in stddev/corr
     "price_quantity_stats": """
         WITH base AS (

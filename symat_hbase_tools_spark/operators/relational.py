@@ -910,3 +910,33 @@ def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(covar, 6).alias("covar_qty_price"),
         F.round(corr, 6).alias("corr_qty_price"),
     )
+
+
+def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface: per-customer running spend, 3-order moving
+    average, first order date — ranking + frame aggregates + first_value in
+    ONE window spec (one shuffle on the partition key).
+
+    The running sum accumulates exact integer cents inside the frame (a
+    frame-ordered double sum would tie the result to each engine's window
+    accumulation strategy); divisions assemble doubles from identical
+    integers, so results are bit-identical cross-engine.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    w3 = w.rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("order_index"),
+        (F.sum(cents).over(wf).cast("double") / 100.0).alias("running_spend"),
+        (
+            F.sum(cents).over(w3).cast("double")
+            / (F.count(F.lit(1)).over(w3).cast("double") * 100.0)
+        ).alias("moving_avg3"),
+        F.date_format(F.first("o_orderdate").over(wf), "yyyy-MM-dd").alias(
+            "first_order_date"
+        ),
+    )
