@@ -445,6 +445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_6h": relational.events_sliding_6h,
     "events_sessionize": relational.events_sessionize,
     "purchase_attribution": relational.purchase_attribution,
+    "click_conversion": relational.click_conversion,
     "events_by_segment": relational.events_by_segment,
     "customer_balance_distribution": relational.customer_balance_distribution,
     "fuzzy_name_pairs": relational.fuzzy_name_pairs,
@@ -966,6 +967,15 @@ ORACLE_SQL: dict[str, str] = {
          AND epoch_us(c.ts) <= epoch_us(p.ts)
          AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    "click_conversion": """
+        SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND epoch_us(p.ts) >= epoch_us(c.ts)
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
     """,
     "kv_range_scan": (
         "SELECT row_key, qualifier, value FROM ("

@@ -940,3 +940,39 @@ def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_order_date"
         ),
     )
+
+
+def click_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (batch twin of the streaming LEFT OUTER interval
+    join): every click, matched to same-user purchases within the following
+    hour — unconverted clicks survive with null purchase columns.
+
+    Comparisons run at microsecond precision on both engines, so the
+    matched row set is identical (see purchase_attribution).
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        )
+    )

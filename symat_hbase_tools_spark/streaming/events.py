@@ -190,3 +190,52 @@ def run_bounded(stream_df: DataFrame, query_name: str, output_mode: str = "compl
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def click_conversion_outer(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: clicks emitted with their
+    in-window purchases immediately, and with NULL purchase columns once the
+    watermark proves no purchase can still arrive.
+
+    The outer side is the stateful subtlety: a null-padded row may only be
+    emitted when the purchase-side watermark passes click_ts + 1 hour —
+    before that, the click sits in the state store as a candidate. State
+    stays bounded by the same eviction rule as the inner join. Batch twin:
+    relational.click_conversion (oracle-paired); on bounded input the
+    streaming result equals the batch twin restricted to closeable clicks
+    (parity test documents the trailing-watermark caveat).
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        )
+        .select(
+            "click_id",
+            "user_id",
+            "purchase_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+            F.col("click_ts"),
+        )
+    )

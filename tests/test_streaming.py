@@ -150,3 +150,53 @@ def test_streaming_kv_ingest_matches_batch(spark, stream, tmp_path):
         for r in events_kv_state(spark, SF_DIR).collect()
     }
     assert got == want and got
+
+
+def test_outer_interval_join_matches_batch_on_closeable_clicks(spark, stream):
+    """LEFT OUTER stream-stream join parity: matched rows equal the batch
+    twin's matched rows exactly; null-padded rows appear exactly for the
+    unconverted clicks the final watermark could CLOSE (click_ts + 1h <
+    final watermark). Trailing clicks stay in state — the documented outer
+    join semantics, not data loss."""
+    got = streaming.run_bounded(
+        streaming.click_conversion_outer(stream), "t_outer_join", output_mode="append"
+    ).collect()
+    want = relational.click_conversion(spark, SF_DIR).collect()
+
+    got_matched = {(r["click_id"], r["purchase_id"], r["gap_us"]) for r in got if r["purchase_id"] is not None}
+    want_matched = {(r["click_id"], r["purchase_id"], r["gap_us"]) for r in want if r["purchase_id"] is not None}
+    assert got_matched == want_matched
+
+    # final watermark = max event time - 2h (the declared delay)
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    # the join's watermark is the MIN of the two sides' watermarks, each
+    # computed from that side's max event time minus the declared delay
+    side_max = {
+        r["event_type"]: r["mx"]
+        for r in events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max(F.unix_micros("ts")).alias("mx"))
+        .collect()
+    }
+    wm_us = min(side_max["click"], side_max["purchase"]) - 2 * 3600 * 1_000_000
+    closeable = {r["click_id"] for r in want if r["purchase_id"] is None}
+    clicks_us = {
+        r["click_id"]: r["us"]
+        for r in events.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    # boundary clicks (click_ts + 1h within a second of the watermark) may
+    # legitimately land on either side of the ms-truncated eviction check
+    margin = 1_000_000  # 1s in us
+    must_emit = {c for c in closeable if clicks_us[c] + 3600 * 1_000_000 < wm_us - margin}
+    may_emit = {c for c in closeable if clicks_us[c] + 3600 * 1_000_000 < wm_us + margin}
+    got_nulls = {r["click_id"] for r in got if r["purchase_id"] is None}
+    assert must_emit <= got_nulls <= may_emit, (
+        len(must_emit), len(got_nulls), len(may_emit),
+        sorted(must_emit - got_nulls)[:5], sorted(got_nulls - may_emit)[:5],
+    )
