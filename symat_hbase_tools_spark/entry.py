@@ -454,6 +454,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customer_per_nation": relational.top_customer_per_nation,
     "nation_pair_volume": relational.nation_pair_volume,
     "heavy_hitter_users": relational.heavy_hitter_users,
+    "heavy_hitters_sketch": relational.heavy_hitters_sketch,
     "min_cost_supplier": relational.min_cost_supplier,
     "market_share": relational.market_share,
     "sketch_event_stats": relational.sketch_event_stats,

@@ -976,3 +976,16 @@ def click_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
         )
     )
+
+
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Frequent-items sketch top-k (approx_top_k, Spark 4) — the 100 TB
+    heavy-hitter path: one bounded-size sketch per partition merged
+    map-side, no per-key shuffle. Estimates are engine-specific, so this is
+    a rows-only check; the exact twin is ``heavy_hitter_users``. With
+    maxItemsTracked >= the true cardinality (here) the counts are exact."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.agg(F.expr(f"approx_top_k(user_id, {k}, 10000)").alias("tk"))
+    return agg.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("user_id"), F.col("e.count").alias("est_count")
+    )
