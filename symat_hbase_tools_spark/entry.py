@@ -490,6 +490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_mixture_weights": text_analysis.mixture_weights,
     "doc_length_histogram": text_analysis.length_histogram,
     "boilerplate_shingles": text_analysis.boilerplate_shingles,
+    "text_cleaning": text_analysis.text_cleaning,
     # LLM-pipeline surface: multimodal plumbing
     "multimodal_features": multimodal.multimodal_features,
     "multimodal_frame_census": multimodal.multimodal_frame_census,
@@ -1208,6 +1209,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM sh GROUP BY s
         ORDER BY doc_freq DESC, shingle
         LIMIT 20
+    """,
+    "text_cleaning": """
+        WITH c AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(
+                        regexp_replace(text, '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+                        '[ \\t\\r\\n]+', ' ', 'g')) AS cleaned
+            FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS raw_chars,
+               CAST(length(cleaned) AS BIGINT) AS clean_chars,
+               CAST(length(text) - length(cleaned) AS BIGINT) AS removed,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(cleaned) + 1),
+                           i -> CAST(ascii(substr(cleaned, CAST(i AS INT), 1)) AS BIGINT))),
+                   (h, ch) -> (h * 31 + ch) % 1000000007) AS clean_fp
+        FROM c
     """,
     "multimodal_features": """
         SELECT doc_id,

@@ -230,3 +230,29 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str, k: int = 20) -> DataF
         .orderBy(F.desc("doc_freq"), "shingle")
         .limit(k)
     )
+
+
+def clean_text_expr(text: F.Column) -> F.Column:
+    """Pre-training text normalization as one built-in expression chain:
+    collapse whitespace runs, strip non-printable ASCII, trim. (Real
+    pipelines add Unicode NFC + confusable folding; those need ICU, which
+    the oracle cannot mirror — the structure is identical.)"""
+    no_ctl = F.regexp_replace(text, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    one_space = F.regexp_replace(no_ctl, "[ \\t\\r\\n]+", " ")
+    return F.trim(one_space)
+
+
+def text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning census: per document, the normalized text's fingerprint and
+    how many characters cleaning removed — the audit a pipeline runs before
+    committing a cleaning pass to 100 TB. Narrow per-row expressions only;
+    the rolling fingerprint doubles as the cross-engine content check."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = clean_text_expr(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("raw_chars"),
+        F.length(cleaned).cast("bigint").alias("clean_chars"),
+        (F.length("text") - F.length(cleaned)).cast("bigint").alias("removed"),
+        rolling_fingerprint(cleaned).alias("clean_fp"),
+    )

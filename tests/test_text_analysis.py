@@ -135,3 +135,16 @@ def test_boilerplate_shingles_are_document_frequencies(spark, documents):
     n = documents.filter(F.col("text").contains(needle)).count()
     # containment can overcount (substring of longer words) but never undercount
     assert n >= top["doc_freq"]
+
+
+def test_clean_text_expr_on_dirty_input(spark):
+    from symat_hbase_tools_spark.operators.text_analysis import clean_text_expr
+
+    df = spark.createDataFrame(
+        [("  hello\t\tworld \x00\x1f!\n\nnew  line  ",),
+         ("already clean",),
+         ("\x07\x08\x0b",)],
+        "text string",
+    )
+    got = [r["c"] for r in df.select(clean_text_expr(F.col("text")).alias("c")).collect()]
+    assert got == ["hello world ! new line", "already clean", ""]
