@@ -84,3 +84,31 @@ def test_ann_ivf_recall(spark):
     again = {(r["query_id"], r["neighbor_id"])
              for r in similarity.ann_ivf_topk(spark, SF_DIR, k=5).collect()}
     assert aset == again
+
+
+def test_persistent_ivf_index_recall_and_pruning(spark, tmp_path):
+    from symat_hbase_tools_spark.operators.similarity import (
+        ann_ivf_query,
+        brute_topk,
+        build_ivf_index,
+    )
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, SF_DIR, idx, n_cells=8)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = ann_ivf_query(spark, idx, emb, k=5, n_probe=3)
+    exact = brute_topk(spark, emb.select("vec_id", "embedding"), k=5)
+
+    got_pairs = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.6, recall  # 3/8 cells probed
+
+    # the cell predicate must prune partition DIRECTORIES of the index
+    from symat_hbase_tools_spark.plans.explain import plan_string
+
+    probe_plan = plan_string(
+        spark.read.parquet(f"{idx}/assignments").filter("cell IN (1, 2)")
+    )
+    assert "PartitionFilters" in probe_plan and "cell" in probe_plan.split("PartitionFilters")[1].split("]")[0]
