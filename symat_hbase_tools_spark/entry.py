@@ -491,6 +491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_histogram": text_analysis.length_histogram,
     "boilerplate_shingles": text_analysis.boilerplate_shingles,
     "text_cleaning": text_analysis.text_cleaning,
+    "text_bm25_search": text_analysis.bm25_search,
     # LLM-pipeline surface: multimodal plumbing
     "multimodal_features": multimodal.multimodal_features,
     "multimodal_frame_census": multimodal.multimodal_frame_census,
@@ -1227,6 +1228,25 @@ ORACLE_SQL: dict[str, str] = {
                            i -> CAST(ascii(substr(cleaned, CAST(i AS INT), 1)) AS BIGINT))),
                    (h, ch) -> (h * 31 + ch) % 1000000007) AS clean_fp
         FROM c
+    """,
+    "text_bm25_search": f"""
+        WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term
+                       FROM documents WHERE trim(text) <> ''),
+        dl AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS dl FROM documents),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        qt AS (SELECT unnest(['hash', 'join', 'scan']) AS term),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM words JOIN qt USING (term) GROUP BY 1, 2),
+        dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        SELECT doc_id,
+               round(SUM(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))), 6) AS score
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20
     """,
     "multimodal_features": """
         SELECT doc_id,

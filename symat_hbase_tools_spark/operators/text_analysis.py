@@ -256,3 +256,63 @@ def text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") - F.length(cleaned)).cast("bigint").alias("removed"),
         rolling_fingerprint(cleaned).alias("clean_fp"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: tuple[str, ...] = ("hash", "join", "scan"),
+    k: int = 20,
+) -> DataFrame:
+    """BM25 retrieval over the corpus — the inverted-index scoring shape.
+
+    Pipeline: explode tokens -> tf per (doc, term) restricted to the
+    (broadcast) query terms BEFORE any aggregation, df per term from the
+    restricted postings, document lengths + corpus avgdl as 1-row broadcast
+    stats. Only documents containing a query term are ever scored, exactly
+    like walking the query terms' posting lists. Scores are rounded to 6
+    decimals and ranked (score, doc_id) so the top-k SET is deterministic
+    cross-engine despite last-ulp libm ln() differences.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    doclen = docs.select(
+        "doc_id", token_count(F.col("text")).alias("dl")
+    )
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qt = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    tf = (
+        words.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = F.col("n_docs").cast("double")
+    idf = F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(k)
