@@ -140,6 +140,26 @@ def kv_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pretty_cells(ranged, "row_key", "qualifier", "value")
 
 
+def kv_region_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan THROUGH the regionstore relation (Python DataSource with
+    key-range pushdown, SURVEY.md §4.1): the store is built once per sf_dir
+    (range-partitioned region files), then the query's row predicates push
+    into the source and prune region directories — only the regions
+    intersecting [RANGE_START, RANGE_STOP) are opened."""
+    import hashlib
+    import os
+
+    from symat_hbase_tools_spark.sources import regionstore
+
+    store = "/tmp/symat_regionstore_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    if not os.path.exists(os.path.join(store, regionstore.META_FILE)):
+        cells = customer_cells(load_table(spark, sf_dir, "customer"))
+        regionstore.write_region_store(cells, store, n_regions=8)
+    df = regionstore.read_region_store(spark, store)
+    ranged = df.filter((F.col("row") >= RANGE_START) & (F.col("row") < RANGE_STOP))
+    return _pretty_cells(ranged, "row_key", "qualifier", "ts", "value")
+
+
 def kv_visible_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = customer_cells_with_deletes(load_table(spark, sf_dir, "customer"))
     return _pretty_cells(kv.visible_cells(cells), "row_key", "qualifier", "ts", "value")
@@ -410,6 +430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_copy_row_bump": kv_copy_row_bump,
     "kv_latest_version": kv_latest_version,
     "kv_range_scan": kv_range_scan,
+    "kv_region_scan": kv_region_scan,
     "kv_visible_cells": kv_visible_cells,
     "kv_scd2_history": kv_scd2_history,
     "kv_apply_changeset": kv_apply_changeset,
@@ -982,6 +1003,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "kv_range_scan": (
         "SELECT row_key, qualifier, value FROM ("
+        + _unpivot_sql(where="c_custkey >= 100 AND c_custkey < 200")
+        + ")"
+    ),
+    "kv_region_scan": (
+        "SELECT row_key, qualifier, ts, value FROM ("
         + _unpivot_sql(where="c_custkey >= 100 AND c_custkey < 200")
         + ")"
     ),

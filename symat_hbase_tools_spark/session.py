@@ -26,6 +26,8 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas UDF exchange (the only Python-side hot paths).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource filter pushdown (regionstore key-range pruning).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
