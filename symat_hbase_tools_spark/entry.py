@@ -467,6 +467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": relational.events_sessionize,
     "purchase_attribution": relational.purchase_attribution,
     "click_conversion": relational.click_conversion,
+    "click_conversion_full": relational.click_conversion_full,
     "events_by_segment": relational.events_by_segment,
     "customer_balance_distribution": relational.customer_balance_distribution,
     "fuzzy_name_pairs": relational.fuzzy_name_pairs,
@@ -997,6 +998,17 @@ ORACLE_SQL: dict[str, str] = {
                epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         FROM (SELECT * FROM events WHERE event_type = 'click') c
         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND epoch_us(p.ts) >= epoch_us(c.ts)
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+    """,
+    "click_conversion_full": """
+        SELECT c.event_id AS click_id,
+               COALESCE(c.user_id, p.user_id) AS user_id,
+               p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id
          AND epoch_us(p.ts) >= epoch_us(c.ts)
          AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000

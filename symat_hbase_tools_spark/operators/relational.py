@@ -978,6 +978,40 @@ def click_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def click_conversion_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete conversion ledger (batch twin of the streaming FULL OUTER
+    interval join): matched click/purchase pairs, unconverted clicks, and
+    purchases with no click in the preceding hour — one FULL OUTER interval
+    join. The unmatched-purchase side is what LEFT misses: attribution
+    audits need to see revenue with no click trail."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "full",
+        )
+        .select(
+            "click_id",
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+            "purchase_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        )
+    )
+
+
 def heavy_hitters_sketch(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Frequent-items sketch top-k (approx_top_k, Spark 4) — the 100 TB
     heavy-hitter path: one bounded-size sketch per partition merged

@@ -171,6 +171,67 @@ def segment_enriched_counts(stream: DataFrame, customer: DataFrame) -> DataFrame
     )
 
 
+def conversion_full_outer(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream FULL OUTER interval join: the complete conversion
+    ledger — matched click/purchase pairs, unconverted clicks (null
+    purchase), and unattributed purchases (null click).
+
+    Both outer sides are stateful: a row is null-padded only once the
+    OPPOSITE side's watermark proves no partner can still arrive (click
+    closes at click_ts + 1h < wm; purchase closes at purchase_ts < wm,
+    since a matching click would need click_ts >= purchase_ts - 1h AND
+    click_ts <= purchase_ts). Same bounded-state eviction rule as the
+    inner/left variants. Batch twin: relational.click_conversion_full
+    (oracle-paired).
+    """
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "fullOuter",
+        )
+        .select(
+            "click_id",
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+            "purchase_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Time-bounded streaming dedup on event_id.
+
+    ``dropDuplicatesWithinWatermark`` keeps a seen-set entry only until the
+    watermark passes its event time + delay — the state store stays bounded
+    by the duplicate-arrival horizon instead of growing with the whole
+    stream (plain dropDuplicates state is unbounded: the 100 TB-stream
+    rule). The seen-set lives in the checkpoint, so dedup holds ACROSS
+    restarts — the checkpoint round-trip test pins exactly that.
+    """
+    return stream.withWatermark("ts", delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def run_bounded(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Drain a bounded stream into a memory sink and return the result table.
 

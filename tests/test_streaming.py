@@ -200,3 +200,112 @@ def test_outer_interval_join_matches_batch_on_closeable_clicks(spark, stream):
         len(must_emit), len(got_nulls), len(may_emit),
         sorted(must_emit - got_nulls)[:5], sorted(got_nulls - may_emit)[:5],
     )
+
+
+def test_full_outer_interval_join_matches_batch_on_closeable_region(spark, stream):
+    """FULL OUTER stream-stream join parity: matched rows equal the batch
+    twin exactly; null-padded CLICK rows appear for clicks the watermark can
+    close (click_ts + 1h < wm), null-padded PURCHASE rows for purchases it
+    can close (purchase_ts < wm — a partner click would need click_ts >=
+    purchase_ts - 1h and <= purchase_ts). Trailing rows on both sides stay
+    in state on bounded input — documented semantics."""
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    got = streaming.run_bounded(
+        streaming.conversion_full_outer(stream), "t_full_outer", output_mode="append"
+    ).collect()
+    want = relational.click_conversion_full(spark, SF_DIR).collect()
+
+    key = lambda r: (r["click_id"], r["purchase_id"], r["gap_us"])  # noqa: E731
+    got_matched = {key(r) for r in got if r["purchase_id"] is not None and r["click_id"] is not None}
+    want_matched = {key(r) for r in want if r["purchase_id"] is not None and r["click_id"] is not None}
+    assert got_matched == want_matched
+
+    events = load_table(spark, SF_DIR, "events")
+    side_max = {
+        r["event_type"]: r["mx"]
+        for r in events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max(F.unix_micros("ts")).alias("mx"))
+        .collect()
+    }
+    wm_us = min(side_max["click"], side_max["purchase"]) - 2 * 3600 * 1_000_000
+    ts_us = {
+        (r["event_type"], r["event_id"]): r["us"]
+        for r in events.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    margin = 1_000_000  # 1s in us: ms-truncated eviction boundary tolerance
+    HOUR = 3600 * 1_000_000
+
+    unmatched_clicks = {r["click_id"] for r in want if r["purchase_id"] is None}
+    must_c = {c for c in unmatched_clicks if ts_us[("click", c)] + HOUR < wm_us - margin}
+    may_c = {c for c in unmatched_clicks if ts_us[("click", c)] + HOUR < wm_us + margin}
+    got_null_p = {r["click_id"] for r in got if r["purchase_id"] is None}
+    assert must_c <= got_null_p <= may_c
+
+    unmatched_purch = {r["purchase_id"] for r in want if r["click_id"] is None}
+    must_p = {p for p in unmatched_purch if ts_us[("purchase", p)] < wm_us - margin}
+    may_p = {p for p in unmatched_purch if ts_us[("purchase", p)] < wm_us + margin}
+    got_null_c = {r["purchase_id"] for r in got if r["click_id"] is None}
+    assert must_p <= got_null_c <= may_p
+    # every null-click row carries the purchase's user_id (coalesce side)
+    assert all(r["user_id"] is not None for r in got)
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """Checkpoint round-trip: dropDuplicatesWithinWatermark's seen-set must
+    survive a query restart. Run 1 ingests chunk A; run 2 (same checkpoint)
+    ingests chunk B containing duplicates of A's event_ids — the file sink
+    must end up with each event_id exactly once."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    base_us = 1_700_000_000_000_000  # fixed epoch micros
+    def chunk(ids, offset_s):
+        rows = [
+            (i, base_us + (offset_s + j) * 1_000_000, i % 7, "click", float(i))
+            for j, i in enumerate(ids)
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts_us long, user_id long, event_type string, value double"
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+
+    def run_once(df_written):
+        df_written.coalesce(1).write.mode("append").parquet(src)
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+        s = spark.readStream.schema(schema).parquet(src)
+        deduped = streaming.dedup_within_watermark(s, delay="1 hour")
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    run_once(chunk([1, 2, 3, 4, 5], offset_s=0))
+    time.sleep(0.1)
+    # chunk B: 3,4,5 are cross-restart duplicates; 6,7 are new
+    run_once(chunk([3, 4, 5, 6, 7], offset_s=10))
+
+    out = spark.read.parquet(sink)
+    ids = sorted(r["event_id"] for r in out.select("event_id").collect())
+    assert ids == [1, 2, 3, 4, 5, 6, 7]  # exactly once each, across restarts
