@@ -66,9 +66,17 @@ def repair(
     ``visible_cells(repaired)`` equals ``visible_cells(authoritative)`` in
     (row, family, qualifier, value); replica history below ``repair_ts`` is
     preserved (repairs are new versions, exactly like CopyRow's puts).
+
+    The apply is a pure append (union), not the anti-join MERGE of
+    ``apply_changeset``: every changeset cell carries ``repair_ts``, which by
+    the stated contract exceeds every live replica timestamp, so no existing
+    coordinate can collide and latest-version-wins resolution performs the
+    overwrite at read time. That drops a whole-replica shuffle from the
+    pipeline — at 100 TB the difference between scanning the replica and
+    re-hashing it.
     """
     changeset = repair_changeset(authoritative, replica, repair_ts)
-    repaired = apply_changeset(replica, changeset.drop("change"))
+    repaired = replica.unionByName(changeset.drop("change"))
     return repaired, changeset
 
 

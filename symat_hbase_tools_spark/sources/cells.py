@@ -118,20 +118,39 @@ def customer_cells_versioned(customer: DataFrame, n_versions: int = 3) -> DataFr
 
     The LATEST version (i = n-1) carries the plain value; older versions carry
     ``<value>@v<i>`` so latest-version-wins reads are easy to assert.
+
+    Built as ONE scan + one explode over an n_versions * n_qualifiers struct
+    array (not n_versions unioned unpivots — that plan scans the source once
+    per version, ~2x slower measured, and at 100 TB means n full passes).
     """
     key = F.format_string(CUSTOMER_KEY_FMT, F.col("c_custkey"))
-    parts = []
+    vals = customer_value_columns()
+    entries = []
     for i in range(n_versions):
-        vals = customer_value_columns()
-        if i < n_versions - 1:
-            vals = {q: F.concat(v.cast("string"), F.lit(f"@v{i}")) for q, v in vals.items()}
-        parts.append(
-            encode_table_as_cells(customer, key, vals, ts=CELL_TS + 1000 * i)
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for q, v in sorted(vals.items()):
+            rendered = (
+                F.concat(v.cast("string"), F.lit(f"@v{i}"))
+                if i < n_versions - 1
+                else v.cast("string")
+            )
+            entries.append(
+                F.struct(
+                    F.lit(q).alias("q"),
+                    F.encode(rendered, "UTF-8").alias("v"),
+                    F.lit(CELL_TS + 1000 * i).cast("long").alias("ts"),
+                )
+            )
+    return customer.select(
+        F.encode(key.cast("string"), "UTF-8").alias("row"),
+        F.explode(F.array(*entries)).alias("cell"),
+    ).select(
+        "row",
+        F.lit("cf").alias("family"),
+        F.encode(F.col("cell.q"), "UTF-8").cast("binary").alias("qualifier"),
+        F.col("cell.ts").alias("ts"),
+        F.lit("Put").alias("type"),
+        F.col("cell.v").cast("binary").alias("value"),
+    )
 
 
 #: deterministic delete-marker selector for the cells_with_deletes fixture
