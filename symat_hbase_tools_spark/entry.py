@@ -481,6 +481,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_share": relational.market_share,
     "sketch_event_stats": relational.sketch_event_stats,
     "q4_order_priority": relational.q4_order_priority,
+    "q6_forecast_revenue": relational.q6_forecast_revenue,
+    "q9_product_profit": relational.q9_product_profit,
+    "q10_returned_items": relational.q10_returned_items,
+    "q12_late_shipment_priorities": relational.q12_late_shipment_priorities,
+    "q15_top_supplier": relational.q15_top_supplier,
+    "q16_part_supplier_counts": relational.q16_part_supplier_counts,
+    "q20_promotion_suppliers": relational.q20_promotion_suppliers,
+    "q21_waiting_suppliers": relational.q21_waiting_suppliers,
     "q11_part_value_share": relational.q11_part_value_share,
     "q14_promo_revenue": relational.q14_promo_revenue,
     "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
@@ -839,6 +847,102 @@ ORACLE_SQL: dict[str, str] = {
                       WHERE l_orderkey = o_orderkey
                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         GROUP BY o_orderpriority
+    """,
+    "q6_forecast_revenue": f"""
+        SELECT {_money("l_extendedprice * l_discount")} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "q9_product_profit": f"""
+        SELECT n_name AS nation,
+               CAST(year(l_shipdate) AS INT) AS o_year,
+               {_money("l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity")} AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type = 'PROMO'
+        GROUP BY n_name, year(l_shipdate)
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+               {_money("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q12_late_shipment_priorities": """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_linestatus
+    """,
+    "q15_top_supplier": f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {_money("l_extendedprice * (1 - l_discount)")} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    "q16_part_supplier_counts": """
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "q20_promotion_suppliers": """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_partkey, l_suppkey
+            HAVING SUM(l_quantity) > 100.0
+        )
+    """,
+    "q21_waiting_suppliers": """
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        FROM late l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
     """,
     "q11_part_value_share": f"""
         WITH per_part AS (

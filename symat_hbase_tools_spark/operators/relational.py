@@ -854,6 +854,224 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins.
+
+    The whole query is one parquet scan with every predicate pushed
+    (shipdate range + discount band + quantity cap all appear in
+    PushedFilters) feeding a single global money sum — the cheapest plan
+    Spark can produce, and the canonical pushdown litmus test.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy()
+        .agg(money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: multi-way star join + profit aggregate by nation/year.
+
+    lineitem joins part (filtered to PROMO — pushed below the join),
+    supplier, and nation; profit per line is revenue minus a cost proxy
+    (half retail price per unit — the driver schema has no ps_supplycost).
+    Join order: the filtered part table and the tiny supplier/nation dims
+    all broadcast, so the fact table never shuffles before aggregation.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.5) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(money_sum(profit, "sum_profit"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+
+    Returned lineitems of one quarter's orders, joined back to customer +
+    nation; deterministic top-k (revenue desc, custkey asc tie-break) so
+    the result set is stable across engines. orders/customer join keys
+    shuffle once each; nation broadcasts.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q12_late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-class counts of late shipments (the driver
+    schema has no l_shipmode, so the classing column is l_linestatus).
+
+    "Late" reuses the q4 definition (shipped >60 days after the order
+    date). One fact-dimension join on the order key, then a two-bucket
+    conditional count — CASE-inside-SUM, the classic Q12 idiom.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the max
+    (scalar MAX subquery over a revenue view).
+
+    Decorrelated as a window max over the aggregated view — one extra
+    exchange over a supplier-cardinality table (tiny next to the fact
+    scan), instead of running the view twice. Revenue equality is exact:
+    both engines compute the identical money-sum double.
+    """
+    revenue = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    w = Window.orderBy(F.lit(1))
+    top = revenue.withColumn("mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return top.join(
+        F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute group
+    with NOT-IN exclusions (lineitem stands in for partsupp).
+
+    The exclusion predicates prune the broadcast part side before the
+    join; countDistinct adds the usual expand+two-phase aggregate, keyed
+    by (brand, type, size) — low cardinality, no skew concern.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved real volume of SMALL parts in
+    1996 (nested-IN subqueries decorrelated to semi joins).
+
+    Inner block: per (part, supplier) shipped quantity over the year,
+    kept when > 100 units and the part is SMALL-type. Outer: suppliers
+    appearing in the kept set — a semi join, preserving IN semantics
+    (each supplier once however many qualifying parts it has).
+    """
+    small_parts = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100.0)
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        supplier.join(
+            shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        ).select("s_suppkey", "s_name")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who single-handedly held up finished
+    multi-supplier orders — EXISTS plus NOT-EXISTS correlated subqueries,
+    decorrelated to one semi and one anti join on the order key.
+
+    "Late" reuses the q4 definition (shipped >60 days after order date).
+    A lineitem counts when: its order is status 'F'; SOME other supplier
+    shipped on the same order (semi join); NO other supplier was late on
+    it (anti join). Orders counted distinct per supplier.
+    """
+    orders_f = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = lineitem.join(
+        orders_f, F.col("l_orderkey") == F.col("o_orderkey")
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    l1 = late.select("l_orderkey", "l_suppkey", "o_orderdate")
+    others = lineitem.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    with_other = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    sole_late = with_other.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
 def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-aggregate surface: stddev / covariance / correlation of
     quantity vs extended price per return flag.

@@ -202,3 +202,31 @@ def test_shuffle_assign_single_window_exchange(spark):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id")
     plan = plan_string(shuffle_assign(docs, ["doc_id"]), "simple")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_q6_all_predicates_pushed_no_join(spark):
+    """Q6 is the pushdown litmus: every filter reaches the scan, no join,
+    one partial-aggregated exchange."""
+    df = relational.q6_forecast_revenue(spark, SF_DIR)
+    plan = plan_string(df)
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    simple = plan_string(df, "simple")
+    assert "Join" not in simple
+    assert simple.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q9_fact_never_shuffles_before_agg(spark):
+    """All three dimensions broadcast: zero shuffle joins in the plan."""
+    plan = plan_string(relational.q9_product_profit(spark, SF_DIR), "simple")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0, plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
+
+
+def test_q21_semi_and_anti_joins(spark):
+    """EXISTS -> semi, NOT EXISTS -> anti; no inner-join blowup of the
+    correlated subqueries."""
+    plan = plan_string(relational.q21_waiting_suppliers(spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
