@@ -63,6 +63,38 @@ META_FILE = "_regions.json"
 
 
 # ---------------------------------------------------------------------------
+# per-region Bloom filters (HBase per-storefile ROW blooms)
+
+
+def _bloom_hashes(key: bytes, m: int, k: int) -> list[int]:
+    """k bit positions for a row key via double hashing over one md5.
+
+    h_i = (h1 + i*h2) mod m — the standard Kirsch-Mitzenmacher scheme: one
+    real hash per key however many probe functions, identical on the
+    build side (executors) and probe side (driver planning).
+    """
+    import hashlib
+
+    d = hashlib.md5(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_size_bits(n_keys: int, bits_per_key: int) -> int:
+    return max(64, ((n_keys * bits_per_key + 7) // 8) * 8)
+
+
+def _bloom_contains(bloom: bytes, key: bytes, k: int) -> bool:
+    m = len(bloom) * 8
+    return all(bloom[p >> 3] & (1 << (p & 7)) for p in _bloom_hashes(key, m, k))
+
+
+BLOOM_BITS_PER_KEY = 10
+BLOOM_K = 7  # ~1% false-positive rate at 10 bits/key
+
+
+# ---------------------------------------------------------------------------
 # writer (bulk load): range-partition cells into region files
 
 
@@ -74,6 +106,13 @@ def write_region_store(cells: DataFrame, path: str, n_regions: int = 8) -> list[
     the data itself is written by executors, one sorted file per region
     (``repartitionByRange`` + sortWithinPartitions — the bulk-load shuffle).
     Returns the region metadata list (start/stop hex per region).
+
+    Each region also gets a ROW Bloom filter (HBase per-storefile bloom
+    semantics): built distributed — one applyInPandas task per region over
+    its distinct keys — and stored in the metadata. Point reads probe the
+    bloom during planning, so a GET for an absent key opens no region at
+    all even when the key range matches (the "ghost read" HBase blooms
+    exist to kill).
     """
     keys = cells.select("row").distinct()
     # boundary keys via ntile over the sorted key space: write-time one-off,
@@ -107,14 +146,44 @@ def write_region_store(cells: DataFrame, path: str, n_regions: int = 8) -> list[
     for i, b in enumerate(bounds):
         rid = rid + F.when(F.col("row") >= F.lit(b), 1).otherwise(0)
     os.makedirs(path, exist_ok=True)
+    with_region = cells.withColumn("_region", rid.cast("int"))
     (
-        cells.withColumn("_region", rid.cast("int"))
-        .repartition(n_regions, "_region")
+        with_region.repartition(n_regions, "_region")
         .sortWithinPartitions("row", "family", "qualifier", "ts")
         .write.mode("overwrite")
         .partitionBy("_region")
         .parquet(os.path.join(path, "regions"))
     )
+
+    # ROW bloom per region, built where the keys live: one pandas task per
+    # region sees its distinct keys and emits (region, bloom bytes) — only
+    # n_regions tiny rows reach the driver, never the keys.
+    def build_bloom(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        m = _bloom_size_bits(n, BLOOM_BITS_PER_KEY)
+        bits = bytearray(m // 8)
+        for key in pdf["row"]:
+            for p in _bloom_hashes(bytes(key), m, BLOOM_K):
+                bits[p >> 3] |= 1 << (p & 7)
+        return pd.DataFrame(
+            {"_region": [int(pdf["_region"].iloc[0])], "n_keys": [n],
+             "bloom": [bytes(bits).hex()]}
+        )
+
+    blooms = {
+        r["_region"]: (r["n_keys"], r["bloom"])
+        for r in with_region.select("_region", "row")
+        .distinct()
+        .groupBy("_region")
+        .applyInPandas(build_bloom, schema="_region int, n_keys long, bloom string")
+        .collect()
+    }
+    for reg in regions:
+        n_keys, bloom_hex = blooms.get(reg["region"], (0, "00" * 8))
+        reg["n_keys"] = n_keys
+        reg["bloom"] = bloom_hex
     with open(os.path.join(path, META_FILE), "w") as f:
         json.dump(regions, f)
     return regions
@@ -228,28 +297,44 @@ class RegionStoreReader(DataSourceReader):
 
     # -- planning ----------------------------------------------------------
     def partitions(self) -> list[RegionPartition]:
-        """One partition per region SURVIVING key-range pruning."""
+        """One partition per region SURVIVING key-range + bloom pruning.
+
+        Point lookups (=, IN) additionally probe each candidate region's
+        ROW bloom: a region whose bloom rejects every sought key is never
+        opened — HBase's bloom-filter GET short-circuit. Range scans skip
+        the bloom (it answers membership, not ranges).
+        """
         if self.rng.is_empty():
             return []
         out = []
         for r in self.regions:
             start = bytes.fromhex(r["start"]) if r["start"] else None
             stop = bytes.fromhex(r["stop"]) if r["stop"] else None
-            if _intersects(start, stop, self.rng):
-                out.append(
-                    RegionPartition(
-                        os.path.join(self.path, "regions", f"_region={r['region']}"),
-                        self.rng,
-                    )
+            if not _intersects(start, stop, self.rng):
+                continue
+            if self.rng.points is not None and r.get("bloom"):
+                bloom = bytes.fromhex(r["bloom"])
+                in_region = [
+                    p
+                    for p in self.rng.points
+                    if (start is None or p >= start) and (stop is None or p < stop)
+                ]
+                if not any(_bloom_contains(bloom, p, BLOOM_K) for p in in_region):
+                    continue
+            out.append(
+                RegionPartition(
+                    os.path.join(self.path, "regions", f"_region={r['region']}"),
+                    self.rng,
                 )
+            )
         return out
 
     # -- execution ---------------------------------------------------------
     def read(self, partition: RegionPartition):
-        import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.dataset as ds
 
+        if partition is None:  # planner pruned every region: nothing to read
+            return
         dataset = ds.dataset(partition.region_dir, format="parquet")
         rng = partition.rng
         expr = None

@@ -162,3 +162,40 @@ def test_scan_order_is_hbase_order(spark, store):
         for r in rs.read_region_store(spark, d).orderBy("row").select("row").collect()
     ]
     assert got == sorted(got)
+
+
+def test_bloom_no_false_negatives(store):
+    """Every present key must pass its region's bloom (bloom guarantee)."""
+    d, meta, cells = store
+    keys = [bytes(r["row"]) for r in cells.select("row").distinct().collect()]
+    for key in keys:
+        r = rs.RegionStoreReader({"path": d})
+        list(r.pushFilters([EqualTo(("row",), key)]))
+        assert len(r.partitions()) >= 1, key  # never bloom-pruned to zero
+
+
+def test_bloom_prunes_absent_key_get(spark, store):
+    """A GET for an in-range but absent key should (almost always) open no
+    region at all — the ghost-read short-circuit. With ~1% fp rate per
+    region, 50 absent keys pruning to zero partitions in >= 45 cases is a
+    conservative bound; correctness holds either way (result is empty)."""
+    d, _, _ = store
+    pruned = 0
+    for i in range(50):
+        ghost = b"cust#00000042x%02d" % i  # in-range, never written
+        r = rs.RegionStoreReader({"path": d})
+        list(r.pushFilters([EqualTo(("row",), ghost)]))
+        if len(r.partitions()) == 0:
+            pruned += 1
+    assert pruned >= 45
+    got = rs.read_region_store(spark, d).filter(
+        F.col("row") == b"cust#00000042x00"
+    )
+    assert got.count() == 0
+
+
+def test_bloom_metadata_written(store):
+    _, meta, _ = store
+    for r in meta:
+        assert r["n_keys"] > 0
+        assert len(r["bloom"]) >= 16  # hex-encoded, non-trivial
