@@ -28,11 +28,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: below this edge count the transitive closure runs as driver-side
+#: union-find instead of the distributed loop. 2M edges collect to tens of
+#: MB — driver-safe — and finish in milliseconds, where every distributed
+#: round costs several scheduled stages regardless of data size. Near-dup
+#: edge lists are orders of magnitude smaller than the corpus that produced
+#: them, so even 100 TB corpora usually land here; genuinely huge graphs
+#: take the iterative path unchanged.
+DRIVER_UNION_FIND_MAX_EDGES = 2_000_000
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Union-find with path compression; union-by-min keeps every root the
+    min id of its component, matching the distributed algorithm's labels."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges.collect():
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = edges.schema["a"].dataType
+    schema = StructType(
+        [StructField("node", id_type, False), StructField("cluster", id_type, False)]
+    )
+    rows = [(node, find(node)) for node in parent]
+    return edges.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 25,
+    max_driver_edges: int = DRIVER_UNION_FIND_MAX_EDGES,
 ) -> DataFrame:
     """Cluster id (= min member id) for every node appearing in ``pairs``.
 
@@ -54,6 +97,11 @@ def connected_components(
     # on a few hundred rows — the same arithmetic that keeps partitions
     # right-sized when the edge list is billions of rows at corpus scale.
     n_edges = edges.count()
+    # small graph: finish on the driver. The count above already told us the
+    # size for free; below the threshold the whole closure is one collect +
+    # in-memory union-find, saving ~4 scheduled stages PER ROUND.
+    if n_edges <= max_driver_edges:
+        return _driver_union_find(edges)
     parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
     if parts < edges.rdd.getNumPartitions():
         edges = edges.coalesce(parts)

@@ -131,7 +131,13 @@ def ngram_jaccard_pairs(
         hot = sh.groupBy("s").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # SHUFFLE_HASH: the equi-self-join would default to sort-merge, paying a
+    # full sort of the exploded shingle table on BOTH sides; hash join skips
+    # the sorts and streams one side against the other's hash map. (A
+    # collect_list-posting-list + pair-explosion rewrite was tried and is
+    # ~3x SLOWER: the nested-transform pair generator runs interpreted,
+    # while this join stays inside whole-stage codegen.)
+    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
     inter = (
         a.join(b, "s")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

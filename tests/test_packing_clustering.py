@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from symat_hbase_tools_spark.operators.clustering import (
@@ -42,24 +43,49 @@ def test_packing_stats_fill(spark, documents):
     assert stats.filter(F.col("fill") < 0).count() == 0
 
 
-def test_connected_components_transitive(spark):
-    # chain 1-2-3, pair 10-11, singleton edge 20-21: three clusters
+@pytest.mark.parametrize("max_driver_edges", [2_000_000, 0])
+def test_connected_components_transitive(spark, max_driver_edges):
+    # chain 1-2-3, pair 10-11, singleton edge 20-21: three clusters.
+    # Parametrized over both execution paths: driver union-find (small
+    # graphs) and the distributed propagation loop (max_driver_edges=0).
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21)], "d1 long, d2 long"
     )
     got = {
-        (r["node"], r["cluster"]) for r in connected_components(pairs).collect()
+        (r["node"], r["cluster"])
+        for r in connected_components(pairs, max_driver_edges=max_driver_edges).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
 
 
-def test_connected_components_long_chain_converges(spark):
+@pytest.mark.parametrize("max_driver_edges", [2_000_000, 0])
+def test_connected_components_long_chain_converges(spark, max_driver_edges):
     # worst-case diameter: a 12-node path; min label must reach the far end
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "d1 long, d2 long"
     )
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, max_driver_edges=max_driver_edges)
     assert labels.filter(F.col("cluster") != 0).count() == 0
+
+
+def test_connected_components_paths_agree(spark):
+    # random graph: driver union-find and distributed propagation must
+    # produce identical labelings
+    import random
+
+    rng = random.Random(7)
+    pairs = spark.createDataFrame(
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(80)],
+        "d1 long, d2 long",
+    )
+    fast = {
+        (r["node"], r["cluster"]) for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["cluster"])
+        for r in connected_components(pairs, max_driver_edges=0).collect()
+    }
+    assert fast == dist
 
 
 def test_dedup_clusters_report(spark):
