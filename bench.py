@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "doc_dedup_clusters",
+    "doc_dup_spans",
     "doc_contamination",
     "doc_pack_sequences",
     "knn_cosine_topk",

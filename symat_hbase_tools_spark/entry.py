@@ -503,6 +503,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     "dedup_simhash": dedup.simhash_pairs,
+    "doc_dup_spans": dedup.dup_span_census,
     # LLM-pipeline surface: similarity search
     "knn_cosine_topk": similarity.knn_cosine_topk,
     "ann_lsh_topk": similarity.ann_lsh_topk,
@@ -1208,6 +1209,25 @@ ORACLE_SQL: dict[str, str] = {
     # the exact-jaccard SQL is its oracle too. dedup_simhash / ann_lsh_topk
     # have no cross-engine twin (xxhash64 family) -> rows-only checks.
     "dedup_minhash_lsh": _JACCARD_SQL,
+    # doc_dup_spans: the window hash is engine-internal (Spark xxhash64,
+    # DuckDB md5) — only the grouping must agree, and it does because both
+    # hash the identical space-joined 20-token window strings.
+    "doc_dup_spans": """
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS i
+                     FROM words WHERE len(w) >= 20),
+             wins AS (SELECT doc_id, md5(array_to_string(w[i:i+19], ' ')) AS h
+                      FROM pos),
+             hs AS (SELECT h, count(DISTINCT doc_id) AS nd FROM wins GROUP BY h)
+        SELECT wins.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_dup_windows,
+               CAST(count(CASE WHEN nd > 1 THEN 1 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS dup_fraction
+        FROM wins JOIN hs USING (h)
+        GROUP BY wins.doc_id
+        HAVING count(CASE WHEN nd > 1 THEN 1 END) > 0
+    """,
     "knn_cosine_topk": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings)
         SELECT query_id, neighbor_id, sim FROM (

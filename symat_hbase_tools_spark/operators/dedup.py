@@ -281,3 +281,65 @@ def simhash_pairs(
         cand.select("d1", "d2", hamming.alias("hamming").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_span_census(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Exact duplicated-span detection: per-document count and fraction of
+    k-token windows that also occur (verbatim) in at least one OTHER document.
+
+    The blocked form of exact substring dedup (RefinedWeb / Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"): a full
+    suffix-array pass is impractical distributed, but hashing every
+    overlapping k-token window and grouping on the hash finds every
+    duplicated span of >= k tokens exactly — a shared longer span simply
+    contributes several shared windows. Output: (doc_id, n_windows,
+    n_dup_windows, dup_fraction) for documents with at least one shared
+    window; downstream curation drops or trims them.
+
+    Scale: windows are one narrow explode (O(total tokens) rows); the only
+    wide ops are the hash groupBy (partial count + two-phase distinct) and
+    one join back, both on the 8-byte window hash. Boilerplate-heavy hashes
+    skew the join key at corpus scale; they are exactly the rows the
+    ``nd > 1`` filter keeps, and AQE skew-join splits them.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    words = docs.withColumn("words", F.split(F.col("text"), " ")).filter(
+        F.size("words") >= k
+    )
+    # window hashes: slice-and-hash inside transform runs interpreted, but
+    # the work is inherently O(tokens * k) characters either way; xxhash64
+    # keeps the grouping key fixed-width (the hash never leaves the plan,
+    # so it need not match the oracle's md5 — only group identically).
+    wins = words.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - (k - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("words", i, k))),
+            )
+        ).alias("h"),
+    )
+    shared = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        wins.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("nd") > 1, 1)).alias("n_dup_windows"),
+        )
+        .filter(F.col("n_dup_windows") > 0)
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            (
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

@@ -72,3 +72,33 @@ def test_shingle_df_cap_prunes_hot_shingles(spark):
     )
     # still finds the planted pairs: their shared shingles are rare by design
     assert capped.count() > 0
+
+
+def test_dup_span_census_constructed(spark, tmp_path):
+    """Two docs sharing an exact 25-word span, one unrelated doc: window
+    arithmetic is exact — 11 windows each, 6 of them (the k=20 windows fully
+    inside the shared span) duplicated; the unrelated doc is absent."""
+    span = " ".join(f"s{i}" for i in range(25))
+    rows = [
+        (1, span + " " + " ".join(f"a{i}" for i in range(5))),
+        (2, " ".join(f"b{i}" for i in range(5)) + " " + span),
+        (3, " ".join(f"c{i}" for i in range(25))),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_fraction"])
+        for r in dedup.dup_span_census(spark, str(tmp_path)).collect()
+    }
+    assert out == {1: (11, 6, 6 / 11), 2: (11, 6, 6 / 11)}
+
+
+def test_dup_span_census_corpus(spark):
+    out = dedup.dup_span_census(spark, SF_DIR).collect()
+    assert len(out) > 0  # planted near-dups share >= 20-token spans
+    for r in out:
+        assert 0 < r["n_dup_windows"] <= r["n_windows"]
+        assert 0 < r["dup_fraction"] <= 1.0
