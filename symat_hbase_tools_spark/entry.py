@@ -512,6 +512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         spark, sf, threshold=0.4
     ),
     "pipeline_curated_search": pipeline.curated_similarity_search,
+    "embedding_label_centroids": similarity.label_centroids,
     # LLM-pipeline surface: text analysis
     "text_lang_id": text_analysis.lang_id,
     "text_quality_score": text_analysis.quality_score,
@@ -523,6 +524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_shingles": text_analysis.boilerplate_shingles,
     "text_cleaning": text_analysis.text_cleaning,
     "text_bm25_search": text_analysis.bm25_search,
+    "text_vocab_coverage": text_analysis.vocab_coverage,
     # LLM-pipeline surface: multimodal plumbing
     "multimodal_features": multimodal.multimodal_features,
     "multimodal_frame_census": multimodal.multimodal_frame_census,
@@ -1227,6 +1229,33 @@ ORACLE_SQL: dict[str, str] = {
         FROM wins JOIN hs USING (h)
         GROUP BY wins.doc_id
         HAVING count(CASE WHEN nd > 1 THEN 1 END) > 0
+    """,
+    # exact integer micro-unit accumulation (see similarity.label_centroids):
+    # both engines quantize each float32 component identically, sum exactly,
+    # divide once — no order-dependent double summation to diverge on.
+    "embedding_label_centroids": """
+        WITH q AS (SELECT label,
+                          generate_subscripts(embedding, 1) - 1 AS dim,
+                          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+                   FROM embeddings)
+        SELECT label, dim,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / (count(*) * 1e6) AS centroid
+        FROM q GROUP BY label, dim
+    """,
+    "text_vocab_coverage": """
+        WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+             counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+             vocab AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
+                       FROM counts QUALIFY rk <= 10)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(CASE WHEN vocab.rk IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+               CAST(count(CASE WHEN vocab.rk IS NULL THEN 1 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS oov_rate
+        FROM toks LEFT JOIN vocab USING (tok)
+        GROUP BY lang
     """,
     "knn_cosine_topk": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings)

@@ -385,3 +385,37 @@ def ann_ivf_query(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroid (prototype vector), one row per (label, dim).
+
+    The mean is accumulated as EXACT integer micro-units: each float32
+    component is quantized once (round(v * 1e6) as long), summed exactly,
+    and divided back at the end — cross-engine bit-stable, where a plain
+    double SUM would differ from the oracle in the last ulp because
+    distributed summation order differs (same discipline as the money-sum
+    template in entry.py).
+
+    Scale: posexplode is a narrow 64x fan-out; the only shuffle is the
+    (label, dim) hash aggregate with map-side partial sums — at 10^9
+    vectors the exchange still carries only labels x dims x tasks rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 1e6).cast("long").alias("q"),
+    )
+    return (
+        q.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("q").alias("sq"))
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            (F.col("sq").cast("double") / (F.col("n_vecs") * 1e6)).alias("centroid"),
+        )
+    )

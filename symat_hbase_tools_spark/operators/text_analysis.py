@@ -316,3 +316,42 @@ def bm25_search(
         .agg(F.round(F.sum("term_score"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str, vocab_size: int = 10) -> DataFrame:
+    """Tokenizer-vocabulary build + coverage report, per language.
+
+    Builds the top-``vocab_size`` token vocabulary over the whole corpus
+    (count desc, token asc — the deterministic tie-break), then reports per
+    language: total token occurrences, occurrences outside the vocabulary,
+    and the OOV rate a tokenizer trained with this vocab would see. The
+    classic pre-tokenizer census: pick V, know the coverage before training.
+
+    Scale: token counts are one partial-aggregated shuffle; the top-V cut is
+    a global sort of the (distinct-token) count table, tiny next to the
+    corpus; the vocabulary is broadcast back against the token stream, so
+    the coverage pass adds no shuffle on the big side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    vocab = counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= vocab_size
+    )
+    return (
+        toks.join(F.broadcast(vocab.select("tok", "rk")), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("rk").isNull(), 1)).alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )

@@ -112,3 +112,28 @@ def test_persistent_ivf_index_recall_and_pruning(spark, tmp_path):
         spark.read.parquet(f"{idx}/assignments").filter("cell IN (1, 2)")
     )
     assert "PartitionFilters" in probe_plan and "cell" in probe_plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_label_centroids_match_numpy(spark):
+    import numpy as np
+
+    from symat_hbase_tools_spark.operators.similarity import label_centroids
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    got = {
+        (r["label"], r["dim"]): (r["n_vecs"], r["centroid"])
+        for r in label_centroids(spark, SF_DIR).collect()
+    }
+    e = load_table(spark, SF_DIR, "embeddings").collect()
+    by_label: dict = {}
+    for r in e:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    n_dims = len(e[0]["embedding"])
+    assert len(got) == len(by_label) * n_dims
+    for label, vecs in by_label.items():
+        m = np.array(vecs, dtype=np.float64)
+        for dim in (0, n_dims - 1):
+            n_vecs, centroid = got[(label, dim)]
+            assert n_vecs == len(vecs)
+            # quantized mean is within half a micro-unit of the true mean
+            assert abs(centroid - m[:, dim].mean()) <= 0.5e-6 + 1e-12

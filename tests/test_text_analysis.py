@@ -148,3 +148,16 @@ def test_clean_text_expr_on_dirty_input(spark):
     )
     got = [r["c"] for r in df.select(clean_text_expr(F.col("text")).alias("c")).collect()]
     assert got == ["hello world ! new line", "already clean", ""]
+
+
+def test_vocab_coverage_rates(spark):
+    from symat_hbase_tools_spark.operators.text_analysis import vocab_coverage
+
+    out = vocab_coverage(spark, SF_DIR, vocab_size=10).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_tokens"] > 0 and 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-15
+    # a vocab covering every distinct token leaves nothing OOV
+    full = vocab_coverage(spark, SF_DIR, vocab_size=10_000).collect()
+    assert all(r["n_oov"] == 0 for r in full)
