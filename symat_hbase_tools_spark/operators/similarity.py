@@ -71,16 +71,24 @@ def brute_topk(spark: SparkSession, e: DataFrame, k: int = 5) -> DataFrame:
             self_mask = ids[:, None] == c_ids[None, :]
             sims[self_mask] = -np.inf
             kk = min(k, sims.shape[1])
-            out_q, out_c, out_s = [], [], []
-            for r in range(sims.shape[0]):
-                # deterministic top-k: by (-sim, neighbor_id)
-                order = np.lexsort((c_ids, -sims[r]))[:kk]
-                order = order[np.isfinite(sims[r][order])]
-                out_q.extend([ids[r]] * len(order))
-                out_c.extend(c_ids[order])
-                out_s.extend(sims[r][order])
+            # fully vectorized per-batch top-k (no per-query Python loop —
+            # at 10^6 broadcast queries the loop itself would dominate):
+            # argpartition selects the kk best unordered in O(batch), then a
+            # row-wise lexsort orders just those kk by (-sim, neighbor_id),
+            # the same deterministic tie-break as the final merge window.
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            top = np.take_along_axis(sims, idx, axis=1)
+            nbr = c_ids[idx]
+            order = np.lexsort((nbr, -top), axis=1)
+            top = np.take_along_axis(top, order, axis=1)
+            nbr = np.take_along_axis(nbr, order, axis=1)
+            keep = np.isfinite(top).ravel()  # drops masked self-matches
             yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_c, "sim_raw": out_s}
+                {
+                    "query_id": np.repeat(ids, kk)[keep],
+                    "neighbor_id": nbr.ravel()[keep],
+                    "sim_raw": top.ravel()[keep],
+                }
             )
 
     # a handful of fat batches: one matmul each, k rows/query/batch survive
