@@ -38,9 +38,11 @@ from pyspark.sql import functions as F
 DRIVER_UNION_FIND_MAX_EDGES = 2_000_000
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
+def _driver_union_find(pairs: DataFrame, edge_rows, id_type) -> DataFrame:
     """Union-find with path compression; union-by-min keeps every root the
-    min id of its component, matching the distributed algorithm's labels."""
+    min id of its component, matching the distributed algorithm's labels.
+    Direction- and duplicate-insensitive, so it consumes the raw pair rows
+    with no doubling/distinct pass."""
     parent: dict = {}
 
     def find(x):
@@ -51,7 +53,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in edges.collect():
+    for a, b in edge_rows:
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -62,12 +64,11 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
 
     from pyspark.sql.types import StructField, StructType
 
-    id_type = edges.schema["a"].dataType
     schema = StructType(
         [StructField("node", id_type, False), StructField("cluster", id_type, False)]
     )
     rows = [(node, find(node)) for node in parent]
-    return edges.sparkSession.createDataFrame(rows, schema)
+    return pairs.sparkSession.createDataFrame(rows, schema)
 
 
 def connected_components(
@@ -81,6 +82,19 @@ def connected_components(
 
     Output: node, cluster. Deterministic: labels are ids, min is order-free.
     """
+    # probe the size FIRST with take(N+1) on the raw pairs: if at most N
+    # come back, the single pass that produced them is the ONLY distributed
+    # work the whole closure needs — union-find is direction- and
+    # duplicate-insensitive, so the doubling union, the distinct exchange,
+    # the checkpoint materialization, and the count/collect jobs of the
+    # iterative path are all skipped. Near-dup edge lists are orders of
+    # magnitude smaller than the corpus, so even 100 TB corpora usually
+    # land here; genuinely huge graphs fall through to the loop, where the
+    # probe cost the partial scan the limit stopped early.
+    if max_driver_edges > 0:
+        sample = pairs.select(src, dst).take(max_driver_edges + 1)
+        if len(sample) <= max_driver_edges:
+            return _driver_union_find(pairs, sample, pairs.schema[src].dataType)
     # materialize the edge list ONCE: every propagation round joins against
     # it, and without the checkpoint the (possibly expensive) pair-generating
     # plan upstream — an LSH or shingle self-join — would re-run per round.
@@ -97,11 +111,6 @@ def connected_components(
     # on a few hundred rows — the same arithmetic that keeps partitions
     # right-sized when the edge list is billions of rows at corpus scale.
     n_edges = edges.count()
-    # small graph: finish on the driver. The count above already told us the
-    # size for free; below the threshold the whole closure is one collect +
-    # in-memory union-find, saving ~4 scheduled stages PER ROUND.
-    if n_edges <= max_driver_edges:
-        return _driver_union_find(edges)
     parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
     if parts < edges.rdd.getNumPartitions():
         edges = edges.coalesce(parts)
