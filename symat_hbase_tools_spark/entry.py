@@ -126,8 +126,21 @@ def kv_copy_row_bump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pretty_cells(puts, "row_key", "family", "qualifier", "ts", "value")
 
 
+def _fanout(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a small-file source across the cluster before compute-bound
+    per-row synthesis (36 struct entries per customer here): a single
+    parquet split would otherwise pin the whole map side to one core. A
+    no-op at real scale, where sources have more splits than cores."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def kv_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
-    versioned = customer_cells_versioned(load_table(spark, sf_dir, "customer"))
+    versioned = customer_cells_versioned(
+        _fanout(spark, load_table(spark, sf_dir, "customer"))
+    )
     return _pretty_cells(kv.latest_cells(versioned), "row_key", "qualifier", "ts", "value")
 
 
@@ -316,7 +329,7 @@ def kv_repair_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     authoritative unpivot)."""
     from symat_hbase_tools_spark.operators.repair import repair
 
-    auth = customer_cells(load_table(spark, sf_dir, "customer"))
+    auth = customer_cells(_fanout(spark, load_table(spark, sf_dir, "customer")))
     repaired, _ = repair(auth, _corrupted_replica(auth), REPAIR_TS)
     return _pretty_cells(kv.visible_cells(repaired), "row_key", "qualifier", "value")
 
