@@ -82,28 +82,36 @@ def connected_components(
 
     Output: node, cluster. Deterministic: labels are ids, min is order-free.
     """
-    # probe the size FIRST with take(N+1) on the raw pairs: if at most N
-    # come back, the single pass that produced them is the ONLY distributed
-    # work the whole closure needs — union-find is direction- and
-    # duplicate-insensitive, so the doubling union, the distinct exchange,
-    # the checkpoint materialization, and the count/collect jobs of the
-    # iterative path are all skipped. Near-dup edge lists are orders of
-    # magnitude smaller than the corpus, so even 100 TB corpora usually
-    # land here; genuinely huge graphs fall through to the loop, where the
-    # probe cost the partial scan the limit stopped early.
-    if max_driver_edges > 0:
-        sample = pairs.select(src, dst).take(max_driver_edges + 1)
-        if len(sample) <= max_driver_edges:
-            return _driver_union_find(pairs, sample, pairs.schema[src].dataType)
-    # materialize the edge list ONCE: every propagation round joins against
-    # it, and without the checkpoint the (possibly expensive) pair-generating
-    # plan upstream — an LSH or shingle self-join — would re-run per round.
-    edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # materialize the (expensive) pair plan ONCE and count it: union-find
+    # is direction- and duplicate-insensitive, so when the count fits the
+    # driver threshold the collect hits the cache and the doubling union,
+    # distinct exchange, checkpoint pass, and per-round stages of the
+    # iterative path never run. Near-dup edge lists are orders of magnitude
+    # smaller than the corpus, so even 100 TB corpora usually land here.
+    # (count+collect-from-cache, NOT take(N+1): take's incremental-limit
+    # execution schedules several sequential reduce jobs before concluding
+    # the limit can't be reached.)
+    from pyspark import StorageLevel
+
+    sel = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_pairs = sel.count()
+        if n_pairs <= max_driver_edges:
+            return _driver_union_find(
+                pairs, [(r["a"], r["b"]) for r in sel.collect()],
+                pairs.schema[src].dataType,
+            )
+        # big graph: build the doubled edge list from the CACHED pairs —
+        # the pair-generating plan still runs only once.
+        edges = (
+            sel.unionByName(sel.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sel.unpersist()
     # right-size the iteration: the edge list is usually MUCH smaller than
     # the corpus that produced it (near-dup pairs are rare). Counting the
     # checkpointed edges is free, and coalescing to ~1M edges/partition
