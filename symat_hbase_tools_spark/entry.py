@@ -324,14 +324,17 @@ def _corrupted_replica(cells: DataFrame) -> DataFrame:
 
 
 def kv_repair_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end replica repair: diff -> changeset -> apply; the repaired
-    visible view must equal the authoritative one (the oracle is the plain
-    authoritative unpivot)."""
-    from symat_hbase_tools_spark.operators.repair import repair
+    """End-to-end replica repair: diff -> changeset -> merge-on-read apply;
+    the repaired visible view must equal the authoritative one (the oracle is
+    the plain authoritative unpivot). Uses ``repair_visible`` (each side
+    version-resolved once, broadcast delta) — ``repair`` + a full re-resolve
+    computes the same rows with one more table-wide shuffle (pinned equal in
+    test_repair)."""
+    from symat_hbase_tools_spark.operators.repair import repair_visible
 
-    auth = customer_cells(_fanout(spark, load_table(spark, sf_dir, "customer")))
-    repaired, _ = repair(auth, _corrupted_replica(auth), REPAIR_TS)
-    return _pretty_cells(kv.visible_cells(repaired), "row_key", "qualifier", "value")
+    auth = customer_cells(load_table(spark, sf_dir, "customer"))
+    fixed = repair_visible(auth, _corrupted_replica(auth), REPAIR_TS)
+    return _pretty_cells(fixed, "row_key", "qualifier", "value")
 
 
 def kv_repair_counters(spark: SparkSession, sf_dir: str) -> DataFrame:

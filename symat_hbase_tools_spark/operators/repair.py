@@ -80,6 +80,70 @@ def repair(
     return repaired, changeset
 
 
+def repair_visible(
+    authoritative: DataFrame, replica: DataFrame, repair_ts: int
+) -> DataFrame:
+    """Repaired replica's VISIBLE view, computed merge-on-read.
+
+    Same diff→changeset→apply pipeline as ``repair`` but the apply happens at
+    read time against the replica's already-resolved visible view instead of
+    appending raw cells and re-resolving the whole table: unchanged
+    coordinates pass through, restored/backfilled coordinates take the
+    authoritative value at ``repair_ts``, extraneous coordinates drop. This
+    is the LSM "base + delta" read — each side is version-resolved ONCE, and
+    the delta join is a broadcast (divergence is rare by assumption; a
+    changeset that is a large fraction of the table should use ``repair`` +
+    a full re-resolve instead). At 100 TB that removes a full re-shuffle and
+    re-aggregate of the replica from the read path.
+
+    The two visible views are persisted because each feeds two plan branches
+    (diff + apply); Spark does not dedupe common subplans.
+    """
+    from pyspark import StorageLevel
+
+    a = (
+        visible_cells(authoritative)
+        .select(*COORD, F.col("value").alias("_a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    r = (
+        visible_cells(replica)
+        .select(*COORD, F.col("ts").alias("_rts"), F.col("value").alias("_r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    j = a.join(r.select(*COORD, "_r"), COORD, "full_outer")
+    change = (
+        F.when(F.col("_a").isNull(), "extraneous")
+        .when(F.col("_r").isNull(), "missing")
+        .when(F.col("_a") != F.col("_r"), "restore")
+    )
+    delta = (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *COORD,
+            F.when(F.col("change") == "extraneous", "Delete")
+            .otherwise("Put")
+            .alias("_dtype"),
+            F.when(F.col("change") == "extraneous", F.lit(None).cast("binary"))
+            .otherwise(F.col("_a"))
+            .alias("_dvalue"),
+        )
+    )
+    return (
+        r.join(F.broadcast(delta), COORD, "full_outer")
+        .filter(F.coalesce(F.col("_dtype"), F.lit("Put")) == "Put")
+        .select(
+            *COORD,
+            F.when(F.col("_dtype").isNull(), F.col("_rts"))
+            .otherwise(F.lit(int(repair_ts)).cast("long"))
+            .alias("ts"),
+            F.lit("Put").alias("type"),
+            F.coalesce(F.col("_dvalue"), F.col("_r")).alias("value"),
+        )
+    )
+
+
 def repair_counters(changeset: DataFrame) -> DataFrame:
     """Audit-style counter triple for a repair run (K3 analogue:
     CorruptRowsMR.java:62-66 publishes TOTAL/SUCCESS/FAILED; a repair run

@@ -9,6 +9,7 @@ from symat_hbase_tools_spark.operators.repair import (
     repair,
     repair_changeset,
     repair_counters,
+    repair_visible,
 )
 from symat_hbase_tools_spark.sources.cells import CELL_TS, customer_cells
 
@@ -63,6 +64,22 @@ def test_changeset_tags_and_counters(spark, customer):
     )
     # every Delete in the changeset carries a null value (a marker, not data)
     assert cs.filter((F.col("type") == "Delete") & F.col("value").isNotNull()).count() == 0
+
+
+def test_repair_visible_equals_apply_then_resolve(spark, customer):
+    """Merge-on-read apply (repair_visible) and append-then-re-resolve
+    (repair + visible_cells) are the same read — row-for-row, and the
+    repaired view equals the authoritative one."""
+    auth = customer_cells(customer)
+    fixed = repair_visible(auth, _replica(auth), REPAIR_TS)
+    repaired, _ = repair(auth, _replica(auth), REPAIR_TS)
+    assert _views(fixed) == _views(visible_cells(repaired))
+    assert _views(fixed) == _views(visible_cells(auth))
+    # changed coordinates surface at repair_ts; untouched ones keep their ts
+    changed = fixed.filter(F.col("ts") == REPAIR_TS).count()
+    n7 = customer.filter(F.col("c_custkey") % 7 == 0).count()
+    n11 = customer.filter(F.col("c_custkey") % 11 == 0).count()
+    assert changed == n7 + n11
 
 
 def test_repair_is_idempotent(spark, customer):
