@@ -172,6 +172,71 @@ def _pairs_from_sorted_ids(ids_col: str) -> F.Column:
     )
 
 
+def _minhash_signatures_arrow(docs: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signatures from a (doc_id, sh) table — Arrow/numpy kernel.
+
+    The shingle xxhash64 stays JVM-side (``shingle_hashes``); the 64
+    permutation-mins run as ONE numpy matrix op per Arrow batch:
+    (A·h + B) mod M over the flattened hash array, then a segmented
+    ``minimum.reduceat`` back to per-doc signatures. Bit-identical to the
+    explode → 64×min() hash aggregate (same constants, same mod — parity
+    asserted in tests) but NARROW: no explode, no exchange, signature cost
+    stays inside the scan stage. At 10^9 docs the agg formulation shuffles
+    nothing either (partial agg), but pays 64 interpreted-expression
+    evaluations per shingle row; the numpy kernel is one BLAS-shaped pass.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from symat_hbase_tools_spark.functions.text import _permutation_constants
+
+    consts = _permutation_constants(num_hashes)
+    A = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+    mask31 = (1 << 31) - 1
+
+    hashed = docs.select("doc_id", shingle_hashes(F.col("sh")).alias("hs"))
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            lens = pdf["hs"].str.len().to_numpy()
+            flat = np.concatenate(pdf["hs"].to_numpy()) & mask31
+            perms = (A * flat[None, :] + B) % mask31  # (num_hashes, n_shingles)
+            offs = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            mins = np.minimum.reduceat(perms, offs, axis=1)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": list(mins.T)})
+
+    return hashed.mapInPandas(batches, schema="doc_id long, sig array<long>")
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = NUM_HASHES, use_arrow: bool = True
+) -> DataFrame:
+    """(doc_id, sig) MinHash signatures over a (doc_id, sh) shingle table.
+
+    use_arrow=True (default): numpy segmented-min kernel, see
+    ``_minhash_signatures_arrow``. use_arrow=False: the pure-JVM explode →
+    codegen'd hash aggregate (64 min() aggs, map-side partial aggregation) —
+    same bits, kept as the no-Python-workers path and the parity witness.
+    """
+    if use_arrow:
+        return _minhash_signatures_arrow(docs, num_hashes)
+    exploded = docs.select(
+        "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("h")
+    )
+    perms = minhash_permutations(F.col("h"), num_hashes)
+    return (
+        exploded.groupBy("doc_id")
+        .agg(*[F.min(p).alias(f"m{j}") for j, p in enumerate(perms)])
+        .select(
+            "doc_id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
+        )
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -185,21 +250,7 @@ def minhash_lsh_pairs(
     # persist: the shingle table feeds the signature AND both verification
     # sides — three plan references (see _doc_shingles docstring)
     docs = _doc_shingles(spark, sf_dir, n, persist=True).filter(F.size("sh") > 0)
-    # Signature via explode -> ONE codegen'd hash aggregate (64 min() aggs,
-    # partial aggregation map-side). Each shingle is hashed once; the 64
-    # permutations are multiply-add-mods on that hash. ~20x faster than the
-    # per-row higher-order-function formulation (HOFs run interpreted).
-    exploded = docs.select(
-        "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("h")
-    )
-    perms = minhash_permutations(F.col("h"), num_hashes)
-    sig = (
-        exploded.groupBy("doc_id")
-        .agg(*[F.min(p).alias(f"m{j}") for j, p in enumerate(perms)])
-        .select(
-            "doc_id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
-        )
-    )
+    sig = minhash_signatures(docs, num_hashes)
     bands = F.array(
         *[
             F.struct(

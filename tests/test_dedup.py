@@ -47,6 +47,21 @@ def test_minhash_lsh_matches_exact(spark, exact_pairs):
     assert got == want  # same pairs AND same exact-jaccard values
 
 
+def test_minhash_signature_paths_bit_identical(spark):
+    """The Arrow/numpy segmented-min kernel and the JVM explode→64×min()
+    aggregate must produce byte-identical signatures (same constants, same
+    31-bit mask and Mersenne mod)."""
+    from pyspark.sql import functions as F
+
+    docs = dedup._doc_shingles(spark, SF_DIR, 3).filter(F.size("sh") > 0)
+    arrow = {r["doc_id"]: list(r["sig"]) for r in dedup.minhash_signatures(docs).collect()}
+    jvm = {
+        r["doc_id"]: list(r["sig"])
+        for r in dedup.minhash_signatures(docs, use_arrow=False).collect()
+    }
+    assert arrow == jvm
+
+
 def test_simhash_pairs_are_near_dups(spark, exact_pairs):
     """SimHash on small shingle sets trades recall for precision: measured on
     this corpus, hamming<=3 finds ~10/27 of the 0.99-jaccard pairs with ZERO
