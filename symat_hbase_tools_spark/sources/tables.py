@@ -2,10 +2,11 @@
 
 All tables load as plain parquet scans so Catalyst gets predicate pushdown,
 column pruning and partition-sized splits for free. The one normalization:
-``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects — we
-read it as raw long nanos (``spark.sql.legacy.parquet.nanosAsLong``) and
-convert to a microsecond TimestampType column, keeping the exact nanos in
-``ts_ns`` for consumers that need full precision.
+``events.ts`` is exposed as a UTC TimestampType column plus exact epoch-nanos
+``ts_ns``, whatever the physical parquet encoding is — legacy int64 nanos,
+timestamp[us] without UTC adjustment (Spark's TIMESTAMP_NTZ), or a plain
+UTC-adjusted timestamp. A canary test asserts this invariant so regenerated
+testdata can't silently break every time-based query again.
 """
 
 from __future__ import annotations
@@ -33,16 +34,37 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test table; normalizes events.ts nanos -> TimestampType."""
-    apply_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ts arrives as epoch nanos; keep exact nanos, expose a usable
-        # microsecond timestamp (floor division — matches DuckDB's epoch_us).
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize the events table to (``ts`` TimestampType UTC, ``ts_ns``
+    exact epoch nanos) regardless of the physical parquet encoding.
+
+    Handles three encodings the driver's generator has produced:
+    ``bigint`` (legacy int64 epoch nanos), ``timestamp_ntz`` (parquet
+    timestamp[us] without UTC adjustment — session tz is pinned UTC so a
+    plain cast is bit-exact with DuckDB's epoch_us), and plain ``timestamp``.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # keep exact nanos, expose a usable microsecond timestamp (floor
+        # division — matches DuckDB's epoch_us).
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "ts_ns", F.unix_micros("ts") * F.lit(1000)
+        )
+    elif ts_type == "timestamp":
+        df = df.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table; normalizes events.ts -> (TimestampType, ts_ns)."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_events(df)
     return df
 
 

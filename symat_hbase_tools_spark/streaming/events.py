@@ -23,11 +23,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from symat_hbase_tools_spark.session import apply_runtime_confs
+from symat_hbase_tools_spark.sources.tables import normalize_events
 
+# Fallback schema when the source parquet can't be footer-probed (e.g. a
+# Kafka deployment would declare its own). The driver's generator has shipped
+# both int64-nanos and timestamp[us] encodings for ``ts``; stream_events
+# probes the actual footer so either works.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -54,16 +59,22 @@ def _staged_dir(sf_dir: str) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as an unbounded stream (file source; Kafka in production)."""
+    """events as an unbounded stream (file source; Kafka in production).
+
+    The file stream source requires a declared schema; we footer-probe the
+    actual parquet (one metadata-only batch read, no data scan) so the stream
+    sees the same physical encoding the batch path does, then apply the same
+    ``normalize_events`` contract (ts TimestampType UTC + exact ts_ns).
+    """
+    import os
+
     apply_runtime_confs(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(_staged_dir(sf_dir))
-    )
-    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-    )
+    try:
+        phys = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    except Exception:
+        phys = EVENTS_SCHEMA
+    raw = spark.readStream.schema(phys).format("parquet").load(_staged_dir(sf_dir))
+    return normalize_events(raw)
 
 
 def tumbling_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
