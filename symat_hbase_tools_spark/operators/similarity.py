@@ -30,28 +30,52 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
 
 
+# Hard ceiling on the number of query vectors brute_topk will collect and
+# broadcast. 1M x 64 dims x 8 bytes = ~0.5 GiB broadcast — the upper edge of
+# sane. Above it the query side is NOT "a handful of items to look up", it's
+# the corpus itself, and the right plan is LSH bucketing (one shuffle on
+# bucket ids) rather than an all-pairs scan against a driver-collected matrix.
+MAX_BROADCAST_QUERIES = 1_000_000
+
+
 def knn_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors for every vector (query_id, neighbor_id, sim)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return brute_topk(spark, e, k=k)
 
 
-def brute_topk(spark: SparkSession, e: DataFrame, k: int = 5) -> DataFrame:
+def brute_topk(
+    spark: SparkSession,
+    e: DataFrame,
+    k: int = 5,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
     """Exact brute-force cosine top-k over a (vec_id, embedding) DataFrame.
 
     Distributed brute-force pattern: the QUERY side (here: the whole input —
-    assumed broadcastable, the standard case for "find neighbors of these
-    items") ships to every task as a normalized float64 matrix; candidates
-    stream through mapInPandas where one BLAS matmul per Arrow batch computes
-    all sims and a per-batch top-k prunes to k rows per query per batch; a
-    final window merges the per-batch winners. ~60x faster than the
-    per-pair higher-order-function formulation and the same shape scales to
-    10^9 candidates (candidate scan is embarrassingly parallel; the merge
-    handles batches*k*queries rows only). When the query set itself is too
-    big to broadcast, use ann_lsh_topk.
+    the standard case for "find neighbors of these items") ships to every
+    task as a normalized float64 matrix; candidates stream through
+    mapInPandas where one BLAS matmul per Arrow batch computes all sims and
+    a per-batch top-k prunes to k rows per query per batch; a final window
+    merges the per-batch winners. ~60x faster than the per-pair
+    higher-order-function formulation and the same shape scales to 10^9
+    CANDIDATES (candidate scan is embarrassingly parallel; the merge handles
+    batches*k*queries rows only).
+
+    Scale guard: the broadcast is only sane for a bounded QUERY side. The
+    count gate below (a cheap parquet-metadata count, not a collect) routes
+    anything larger than ``max_broadcast_queries`` to the LSH path — exact
+    for returned pairs, approximate in recall — instead of silently
+    attempting a full-table driver collect.
     """
     import numpy as np
     import pandas as pd
+
+    n_queries = e.count()
+    if n_queries > max_broadcast_queries:
+        base = e.select("vec_id", as_double(F.col(e.columns[1])).alias("emb"))
+        return lsh_topk_df(base, k=k)
+
     q_pdf = e.toPandas().sort_values("vec_id")
     q_ids = q_pdf["vec_id"].to_numpy()
     q_mat = np.array(q_pdf["embedding"].tolist(), dtype=np.float64)
@@ -147,7 +171,25 @@ def ann_lsh_topk(
     Candidate generation shuffles on (table, bucket) only; exact cosine
     re-ranks candidates, so reported sims are exact for returned pairs.
     """
-    base = _emb(spark, sf_dir)
+    return lsh_topk_df(
+        _emb(spark, sf_dir),
+        k=k,
+        num_planes=num_planes,
+        num_tables=num_tables,
+        multiprobe=multiprobe,
+    )
+
+
+def lsh_topk_df(
+    base: DataFrame,
+    k: int = 5,
+    num_planes: int = 4,
+    num_tables: int = 3,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """LSH top-k over a (vec_id, emb: array<double>) DataFrame — the
+    DataFrame-level core of ann_lsh_topk, also the fallback path for
+    brute_topk's over-threshold query sides."""
     for t in range(num_tables):
         base = base.withColumn(
             f"bucket_{t}", _lsh_bucket(F.col("emb"), num_planes, table=t)
@@ -197,6 +239,33 @@ def ann_lsh_topk(
     )
 
 
+# Cap on rows fed to KMeans codebook training. Coarse quantization needs a
+# representative sample, not the corpus: 16-256 centroids fitted on 200k
+# points are statistically indistinguishable from centroids fitted on 10^9.
+# The training sample is selected by a PORTABLE hash of vec_id (not
+# df.sample), so the codebook is identical regardless of partition layout —
+# same result on local[8] and a 1000-executor cluster.
+MAX_KMEANS_TRAIN_ROWS = 200_000
+
+
+def _fit_codebook(base: DataFrame, n_cells: int, seed: int):
+    """Fit the IVF coarse quantizer on a hash-capped sample; returns
+    (model, full with_vec DataFrame for assignment)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = base.withColumn("features", array_to_vector("emb"))
+    n = with_vec.count()
+    train = with_vec
+    if n > MAX_KMEANS_TRAIN_ROWS:
+        stride = -(-n // MAX_KMEANS_TRAIN_ROWS)  # ceil
+        train = with_vec.filter(
+            F.pmod(F.xxhash64(F.lit(seed), F.col("vec_id")), F.lit(stride)) == 0
+        )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    return km.fit(train), with_vec
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -214,18 +283,13 @@ def ann_ivf_topk(
 
     Scale shape: the codebook is tiny and broadcast; assignment is a narrow
     per-row argmin over n_cells centroids; the search join shuffles on cell
-    id only. Train the codebook on a sample at 100 TB (KMeans over a 1%
-    sample loses little for coarse quantization).
+    id only. The codebook trains on a portable-hash-capped sample
+    (MAX_KMEANS_TRAIN_ROWS) so training cost is constant in corpus size.
     """
     import numpy as np
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     base = _emb(spark, sf_dir)
-    with_vec = base.withColumn("features", array_to_vector("emb"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(with_vec)
+    model, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
     assigned = model.transform(with_vec).select("vec_id", "emb", "cell")
 
@@ -313,13 +377,8 @@ def build_ivf_index(
     import numpy as np
     import pandas as pd
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     base = _emb(spark, sf_dir)
-    with_vec = base.withColumn("features", array_to_vector("emb"))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(with_vec)
+    model, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
     centers = [np.asarray(c).tolist() for c in model.clusterCenters()]
     spark.createDataFrame(
         pd.DataFrame({"cell": range(n_cells), "centroid": centers})

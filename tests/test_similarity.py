@@ -137,3 +137,42 @@ def test_label_centroids_match_numpy(spark):
             assert n_vecs == len(vecs)
             # quantized mean is within half a micro-unit of the true mean
             assert abs(centroid - m[:, dim].mean()) <= 0.5e-6 + 1e-12
+
+
+def test_brute_topk_gates_oversized_query_side(spark, embeddings, monkeypatch):
+    """Over-threshold query sides must NOT be collected to the driver: the
+    guard routes to the LSH path before any toPandas happens."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    real_topandas = CDF.toPandas
+
+    def boom(self, *a, **kw):
+        raise AssertionError("driver collect attempted on over-threshold query side")
+
+    monkeypatch.setattr(CDF, "toPandas", boom)
+    e = embeddings.select("vec_id", "embedding")
+    out = similarity.brute_topk(spark, e, k=5, max_broadcast_queries=10)
+    rows = out.limit(5).collect()  # plan executes without any driver collect
+    assert len(rows) > 0
+    monkeypatch.setattr(CDF, "toPandas", real_topandas)
+    # under-threshold side still takes the exact broadcast path
+    exact = similarity.brute_topk(spark, e, k=5)
+    assert exact.count() > 0
+
+
+def test_ivf_codebook_sample_cap(spark, embeddings, monkeypatch):
+    """Codebook training never sees more than MAX_KMEANS_TRAIN_ROWS rows."""
+    from pyspark.ml.clustering import KMeans
+
+    seen = {}
+    real_fit = KMeans.fit
+
+    def spy_fit(self, dataset, *a, **kw):
+        seen["n_train"] = dataset.count()
+        return real_fit(self, dataset, *a, **kw)
+
+    monkeypatch.setattr(KMeans, "fit", spy_fit)
+    monkeypatch.setattr(similarity, "MAX_KMEANS_TRAIN_ROWS", 64)
+    out = similarity.ann_ivf_topk(spark, SF_DIR, k=5)
+    assert out.count() > 0
+    assert seen["n_train"] <= 64 + 32  # ceil-stride hash sample overshoots a little
