@@ -108,25 +108,48 @@ def _doc_shingles(
     return out
 
 
+# Default document-frequency cap for the shingle self-join. The candidate
+# pairs produced by a shingle with document frequency d grow as d^2/2 — one
+# boilerplate shingle shared by 1M docs would alone emit 5*10^11 pairs. Any
+# shingle in more than MAX_SHINGLE_DF docs is boilerplate, not signal; it is
+# dropped from BOTH the intersection and the set sizes (consistent "capped
+# Jaccard" semantics). Exactness caveat: with the cap active, pairs whose
+# similarity rests on ultra-common shingles score lower than text-book
+# Jaccard — the behavior you want for dedup, but set max_shingle_df=None for
+# the uncapped textbook definition on bounded corpora.
+MAX_SHINGLE_DF = 10_000
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact shingle-Jaccard near-dup pairs (d1 < d2, jaccard >= threshold).
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts divided in double,
-    bit-identical to the DuckDB oracle.
+    bit-identical to the DuckDB oracle (oracle parity holds because the test
+    corpora's max shingle df is far below the default cap; see MAX_SHINGLE_DF
+    for the capped-Jaccard caveat on corpora that exceed it).
     """
-    # join key = xxhash64(shingle): fixed-width long comparisons instead of
-    # string equality through the whole self-join (the hot path at scale).
-    # A key collision would need two distinct shingles in one corpus to share
-    # an xxhash64 — p < n^2 / 2^64, irrelevant even at 10^8 distinct shingles.
     sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
         "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
     )
+    return _jaccard_pairs_from_shingles(sh, threshold, max_shingle_df)
+
+
+def _jaccard_pairs_from_shingles(
+    sh: DataFrame, threshold: float, max_shingle_df: int | None
+) -> DataFrame:
+    """Jaccard pairs from an exploded (doc_id, s: long) shingle-hash table.
+
+    join key = xxhash64(shingle): fixed-width long comparisons instead of
+    string equality through the whole self-join (the hot path at scale).
+    A key collision would need two distinct shingles in one corpus to share
+    an xxhash64 — p < n^2 / 2^64, irrelevant even at 10^8 distinct shingles.
+    """
     if max_shingle_df is not None:
         hot = sh.groupBy("s").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")

@@ -117,3 +117,33 @@ def test_dup_span_census_corpus(spark):
     for r in out:
         assert 0 < r["n_dup_windows"] <= r["n_windows"]
         assert 0 < r["dup_fraction"] <= 1.0
+
+
+def test_default_cap_bounds_hot_shingle_explosion(spark):
+    """A synthetic boilerplate shingle shared by ALL docs must not emit a
+    quadratic candidate set when the default cap is active: with the cap,
+    candidates come only from the rare shingles; uncapped, the hot shingle
+    alone would produce C(60,2)=1770 intersecting pairs."""
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.operators.dedup import _jaccard_pairs_from_shingles
+
+    n_docs = 60
+    rows = []
+    for d in range(n_docs):
+        rows.append((d, 777_777))  # the hot boilerplate shingle: df = n_docs
+        rows.append((d, 1000 + d))  # a unique shingle per doc
+    # one genuine near-dup pair sharing two rare shingles
+    rows += [(0, 5001), (0, 5002), (1, 5001), (1, 5002)]
+    sh = spark.createDataFrame(rows, "doc_id long, s long")
+
+    uncapped = _jaccard_pairs_from_shingles(sh, threshold=0.0, max_shingle_df=None)
+    capped = _jaccard_pairs_from_shingles(sh, threshold=0.0, max_shingle_df=10)
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    assert n_uncapped == n_docs * (n_docs - 1) // 2  # quadratic blow-up
+    assert n_capped == 1  # only the genuine rare-shingle pair survives
+    got = capped.collect()[0]
+    assert (got["d1"], got["d2"]) == (0, 1)
+    # capped-Jaccard semantics: sizes exclude the hot shingle too (3 rare
+    # shingles each, 2 shared -> 2/4)
+    assert abs(got["jaccard"] - 0.5) < 1e-12
