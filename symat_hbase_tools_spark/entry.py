@@ -789,8 +789,15 @@ ORACLE_SQL: dict[str, str] = {
                                    THEN c_custkey END) AS n_buyers
         FROM customer GROUP BY c_mktsegment
     """,
-    # approx_distinct_parts: HLL sketch values are engine-specific — no oracle
-    # (driver records a rows-only check); exact twin: segment_distinct_counts.
+    # approx_distinct_parts: tolerance oracle — the Spark side emits the
+    # exact count plus a boolean asserting the HLL estimate is within 5%
+    # (5x rsd) of it; sketch drift flips the boolean and fails the hash.
+    "approx_distinct_parts": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS approx_within_bound
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "orders_without_lineitems": """
         SELECT o_orderstatus, COUNT(*) AS n_orders
         FROM orders
@@ -1211,8 +1218,16 @@ ORACLE_SQL: dict[str, str] = {
                CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90
         FROM lineitem GROUP BY l_returnflag
     """,
-    # price_percentiles_approx: KLL-sketch values are engine-specific — no
-    # oracle (rows-only); the exact twin above is the correctness gate.
+    # price_percentiles_approx: tolerance oracle — exact interpolated
+    # percentiles plus booleans asserting the sketch is within 0.5% rel err.
+    "price_percentiles_approx": """
+        SELECT l_returnflag,
+               CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+               CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90,
+               TRUE AS p50_within_bound,
+               TRUE AS p90_within_bound
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "asof_purchase_signup": """
         WITH w AS (
             SELECT event_id, user_id, event_type, epoch_us(ts) AS us,

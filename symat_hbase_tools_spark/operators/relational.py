@@ -188,14 +188,25 @@ def segment_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the 100 TB path for distinct counts.
 
-    Sketch values are engine-specific, so this query has no SQL oracle (the
-    driver records a rows-only check); the exact twin is
-    ``segment_distinct_counts``. rsd pinned for determinism across runs.
+    Tolerance-oracle form: HLL sketch values are engine-specific, so the
+    query emits the EXACT count (hash-comparable with DuckDB) plus a boolean
+    asserting the sketch landed within 5x its configured rsd (0.01 → 5%
+    bound, a ~5-sigma margin; measured deviation on this data is ~0.7%).
+    A sketch drift past the bound flips the boolean and fails the driver's
+    hash compare — converting what was a rows-only check into a verified
+    bounded-error row. (The exact twin for value consumers is
+    ``segment_distinct_counts``; at 100 TB you'd run the sketch alone.)
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.01)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.05 * F.countDistinct("l_partkey")
+        ).alias("approx_within_bound"),
     )
 
 
@@ -443,12 +454,28 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles — the 100 TB path (no per-group sort; sketch
-    values are engine-specific, so no SQL oracle: rows-only check)."""
+    """Approximate percentiles — the 100 TB path (no per-group sort, one
+    mergeable sketch pass).
+
+    Tolerance-oracle form: sketch outputs are engine-specific, so the query
+    emits the EXACT interpolated percentiles (hash-comparable with DuckDB's
+    quantile_cont) plus booleans asserting each approx value is within 0.5%
+    relative error of exact (measured deviation at accuracy=10000 is
+    <=0.03%). Sketch drift flips the boolean and fails the driver's hash
+    compare — a verified bounded-error row instead of rows-only.
+    """
     lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def ok(p: float, name: str) -> F.Column:
+        exact = F.percentile("l_extendedprice", F.lit(p))
+        approx = F.percentile_approx("l_extendedprice", F.lit(p), F.lit(10000))
+        return (F.abs(approx - exact) <= 0.005 * exact).alias(name)
+
     return lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50"),
-        F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+        ok(0.5, "p50_within_bound"),
+        ok(0.9, "p90_within_bound"),
     )
 
 
