@@ -35,12 +35,29 @@ def bulk_load_cells(cells: DataFrame, path: str, num_regions: int = 16) -> None:
 def region_boundaries(cells: DataFrame, num_regions: int = 16) -> list[bytes]:
     """Pre-split points (the HBase create-table SPLITS argument): row-key
     quantiles computed with a single approx-quantile pass over key hashes is
-    wrong for binary keys — sample actual keys instead."""
+    wrong for binary keys — sample actual keys instead.
+
+    The sample is selected by a deterministic per-row hash predicate — a
+    narrow map-side filter, NO global exchange (the previous
+    ``orderBy(rand()).limit(n)`` formulation full-sorted every row key to
+    pick ~1,600 of them). The filter's survivors (a few thousand rows) are
+    sorted driver-side. The sampling fraction self-sizes from a count so
+    the expected sample stays ~4x the target regardless of table size.
+    """
     n = max(num_regions * 100, 1000)
-    sample = (
-        cells.select("row").orderBy(F.rand(seed=42)).limit(n).orderBy("row").collect()
+    total = cells.count()
+    if total == 0:
+        return []
+    # hash-bucket membership: keep ~4n rows, deterministic across runs and
+    # partition layouts (same discipline as operators/sampling.py)
+    buckets = max(total // (4 * n), 1)
+    sample = sorted(
+        bytes(r["row"])
+        for r in cells.select("row")
+        .filter(F.pmod(F.xxhash64(F.lit(42), F.col("row")), F.lit(buckets)) == 0)
+        .collect()
     )
     if not sample:
         return []
     step = max(len(sample) // num_regions, 1)
-    return [bytes(r["row"]) for r in sample[step::step]][: num_regions - 1]
+    return sample[step::step][: num_regions - 1]
