@@ -79,6 +79,9 @@ def bow_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from symat_hbase_tools_spark.plans.partitioning import scan_fanout as _scan_fanout
+
+
 def _doc_shingles(
     spark: SparkSession, sf_dir: str, n: int, persist: bool = False
 ) -> DataFrame:
@@ -89,12 +92,12 @@ def _doc_shingles(
     it safe on clusters; the cached unit is the post-shingle table, which is
     the same order of size as the input text."""
     docs = load_table(spark, sf_dir, "documents")
-    # The signature/shingle math is compute-bound per row. A small corpus
-    # arrives as ONE parquet split and would pin a single core; fan out to
-    # the cluster's parallelism. (At real scale the source already has
-    # more splits than cores and this is a no-op.)
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    # The signature/shingle math is compute-bound per row: fan the scan out
+    # to one task per ~2 MB of text (capped at cluster parallelism). A small
+    # corpus collapses to few fat tasks instead of 32 near-empty ones; at
+    # real scale the source has more splits than cores and this is a no-op.
+    target = _scan_fanout(spark, docs)
+    if docs.rdd.getNumPartitions() != target:
         docs = docs.repartition(target)
     # two projections: materialize the words array, THEN shingle — keeps the
     # split out of the interpreted shingle lambda (see shingles_from_words)
@@ -379,8 +382,8 @@ def dup_span_census(
     ``nd > 1`` filter keeps, and AQE skew-join splits them.
     """
     docs = load_table(spark, sf_dir, "documents")
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    target = _scan_fanout(spark, docs)
+    if docs.rdd.getNumPartitions() != target:
         docs = docs.repartition(target)
     words = docs.withColumn("words", F.split(F.col("text"), " ")).filter(
         F.size("words") >= k

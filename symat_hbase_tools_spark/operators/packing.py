@@ -45,9 +45,16 @@ def pack_sequences(
     Output: id_col, n_tokens, start_offset (position on the token tape),
     seq_id (BIGINT). Deterministic in doc order regardless of input layout.
     """
+    from pyspark import StorageLevel
+
+    from symat_hbase_tools_spark.plans.partitioning import scan_fanout
+
     n_tok = _n_tokens(F.col(text_col)).cast("long")
     base = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
-    parts = n_partitions or base.sparkSession.sparkContext.defaultParallelism
+    # bytes-proportional range partitioning: tiny corpora collapse to one
+    # partition (no 32-task window over near-empty ranges); big corpora cap
+    # at cluster parallelism
+    parts = n_partitions or scan_fanout(base.sparkSession, docs)
     ranged = base.repartitionByRange(parts, id_col).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -56,7 +63,11 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("_local_cum", F.sum("n_tokens").over(w))
+    # persist: the windowed table feeds the per-partition totals AND the
+    # final join — without it the scan + range exchange + window run twice
+    local = ranged.withColumn("_local_cum", F.sum("n_tokens").over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # one row per partition -> exclusive prefix offsets on the driver
     totals = (
         local.groupBy("_pid").agg(F.max("_local_cum").alias("_total")).collect()

@@ -59,12 +59,29 @@ def normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
+# Scan cache: a DataFrame is an immutable logical plan, so the same
+# (session, path) scan can be handed out repeatedly. Without this, every
+# query pays file-listing + parquet-footer-schema reads (~0.1-0.7 s of
+# driver-side latency) to rebuild a plan node that cannot differ. Keyed on
+# the file's mtime so regenerated testdata invalidates naturally.
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; normalizes events.ts -> (TimestampType, ts_ns)."""
     apply_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = normalize_events(df)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (id(spark), path, mtime)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        if name == "events":
+            df = normalize_events(df)
+        _SCAN_CACHE[key] = df
     return df
 
 
