@@ -570,6 +570,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
     "q22_idle_customers": relational.q22_idle_customers,
     "price_quantity_stats": relational.price_quantity_stats,
+    # embedding-table maintenance (round 2)
+    "embedding_quantize_int8": similarity.embedding_quantize_int8,
+    "embedding_norm_histogram": similarity.embedding_norm_histogram,
 }
 
 
@@ -1624,6 +1627,36 @@ ORACLE_SQL: dict[str, str] = {
           ON a.s_suppkey < b.s_suppkey
          AND abs(length(a.s_name) - length(b.s_name)) <= 1
         WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+    # int8 quantization: floor (tie-free) keeps both engines bit-identical;
+    # the position-weighted sum pins every quantized value to its dimension
+    "embedding_quantize_int8": """
+        WITH m AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+            FROM embeddings)
+        SELECT vec_id,
+               CASE WHEN max_abs = 0 THEN 0.0
+                    ELSE max_abs / 127.0 END AS scale,
+               CASE WHEN max_abs = 0 THEN 0 ELSE
+                   list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                       / max_abs * 127.0) AS BIGINT) * i))
+               END AS q_wsum,
+               CASE WHEN max_abs = 0 THEN 0 ELSE
+                   list_sum(list_transform(embedding,
+                       x -> abs(CAST(floor(CAST(x AS DOUBLE)
+                                           / max_abs * 127.0) AS BIGINT))))
+               END AS q_l1
+        FROM m
+    """,
+    "embedding_norm_histogram": """
+        SELECT CAST(floor(sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) / 0.25)
+                   AS BIGINT) AS norm_bucket,
+               COUNT(*) AS n_vecs
+        FROM embeddings GROUP BY 1
     """,
     "doc_dedup_clusters": f"""
         WITH RECURSIVE {_SHINGLE_CTE},

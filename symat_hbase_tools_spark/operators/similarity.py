@@ -454,6 +454,61 @@ def ann_ivf_query(
     )
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4x storage cut
+    for embedding tables at corpus scale (float32 -> int8 + one float scale).
+
+    q_i = floor(v_i / max_abs * 127); scale = max_abs / 127 reconstructs
+    v_i ~ q_i * scale. floor (not round) is deliberate: floor is tie-free,
+    so Spark and the DuckDB oracle agree bit-for-bit, where half-way
+    rounding conventions could differ.
+
+    Output is verification-shaped: per vector the scale plus two exact
+    integer checksums of the quantized values — a position-weighted sum
+    (pins every q_i to its dim) and the L1 mass. All narrow per-row
+    expressions; zero shuffles except the final driver fetch.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(
+        v, lambda x, i: F.floor(x / max_abs * F.lit(127.0)).cast("long")
+    )
+    zero = F.lit(0).cast("long")
+    wsum = F.aggregate(
+        F.zip_with(q, F.sequence(F.lit(1), F.size(q)), lambda a, i: a * i),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    l1 = F.aggregate(q, zero, lambda acc, x: acc + F.abs(x))
+    return e.select(
+        "vec_id",
+        F.when(max_abs == 0.0, F.lit(0.0))
+        .otherwise(max_abs / F.lit(127.0))
+        .alias("scale"),
+        F.when(max_abs == 0.0, zero).otherwise(wsum).alias("q_wsum"),
+        F.when(max_abs == 0.0, zero).otherwise(l1).alias("q_l1"),
+    )
+
+
+def embedding_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution of the embedding table, 0.25-wide buckets —
+    the standard embedding-QA sweep (collapsed or exploded norms signal a
+    broken encoder batch). One narrow per-row expression + one tiny
+    partial-agg shuffle on the bucket id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    bucket = F.floor(norm / F.lit(0.25)).cast("long")
+    return (
+        e.select(bucket.alias("norm_bucket"))
+        .groupBy("norm_bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label class centroid (prototype vector), one row per (label, dim).
 
