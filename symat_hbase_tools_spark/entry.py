@@ -420,6 +420,32 @@ def doc_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reservoir_per_group(docs, ["lang"], ["doc_id"], n=10, seed=SAMPLE_SEED)
 
 
+def docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round-trip: export documents as JSONL, re-ingest
+    through the PERMISSIVE corrupt-record-quarantining reader, aggregate.
+    Matching the parquet-side oracle proves the round-trip is lossless and
+    nothing was quarantined."""
+    import hashlib
+    import os
+
+    from symat_hbase_tools_spark.sources.io import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        "/tmp", "symat_jsonl", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    write_documents_jsonl(docs, path)
+    good, _bad = read_documents_jsonl(spark, path)
+    return good.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+    )
+
+
 def kv_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     snap_a = customer_cells(customer)
@@ -573,6 +599,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # embedding-table maintenance (round 2)
     "embedding_quantize_int8": similarity.embedding_quantize_int8,
     "embedding_norm_histogram": similarity.embedding_norm_histogram,
+    # interchange formats (round 2)
+    "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
 }
 
 
@@ -1627,6 +1655,13 @@ ORACLE_SQL: dict[str, str] = {
           ON a.s_suppkey < b.s_suppkey
          AND abs(length(a.s_name) - length(b.s_name)) <= 1
         WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+    # jsonl round-trip: oracle reads the parquet directly — equality proves
+    # the JSONL writer+PERMISSIVE reader are lossless with zero quarantines
+    "docs_jsonl_roundtrip": """
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+               SUM(length(text)) AS sum_text_len
+        FROM documents GROUP BY lang
     """,
     # int8 quantization: floor (tie-free) keeps both engines bit-identical;
     # the position-weighted sum pins every quantized value to its dimension

@@ -69,3 +69,50 @@ def read_cells(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
             spark.read.schema(schema).option("header", True).csv(path)
         )
     raise ValueError(f"unsupported format: {fmt}")
+
+
+# -- documents-table JSONL interchange ---------------------------------------
+#
+# JSONL (one JSON object per line) is the de-facto interchange format of LLM
+# data pipelines (Common Crawl derivatives, RefinedWeb/Dolma releases, …).
+# Reading untrusted JSONL at corpus scale means malformed lines ARE expected;
+# Spark's PERMISSIVE mode quarantines them into a corrupt-record column
+# instead of failing the job, so one bad shard can't kill a 100 TB ingest.
+# JSON text splits by line, so a single huge file still fans out across the
+# cluster; there is no pushdown/pruning — convert to parquet after ingest.
+
+DOCUMENTS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def write_documents_jsonl(docs: DataFrame, path: str) -> None:
+    """Export a documents table as JSONL (gzip splits poorly; leave plain)."""
+    docs.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).json(path)
+
+
+def read_documents_jsonl(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) documents from JSONL.
+
+    good: rows matching DOCUMENTS_SCHEMA. quarantined: the raw text of every
+    malformed line (broken JSON, or a doc_id that fails to parse), kept for
+    forensics — the standard ingest contract for untrusted corpus shards.
+
+    Implementation: text source + ``from_json`` rather than the JSON
+    source's _corrupt_record column — Spark disallows plans that reference
+    ONLY the corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) unless the
+    parse is cached, and caching inside a reader is wrong at corpus scale.
+    The text source splits by line exactly like the JSON source, and
+    from_json yields NULL for unparseable lines — one narrow pass, both
+    outputs prune from the same scan.
+    """
+    raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    parsed = raw.select(
+        "value", F.from_json(F.col("value"), DOCUMENTS_SCHEMA).alias("j")
+    )
+    is_good = F.col("j").isNotNull() & F.col("j.doc_id").isNotNull()
+    good = parsed.filter(is_good).select("j.*")
+    bad = parsed.filter(~is_good).select(F.col("value").alias("raw_line"))
+    return good, bad

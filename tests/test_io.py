@@ -64,3 +64,45 @@ def test_partitioned_export_prunes(spark, customer, tmp_path):
 def test_unsupported_format(spark, customer):
     with pytest.raises(ValueError):
         cio.write_cells(customer_cells(customer), "/tmp/x", fmt="avro_nope")
+
+
+def test_jsonl_corrupt_record_quarantine(spark, tmp_path):
+    """Malformed JSONL lines land in quarantine, good lines parse — one bad
+    shard must never fail a corpus ingest."""
+    from symat_hbase_tools_spark.sources.io import read_documents_jsonl
+
+    p = tmp_path / "shard"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s", "n_chars": 11}\n'
+        "this is not json at all\n"
+        '{"doc_id": "NOT_A_NUMBER", "text": "x", "lang": "en", "source": "s", "n_chars": 1}\n'
+        '{"doc_id": 2, "text": "ok", "lang": "zh", "source": "s", "n_chars": 2}\n'
+    )
+    good, bad = read_documents_jsonl(spark, str(p))
+    good_rows = {r["doc_id"] for r in good.collect()}
+    bad_rows = [r["raw_line"] for r in bad.collect()]
+    assert good_rows == {1, 2}
+    assert len(bad_rows) == 2
+    assert any("not json" in b for b in bad_rows)
+
+
+def test_jsonl_roundtrip_query_matches_parquet(spark):
+    from symat_hbase_tools_spark.entry import QUERIES
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["lang"]: (r["n_docs"], r["sum_chars"])
+        for r in QUERIES["docs_jsonl_roundtrip"](spark, SF_DIR).collect()
+    }
+    import pyspark.sql.functions as F
+
+    want = {
+        r["lang"]: (r["n"], r["s"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    assert out == want
