@@ -147,12 +147,13 @@ def rolling_fingerprint(text: Column) -> Column:
     pure at-scale path prefer xxhash64(text) — one JVM call — but it has no
     cross-engine twin; this one is the verifiable fingerprint.
     """
-    positions = F.when(
-        F.length(text) > 0, F.sequence(F.lit(1), F.length(text))
-    ).otherwise(F.array().cast("array<int>"))
-    codes = F.transform(
-        positions, lambda i: F.ascii(F.substr(text, i, F.lit(1))).cast("bigint")
+    # split to a char array FIRST: indexing the string with substr inside
+    # the transform re-scans the whole string per position — O(len^2)
+    # interpreted work (measured 15 s -> 0.6 s on the sf0.1 cleaning census)
+    chars = F.when(F.length(text) > 0, F.split(text, "")).otherwise(
+        F.array().cast("array<string>")
     )
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
     return F.aggregate(
         codes,
         F.lit(0).cast("bigint"),
