@@ -601,6 +601,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_histogram": similarity.embedding_norm_histogram,
     # interchange formats (round 2)
     "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
+    # round-2 operators
+    "doc_pii_scrub": text_analysis.pii_scrub,
+    "events_exactly_once": relational.events_exactly_once,
+    "orders_cohort_retention": relational.orders_cohort_retention,
 }
 
 
@@ -1662,6 +1666,50 @@ ORACLE_SQL: dict[str, str] = {
         SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
                SUM(length(text)) AS sum_text_len
         FROM documents GROUP BY lang
+    """,
+    # pii scrub: counts via regexp_extract_all length; fingerprint of the
+    # scrubbed text via the same rolling-hash fold as text_doc_fingerprints
+    "doc_pii_scrub": """
+        WITH s AS (
+            SELECT doc_id, text,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\+\\d{7,15}\\b', '<PHONE>', 'g') AS scrubbed
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                   '\\+\\d{7,15}\\b')) AS BIGINT) AS n_phones,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(scrubbed) + 1),
+                           i -> CAST(ascii(substr(scrubbed, CAST(i AS INT), 1)) AS BIGINT))),
+                   (h, c) -> (h * 31 + c) % 1000000007) AS scrubbed_fp
+        FROM s
+    """,
+    "events_exactly_once": f"""
+        WITH base AS (SELECT event_id, ts, event_type, value FROM events),
+        re AS (SELECT * FROM base
+               UNION ALL
+               SELECT event_id, ts + INTERVAL 1 SECOND, event_type, value FROM base),
+        d AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rk
+              FROM re)
+        SELECT event_type, COUNT(*) AS n_events, {_money("value")} AS sum_value
+        FROM d WHERE rk = 1 GROUP BY event_type
+    """,
+    "orders_cohort_retention": """
+        WITH f AS (SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cm
+                   FROM orders GROUP BY 1)
+        SELECT strftime(f.cm, '%Y-%m') AS cohort,
+               CAST((year(o.o_orderdate) - year(f.cm)) * 12
+                    + (month(o.o_orderdate) - month(f.cm)) AS BIGINT) AS months_out,
+               COUNT(DISTINCT o.o_custkey) AS n_customers
+        FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
     """,
     # int8 quantization: floor (tie-free) keeps both engines bit-identical;
     # the position-weighted sum pins every quantized value to its dimension

@@ -242,6 +242,66 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once -> exactly-once ingest dedup (batch twin).
+
+    Simulates redelivery by unioning the stream with a copy of itself
+    arriving 1 second later (same event_id — the idempotency key), then
+    keeps the FIRST delivery per key: one window over (event_id), ordered
+    by arrival time. The streaming twin is
+    ``streaming.events.dedup_within_watermark`` (dropDuplicatesWithinWatermark),
+    whose state store holds only the watermark horizon of keys — the
+    standard Kafka-consumer idempotency pattern. Output aggregates so the
+    oracle is insensitive to row order: per event_type, surviving count and
+    exact value sum, which equal the ORIGINAL stream's (proof every
+    duplicate died).
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("event_id", "ts", "event_type", "value")
+    redelivered = base.unionByName(
+        base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+    )
+    w = Window.partitionBy("event_id").orderBy("ts")
+    deduped = (
+        redelivered.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum(F.col("value"), "sum_value"),
+    )
+
+
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month; for each
+    (cohort, months-since-first) cell, how many distinct customers ordered.
+
+    Shape: one agg for first-order month (partial agg on o_custkey), join
+    back (broadcast — cohort table is |customers|, prunable to two
+    columns), then the retention agg on (cohort, offset). At 100 TB
+    both aggs are partial-agg shuffles on narrow keys; nothing driver-side.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    first = orders.groupBy("o_custkey").agg(F.min(month).alias("cohort_month"))
+    return (
+        orders.join(first, "o_custkey")
+        .select(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+            (
+                (F.year(month) - F.year("cohort_month")) * 12
+                + (F.month(month) - F.month("cohort_month"))
+            )
+            .cast("bigint")
+            .alias("months_out"),
+            "o_custkey",
+        )
+        .groupBy("cohort", "months_out")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
 def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-window surface: decile (ntile), percent_rank, cume_dist
     over account balance. One shuffle (single window spec, unique-key

@@ -355,3 +355,41 @@ def vocab_coverage(spark: SparkSession, sf_dir: str, vocab_size: int = 10) -> Da
             ),
         )
     )
+
+
+# PII patterns kept to RE2-compatible constructs (char classes, bounded
+# repetition, \b) so Spark's Java regex and DuckDB's RE2 agree exactly.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_INTL_PHONE = r"\+\d{7,15}\b"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction census — the audit a corpus runs before release.
+
+    Per document: match counts per PII class (emails, IPv4 literals,
+    international phone numbers) and the rolling fingerprint of the REDACTED
+    text (each match replaced by a typed token), so the oracle verifies the
+    scrubbed bytes, not just the counts. All narrow per-row regex
+    expressions — at 100 TB this is a pure map stage, no shuffle at all
+    until the driver fetch.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_INTL_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_IPV4)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(F.col("text"), F.lit(PII_INTL_PHONE))
+        .cast("bigint")
+        .alias("n_phones"),
+        rolling_fingerprint(scrubbed).alias("scrubbed_fp"),
+    )
