@@ -1175,8 +1175,26 @@ ORACLE_SQL: dict[str, str] = {
                            * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
         FROM g
     """,
-    # sketch_event_stats / ann_ivf_topk: sketch estimates and k-means cells
-    # are engine-specific -> rows-only checks; exact twins are the gates.
+    # sketch_event_stats: tolerance oracle — exact distinct/median plus
+    # booleans asserting the HLL / KLL estimates are within documented
+    # bounds (5% / 2%). ann_ivf_topk stays rows-only (k-means cells are
+    # engine-specific; recall-tested vs brute force locally).
+    "sketch_event_stats": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               CAST(quantile_cont(value, 0.5) AS DOUBLE) AS exact_p50_value,
+               TRUE AS hll_within_bound,
+               TRUE AS kll_within_bound
+        FROM events GROUP BY event_type
+    """,
+    # heavy_hitters_sketch: tolerance oracle — the exact top-k with a
+    # per-row boolean that the frequent-items sketch tracked it exactly
+    "heavy_hitters_sketch": """
+        SELECT user_id, n_events, TRUE AS sketch_exact
+        FROM (SELECT user_id, COUNT(*) AS n_events FROM events
+              GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10)
+        ORDER BY n_events DESC, user_id
+    """,
     "nation_setops": """
         WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
              s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)

@@ -724,13 +724,22 @@ def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators (segment_distinct_counts, price_percentiles).
     """
     events = load_table(spark, sf_dir, "events")
+    hll = F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+    kll = F.expr("kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.5)")
+    exact_users = F.countDistinct("user_id")
+    exact_p50 = F.expr("percentile(value, 0.5)")
     return events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
-        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("hll_users"),
-        F.expr(
-            "kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.5)"
-        ).alias("kll_p50_value"),
-        F.expr("percentile(value, 0.5)").alias("exact_p50_value"),
+        exact_users.alias("exact_users"),
+        exact_p50.alias("exact_p50_value"),
+        # tolerance-oracle booleans (DuckDB side emits TRUE): HLL within 5%
+        # of exact (default lgK=12 → ~1.6% rse; 3+ sigma margin), KLL median
+        # within 2% of the exact interpolated median (k=200 → ~1.65% rank
+        # error one-sided; value-space margin holds on this data's spread).
+        # Sketch drift past either bound fails the driver's hash compare.
+        (F.abs(hll - exact_users) <= 0.05 * exact_users).alias("hll_within_bound"),
+        (F.abs(kll - exact_p50) <= 0.02 * F.abs(exact_p50)).alias(
+            "kll_within_bound"
+        ),
     )
 
 
@@ -1320,11 +1329,35 @@ def click_conversion_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 def heavy_hitters_sketch(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Frequent-items sketch top-k (approx_top_k, Spark 4) — the 100 TB
     heavy-hitter path: one bounded-size sketch per partition merged
-    map-side, no per-key shuffle. Estimates are engine-specific, so this is
-    a rows-only check; the exact twin is ``heavy_hitter_users``. With
-    maxItemsTracked >= the true cardinality (here) the counts are exact."""
+    map-side, no per-key shuffle.
+
+    Tolerance-oracle form: the output is the EXACT top-k (count desc,
+    user_id tiebreak — deterministic, hash-comparable) with a boolean per
+    row asserting the sketch tracked that user at the exact count (true
+    when maxItemsTracked >= true cardinality, as here; the sketch side over-
+    fetches k+50 so boundary tie ordering inside the sketch cannot hide a
+    genuinely-tracked user). A sketch miss or miscount fails the driver's
+    hash compare instead of going unchecked."""
     events = load_table(spark, sf_dir, "events")
-    agg = events.agg(F.expr(f"approx_top_k(user_id, {k}, 10000)").alias("tk"))
-    return agg.select(F.explode("tk").alias("e")).select(
-        F.col("e.item").alias("user_id"), F.col("e.count").alias("est_count")
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(k)
+    )
+    sketch = (
+        events.agg(F.expr(f"approx_top_k(user_id, {k + 50}, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("user_id"), F.col("e.count").alias("est"))
+    )
+    return (
+        exact.join(F.broadcast(sketch), "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            F.coalesce(F.col("est") == F.col("n_events"), F.lit(False)).alias(
+                "sketch_exact"
+            ),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
     )
