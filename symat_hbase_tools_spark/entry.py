@@ -605,6 +605,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_scrub": text_analysis.pii_scrub,
     "events_exactly_once": relational.events_exactly_once,
     "orders_cohort_retention": relational.orders_cohort_retention,
+    "ann_lsh_recall_check": similarity.ann_lsh_recall_check,
+    "ann_ivf_recall_check": similarity.ann_ivf_recall_check,
 }
 
 
@@ -1718,6 +1720,16 @@ ORACLE_SQL: dict[str, str] = {
               FROM re)
         SELECT event_type, COUNT(*) AS n_events, {_money("value")} AS sum_value
         FROM d WHERE rk = 1 GROUP BY event_type
+    """,
+    # ann recall checks: bounded-quality tolerance oracles (same pattern as
+    # the sketch queries) — the floor boolean is the cross-engine claim
+    "ann_lsh_recall_check": """
+        SELECT 'lsh' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
+        FROM embeddings
+    """,
+    "ann_ivf_recall_check": """
+        SELECT 'ivf' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
+        FROM embeddings
     """,
     "orders_cohort_retention": """
         WITH f AS (SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cm

@@ -534,6 +534,46 @@ def ann_ivf_query(
     )
 
 
+#: recall floor the ANN check queries assert. A SMOKE floor (an ANN path
+#: that drops below half the true neighbors is broken), not a quality
+#: target — measured recall is 0.6-0.75 for LSH and 0.5-0.8 for IVF across
+#: the test scale factors.
+ANN_RECALL_FLOOR = 0.5
+
+
+def _ann_recall_check(
+    spark: SparkSession, sf_dir: str, method: str, ann: DataFrame, k: int = 5
+) -> DataFrame:
+    """One-row bounded-quality check: recall@k of ``ann`` vs exact brute
+    force, floor-asserted. The boolean (not the raw recall, which is
+    engine/plane specific) is what the DuckDB oracle confirms — the same
+    tolerance-oracle pattern as the sketch queries."""
+    exact = knn_cosine_topk(spark, sf_dir, k=k)
+    hits = ann.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    stats = hits.agg(F.count(F.lit(1)).alias("n_hits")).crossJoin(
+        exact.agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return stats.select(
+        F.lit(method).alias("method"),
+        (F.col("n_true") / F.lit(k)).cast("bigint").alias("n_queries"),
+        (F.col("n_hits") >= F.lit(ANN_RECALL_FLOOR) * F.col("n_true")).alias(
+            "recall_ok"
+        ),
+    )
+
+
+def ann_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_check(
+        spark, sf_dir, "lsh", ann_lsh_topk(spark, sf_dir, k=5)
+    )
+
+
+def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_check(
+        spark, sf_dir, "ivf", ann_ivf_topk(spark, sf_dir, k=5)
+    )
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization — the standard 4x storage cut
     for embedding tables at corpus scale (float32 -> int8 + one float scale).
