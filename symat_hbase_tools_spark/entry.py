@@ -607,6 +607,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_cohort_retention": relational.orders_cohort_retention,
     "ann_lsh_recall_check": similarity.ann_lsh_recall_check,
     "ann_ivf_recall_check": similarity.ann_ivf_recall_check,
+    "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
+    "embedding_near_dup_lsh_check": similarity.embedding_near_dup_lsh_check,
 }
 
 
@@ -1730,6 +1732,13 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_recall_check": """
         SELECT 'ivf' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
         FROM embeddings
+    """,
+    # embedding_near_dup_lsh itself is rows-only (bucket collisions are
+    # plane-seed specific); the oracle'd claim is the planted-duplicate
+    # coverage check: every vector gets a jittered clone, >=95% of the
+    # planted pairs must be recovered at threshold 0.99
+    "embedding_near_dup_lsh_check": """
+        SELECT COUNT(*) AS n_planted, TRUE AS coverage_ok FROM embeddings
     """,
     "orders_cohort_retention": """
         WITH f AS (SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cm

@@ -439,6 +439,114 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    num_planes: int | None = None,
+    num_tables: int = 3,
+) -> DataFrame:
+    """Embedding near-dup pairs via LSH blocking — the UNBLOCKED scale path
+    (no label assumption, unlike ``embedding_near_dup_pairs``).
+
+    Candidates = pairs colliding in ANY table's bucket; exact cosine
+    (Arrow batch) filters to >= threshold. The self-join shuffles on
+    (table, bucket) only; adaptive plane count keeps bucket occupancy — and
+    therefore per-bucket pair volume — flat as the corpus grows. High-sim
+    pairs collide with prob 1-(1-p^planes)^tables, p = 1 - angle/pi; the
+    coverage floor vs the exact path is asserted by
+    ``embedding_near_dup_lsh_check`` and the recall test.
+    """
+    base = _emb(spark, sf_dir)
+    return near_dup_lsh_df(
+        base, threshold=threshold, num_planes=num_planes, num_tables=num_tables
+    )
+
+
+def near_dup_lsh_df(
+    base: DataFrame,
+    threshold: float,
+    num_planes: int | None = None,
+    num_tables: int = 3,
+) -> DataFrame:
+    """LSH near-dup core over a (vec_id, emb: array<double>) DataFrame."""
+    if num_planes is None:
+        num_planes = _adaptive_planes(base.count())
+    with_buckets = _lsh_buckets_arrow(base, num_planes, num_tables)
+    buckets = with_buckets.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("b")
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = buckets.select(
+        "bucket", F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    b = buckets.select(
+        "bucket", F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ce")
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return (
+        _batch_cosine(pairs)
+        .select(
+            F.col("query_id").alias("d1"),
+            F.col("neighbor_id").alias("d2"),
+            F.round("sim_raw", 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+#: vec_id offset for planted duplicates in the LSH near-dup check
+_PLANT_OFFSET = 10_000_000
+
+
+def embedding_near_dup_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-duplicate coverage check for the LSH near-dup path.
+
+    The synthetic corpus contains no true near-dups (max within-label cosine
+    < 0.8), so a native high-threshold check would be vacuous. Instead every
+    vector gets a deterministically-jittered clone (first component +0.01 →
+    cosine ~0.999); the LSH path at threshold 0.99 must recover >= 95% of
+    the planted (original, clone) pairs. Sign-LSH collision probability for
+    a ~1-degree angle is (1-θ/π)^planes ≈ 0.97/table before multiprobe, so
+    3 tables push expected misses below 1e-3 — a real detector test, where
+    sub-0.5-cosine "near dups" (which no curation pipeline blocks on) are
+    fundamentally outside sign-LSH's operating range.
+    One row: n_planted (hash-comparable = table count) + coverage boolean.
+    """
+    base = _emb(spark, sf_dir)
+    clone = base.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("emb", 1) + F.lit(0.01)),
+            F.slice("emb", 2, DIM - 1),
+        ).alias("emb"),
+    )
+    lsh = near_dup_lsh_df(base.unionByName(clone), threshold=0.99)
+    planted_found = lsh.filter(F.col("d2") == F.col("d1") + _PLANT_OFFSET)
+    return (
+        base.agg(F.count(F.lit(1)).alias("n_planted"))
+        .crossJoin(planted_found.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(
+            "n_planted",
+            (F.col("n_found") >= 0.95 * F.col("n_planted")).alias("coverage_ok"),
+        )
+    )
+
+
 # -- persistent IVF index (build once / query many) --------------------------
 
 
