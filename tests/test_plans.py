@@ -230,3 +230,46 @@ def test_q21_semi_and_anti_joins(spark):
     plan = plan_string(relational.q21_waiting_suppliers(spark, SF_DIR), "simple")
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_scan_fanout_is_bytes_proportional(spark):
+    """Partition right-sizing: tiny file-backed sources collapse to ONE task
+    (not 32 near-empty ones); the count scales with bytes and caps at
+    cluster parallelism."""
+    from symat_hbase_tools_spark.plans.partitioning import scan_fanout
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = scan_fanout(spark, docs)
+    assert 1 <= n <= spark.sparkContext.defaultParallelism
+    # sf0.001 documents is well under one 2 MB task's worth of bytes
+    assert n == 1
+    # non-file-backed input: size unknown -> full parallelism, never guess 1
+    mem = spark.range(10).toDF("x")
+    assert scan_fanout(spark, mem) == spark.sparkContext.defaultParallelism
+
+
+def test_pii_scrub_is_map_only(spark):
+    """PII census must stay a pure map stage: no Exchange anywhere in the
+    plan (the 100 TB contract for per-row regex audits)."""
+    from symat_hbase_tools_spark.operators import text_analysis
+
+    plan = plan_string(text_analysis.pii_scrub(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_quantize_int8_is_map_only(spark):
+    from symat_hbase_tools_spark.operators import similarity
+
+    plan = plan_string(similarity.embedding_quantize_int8(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_cohort_retention_broadcasts_cohort_dim(spark):
+    """The join back to first-order months must not shuffle the fact side
+    at test scale: AQE or the planner picks a broadcast for the small
+    cohort dim."""
+    df = relational.orders_cohort_retention(spark, SF_DIR)
+    df.count()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
