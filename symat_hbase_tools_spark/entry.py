@@ -420,6 +420,42 @@ def doc_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reservoir_per_group(docs, ["lang"], ["doc_id"], n=10, seed=SAMPLE_SEED)
 
 
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe two-phase aggregation over events (operators/skew.py):
+    per-(event_type, salt) partials re-combined per event_type. Matching
+    the plain GROUP BY oracle proves salting is semantics-preserving — at
+    100 TB this is the shape that keeps one viral key off a single reducer
+    when the per-key aggregation state itself is too big (collect/percentile
+    buffers), which AQE's join-only skew splitting cannot help with.
+    """
+    from symat_hbase_tools_spark.operators.relational import _MICROS, _SPLIT
+    from symat_hbase_tools_spark.operators.skew import salted_aggregate
+
+    events = load_table(spark, sf_dir, "events")
+    m = F.round(F.col("value") * _MICROS).cast("long")
+    lo = F.pmod(m, F.lit(_SPLIT).cast("long"))
+    hi = ((m - lo) / _SPLIT).cast("long")
+    return salted_aggregate(
+        events.select("event_type", "user_id", "value"),
+        ["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(hi).alias("_hi"),
+            F.sum(lo).alias("_lo"),
+        ],
+        final_aggs=[
+            F.sum("_n").alias("n_events"),
+            (
+                (
+                    F.sum("_hi").cast("double") * float(_SPLIT)
+                    + F.sum("_lo").cast("double")
+                )
+                / float(_MICROS)
+            ).alias("sum_value"),
+        ],
+    )
+
+
 def docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL interchange round-trip: export documents as JSONL, re-ingest
     through the PERMISSIVE corrupt-record-quarantining reader, aggregate.
@@ -602,6 +638,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # interchange formats (round 2)
     "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
     # round-2 operators
+    "events_salted_agg": events_salted_agg,
     "doc_pii_scrub": text_analysis.pii_scrub,
     "events_exactly_once": relational.events_exactly_once,
     "orders_cohort_retention": relational.orders_cohort_retention,
@@ -1712,6 +1749,12 @@ ORACLE_SQL: dict[str, str] = {
                            i -> CAST(ascii(substr(scrubbed, CAST(i AS INT), 1)) AS BIGINT))),
                    (h, c) -> (h * 31 + c) % 1000000007) AS scrubbed_fp
         FROM s
+    """,
+    # salted agg: the oracle is the PLAIN group-by — equality proves the
+    # two-phase salted rewrite is semantics-preserving
+    "events_salted_agg": f"""
+        SELECT event_type, COUNT(*) AS n_events, {_money("value")} AS sum_value
+        FROM events GROUP BY event_type
     """,
     "events_exactly_once": f"""
         WITH base AS (SELECT event_id, ts, event_type, value FROM events),
