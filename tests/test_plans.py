@@ -232,18 +232,18 @@ def test_q21_semi_and_anti_joins(spark):
     assert "LeftAnti" in plan, plan
 
 
-def test_scan_fanout_is_bytes_proportional(spark):
+def test_scan_fanout_is_bytes_proportional(spark, tmp_path):
     """Partition right-sizing: tiny file-backed sources collapse to ONE task
     (not 32 near-empty ones); the count scales with bytes and caps at
-    cluster parallelism."""
+    cluster parallelism. Uses a dedicated parquet (not the shared fixtures,
+    whose .cache() turns the scan into an in-memory relation with no input
+    files — that path correctly falls back to full parallelism)."""
     from symat_hbase_tools_spark.plans.partitioning import scan_fanout
-    from symat_hbase_tools_spark.sources.tables import load_table
 
-    docs = load_table(spark, SF_DIR, "documents")
-    n = scan_fanout(spark, docs)
-    assert 1 <= n <= spark.sparkContext.defaultParallelism
-    # sf0.001 documents is well under one 2 MB task's worth of bytes
-    assert n == 1
+    p = str(tmp_path / "tiny")
+    spark.range(100).toDF("x").coalesce(1).write.parquet(p)
+    tiny = spark.read.parquet(p)
+    assert scan_fanout(spark, tiny) == 1
     # non-file-backed input: size unknown -> full parallelism, never guess 1
     mem = spark.range(10).toDF("x")
     assert scan_fanout(spark, mem) == spark.sparkContext.defaultParallelism
