@@ -646,6 +646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall_check": similarity.ann_ivf_recall_check,
     "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
     "embedding_near_dup_lsh_check": similarity.embedding_near_dup_lsh_check,
+    "dedup_simhash_portable": dedup.simhash_portable_pairs,
 }
 
 
@@ -699,6 +700,46 @@ _SHINGLE_CTE = """
                        JOIN sizes s2 ON d2 = s2.doc_id)
 """
 _JACCARD_SQL = f"WITH {_SHINGLE_CTE} SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5"
+
+
+def _simhash_portable_sql(max_hamming: int = 3) -> str:
+    """Generated DuckDB twin of dedup.simhash_portable_pairs: md5-derived
+    64-bit hash as two 32-bit halves, per-bit ±1 votes, 4x16-bit band
+    blocking, bit_count(xor) hamming. 64 vote columns are generated here
+    rather than hand-written."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{h}_{j}"
+        for h in ("lo", "hi")
+        for j in range(32)
+    )
+    fp = {
+        h: " + ".join(
+            f"(CASE WHEN v{h}_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+            for j in range(32)
+        )
+        for h in ("lo", "hi")
+    }
+    return f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        sh0 AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 1)),
+                    i -> w[i] || '|' || w[i+1] || '|' || w[i+2]) shl FROM t),
+        sh AS (SELECT DISTINCT doc_id, unnest(shl) s FROM sh0),
+        h AS (SELECT doc_id,
+                     ('0x' || substr(md5(s), 1, 8))::BIGINT AS hi,
+                     ('0x' || substr(md5(s), 9, 8))::BIGINT AS lo
+              FROM sh),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+        f AS (SELECT doc_id, {fp['lo']} AS fp_lo, {fp['hi']} AS fp_hi FROM v),
+        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+                          + bit_count(xor(a.fp_hi, b.fp_hi)) AS BIGINT) AS hamming
+              FROM f a JOIN f b ON a.doc_id < b.doc_id
+              AND ((a.fp_lo & 65535) = (b.fp_lo & 65535)
+                   OR ((a.fp_lo >> 16) & 65535) = ((b.fp_lo >> 16) & 65535)
+                   OR (a.fp_hi & 65535) = (b.fp_hi & 65535)
+                   OR ((a.fp_hi >> 16) & 65535) = ((b.fp_hi >> 16) & 65535)))
+        SELECT d1, d2, hamming FROM p WHERE hamming <= {max_hamming}
+    """
 
 # exact integer-micros money sum, hi/lo-split longs — mirrors
 # relational.money_sum_expr term for term (see its docstring)
@@ -1386,6 +1427,9 @@ ORACLE_SQL: dict[str, str] = {
     # the exact-jaccard SQL is its oracle too. dedup_simhash / ann_lsh_topk
     # have no cross-engine twin (xxhash64 family) -> rows-only checks.
     "dedup_minhash_lsh": _JACCARD_SQL,
+    # simhash over a PORTABLE md5-derived hash — the full cross-engine
+    # verification twin of the (xxhash64, rows-only) dedup_simhash
+    "dedup_simhash_portable": _simhash_portable_sql(),
     # doc_dup_spans: the window hash is engine-internal (Spark xxhash64,
     # DuckDB md5) — only the grouping must agree, and it does because both
     # hash the identical space-joined 20-token window strings.

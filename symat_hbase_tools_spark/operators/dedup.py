@@ -420,3 +420,96 @@ def dup_span_census(
             ).alias("dup_fraction"),
         )
     )
+
+
+def simhash_portable_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 3, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs over a PORTABLE hash — full cross-engine oracle.
+
+    Same algorithm as ``simhash_pairs`` (per-bit ±1 votes, 4x16-bit band
+    blocking, exhaustive for hamming <= 3 by pigeonhole) but the per-shingle
+    hash is the first 64 bits of md5 — computable bit-identically in DuckDB
+    (``('0x'||substr(md5(s),1,8))::BIGINT``) — handled as two 32-bit halves
+    so no intermediate ever overflows a signed 64-bit in either engine.
+    ``simhash_pairs`` (xxhash64) stays the fast engine path: one hash call
+    vs md5's ~3x cost; THIS variant is the verification twin that makes the
+    simhash family oracle-checkable end-to-end. Output: (d1, d2, hamming).
+    """
+    docs = _doc_shingles(spark, sf_dir, n).filter(F.size("sh") > 0)
+
+    # Fingerprints via an Arrow kernel: the expression-tree formulation (64
+    # vote aggregates + 2x32-term assembly) costs ~7 s of WHOLE-STAGE
+    # CODEGEN COMPILATION alone — a per-plan constant, data-size
+    # independent. hashlib.md5 in Python is bit-identical to both engines'
+    # md5, and the numpy vote fold is one pass per batch.
+    def fp_kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        jbits = np.arange(32, dtype=np.uint64)
+        for pdf in batches:
+            ids, lows, highs = [], [], []
+            for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
+                if len(sh) == 0:
+                    continue
+                dig = [hashlib.md5(s.encode("utf-8")).digest() for s in sh]
+                hi = np.array(
+                    [int.from_bytes(d[0:4], "big") for d in dig], dtype=np.uint64
+                )
+                lo = np.array(
+                    [int.from_bytes(d[4:8], "big") for d in dig], dtype=np.uint64
+                )
+                votes_lo = (
+                    ((lo[:, None] >> jbits) & 1).astype(np.int64) * 2 - 1
+                ).sum(0)
+                votes_hi = (
+                    ((hi[:, None] >> jbits) & 1).astype(np.int64) * 2 - 1
+                ).sum(0)
+                lows.append(int(((votes_lo > 0).astype(np.uint64) << jbits).sum()))
+                highs.append(int(((votes_hi > 0).astype(np.uint64) << jbits).sum()))
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "fp_lo": lows, "fp_hi": highs})
+
+    from pyspark import StorageLevel
+
+    # persist: one 24-byte row per doc, referenced by BOTH sides of the
+    # band self-join — without it the shingle+md5+vote pipeline runs twice
+    fps = docs.mapInPandas(
+        fp_kernel, schema="doc_id long, fp_lo long, fp_hi long"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mask = F.lit(0xFFFF).cast("long")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col(c), s).bitwiseAND(mask).alias("bh"),
+            )
+            for i, (c, s) in enumerate(
+                [("fp_lo", 0), ("fp_lo", 16), ("fp_hi", 0), ("fp_hi", 16)]
+            )
+        ]
+    )
+    buckets = fps.select(
+        "doc_id", "fp_lo", "fp_hi", F.explode(bands).alias("bb")
+    ).select(
+        "doc_id", "fp_lo", "fp_hi",
+        F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(
+        F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo"))
+    ) + F.bit_count(F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi")))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
