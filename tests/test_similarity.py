@@ -176,3 +176,29 @@ def test_ivf_codebook_sample_cap(spark, embeddings, monkeypatch):
     out = similarity.ann_ivf_topk(spark, SF_DIR, k=5)
     assert out.count() > 0
     assert seen["n_train"] <= 64 + 32  # ceil-stride hash sample overshoots a little
+
+
+def test_int8_quantization_reconstruction_bound(spark, embeddings):
+    """floor-quantization property: |v - q*scale| < scale for every
+    component (one quantization step), verified against numpy ground truth
+    recomputed from the checksums' definition."""
+    from pyspark.sql import functions as F
+
+    out = {
+        r["vec_id"]: (r["scale"], r["q_wsum"], r["q_l1"])
+        for r in similarity.embedding_quantize_int8(spark, SF_DIR).collect()
+    }
+    pdf = embeddings.select("vec_id", "embedding").toPandas()
+    for vec_id, emb in zip(pdf["vec_id"], pdf["embedding"]):
+        v = np.asarray(emb, dtype=np.float64)
+        max_abs = np.abs(v).max()
+        scale, wsum, l1 = out[int(vec_id)]
+        if max_abs == 0:
+            assert (scale, wsum, l1) == (0.0, 0, 0)
+            continue
+        q = np.floor(v / max_abs * 127.0).astype(np.int64)
+        assert abs(scale - max_abs / 127.0) < 1e-12
+        assert wsum == int((q * np.arange(1, len(q) + 1)).sum())
+        assert l1 == int(np.abs(q).sum())
+        # reconstruction error bounded by one quantization step
+        assert np.all(np.abs(v - q * scale) <= scale + 1e-12)
