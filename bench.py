@@ -119,9 +119,15 @@ def run_duckdb_baseline() -> dict:
     for name in HEADLINE:
         if name not in ORACLE_SQL:
             continue
-        t0 = time.perf_counter()
-        con.execute(ORACLE_SQL[name]).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # same steady-state protocol as the engine side: best of 2 repeats
+        # (OS page cache + DuckDB object cache warm) so the comparison is
+        # warm-vs-warm, not engine-warm-vs-duckdb-cold
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(ORACLE_SQL[name]).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# duckdb {name}: {timings[name]:.3f}s", file=sys.stderr)
     return timings
 
