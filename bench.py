@@ -66,8 +66,13 @@ def run_spark() -> tuple[dict, dict]:
     from symat_hbase_tools_spark.session import get_spark
 
     spark = get_spark("symat-bench", cpus=CPUS)
-    # warm-up: JVM + codegen + parquet footer caches out of the timings
+    # warm-up: JVM + codegen + parquet footer caches out of the timings,
+    # and one trivial mapInPandas to spin up the Python worker pool (worker
+    # fork/import cost is session startup, not any one query's work)
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(int(CPUS) * 4).repartition(int(CPUS)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
     QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001").collect()
 
     # Two regimes, both reported:
