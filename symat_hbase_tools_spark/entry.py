@@ -647,6 +647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
     "embedding_near_dup_lsh_check": similarity.embedding_near_dup_lsh_check,
     "dedup_simhash_portable": dedup.simhash_portable_pairs,
+    "dedup_incremental": dedup.incremental_dedup,
 }
 
 
@@ -1430,6 +1431,45 @@ ORACLE_SQL: dict[str, str] = {
     # simhash over a PORTABLE md5-derived hash — the full cross-engine
     # verification twin of the (xxhash64, rows-only) dedup_simhash
     "dedup_simhash_portable": _simhash_portable_sql(),
+    # incremental dedup: new batch (doc_id % 10 = 0) vs corpus only —
+    # exact by normalized md5, near by one-sided shingle jaccard
+    "dedup_incremental": r"""
+        WITH norm AS (SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents),
+        exact AS (SELECT n.doc_id, MIN(c.doc_id) AS exact_match
+                  FROM (SELECT * FROM norm WHERE doc_id % 10 = 0) n
+                  JOIN (SELECT * FROM norm WHERE doc_id % 10 <> 0) c USING (fp)
+                  GROUP BY n.doc_id),
+        t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        sh0 AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 1)),
+                    i -> w[i] || '|' || w[i+1] || '|' || w[i+2]) shl FROM t),
+        sh AS (SELECT DISTINCT doc_id, unnest(shl) s FROM sh0),
+        sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id, b.doc_id AS c_doc, COUNT(*) i
+                  FROM sh a JOIN sh b USING (s)
+                  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+                  GROUP BY 1, 2),
+        jac AS (SELECT doc_id, c_doc, i / (s1.n + s2.n - i) AS jaccard
+                FROM inter JOIN sizes s1 USING (doc_id)
+                           JOIN sizes s2 ON c_doc = s2.doc_id
+                WHERE i / (s1.n + s2.n - i) >= 0.5),
+        near AS (SELECT doc_id, c_doc AS near_match,
+                        round(jaccard, 6) AS best_jaccard
+                 FROM (SELECT *, row_number() OVER (
+                           PARTITION BY doc_id ORDER BY jaccard DESC, c_doc
+                       ) AS rk FROM jac)
+                 WHERE rk = 1)
+        SELECT d.doc_id,
+               CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+                    WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+                    ELSE 'unique' END AS verdict,
+               COALESCE(e.exact_match, nr.near_match) AS match_doc,
+               COALESCE(nr.best_jaccard, 0.0) AS best_jaccard
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        LEFT JOIN exact e USING (doc_id)
+        LEFT JOIN near nr USING (doc_id)
+    """,
     # doc_dup_spans: the window hash is engine-internal (Spark xxhash64,
     # DuckDB md5) — only the grouping must agree, and it does because both
     # hash the identical space-joined 20-token window strings.

@@ -513,3 +513,80 @@ def simhash_portable_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def incremental_dedup(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the nightly-ingest shape.
+
+    New documents (modeled as doc_id % 10 == 0) are checked against the
+    EXISTING corpus (the rest) only: exact duplicates by normalized md5
+    anti-semantics, near-duplicates by shingle Jaccard restricted to
+    (new x corpus) pairs — never corpus x corpus, which is the whole point:
+    incremental cost is O(|batch| x avg-postings), not O(|corpus|^2).
+    At 100 TB the corpus side's shingle postings come from a maintained
+    index table; here they are recomputed, but the join is still one-sided.
+    Output per new doc: its dedup verdict ('exact_dup', 'near_dup',
+    'unique') + the best-matching corpus doc (deterministic: highest
+    jaccard, then lowest doc_id).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    fp = F.md5(_normalized(F.col("text"))).alias("fp")
+    new_fp = docs.filter(is_new).select("doc_id", fp)
+    corpus_fp = docs.filter(~is_new).select(F.col("doc_id").alias("c_doc"), fp)
+    exact = (
+        new_fp.join(corpus_fp, "fp")
+        .groupBy("doc_id")
+        .agg(F.min("c_doc").alias("exact_match"))
+    )
+
+    sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
+        "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    new_sh = sh.filter(F.col("doc_id") % 10 == 0)
+    corpus_sh = sh.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("c_doc"), "s"
+    )
+    inter = (
+        new_sh.join(corpus_sh.hint("shuffle_hash"), "s")
+        .groupBy("doc_id", "c_doc")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    s1 = sizes.select(F.col("doc_id"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("c_doc"), F.col("n_sh").alias("n2"))
+    jac = (
+        inter.join(s1, "doc_id")
+        .join(s2, "c_doc")
+        .select(
+            "doc_id",
+            "c_doc",
+            (F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "c_doc")
+    near = (
+        jac.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("c_doc").alias("near_match"), F.round("jaccard", 6).alias("best_jaccard"))
+    )
+    return (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "exact_dup")
+            .when(F.col("near_match").isNotNull(), "near_dup")
+            .otherwise("unique")
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_doc"),
+            F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        )
+    )
