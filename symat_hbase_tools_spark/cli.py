@@ -68,6 +68,18 @@ def main(argv: list[str] | None = None) -> int:
     sq.add_argument("--output", default=None, help="optional parquet output path")
     sq.add_argument("statement", help="SQL over tables region/nation/.../embeddings")
 
+    dd = sub.add_parser(
+        "dedup", help="write a deduplicated documents corpus (the pipeline action)"
+    )
+    dd.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    dd.add_argument(
+        "--method",
+        choices=["exact", "minhash", "ngram"],
+        default="minhash",
+        help="exact = normalized-md5; minhash/ngram = near-dup clusters, keep min doc_id",
+    )
+    dd.add_argument("--output", required=True, help="parquet path for survivors")
+
     q = sub.add_parser("query", help="run any inventory query against a test-data dir")
     q.add_argument("--name", required=True, help="queries() name, or 'list' to enumerate")
     q.add_argument("--sfDir", default="/root/testdata/sf0.001")
@@ -144,6 +156,41 @@ def main(argv: list[str] | None = None) -> int:
             if args.output:
                 df.write.mode("overwrite").parquet(args.output)
                 print(f"wrote {args.output}")
+            return 0
+        if args.tool == "dedup":
+            from pyspark.sql import functions as F
+
+            from symat_hbase_tools_spark.operators import dedup as dd_ops
+            from symat_hbase_tools_spark.operators.clustering import (
+                connected_components,
+            )
+            from symat_hbase_tools_spark.sources.tables import load_table
+
+            docs = load_table(spark, args.sfDir, "documents")
+            n_before = docs.count()
+            if args.method == "exact":
+                keepers = dd_ops.exact_dedup(spark, args.sfDir).select(
+                    F.col("keep_doc_id").alias("doc_id")
+                )
+                survivors = docs.join(keepers, "doc_id", "left_semi")
+            else:
+                pairs = (
+                    dd_ops.minhash_lsh_pairs(spark, args.sfDir)
+                    if args.method == "minhash"
+                    else dd_ops.ngram_jaccard_pairs(spark, args.sfDir)
+                )
+                # drop every cluster member except the canonical min-id keeper
+                labels = connected_components(pairs.select("d1", "d2"))
+                drops = labels.filter(F.col("node") != F.col("cluster")).select(
+                    F.col("node").alias("doc_id")
+                )
+                survivors = docs.join(drops, "doc_id", "left_anti")
+            survivors.write.mode("overwrite").parquet(args.output)
+            n_after = spark.read.parquet(args.output).count()
+            print(
+                f"DOCS_BEFORE={n_before} DOCS_AFTER={n_after} "
+                f"DROPPED={n_before - n_after}"
+            )
             return 0
         if args.tool == "query":
             from symat_hbase_tools_spark.entry import QUERIES
