@@ -670,10 +670,14 @@ _PLAN_CACHE: dict[tuple, DataFrame] = {}
 def _prepared(name: str, fn: Callable) -> Callable:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = (id(spark), name, sf_dir)
-        df = _PLAN_CACHE.get(key)
-        if df is None:
-            df = fn(spark, sf_dir)
-            _PLAN_CACHE[key] = df
+        hit = _PLAN_CACHE.get(key)
+        # the session object is stored alongside the plan so a garbage-
+        # collected session can never alias a live one's id() — and the
+        # identity check makes the guard explicit
+        if hit is not None and hit[0] is spark:
+            return hit[1]
+        df = fn(spark, sf_dir)
+        _PLAN_CACHE[key] = (spark, df)
         return df
 
     run.__name__ = getattr(fn, "__name__", name)
