@@ -76,12 +76,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         mtime = None
     key = (id(spark), path, mtime)
-    df = _SCAN_CACHE.get(key)
-    if df is None:
-        df = spark.read.parquet(path)
-        if name == "events":
-            df = normalize_events(df)
-        _SCAN_CACHE[key] = df
+    hit = _SCAN_CACHE.get(key)
+    # session pinned in the value: a GC'd session can't alias a live id()
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.read.parquet(path)
+    if name == "events":
+        df = normalize_events(df)
+    _SCAN_CACHE[key] = (spark, df)
     return df
 
 
