@@ -309,3 +309,45 @@ def test_dedup_state_survives_restart(spark, tmp_path):
     out = spark.read.parquet(sink)
     ids = sorted(r["event_id"] for r in out.select("event_id").collect())
     assert ids == [1, 2, 3, 4, 5, 6, 7]  # exactly once each, across restarts
+
+
+def test_exactly_once_streaming_matches_batch_twin(spark, events, tmp_path):
+    """The exactly-once twins: streaming dropDuplicatesWithinWatermark over a
+    redelivered (doubled) stream must converge to the batch twin's per-type
+    aggregates (relational.events_exactly_once) — which themselves equal the
+    clean stream's aggregates."""
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.operators import relational
+
+    # stage the doubled input: every event redelivered 1 s later
+    base = events.select("event_id", "ts", "event_type", "value")
+    doubled = base.unionByName(
+        base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+    )
+    stage = str(tmp_path / "doubled")
+    doubled.write.parquet(stage)
+
+    raw = (
+        spark.readStream.schema(doubled.schema).format("parquet").load(stage)
+    )
+    deduped = raw.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = streaming.run_bounded(
+        deduped.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            relational.money_sum(F.col("value"), "sum_value"),
+        ),
+        "t_exactly_once",
+        output_mode="complete",
+    )
+    got = {
+        r["event_type"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in out.collect()
+    }
+    want = {
+        r["event_type"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in relational.events_exactly_once(spark, SF_DIR).collect()
+    }
+    assert got == want
