@@ -590,3 +590,87 @@ def incremental_dedup(
             F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
         )
     )
+
+
+# -- persisted shingle index (build once / ingest nightly) -------------------
+
+
+def build_shingle_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, n: int = 3, n_buckets: int = 64
+) -> None:
+    """Persist the corpus's shingle postings as a bucketed table.
+
+    The index is (s: shingle xxhash64, doc_id, n_sh: the doc's shingle
+    count) written BUCKETED BY s, so the nightly batch's probe join reads
+    co-partitioned buckets — the corpus side never re-shingles and never
+    shuffles for the join. This is what makes ``incremental_dedup_indexed``
+    truly incremental: per-ingest cost is O(|batch| x avg posting length),
+    with the 100 TB corpus touched only through its (much smaller) index.
+    """
+    sh = _doc_shingles(spark, sf_dir, n).select(
+        "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    (
+        sh.join(sizes, "doc_id")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "s")
+        .sortBy("s")
+        .option("path", index_dir)
+        .saveAsTable("shingle_index")
+    )
+
+
+def incremental_dedup_indexed(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    index_table: str = "shingle_index",
+) -> DataFrame:
+    """Near-dup verdicts for a NEW batch against the persisted shingle index.
+
+    The batch side shingles in-flight (it is small); the corpus side is the
+    bucketed index table, so the probe join shuffles ONLY the batch side
+    (hash-partitioned to the index's buckets). Output mirrors
+    ``incremental_dedup``'s near-dup columns: (doc_id, near_match,
+    best_jaccard) for batch docs with a corpus match >= threshold.
+    """
+    from pyspark.sql import Window
+
+    words = new_docs.withColumn("words", F.split(F.col("text"), " "))
+    batch_sh = words.select(
+        "doc_id", shingles_from_words(F.col("words"), n=n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    batch_ex = batch_sh.select(
+        "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
+    )
+    batch_sizes = batch_sh.select("doc_id", F.size("sh").alias("n1"))
+    idx = spark.table(index_table).select(
+        F.col("doc_id").alias("c_doc"), "s", F.col("n_sh").alias("n2")
+    )
+    inter = (
+        batch_ex.join(idx, "s")
+        .groupBy("doc_id", "c_doc", "n2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = (
+        inter.join(batch_sizes, "doc_id")
+        .select(
+            "doc_id",
+            "c_doc",
+            (F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "c_doc")
+    return (
+        jac.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("c_doc").alias("near_match"),
+            F.round("jaccard", 6).alias("best_jaccard"),
+        )
+    )
