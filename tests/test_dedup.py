@@ -181,3 +181,30 @@ def test_incremental_indexed_matches_unindexed(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_indexed_probe_join_no_index_side_exchange(spark, tmp_path):
+    """The bucketed index side must join WITHOUT an Exchange: only the
+    (small) batch side shuffles to the index's bucket layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.plans.explain import plan_string
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus_dir = str(tmp_path / "csf")
+    os.makedirs(corpus_dir, exist_ok=True)
+    docs.filter(F.col("doc_id") % 10 != 0).write.mode("overwrite").parquet(
+        os.path.join(corpus_dir, "documents.parquet")
+    )
+    dedup.build_shingle_index(spark, corpus_dir, str(tmp_path / "idx2"))
+    out = dedup.incremental_dedup_indexed(
+        spark, docs.filter(F.col("doc_id") % 10 == 0)
+    )
+    plan = plan_string(out)
+    # the index scan subtree: locate the FileScan on the bucketed table and
+    # assert the probe join consumed its bucketing (SelectedBucketsCount
+    # present => bucket-aware scan, no exchange inserted above it)
+    assert "SelectedBucketsCount" in plan, plan
