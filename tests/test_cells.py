@@ -92,6 +92,49 @@ def test_latest_cells(spark, customer):
     assert all(not bytes(r["value"]).decode().endswith("@v1") for r in sample)
 
 
+def test_latest_cells_maxby_matches_packed_reference(spark, customer):
+    """The production max_by formulation and the packed-binary-max semantic
+    reference pick identical winners — including on crafted ties (equal ts
+    Put-vs-Delete resolves to Delete; equal (ts, type) resolves on unsigned
+    value bytes)."""
+    versioned = customer_cells_versioned(customer, n_versions=3)
+    ties = spark.createDataFrame(
+        [
+            # equal ts, Delete beats Put
+            (b"tie#1", "cf", b"q", 100, "Put", b"aaa"),
+            (b"tie#1", "cf", b"q", 100, "Delete", None),
+            # equal (ts, type): higher unsigned value bytes win
+            (b"tie#2", "cf", b"q", 100, "Put", b"\x01"),
+            (b"tie#2", "cf", b"q", 100, "Put", b"\xff"),
+            (b"tie#2", "cf", b"q", 99, "Put", b"zzz"),
+        ],
+        schema="row binary, family string, qualifier binary, ts long, type string, value binary",
+    )
+    both = versioned.unionByName(ties)
+
+    def canon(df):
+        # the packed reference can't represent a NULL value (it round-trips
+        # through coalesce(value, b'')), so compare with NULL canonicalized
+        return sorted(
+            (
+                bytes(r["row"]),
+                r["family"],
+                bytes(r["qualifier"]),
+                r["ts"],
+                r["type"],
+                b"" if r["value"] is None else bytes(r["value"]),
+            )
+            for r in df.collect()
+        )
+
+    got = canon(kv.latest_cells(both))
+    ref = canon(kv.latest_cells_packed(both))
+    assert got == ref
+    winners = {t[0]: t for t in got if t[0].startswith(b"tie#")}
+    assert winners[b"tie#1"][4] == "Delete"
+    assert winners[b"tie#2"][4:] == ("Put", b"\xff")
+
+
 def test_cells_to_wide_roundtrip(spark, customer):
     versioned = customer_cells_versioned(customer, n_versions=3)
     wide = cells_to_wide(versioned, list(CUSTOMER_QUALIFIERS))
