@@ -95,9 +95,10 @@ def _doc_shingles(
     # The signature/shingle math is compute-bound per row: fan the scan out
     # to one task per ~2 MB of text (capped at cluster parallelism). A small
     # corpus collapses to few fat tasks instead of 32 near-empty ones; at
-    # real scale the source has more splits than cores and this is a no-op.
+    # real scale the source has more splits than cores and this is left
+    # untouched (fan OUT only — never pay a full shuffle to coalesce).
     target = _scan_fanout(spark, docs)
-    if docs.rdd.getNumPartitions() != target:
+    if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
     # two projections: materialize the words array, THEN shingle — keeps the
     # split out of the interpreted shingle lambda (see shingles_from_words)
@@ -383,7 +384,7 @@ def dup_span_census(
     """
     docs = load_table(spark, sf_dir, "documents")
     target = _scan_fanout(spark, docs)
-    if docs.rdd.getNumPartitions() != target:
+    if docs.rdd.getNumPartitions() < target:  # fan OUT only, never coalesce
         docs = docs.repartition(target)
     words = docs.withColumn("words", F.split(F.col("text"), " ")).filter(
         F.size("words") >= k

@@ -63,21 +63,51 @@ def brute_topk(
     CANDIDATES (candidate scan is embarrassingly parallel; the merge handles
     batches*k*queries rows only).
 
-    Scale guard: the broadcast is only sane for a bounded QUERY side. The
-    count gate below (a cheap parquet-metadata count, not a collect) routes
-    anything larger than ``max_broadcast_queries`` to the LSH path — exact
-    for returned pairs, approximate in recall — instead of silently
-    attempting a full-table driver collect.
+    Scale guard: the broadcast is only sane for a bounded QUERY side, but
+    this entry point is documented EXACT, so an over-threshold query side
+    must not silently degrade to approximate LSH recall. Instead the query
+    side is split into ``ceil(n / max_broadcast_queries)`` deterministic
+    hash chunks, each chunk broadcast-matmul'd against the full candidate
+    set, and the per-chunk exact top-k union'd (chunks partition the query
+    ids, so no cross-chunk merge is needed). Cost is n_chunks candidate
+    passes — the honest price of exactness at that scale; callers who want
+    one-pass behavior above the gate should call ``lsh_topk_df`` /
+    ``ann_lsh_topk`` explicitly. The count gate is a cheap
+    parquet-metadata count; chunks are hash-partitioned, so each driver
+    collect is ~``max_broadcast_queries`` rows (exact split would need a
+    global sort — hash deviation at the >=1M-row scale the gate fires at
+    is O(sqrt(n)), well under a percent).
     """
-    import numpy as np
-    import pandas as pd
+    from functools import reduce
 
     n_queries = e.count()
     if n_queries > max_broadcast_queries:
-        base = e.select("vec_id", as_double(F.col(e.columns[1])).alias("emb"))
-        return lsh_topk_df(base, k=k, num_planes=_adaptive_planes(n_queries))
+        id_col = e.columns[0]
+        n_chunks = -(-n_queries // max_broadcast_queries)  # ceil
+        chunks = [
+            _brute_topk_one_chunk(
+                spark,
+                e.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == i),
+                e,
+                k=k,
+            )
+            for i in range(n_chunks)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), chunks)
+    return _brute_topk_one_chunk(spark, e, e, k=k)
 
-    q_pdf = e.toPandas().sort_values("vec_id")
+
+def _brute_topk_one_chunk(
+    spark: SparkSession, queries: DataFrame, candidates: DataFrame, k: int
+) -> DataFrame:
+    """One exact broadcast-matmul pass: ``queries`` (bounded, collected and
+    broadcast as a normalized float64 matrix) against every ``candidates``
+    row. See ``brute_topk`` for the full pattern description."""
+    import numpy as np
+    import pandas as pd
+
+    e = candidates
+    q_pdf = queries.toPandas().sort_values("vec_id")
     q_ids = q_pdf["vec_id"].to_numpy()
     q_mat = np.array(q_pdf["embedding"].tolist(), dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)

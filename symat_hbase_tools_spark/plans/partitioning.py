@@ -43,9 +43,18 @@ def scan_fanout(
 def fanout(
     spark: SparkSession, df: DataFrame, bytes_per_task: int = BYTES_PER_TASK
 ) -> DataFrame:
-    """Repartition ``df`` to its right-sized fan-out iff that differs from
-    its current layout (no-op exchange otherwise)."""
+    """Fan ``df`` OUT to its right-sized partition count — never in.
+
+    Only repartitions when the source has FEWER partitions than the
+    bytes-proportional target (the small-file case the fan-out exists for:
+    spreading a few fat splits before compute-bound per-row work). A source
+    that already has more splits than the target — the 100 TB case, where
+    ``scan_fanout`` caps the target at cluster parallelism — is left
+    untouched: coalescing it through a full shuffle would pay an exchange
+    of the entire input just to shrink task count, which the scheduler
+    handles fine as-is.
+    """
     target = scan_fanout(spark, df, bytes_per_task)
-    if df.rdd.getNumPartitions() != target:
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -249,6 +249,25 @@ def test_scan_fanout_is_bytes_proportional(spark, tmp_path):
     assert scan_fanout(spark, mem) == spark.sparkContext.defaultParallelism
 
 
+def test_fanout_never_coalesces(spark, tmp_path):
+    """fanout() fans OUT only. A source that already has more splits than
+    the bytes-proportional target (the 100 TB shape: more files than cores)
+    must pass through untouched — paying a full shuffle just to shrink the
+    task count is the anti-pattern this guards against."""
+    from symat_hbase_tools_spark.plans.partitioning import fanout
+
+    p = str(tmp_path / "manysplit")
+    # tiny bytes (target will be 1) but many partitions
+    spark.range(1000).toDF("x").repartition(8).write.parquet(p)
+    many = spark.read.parquet(p).repartition(8)
+    out = fanout(spark, many)
+    assert out is many, "over-partitioned source must not be repartitioned"
+    # and the small-file case still fans out to the target
+    single = spark.read.parquet(p).coalesce(1)
+    fanned = fanout(spark, single, bytes_per_task=1)
+    assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
 def test_pii_scrub_is_map_only(spark):
     """PII census must stay a pure map stage: no Exchange anywhere in the
     plan (the 100 TB contract for per-row regex audits)."""

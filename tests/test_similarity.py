@@ -139,25 +139,43 @@ def test_label_centroids_match_numpy(spark):
             assert abs(centroid - m[:, dim].mean()) <= 0.5e-6 + 1e-12
 
 
-def test_brute_topk_gates_oversized_query_side(spark, embeddings, monkeypatch):
-    """Over-threshold query sides must NOT be collected to the driver: the
-    guard routes to the LSH path before any toPandas happens."""
+def test_brute_topk_stays_exact_above_gate_via_chunking(spark, embeddings, monkeypatch):
+    """brute_topk is documented EXACT, so an over-threshold query side must
+    not degrade to approximate LSH: it chunks the query side, keeping every
+    driver collect bounded by max_broadcast_queries rows, and the union of
+    per-chunk results equals the single-pass exact answer."""
     from pyspark.sql.classic.dataframe import DataFrame as CDF
 
+    e = embeddings.select("vec_id", "embedding").limit(100)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["sim"])
+        for r in similarity.brute_topk(spark, e, k=3).collect()
+    }
+
+    collected_sizes = []
     real_topandas = CDF.toPandas
 
-    def boom(self, *a, **kw):
-        raise AssertionError("driver collect attempted on over-threshold query side")
+    def spy(self, *a, **kw):
+        pdf = real_topandas(self, *a, **kw)
+        collected_sizes.append(len(pdf))
+        return pdf
 
-    monkeypatch.setattr(CDF, "toPandas", boom)
-    e = embeddings.select("vec_id", "embedding")
-    out = similarity.brute_topk(spark, e, k=5, max_broadcast_queries=10)
-    rows = out.limit(5).collect()  # plan executes without any driver collect
-    assert len(rows) > 0
-    monkeypatch.setattr(CDF, "toPandas", real_topandas)
-    # under-threshold side still takes the exact broadcast path
-    exact = similarity.brute_topk(spark, e, k=5)
-    assert exact.count() > 0
+    monkeypatch.setattr(CDF, "toPandas", spy)
+    cap = 30
+    chunked = {
+        (r["query_id"], r["neighbor_id"], r["sim"])
+        for r in similarity.brute_topk(
+            spark, e, k=3, max_broadcast_queries=cap
+        ).collect()
+    }
+    assert chunked == exact
+    # 100 rows / cap 30 -> 4 hash chunks; the bound is statistical (hash
+    # deviation), so allow slack at this tiny n — what must never happen is
+    # a single full-table collect (100 rows at once)
+    assert len(collected_sizes) >= 4, "chunked path should collect per-chunk"
+    assert max(collected_sizes) < 60, (
+        f"driver collect far exceeded the per-chunk bound: {collected_sizes}"
+    )
 
 
 def test_ivf_codebook_sample_cap(spark, embeddings, monkeypatch):
