@@ -181,14 +181,17 @@ def ann_lsh_topk(
     sf_dir: str,
     k: int = 5,
     num_planes: int | None = None,
-    num_tables: int = 3,
+    num_tables: int = 8,
     multiprobe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: LSH bucket candidates + exact cosine re-rank.
 
     Recall knobs (the two standard LSH levers):
       * num_tables — independent plane sets OR-ed together; a true neighbor
-        is a candidate if it collides in ANY table;
+        is a candidate if it collides in ANY table. Default 8: measured
+        recall@5 0.995 (sf0.01) / 0.92 (sf0.1) vs 0.86/0.61 at the old
+        default of 3 — comfortably above the asserted 0.8 floor
+        (LSH_RECALL_FLOOR), for ~8/3 the candidate volume;
       * multiprobe — within each table also search every bucket at hamming
         distance 1 from the query's bucket.
     Candidate generation shuffles on (table, bucket) only; exact cosine
@@ -217,7 +220,7 @@ def lsh_topk_df(
     base: DataFrame,
     k: int = 5,
     num_planes: int = 4,
-    num_tables: int = 3,
+    num_tables: int = 8,
     multiprobe: bool = True,
 ) -> DataFrame:
     """LSH top-k over a (vec_id, emb: array<double>) DataFrame — the
@@ -396,11 +399,13 @@ def ann_ivf_topk(
     if n_cells is None:
         n_cells = _adaptive_cells(base.count())
     if n_probe is None:
-        # probe a constant FRACTION of cells (~1/8), not a constant count:
+        # probe a constant FRACTION of cells (~1/4), not a constant count:
         # with n_cells ~ sqrt(n), a fixed n_probe makes recall decay as the
         # corpus grows; a fixed fraction keeps recall roughly flat while
-        # candidate work per query still scales as sqrt(n)
-        n_probe = max(3, n_cells // 8)
+        # candidate work per query still scales as sqrt(n). 1/4 measured
+        # recall@5 0.70 (sf0.01) / 0.73 (sf0.1) vs 0.53/0.50 at 1/8 —
+        # above the asserted IVF_RECALL_FLOOR with margin, ~2x the re-rank
+        n_probe = max(3, n_cells // 4)
     model, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
     assigned = model.transform(with_vec).select("vec_id", "emb", "cell")
@@ -672,15 +677,22 @@ def ann_ivf_query(
     )
 
 
-#: recall floor the ANN check queries assert. A SMOKE floor (an ANN path
-#: that drops below half the true neighbors is broken), not a quality
-#: target — measured recall is 0.6-0.75 for LSH and 0.5-0.8 for IVF across
-#: the test scale factors.
-ANN_RECALL_FLOOR = 0.5
+#: recall floors the ANN check queries assert — per method, since the
+#: methods sit at different points on the recall/cost curve. Measured
+#: recall@5 with the default knobs: LSH 0.92 (sf0.1) - 0.995 (sf0.01);
+#: IVF 0.70-0.73. The floors sit a margin below the measured values so the
+#: deterministic pipelines re-pass on regenerated testdata.
+LSH_RECALL_FLOOR = 0.8
+IVF_RECALL_FLOOR = 0.6
 
 
 def _ann_recall_check(
-    spark: SparkSession, sf_dir: str, method: str, ann: DataFrame, k: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    method: str,
+    ann: DataFrame,
+    k: int = 5,
+    floor: float = LSH_RECALL_FLOOR,
 ) -> DataFrame:
     """One-row bounded-quality check: recall@k of ``ann`` vs exact brute
     force, floor-asserted. The boolean (not the raw recall, which is
@@ -688,27 +700,36 @@ def _ann_recall_check(
     tolerance-oracle pattern as the sketch queries."""
     exact = knn_cosine_topk(spark, sf_dir, k=k)
     hits = ann.join(exact, ["query_id", "neighbor_id"], "left_semi")
-    stats = hits.agg(F.count(F.lit(1)).alias("n_hits")).crossJoin(
-        exact.agg(F.count(F.lit(1)).alias("n_true"))
+    stats = (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_true")))
+        # n_queries mirrors the oracle's COUNT(*) FROM embeddings directly —
+        # deriving it as n_true/k diverges whenever a query has fewer than k
+        # exact neighbors (n <= k corpora) and would fail the hash compare
+        .crossJoin(
+            load_table(spark, sf_dir, "embeddings").agg(
+                F.count(F.lit(1)).alias("n_queries")
+            )
+        )
     )
     return stats.select(
         F.lit(method).alias("method"),
-        (F.col("n_true") / F.lit(k)).cast("bigint").alias("n_queries"),
-        (F.col("n_hits") >= F.lit(ANN_RECALL_FLOOR) * F.col("n_true")).alias(
-            "recall_ok"
-        ),
+        F.col("n_queries"),
+        (F.col("n_hits") >= F.lit(floor) * F.col("n_true")).alias("recall_ok"),
     )
 
 
 def ann_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(
-        spark, sf_dir, "lsh", ann_lsh_topk(spark, sf_dir, k=5)
+        spark, sf_dir, "lsh", ann_lsh_topk(spark, sf_dir, k=5),
+        floor=LSH_RECALL_FLOOR,
     )
 
 
 def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(
-        spark, sf_dir, "ivf", ann_ivf_topk(spark, sf_dir, k=5)
+        spark, sf_dir, "ivf", ann_ivf_topk(spark, sf_dir, k=5),
+        floor=IVF_RECALL_FLOOR,
     )
 
 
