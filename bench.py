@@ -80,16 +80,22 @@ def run_spark() -> tuple[dict, dict]:
     #           Catalyst analysis, a ~0.3-0.9 s driver-side constant per
     #           fresh plan at any SF) + execution.
     #   value — steady state: prepared-plan reuse (the engine's plan cache,
-    #           entry.py) with codegen compiled and engine-managed persists
-    #           warm — the regime a long-lived query service operates in,
-    #           and the one that actually proxies 100 TB efficiency, where
-    #           execution dwarfs the per-plan constant. Every action still
-    #           re-executes the plan against the source files.
+    #           entry.py) with codegen compiled — the regime a long-lived
+    #           query service operates in, and the one that actually
+    #           proxies 100 TB efficiency, where execution dwarfs the
+    #           per-plan constant. spark.catalog.clearCache() runs BEFORE
+    #           EVERY timed repeat so plans that persist() an intermediate
+    #           (minhash/ngram shingles, simhash fingerprints, packing)
+    #           re-materialize it within the timed action instead of
+    #           reusing a previous iteration's blocks — the DuckDB baseline
+    #           fully re-executes each repeat, so the engine must too
+    #           (within-action reuse stays, matching a materialized CTE).
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
         for i in range(3):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             rows = QUERIES[name](spark, SF_DIR).toPandas()
             dt = time.perf_counter() - t0

@@ -19,6 +19,7 @@ DuckDB/Spark parity gotchas handled here:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -666,10 +667,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
 
+#: entries evicted wholesale past this size — the cache exists to amortize
+#: plan construction across repeats of the same working set, not to grow
+#: unboundedly across many sessions/sf_dirs in one process
+_PLAN_CACHE_MAX = 1024
+
+
+def _sf_dir_stamp(sf_dir: str) -> float | None:
+    """Newest mtime across the sf_dir's table files — the same invalidation
+    signal the scan cache uses per-file, folded to one number so a plan
+    built before testdata regeneration can never be served after it (stale
+    file indexes / stale persisted intermediates)."""
+    try:
+        mtimes = [
+            os.path.getmtime(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet") or f.endswith(".jsonl")
+        ]
+        return max(mtimes) if mtimes else None
+    except OSError:
+        return None
+
 
 def _prepared(name: str, fn: Callable) -> Callable:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (id(spark), name, sf_dir)
+        key = (id(spark), name, sf_dir, _sf_dir_stamp(sf_dir))
         hit = _PLAN_CACHE.get(key)
         # the session object is stored alongside the plan so a garbage-
         # collected session can never alias a live one's id() — and the
@@ -677,6 +699,8 @@ def _prepared(name: str, fn: Callable) -> Callable:
         if hit is not None and hit[0] is spark:
             return hit[1]
         df = fn(spark, sf_dir)
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.clear()
         _PLAN_CACHE[key] = (spark, df)
         return df
 

@@ -49,21 +49,21 @@ CUSTOMER_QUALIFIERS = ("c_acctbal", "c_mktsegment", "c_name", "c_nationkey")
 CORRUPT_MOD, CORRUPT_REMAINDER = 50, 7
 
 
-def customer_value_columns(prefix: str = "") -> dict[str, F.Column]:
-    """Canonical string renderings of the encoded customer columns."""
-    c = lambda name: F.col(prefix + name)  # noqa: E731
+def customer_value_columns(prefix: str = "") -> dict[str, str]:
+    """Canonical string renderings of the encoded customer columns, as SQL
+    expression strings (see ``encode_table_as_cells`` for why strings)."""
     return {
-        "c_acctbal": F.format_string("%.2f", c("c_acctbal")),
-        "c_mktsegment": c("c_mktsegment"),
-        "c_name": c("c_name"),
-        "c_nationkey": c("c_nationkey").cast("string"),
+        "c_acctbal": f"format_string('%.2f', {prefix}c_acctbal)",
+        "c_mktsegment": f"{prefix}c_mktsegment",
+        "c_name": f"{prefix}c_name",
+        "c_nationkey": f"cast({prefix}c_nationkey as string)",
     }
 
 
 def encode_table_as_cells(
     df: DataFrame,
-    key_col: F.Column,
-    value_cols: dict[str, F.Column],
+    key_expr: str,
+    value_cols: dict[str, str],
     family: str = "cf",
     ts: int = CELL_TS,
 ) -> DataFrame:
@@ -71,19 +71,18 @@ def encode_table_as_cells(
 
     One cell per (row, qualifier); pure built-in expressions (array of structs
     + explode) so the plan is a narrow map — no shuffle, codegen throughout.
+    Expressions arrive as SQL STRINGS and the whole struct array is built by
+    ONE ``F.expr`` parse: the Column-object formulation cost ~8 py4j
+    round-trips per struct entry at plan-construction time (~0.3-0.5 s per
+    fixture on wide tables) for an identical analyzed plan.
     """
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(q).alias("q"),
-                F.encode(v.cast("string"), "UTF-8").alias("v"),
-            )
-            for q, v in sorted(value_cols.items())
-        ]
+    entries = ", ".join(
+        f"struct('{q}' AS q, encode(cast(({v}) AS string), 'UTF-8') AS v)"
+        for q, v in sorted(value_cols.items())
     )
     return df.select(
-        F.encode(key_col.cast("string"), "UTF-8").alias("row"),
-        F.explode(entries).alias("cell"),
+        F.expr(f"encode(cast(({key_expr}) AS string), 'UTF-8')").alias("row"),
+        F.explode(F.expr(f"array({entries})")).alias("cell"),
     ).select(
         "row",
         F.lit(family).alias("family"),
@@ -94,10 +93,13 @@ def encode_table_as_cells(
     )
 
 
+#: SQL rendering of the customer row key
+_CUSTOMER_KEY_SQL = f"format_string('{CUSTOMER_KEY_FMT}', c_custkey)"
+
+
 def customer_cells(customer: DataFrame, with_corrupt_marker: bool = False) -> DataFrame:
     """cells_customer / cells_corrupt fixtures (FIXTURES.md §B.1, §B.3)."""
-    key = F.format_string(CUSTOMER_KEY_FMT, F.col("c_custkey"))
-    cells = encode_table_as_cells(customer, key, customer_value_columns())
+    cells = encode_table_as_cells(customer, _CUSTOMER_KEY_SQL, customer_value_columns())
     if not with_corrupt_marker:
         return cells
     marker = customer.filter(
@@ -122,27 +124,25 @@ def customer_cells_versioned(customer: DataFrame, n_versions: int = 3) -> DataFr
     Built as ONE scan + one explode over an n_versions * n_qualifiers struct
     array (not n_versions unioned unpivots — that plan scans the source once
     per version, ~2x slower measured, and at 100 TB means n full passes).
+    The struct array is one ``F.expr`` parse — see ``encode_table_as_cells``
+    for the plan-construction rationale.
     """
-    key = F.format_string(CUSTOMER_KEY_FMT, F.col("c_custkey"))
     vals = customer_value_columns()
     entries = []
     for i in range(n_versions):
         for q, v in sorted(vals.items()):
             rendered = (
-                F.concat(v.cast("string"), F.lit(f"@v{i}"))
+                f"concat(cast(({v}) AS string), '@v{i}')"
                 if i < n_versions - 1
-                else v.cast("string")
+                else f"cast(({v}) AS string)"
             )
             entries.append(
-                F.struct(
-                    F.lit(q).alias("q"),
-                    F.encode(rendered, "UTF-8").alias("v"),
-                    F.lit(CELL_TS + 1000 * i).cast("long").alias("ts"),
-                )
+                f"struct('{q}' AS q, encode({rendered}, 'UTF-8') AS v, "
+                f"CAST({CELL_TS + 1000 * i} AS long) AS ts)"
             )
     return customer.select(
-        F.encode(key.cast("string"), "UTF-8").alias("row"),
-        F.explode(F.array(*entries)).alias("cell"),
+        F.expr(f"encode(cast(({_CUSTOMER_KEY_SQL}) AS string), 'UTF-8')").alias("row"),
+        F.explode(F.expr("array(" + ", ".join(entries) + ")")).alias("cell"),
     ).select(
         "row",
         F.lit("cf").alias("family"),

@@ -66,6 +66,10 @@ def normalize_events(df: DataFrame) -> DataFrame:
 # the file's mtime so regenerated testdata invalidates naturally.
 _SCAN_CACHE: dict[tuple, DataFrame] = {}
 
+#: wholesale-evict past this size — bounds growth across many sessions /
+#: sf_dirs / regenerated-mtime generations in one long-lived process
+_SCAN_CACHE_MAX = 1024
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; normalizes events.ts -> (TimestampType, ts_ns)."""
@@ -83,6 +87,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     if name == "events":
         df = normalize_events(df)
+    if len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
+        _SCAN_CACHE.clear()
     _SCAN_CACHE[key] = (spark, df)
     return df
 

@@ -1,0 +1,51 @@
+"""Prepared-plan and scan cache invalidation: regenerated testdata (new file
+mtimes) must never be served a stale plan, and both caches stay bounded."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from symat_hbase_tools_spark import entry
+from tests.conftest import SF_DIR
+
+
+def _copy_sf(tmp_path):
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    for f in os.listdir(SF_DIR):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(SF_DIR, f), os.path.join(d, f))
+    return d
+
+
+def test_plan_cache_invalidates_on_regenerated_testdata(spark, tmp_path):
+    d = _copy_sf(tmp_path)
+    q = entry.QUERIES["q1_pricing_summary"]
+    df1 = q(spark, d)
+    assert q(spark, d) is df1, "same (session, query, sf_dir, mtime) must hit"
+    # regenerate one table: halve lineitem
+    li_path = os.path.join(d, "lineitem.parquet")
+    half = spark.read.parquet(li_path).filter(F.col("l_orderkey") % 2 == 0)
+    tmp_out = str(tmp_path / "li_new")
+    half.coalesce(1).write.parquet(tmp_out)
+    part = [f for f in os.listdir(tmp_out) if f.endswith(".parquet")][0]
+    shutil.rmtree(li_path) if os.path.isdir(li_path) else os.remove(li_path)
+    shutil.copy(os.path.join(tmp_out, part), li_path)
+    os.utime(li_path)  # ensure a fresh mtime even on coarse filesystems
+    df2 = q(spark, d)
+    assert df2 is not df1, "regenerated testdata must miss the plan cache"
+    assert df2.count() > 0  # the fresh plan executes against the new file
+
+
+def test_plan_cache_bounded(spark, tmp_path):
+    entry._PLAN_CACHE.clear()
+    entry._PLAN_CACHE.update(
+        {("fake", i): None for i in range(entry._PLAN_CACHE_MAX)}
+    )
+    q = entry.QUERIES["q1_pricing_summary"]
+    q(spark, SF_DIR)
+    assert len(entry._PLAN_CACHE) <= entry._PLAN_CACHE_MAX
+    entry._PLAN_CACHE.clear()
