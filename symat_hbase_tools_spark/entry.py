@@ -555,6 +555,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_histogram": text_analysis.length_histogram,
     "boilerplate_shingles": text_analysis.boilerplate_shingles,
     "text_cleaning": text_analysis.text_cleaning,
+    "text_nfc_clean": text_analysis.text_nfc_clean,
     "text_bm25_search": text_analysis.bm25_search,
     "text_vocab_coverage": text_analysis.vocab_coverage,
     # LLM-pipeline surface: multimodal plumbing
@@ -1688,6 +1689,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM sh GROUP BY s
         ORDER BY doc_freq DESC, shingle
         LIMIT 20
+    """,
+    # NFC equivalence: Unicode's normalization stability policy pins NFC
+    # across implementations, so utf8proc (DuckDB) == unicodedata (engine);
+    # property-tested in tests/test_text_analysis.py. chr(768) = U+0300.
+    "text_nfc_clean": """
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN replace(text, 'a', 'a' || chr(768))
+                        ELSE text END AS t
+            FROM documents),
+        n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM d)
+        SELECT doc_id,
+               t <> nt AS changed,
+               CAST(length(t) AS BIGINT) AS cp_before,
+               CAST(length(nt) AS BIGINT) AS cp_after,
+               md5(nt) AS nfc_fp
+        FROM n
     """,
     "text_cleaning": """
         WITH c AS (

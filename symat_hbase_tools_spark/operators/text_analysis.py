@@ -2,12 +2,14 @@
 
 Language-ID, quality scoring, token statistics, and document fingerprinting —
 the per-document scans a training-data pipeline runs over every corpus.
-All pure built-in expressions (whole-stage codegen), no UDFs; every operator
-has an exact DuckDB oracle twin.
+Pure built-in expressions (whole-stage codegen) everywhere except the
+Unicode-NFC pass, which is an Arrow-batched pandas UDF (Spark has no NFC
+built-in); every operator has an exact DuckDB oracle twin.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -232,12 +234,62 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str, k: int = 20) -> DataF
 
 def clean_text_expr(text: F.Column) -> F.Column:
     """Pre-training text normalization as one built-in expression chain:
-    collapse whitespace runs, strip non-printable ASCII, trim. (Real
-    pipelines add Unicode NFC + confusable folding; those need ICU, which
-    the oracle cannot mirror — the structure is identical.)"""
+    collapse whitespace runs, strip non-printable ASCII, trim. (Unicode NFC
+    is the separate ``text_nfc_clean`` pass below — it needs a real Unicode
+    library, so it runs as an Arrow-batched pandas UDF rather than a
+    built-in expression.)"""
     no_ctl = F.regexp_replace(text, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
     one_space = F.regexp_replace(no_ctl, "[ \\t\\r\\n]+", " ")
     return F.trim(one_space)
+
+
+def nfc_normalize_udf() -> F.Column:
+    """Arrow-batched NFC normalizer (python stdlib unicodedata — Unicode's
+    normalization stability policy guarantees NFC agreement across
+    implementations, so DuckDB's utf8proc ``nfc_normalize`` is an exact
+    cross-engine oracle; parity is property-tested in
+    tests/test_text_analysis.py). A pandas UDF is the honest implementation:
+    Spark SQL has no NFC built-in, and per-row unicodedata through Arrow
+    batches is the standard shape for library-backed string transforms."""
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: x if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    return _nfc
+
+
+def text_nfc_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-NFC cleaning census — the normalization pass real multilingual
+    corpora need before dedup (byte-identical duplicates can differ only in
+    composed-vs-decomposed accents).
+
+    The synthetic corpus is pure ASCII (NFC = identity), so the query first
+    DERIVES a deterministic non-ASCII view — docs with doc_id % 3 == 0 get
+    every 'a' decomposed to 'a' + U+0300 (combining grave) — then
+    normalizes, reporting per document whether NFC changed the text, the
+    code-point counts before/after, and an md5 content fingerprint of the
+    normalized text. Both engines build the identical decorated input, so
+    every column is exact cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    decorated = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.regexp_replace(F.col("text"), "a", "a\u0300"),  # a + combining grave
+    ).otherwise(F.col("text"))
+    nfc = nfc_normalize_udf()
+    d = docs.select("doc_id", decorated.alias("t")).withColumn("nt", nfc(F.col("t")))
+    return d.select(
+        "doc_id",
+        (F.col("t") != F.col("nt")).alias("changed"),
+        F.length("t").cast("bigint").alias("cp_before"),
+        F.length("nt").cast("bigint").alias("cp_after"),
+        F.md5(F.encode(F.col("nt"), "UTF-8")).alias("nfc_fp"),
+    )
 
 
 def text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:

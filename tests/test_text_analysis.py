@@ -161,3 +161,51 @@ def test_vocab_coverage_rates(spark):
     # a vocab covering every distinct token leaves nothing OOV
     full = vocab_coverage(spark, SF_DIR, vocab_size=10_000).collect()
     assert all(r["n_oov"] == 0 for r in full)
+
+
+def test_nfc_udf_idempotent_and_matches_duckdb(spark):
+    """NFC properties on adversarial inputs: idempotence (NFC(NFC(x)) ==
+    NFC(x)) and exact agreement with DuckDB's utf8proc nfc_normalize —
+    the cross-engine claim text_nfc_clean's oracle rests on."""
+    import duckdb
+    import unicodedata
+
+    from symat_hbase_tools_spark.operators.text_analysis import nfc_normalize_udf
+
+    cases = [
+        "plain ascii",
+        "à la carte",          # decomposed grave -> a-grave
+        "école",               # decomposed acute
+        "école",                # already composed
+        "ṩ",                    # s with dot below and dot above (composed)
+        "ṩ",             # same, fully decomposed
+        "ṩ",             # same marks, swapped order (canonical reorder)
+        "ﬁne",                  # fi ligature: NFC leaves compat chars alone
+        "Å",              # A + ring -> Å
+        "ﬀ̨́q̀",      # combining soup after a ligature
+        "",
+        "mixed à and à forms",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, s string")
+    nfc = nfc_normalize_udf()
+    out = {r["i"]: r["n"] for r in df.select("i", nfc(F.col("s")).alias("n")).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(cases):
+        want = unicodedata.normalize("NFC", s)
+        duck = con.execute("select nfc_normalize(?)", [s]).fetchone()[0]
+        assert out[i] == want, f"case {i}: engine != python NFC"
+        assert duck == want, f"case {i}: duckdb != python NFC"
+        assert unicodedata.normalize("NFC", want) == want, f"case {i}: not idempotent"
+
+
+def test_text_nfc_clean_flags_decorated_docs_only(spark, documents):
+    out = {r["doc_id"]: r for r in text_analysis.text_nfc_clean(spark, SF_DIR).collect()}
+    raw = {r["doc_id"]: r["text"] for r in documents.select("doc_id", "text").collect()}
+    for doc_id, r in out.items():
+        decorated = doc_id % 3 == 0 and "a" in raw[doc_id]
+        assert r["changed"] == decorated
+        if decorated:
+            # every decomposed 'a'+U+0300 recomposes: one code point saved per 'a'
+            assert r["cp_before"] - r["cp_after"] == raw[doc_id].count("a")
+        else:
+            assert r["cp_before"] == r["cp_after"]
