@@ -11,12 +11,13 @@ itself; each round a node takes the min of its own and its neighbors'
 labels; converged when no label changes. Each round is one shuffle (join on
 node + min-aggregate); rounds needed = graph diameter, and near-dup graphs
 are shallow (tight clusters), so 3-5 rounds is typical. For adversarial
-long-chain graphs the literature's large-star/small-star variant
-(Kiveris et al., "Connected Components in MapReduce and Beyond") halves
-the diameter per round; the propagation loop below is the right default
-for dedup workloads. Lineage is broken per round (localCheckpoint) so the
-plan doesn't grow with iterations — the standard Spark iterative-algorithm
-discipline.
+long-chain graphs pass ``algorithm="star"``: the large-star/small-star
+variant (Kiveris et al., "Connected Components in MapReduce and Beyond",
+``_star_components``) converges in O(log n) rounds regardless of diameter
+— parity-tested against union-find on a 10^5-node path. The propagation
+loop stays the default for dedup workloads. Lineage is broken per round
+(localCheckpoint) so the plan doesn't grow with iterations — the standard
+Spark iterative-algorithm discipline.
 
 min(doc_id) per cluster = the canonical survivor, matching exact_dedup's
 keep-lowest-id convention.
@@ -71,16 +72,106 @@ def _driver_union_find(pairs: DataFrame, edge_rows, id_type) -> DataFrame:
     return pairs.sparkSession.createDataFrame(rows, schema)
 
 
+def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond" — the public
+    MapReduce formulation, re-expressed as DataFrame aggregates).
+
+    Each round halves long chains: large-star hangs every neighbor larger
+    than u off the minimum of u's neighborhood; small-star re-points the
+    smaller neighbors (and u) at that minimum. Convergence in O(log n)
+    rounds on ANY graph — including adversarial long paths where plain
+    min-label propagation with path-halving needs O(log diameter) rounds of
+    full-edge joins but each star round also SHRINKS the edge list toward
+    star graphs rooted at component minima, so per-round cost falls as the
+    algorithm proceeds. Both phases are a groupBy-min plus one join on the
+    grouping key; lineage is cut per round (localCheckpoint), the standard
+    Spark iterative-algorithm discipline.
+
+    ``edges`` must be the undirected edge list with BOTH orientations
+    present and no self-loops. Returns (node, cluster = component min).
+    """
+    u, v = F.col("u"), F.col("v")
+    cur = edges
+    prev_sig = None
+    for _ in range(max_iter):
+        # ---- large-star: for each u, m = min(N(u) ∪ {u});
+        #      emit (x, m) for every neighbor x > u  (keeps both orientations
+        #      implicit — the next doubling restores them)
+        mins = (
+            cur.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), u).alias("m"))
+        )
+        large = (
+            cur.filter(v > u)
+            .join(mins, "u")
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star on the large-star output: orient every edge
+        #      (max, min); for each u, m = min neighbor; re-point the
+        #      smaller neighbors and u itself at m
+        directed = large.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        ).distinct()
+        mins2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            directed.join(mins2, "u")
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # convergence: the directed (max->min) edge set is stable. One cheap
+        # order-free checksum pass instead of a set-difference join (bit_xor:
+        # commutative AND overflow-free under ANSI mode, unlike sum; the
+        # edge set is distinct so xor cancellation needs a hash collision)
+        sig = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        # re-double for the next large-star round
+        cur = small.union(
+            small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # at convergence every edge of the directed view points node -> component
+    # min; roots appear only on the right-hand side
+    stars = cur.select(
+        F.greatest(F.col("u"), F.col("v")).alias("node"),
+        F.least(F.col("u"), F.col("v")).alias("cluster"),
+    ).distinct()
+    roots = stars.select(F.col("cluster").alias("node")).subtract(
+        stars.select("node")
+    )
+    return stars.unionByName(
+        roots.select("node", F.col("node").alias("cluster"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 25,
     max_driver_edges: int = DRIVER_UNION_FIND_MAX_EDGES,
+    algorithm: str = "propagate",
 ) -> DataFrame:
     """Cluster id (= min member id) for every node appearing in ``pairs``.
 
     Output: node, cluster. Deterministic: labels are ids, min is order-free.
+
+    ``algorithm`` selects the distributed path taken when the edge list
+    exceeds ``max_driver_edges``: ``propagate`` (min-label propagation with
+    path halving — the right default for shallow near-dup graphs) or
+    ``star`` (alternating large-star/small-star, Kiveris et al. — O(log n)
+    rounds on adversarial long-chain graphs regardless of diameter).
     """
     # materialize the (expensive) pair plan ONCE and count it: union-find
     # is direction- and duplicate-insensitive, so when the count fits the
@@ -122,6 +213,19 @@ def connected_components(
     parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
     if parts < edges.rdd.getNumPartitions():
         edges = edges.coalesce(parts)
+    if algorithm == "star":
+        star = _star_components(
+            edges.filter(F.col("a") != F.col("b")).select(
+                F.col("a").alias("u"), F.col("b").alias("v")
+            ),
+            max_iter,
+        )
+        # nodes whose only edges were self-loops vanish from the star
+        # output; they are their own (singleton) cluster
+        nodes = edges.select(F.col("a").alias("node")).distinct()
+        return nodes.join(star, "node", "left").select(
+            "node", F.coalesce("cluster", F.col("node")).alias("cluster")
+        )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()

@@ -43,29 +43,80 @@ def test_packing_stats_fill(spark, documents):
     assert stats.filter(F.col("fill") < 0).count() == 0
 
 
-@pytest.mark.parametrize("max_driver_edges", [2_000_000, 0])
-def test_connected_components_transitive(spark, max_driver_edges):
+#: every execution path: driver union-find, distributed propagation,
+#: distributed large-star/small-star
+_CC_PATHS = [(2_000_000, "propagate"), (0, "propagate"), (0, "star")]
+
+
+@pytest.mark.parametrize("max_driver_edges,algorithm", _CC_PATHS)
+def test_connected_components_transitive(spark, max_driver_edges, algorithm):
     # chain 1-2-3, pair 10-11, singleton edge 20-21: three clusters.
-    # Parametrized over both execution paths: driver union-find (small
-    # graphs) and the distributed propagation loop (max_driver_edges=0).
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21)], "d1 long, d2 long"
     )
     got = {
         (r["node"], r["cluster"])
-        for r in connected_components(pairs, max_driver_edges=max_driver_edges).collect()
+        for r in connected_components(
+            pairs, max_driver_edges=max_driver_edges, algorithm=algorithm
+        ).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
 
 
-@pytest.mark.parametrize("max_driver_edges", [2_000_000, 0])
-def test_connected_components_long_chain_converges(spark, max_driver_edges):
+@pytest.mark.parametrize("max_driver_edges,algorithm", _CC_PATHS)
+def test_connected_components_long_chain_converges(spark, max_driver_edges, algorithm):
     # worst-case diameter: a 12-node path; min label must reach the far end
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "d1 long, d2 long"
     )
-    labels = connected_components(pairs, max_driver_edges=max_driver_edges)
+    labels = connected_components(
+        pairs, max_driver_edges=max_driver_edges, algorithm=algorithm
+    )
     assert labels.filter(F.col("cluster") != 0).count() == 0
+
+
+def test_star_components_path_graph_parity_with_union_find(spark):
+    """Adversarial long chain at scale: a 10^5-node path (diameter 10^5).
+    The star algorithm must converge inside the default iteration cap —
+    its O(log n) round bound, vs O(diameter) for naive propagation — and
+    label every node exactly as driver union-find does (everything in
+    cluster 0)."""
+    n = 100_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("d1"), (F.col("id") + 1).alias("d2")
+    )
+    truth = {
+        (r["node"], r["cluster"])
+        for r in connected_components(pairs).collect()  # driver union-find
+    }
+    star = {
+        (r["node"], r["cluster"])
+        for r in connected_components(
+            pairs, max_driver_edges=0, algorithm="star"
+        ).collect()
+    }
+    assert star == truth
+    assert star == {(i, 0) for i in range(n)}
+
+
+def test_star_components_random_graph_parity(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = spark.createDataFrame(
+        [(rng.randrange(200), rng.randrange(200)) for _ in range(150)],
+        "d1 long, d2 long",
+    )
+    fast = {
+        (r["node"], r["cluster"]) for r in connected_components(pairs).collect()
+    }
+    star = {
+        (r["node"], r["cluster"])
+        for r in connected_components(
+            pairs, max_driver_edges=0, algorithm="star"
+        ).collect()
+    }
+    assert star == fast
 
 
 def test_connected_components_paths_agree(spark):
