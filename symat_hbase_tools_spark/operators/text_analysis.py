@@ -63,7 +63,13 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     All ratios are exact-integer divisions in double — bit-identical across
     engines; no rounding needed.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from symat_hbase_tools_spark.plans.partitioning import fanout
+
+    # pure map over heavy regex passes: fan a few fat parquet splits out to
+    # the cluster (bytes-proportional; a many-split 100 TB source is
+    # untouched). Without this the sf1 probe ran the whole table's regex
+    # work on ONE core (single 6 MB split): 2.9 s where 0.4 s is available.
+    docs = fanout(spark, load_table(spark, sf_dir, "documents"))
     text = F.col("text")
     n_tokens = token_count(text)
     n_chars = F.length(text).cast("bigint")
@@ -104,7 +110,9 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic rolling-hash fingerprint per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    from symat_hbase_tools_spark.plans.partitioning import fanout
+
+    docs = fanout(spark, load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
 
 
@@ -276,7 +284,9 @@ def text_nfc_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized text. Both engines build the identical decorated input, so
     every column is exact cross-engine.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from symat_hbase_tools_spark.plans.partitioning import fanout
+
+    docs = fanout(spark, load_table(spark, sf_dir, "documents"))
     decorated = F.when(
         F.col("doc_id") % 3 == 0,
         F.regexp_replace(F.col("text"), "a", "a\u0300"),  # a + combining grave
@@ -297,7 +307,9 @@ def text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many characters cleaning removed — the audit a pipeline runs before
     committing a cleaning pass to 100 TB. Narrow per-row expressions only;
     the rolling fingerprint doubles as the cross-engine content check."""
-    docs = load_table(spark, sf_dir, "documents")
+    from symat_hbase_tools_spark.plans.partitioning import fanout
+
+    docs = fanout(spark, load_table(spark, sf_dir, "documents"))
     cleaned = clean_text_expr(F.col("text"))
     return docs.select(
         "doc_id",

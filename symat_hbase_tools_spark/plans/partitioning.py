@@ -14,9 +14,14 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: default task granularity for text/shingle compute (~tens of MB/s/core:
-#: >=20 ms of real work per task, so scheduling overhead never dominates)
-BYTES_PER_TASK = 2 * 1024 * 1024
+#: default task granularity for text/shingle compute. Measured per-core
+#: throughput of the heavy text passes (regex alternation, shingle+minhash)
+#: is ~5 MB/s of COMPRESSED parquet input, so 512 KB ~= 100 ms of real work
+#: per task — two orders of magnitude above scheduling overhead, while a
+#: single-split file (the 10x scale probe's documents table) still fans out
+#: to every core instead of pinning one. (2 MB was the previous value; at
+#: sf1 it left text_quality_score 11x slower on 10x data — one fat task.)
+BYTES_PER_TASK = 512 * 1024
 
 
 def scan_fanout(
