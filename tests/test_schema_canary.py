@@ -90,3 +90,40 @@ def test_normalize_events_all_encodings(spark):
     assert b == c
     # legacy path keeps sub-microsecond nanos exactly
     assert a[1] == (1706637110232387, 1706637110232387)
+
+
+def test_documents_schema_contract(spark):
+    """Pin the documents contract the text/dedup surface assumes: doc_id is
+    integral, text/lang/source strings, n_chars integral and equal to
+    length(text). A silent driver-side regeneration that changes any of
+    these should fail HERE, not as 40 cryptic oracle mismatches."""
+    docs = load_table(spark, SF_DIR, "documents")
+    schema = {f.name: f.dataType for f in docs.schema.fields}
+    assert isinstance(schema["doc_id"], (T.LongType, T.IntegerType)), schema
+    assert isinstance(schema["text"], T.StringType), schema
+    assert isinstance(schema["lang"], T.StringType), schema
+    assert isinstance(schema["source"], T.StringType), schema
+    assert isinstance(schema["n_chars"], (T.LongType, T.IntegerType)), schema
+    bad = docs.filter(F.length("text") != F.col("n_chars")).count()
+    assert bad == 0, "n_chars out of sync with text"
+    assert docs.filter(F.col("doc_id").isNull() | F.col("text").isNull()).count() == 0
+
+
+def test_embeddings_schema_contract(spark):
+    """Pin the embeddings contract the similarity surface assumes: vec_id
+    integral, embedding a non-null fixed-dimension float/double array,
+    label integral. as_double() tolerates float vs double, but a dimension
+    change or nulls would silently skew every recall/centroid number."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    schema = {f.name: f.dataType for f in emb.schema.fields}
+    assert isinstance(schema["vec_id"], (T.LongType, T.IntegerType)), schema
+    assert isinstance(schema["embedding"], T.ArrayType), schema
+    assert isinstance(
+        schema["embedding"].elementType, (T.FloatType, T.DoubleType)
+    ), schema
+    assert isinstance(schema["label"], (T.LongType, T.IntegerType)), schema
+    dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert len(dims) == 1, f"ragged embedding dims: {dims}"
+    assert emb.filter(
+        F.col("embedding").isNull() | F.exists("embedding", lambda x: x.isNull())
+    ).count() == 0
