@@ -48,8 +48,12 @@ def bpe_ish_token_count(text: Column) -> Column:
 #: STOPWORDS because tokens() splits trimmed text on runs of spaces: a token
 #: equals a stopword iff the word appears bounded by space-or-string-edge.
 #: (Java regex only — the DuckDB oracle keeps its list_filter formulation,
-#: RE2 has no lookahead. The previous per-token higher-order F.filter ran
-#: interpreted per element: 2.97 s warm at sf0.1, 47% of the bench total.)
+#: RE2 has no lookahead. The per-token higher-order F.filter this replaced
+#: ran interpreted per element: 2.97 s warm at sf0.1, 47% of the bench
+#: total. A literal-replace-on-doubled-spaces formulation was ALSO tried
+#: and measured 3x slower: Spark inlines the doubled-padded subexpression
+#: into all 9 uses — no cross-projection CSE — so the doubling allocation
+#: swamps the regex savings.)
 _STOPWORD_RE = (
     "(^| )(" + "|".join(sorted(STOPWORDS, key=len, reverse=True)) + ")(?=( |$))"
 )

@@ -209,3 +209,34 @@ def test_text_nfc_clean_flags_decorated_docs_only(spark, documents):
             assert r["cp_before"] - r["cp_after"] == raw[doc_id].count("a")
         else:
             assert r["cp_before"] == r["cp_after"]
+
+
+def test_stopword_hits_boundary_cases(spark):
+    """The codegen'd regex count == a plain Python token count, on
+    boundary-adversarial inputs (consecutive stopwords, edges, runs of
+    spaces, stopwords embedded in longer words)."""
+    from symat_hbase_tools_spark.functions.text import STOPWORDS, stopword_hits
+
+    cases = [
+        "",
+        "the",
+        " the ",
+        "the the the",
+        "of the",
+        "a of the a",
+        "athe thea theb the",
+        "x  the   a  y",
+        "  leading the and trailing a  ",
+        "to in is it of and a the",
+        "no stop words here",
+        "a",
+        " a",
+        "a ",
+        "it it it it it",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, s string")
+    out = df.select("i", stopword_hits(F.col("s")).alias("n")).collect()
+    for r in out:
+        s = cases[r["i"]]
+        want = sum(1 for t in s.split() if t in STOPWORDS)
+        assert r["n"] == want, f"{s!r}: got={r['n']} want={want}"
