@@ -559,6 +559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_shingles": text_analysis.boilerplate_shingles,
     "text_cleaning": text_analysis.text_cleaning,
     "text_nfc_clean": text_analysis.text_nfc_clean,
+    "text_unigram_logprob": text_analysis.unigram_logprob,
     "text_bm25_search": text_analysis.bm25_search,
     "text_vocab_coverage": text_analysis.vocab_coverage,
     # LLM-pipeline surface: multimodal plumbing
@@ -1692,6 +1693,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM sh GROUP BY s
         ORDER BY doc_freq DESC, shingle
         LIMIT 20
+    """,
+    "text_unigram_logprob": f"""
+        WITH w AS (SELECT doc_id, unnest({_TOKENS}) AS word
+                   FROM documents WHERE trim(text) <> ''),
+        v AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+        t AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_corpus FROM v)
+        SELECT w.doc_id,
+               COUNT(*) AS n_tokens,
+               round(AVG(-ln(v.c / t.n_corpus)), 6) AS avg_neg_logprob
+        FROM w JOIN v USING (word) CROSS JOIN t
+        GROUP BY w.doc_id
     """,
     # NFC equivalence: Unicode's normalization stability policy pins NFC
     # across implementations, so utf8proc (DuckDB) == unicodedata (engine);

@@ -320,6 +320,41 @@ def text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM quality score per document (the CCNet-style
+    perplexity-proxy filter): score = mean over the document's tokens of
+    -ln(P(w)), with P(w) = corpus_count(w) / corpus_tokens. Documents full
+    of rare (or machine-garbled) tokens score high; repetitive common-token
+    text scores low — the standard cheap LM-quality signal a pipeline
+    computes before committing to a real-LM perplexity pass.
+
+    Scale shape: one explode -> partial-aggregated vocab count (vocab-sized,
+    tiny vs corpus) -> vocab broadcast back onto the token stream -> one
+    partial-aggregated per-doc mean. The corpus-total is a 1-row broadcast.
+    No Python anywhere; ln() last-ulp noise is absorbed by round-6 (same
+    discipline as BM25). Every corpus token is in the corpus vocab by
+    construction, so no smoothing term is needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_corpus"))
+    scored = (
+        words.join(F.broadcast(vocab), "word")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(-F.log(F.col("c") / F.col("n_corpus"))).alias("raw"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("raw", 6).alias("avg_neg_logprob"),
+    )
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 

@@ -240,3 +240,28 @@ def test_stopword_hits_boundary_cases(spark):
         s = cases[r["i"]]
         want = sum(1 for t in s.split() if t in STOPWORDS)
         assert r["n"] == want, f"{s!r}: got={r['n']} want={want}"
+
+
+def test_unigram_logprob_matches_python(spark, documents):
+    import math
+    from collections import Counter
+
+    texts = {r["doc_id"]: r["text"] for r in documents.select("doc_id", "text").collect()}
+    counts = Counter(t for s in texts.values() for t in s.split())
+    n_corpus = sum(counts.values())
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["avg_neg_logprob"])
+        for r in text_analysis.unigram_logprob(spark, SF_DIR).collect()
+    }
+    checked = 0
+    for doc_id, s in texts.items():
+        toks = s.split()
+        if not toks:
+            assert doc_id not in out
+            continue
+        want = sum(-math.log(counts[t] / n_corpus) for t in toks) / len(toks)
+        got_n, got_avg = out[doc_id]
+        assert got_n == len(toks)
+        assert abs(got_avg - want) < 1e-5
+        checked += 1
+    assert checked > 0
