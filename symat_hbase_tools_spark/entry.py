@@ -382,6 +382,40 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_contamination(spark, sf_dir)
 
 
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection over near-dup clusters: the surviving document of
+    every cluster is its highest-quality member (FineWeb keep-best policy).
+    Composes the n-gram Jaccard pairs, connected components, and the
+    quality-score operator."""
+    from symat_hbase_tools_spark.operators.clustering import dedup_keep_best
+
+    pairs = dedup.ngram_jaccard_pairs(spark, sf_dir)
+    quality = text_analysis.quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    return dedup_keep_best(quality, pairs)
+
+
+UNIMAX_BUDGET_FRAC = 0.5
+UNIMAX_SEED = 57
+
+
+def doc_unimax_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax per-domain token-budget resampling census over `source`."""
+    from symat_hbase_tools_spark.functions.text import token_count
+    from symat_hbase_tools_spark.operators.sampling import unimax_resample_census
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_resample_census(
+        docs,
+        "source",
+        token_count(F.col("text")),
+        ["doc_id"],
+        budget_frac=UNIMAX_BUDGET_FRAC,
+        seed=UNIMAX_SEED,
+    )
+
+
 SAMPLE_FRACTION = 0.2
 SAMPLE_STRATA = {"en": 0.25, "zh": 0.75}  # rebalance: downsample en, keep zh
 SAMPLE_SEED = 42
@@ -654,6 +688,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_lsh_check": similarity.embedding_near_dup_lsh_check,
     "dedup_simhash_portable": dedup.simhash_portable_pairs,
     "dedup_incremental": dedup.incremental_dedup,
+    # round-3 operators
+    "bpe_pair_stats": text_analysis.bpe_pair_stats,
+    "text_tfidf_topk": text_analysis.tfidf_topk,
+    "doc_quality_classifier": text_analysis.quality_classifier,
+    "doc_unimax_resample": doc_unimax_resample,
+    "doc_dedup_keep_best": doc_dedup_keep_best,
 }
 
 
@@ -1982,6 +2022,119 @@ ORACLE_SQL: dict[str, str] = {
         SELECT cluster, COUNT(*) AS n_members,
                CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
         FROM labels GROUP BY cluster
+    """,
+    "bpe_pair_stats": """
+        WITH t AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                               ELSE string_split_regex(trim(text), ' +') END AS w
+                   FROM documents),
+        p AS (SELECT unnest(list_transform(range(1, len(w)),
+                         i -> w[i] || ' ' || w[i+1])) AS pair
+              FROM t WHERE len(w) >= 2)
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM p GROUP BY pair
+        ORDER BY pair_count DESC, pair
+        LIMIT 50
+    """,
+    "text_tfidf_topk": f"""
+        WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term
+                       FROM documents WHERE trim(text) <> ''),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM words GROUP BY 1, 2),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (SELECT doc_id, term, tf, df,
+                          round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+                              AS score
+                   FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS rk FROM scored)
+        SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 3
+    """,
+    "doc_quality_classifier": f"""
+        WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term
+                       FROM documents WHERE trim(text) <> ''),
+        b AS (SELECT doc_id,
+                     CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                          + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 - 128
+                          AS BIGINT) AS wgt
+              FROM (SELECT doc_id,
+                           md5(concat_ws(chr(31), 'cls7', term)) AS h
+                    FROM words)),
+        agg AS (SELECT doc_id, CAST(SUM(wgt) AS BIGINT) AS wsum,
+                       CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM b GROUP BY doc_id)
+        SELECT doc_id, n_tokens, wsum,
+               wsum / (256.0 * n_tokens) AS score,
+               wsum / (256.0 * n_tokens) > 0 AS keep
+        FROM agg
+    """,
+    "doc_unimax_resample": f"""
+        WITH d AS (SELECT source, CAST({_NTOK} AS BIGINT) AS wgt,
+                          md5(concat_ws(chr(31), '57', doc_id)) AS h
+                   FROM documents),
+        f AS (SELECT source, wgt,
+                     CAST((((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+                        + strpos('0123456789abcdef', substr(h, 6, 1)) - 1 AS BIGINT)
+                     / 16777216.0 AS frac
+              FROM d),
+        totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                          CAST(SUM(wgt) AS BIGINT) AS grp_weight
+                   FROM f GROUP BY source),
+        overall AS (SELECT CAST(SUM(grp_weight) AS BIGINT) AS total_weight,
+                           CAST(COUNT(*) AS BIGINT) AS n_groups FROM totals),
+        cuts AS (SELECT source, n_rows, grp_weight,
+                        least(1.0, (0.5 * total_weight / n_groups) / grp_weight)
+                            AS keep_frac
+                 FROM totals CROSS JOIN overall)
+        SELECT f.source, c.n_rows, c.grp_weight, c.keep_frac,
+               CAST(SUM(CASE WHEN f.frac < c.keep_frac THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN f.frac < c.keep_frac THEN f.wgt ELSE 0 END)
+                    AS BIGINT) AS weight_kept
+        FROM f JOIN cuts c USING (source)
+        GROUP BY f.source, c.n_rows, c.grp_weight, c.keep_frac
+    """,
+    "doc_dedup_keep_best": f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION SELECT d2, d1 FROM pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION
+                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (SELECT a AS node, least(a, MIN(b)) AS cluster
+                   FROM reach GROUP BY a),
+        qf AS (SELECT doc_id,
+                      CAST({_NTOK} AS BIGINT) AS n_tokens,
+                      CAST(length(text) AS BIGINT) AS n_chars,
+                      CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))
+                           AS BIGINT) AS non_word,
+                      CAST(len(list_filter({_TOKENS},
+                           t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+                           AS BIGINT) AS stop_hits
+               FROM documents),
+        q AS (SELECT doc_id,
+                     least(n_tokens / 100.0, 1.0) * 0.5
+                       + (CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END) * 0.3
+                       + (1 - (CASE WHEN n_chars > 0 THEN non_word / n_chars ELSE 0.0 END)) * 0.2
+                       AS quality_score
+              FROM qf),
+        lab AS (SELECT q.doc_id, COALESCE(l.cluster, q.doc_id) AS cluster,
+                       q.quality_score
+                FROM q LEFT JOIN labels l ON q.doc_id = l.node),
+        ranked AS (SELECT *,
+                          ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY quality_score DESC, doc_id) AS rk,
+                          COUNT(*) OVER (PARTITION BY cluster) AS n_members
+                   FROM lab)
+        SELECT doc_id, cluster, CAST(n_members AS BIGINT) AS n_members,
+               quality_score
+        FROM ranked WHERE rk = 1
     """,
 }
 

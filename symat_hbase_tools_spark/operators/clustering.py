@@ -25,7 +25,7 @@ keep-lowest-id convention.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -281,4 +281,50 @@ def dedup_clusters(pairs: DataFrame, src: str = "d1", dst: str = "d2") -> DataFr
         cc.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_members"))
         .withColumn("n_dropped", (F.col("n_members") - 1).cast("bigint"))
+    )
+
+
+def dedup_keep_best(
+    docs_with_quality: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality_score",
+    src: str = "d1",
+    dst: str = "d2",
+) -> DataFrame:
+    """Canonical selection: one surviving document per near-dup cluster —
+    the member with the highest quality score (ties -> lowest id). Documents
+    in no cluster survive as their own singleton.
+
+    This is the step after pair generation + connected components in a real
+    dedup pipeline: instead of keeping an arbitrary cluster member, keep the
+    best one (RefinedWeb / FineWeb keep-best-of-cluster policy).
+
+    Output: one row per SURVIVOR — id, cluster id, cluster size, the
+    survivor's quality. Deterministic cross-engine: quality doubles are
+    bit-identical (same exact-integer ratio formula both sides) and ties
+    break on the id.
+
+    Shape: components over the (tiny) edge list, left-join the full corpus
+    against the node->cluster map (broadcast — the map is dup-cluster-sized,
+    orders of magnitude smaller than the corpus), one window partitioned by
+    cluster. Singleton clusters (= almost all of the corpus) have cluster =
+    own id, so the window partitions stay tiny at any scale.
+    """
+    cc = connected_components(pairs, src, dst)
+    labeled = (
+        docs_with_quality.join(
+            F.broadcast(cc.withColumnRenamed("node", id_col)), id_col, "left"
+        )
+        .withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col)))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc(quality_col), F.col(id_col).asc()
+    )
+    counts = Window.partitionBy("cluster")
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(counts).cast("bigint"))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "cluster", "n_members", quality_col)
     )

@@ -148,3 +148,80 @@ def reservoir_per_group(
         .filter(F.col("rk") <= n)
         .drop("rk")
     )
+
+
+def unimax_resample_census(
+    df: DataFrame,
+    group_col: str,
+    weight_col: Column,
+    key_cols: list[str],
+    budget_frac: float = 0.5,
+    seed: int = 57,
+) -> DataFrame:
+    """UniMax-style per-domain budget resampling census (Chung et al. 2023,
+    the mixing rule behind mT5/uL2-scale corpora): give every domain the
+    same token budget C = budget_frac * total / n_domains, keep each
+    domain's rows with probability min(1, C / domain_total) via the
+    portable md5 scheme, and report the per-domain outcome. Over-budget
+    domains are downsampled toward the uniform share; under-budget domains
+    are kept whole — the mixture flattens without ever upsampling.
+
+    Determinism: C and the keep fractions are built from exact bigint
+    totals with an identical float expression on both engines, and
+    membership compares a 24-bit md5 prefix fraction against that cutoff —
+    layout- and engine-independent, no RNG state.
+
+    Shape: pass 1 partial-aggregates (group, weight) totals — output is
+    domain-sized, broadcast back; pass 2 re-scans the narrow
+    (group, weight, hash) projection and aggregates the kept counts. At
+    100 TB both passes are single shuffles keyed on the domain column;
+    persist the projection between passes if the scan dominates.
+    """
+    w = weight_col.cast("bigint")
+    per_row = df.select(
+        F.col(group_col).alias("grp"),
+        w.alias("wgt"),
+        _portable_hex(key_cols, seed).alias("h"),
+    )
+    totals = per_row.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("wgt").alias("grp_weight")
+    )
+    overall = totals.agg(
+        F.sum("grp_weight").alias("total_weight"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    budget = (
+        F.lit(budget_frac) * F.col("total_weight") / F.col("n_groups")
+    ).alias("budget")
+    cuts = totals.crossJoin(F.broadcast(overall)).select(
+        "grp",
+        "n_rows",
+        "grp_weight",
+        F.least(F.lit(1.0), budget / F.col("grp_weight")).alias("keep_frac"),
+    )
+    # 24-bit md5 prefix as a uniform fraction in [0, 1)
+    val = F.conv(F.substring("h", 1, 6), 16, 10).cast("bigint")
+    frac = val / F.lit(float(16**6))
+    kept = (
+        per_row.withColumn("frac", frac)
+        .join(F.broadcast(cuts), "grp")
+        .groupBy("grp", "n_rows", "grp_weight", "keep_frac")
+        .agg(
+            F.sum(F.when(F.col("frac") < F.col("keep_frac"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("frac") < F.col("keep_frac"), F.col("wgt")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("weight_kept"),
+        )
+    )
+    return kept.select(
+        F.col("grp").alias(group_col),
+        "n_rows",
+        "grp_weight",
+        "keep_frac",
+        "n_kept",
+        "weight_kept",
+    )

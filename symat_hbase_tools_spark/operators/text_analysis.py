@@ -490,3 +490,129 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         rolling_fingerprint(scrubbed).alias("scrubbed_fp"),
     )
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str, top_n: int = 50) -> DataFrame:
+    """Top adjacent-token-pair frequencies — the BPE merge-selection step.
+
+    One iteration of byte-pair-encoding training picks the most frequent
+    adjacent symbol pair across the corpus; this computes the full ranked
+    candidate table. Shape: arrays_zip of the token array against its own
+    tail builds the pair list without a lambda (stays codegen-able, unlike
+    transform/zip_with which evaluate interpreted per element), then
+    explode -> partial-aggregated groupBy on the pair string -> TakeOrdered
+    top-N. At 100 TB this is one shuffle keyed on the pair, and the top-N
+    never materializes the full tail on the driver.
+    """
+    from symat_hbase_tools_spark.plans.partitioning import fanout
+
+    docs = fanout(spark, load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    zipped = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("w1"),
+            F.slice(toks, 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = docs.select(F.explode(zipped).alias("z")).select(
+        F.concat_ws(" ", F.col("z.w1"), F.col("z.w2")).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(top_n)
+    )
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — keyword extraction over the corpus.
+
+    idf = ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn-style); score =
+    tf * idf, rounded to 6 places BEFORE ranking so a sub-ulp libm
+    difference between engines cannot flip the top-k cut (mathematically
+    equal scores tie-break on the term string).
+
+    Shape: explode -> one partial-aggregated groupBy on (doc_id, term) for
+    tf, then document frequency as an unbounded COUNT window over term ON
+    THE TF ROWS — one linear pipeline (no second scan of the corpus: a
+    groupBy-on-term formulation duplicates the whole explode+tf subtree
+    because Spark does not share subplans), then the per-doc top-k window.
+    Three shuffles total — (doc_id, term), term, doc_id — each on a
+    well-distributed key. No Python anywhere.
+    """
+    from symat_hbase_tools_spark.plans.partitioning import fanout
+
+    docs = fanout(spark, load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    wdf = Window.partitionBy("term")
+    tf = tf.withColumn("df", F.count(F.lit(1)).over(wdf).cast("bigint"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf")
+        * (
+            F.log(
+                (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+            )
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    scored = tf.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "term", "tf", "df", score.alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+#: hashed-feature classifier: salt for the feature hash, bucket count 256
+#: (two md5 nibbles). Integer bucket weights keep the per-doc sum EXACT
+#: (bigint) so the score divides the same integers on both engines —
+#: bit-identical doubles with no rounding tolerance needed.
+CLASSIFIER_SALT = "cls7"
+_HEX16 = "0123456789abcdef"
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear text classifier (fastText-style scorer).
+
+    The standard cheap quality gate over a pre-training corpus: hash each
+    token into one of 256 buckets, look up an integer bucket weight
+    (deterministically derived from the hash itself here — a trained model
+    would broadcast a weight table), average over the document, threshold.
+    Score = sum(bucket - 128) / (256 * n_tokens): the numerator accumulates
+    exactly in bigint, so there is no float-summation-order drift.
+
+    Shape: posexplode -> narrow md5 + nibble arithmetic per (doc, token)
+    row (whole-stage codegen; md5 on exploded rows, never inside a
+    higher-order lambda) -> one partial-aggregated groupBy on doc_id. At
+    100 TB: one shuffle keyed on doc_id, uniformly distributed.
+    """
+    from symat_hbase_tools_spark.plans.partitioning import fanout
+
+    docs = fanout(spark, load_table(spark, sf_dir, "documents"))
+    words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    h = F.md5(F.concat_ws("\x1f", F.lit(CLASSIFIER_SALT), F.col("term")))
+    words = words.withColumn("h", h)
+    nib1 = F.expr(f"instr('{_HEX16}', substr(h, 1, 1)) - 1")
+    nib2 = F.expr(f"instr('{_HEX16}', substr(h, 2, 1)) - 1")
+    bucket = nib1 * 16 + nib2
+    per_tok = words.select("doc_id", (bucket - F.lit(128)).cast("bigint").alias("wgt"))
+    agg = per_tok.groupBy("doc_id").agg(
+        F.sum("wgt").alias("wsum"), F.count(F.lit(1)).alias("n_tokens")
+    )
+    score = F.col("wsum") / (F.lit(256.0) * F.col("n_tokens"))
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "wsum",
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )

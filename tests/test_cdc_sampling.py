@@ -141,3 +141,62 @@ def test_reservoir_per_group_sizes_and_determinism(spark, documents):
         assert n == min(7, group_counts[lang])
     again = reservoir_per_group(documents.repartition(11), ["lang"], ["doc_id"], n=7).collect()
     assert {r["doc_id"] for r in out} == {r["doc_id"] for r in again}
+
+
+def test_unimax_resample_census_matches_python(spark, documents):
+    import hashlib
+
+    from symat_hbase_tools_spark.entry import doc_unimax_resample
+    from tests.conftest import SF_DIR
+
+    rows = documents.select("doc_id", "source", "text").collect()
+    per_source: dict = {}
+    for r in rows:
+        ntok = len(r["text"].split())
+        frac = int(
+            hashlib.md5(f"57\x1f{r['doc_id']}".encode()).hexdigest()[:6], 16
+        ) / float(16**6)
+        per_source.setdefault(r["source"], []).append((ntok, frac))
+    total = sum(n for v in per_source.values() for n, _ in v)
+    budget = 0.5 * total / len(per_source)
+    want = {}
+    for src, v in per_source.items():
+        grp_w = sum(n for n, _ in v)
+        keep_frac = min(1.0, budget / grp_w)
+        kept = [(n, f) for n, f in v if f < keep_frac]
+        want[src] = (len(v), grp_w, len(kept), sum(n for n, _ in kept))
+    got = {
+        r["source"]: (r["n_rows"], r["grp_weight"], r["n_kept"], r["weight_kept"])
+        for r in doc_unimax_resample(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # sanity: the cap binds somewhere and spares somewhere on a skewed corpus
+    fracs = {
+        r["source"]: r["keep_frac"]
+        for r in doc_unimax_resample(spark, SF_DIR).collect()
+    }
+    assert all(0.0 < f <= 1.0 for f in fracs.values())
+
+
+def test_unimax_under_budget_groups_kept_whole(spark):
+    from symat_hbase_tools_spark.operators.sampling import unimax_resample_census
+    from pyspark.sql import functions as F
+
+    # one giant domain, two tiny ones: tiny domains must keep everything
+    data = [(i, "big", 100) for i in range(50)] + [
+        (1000, "s1", 3),
+        (1001, "s2", 5),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, source string, w long")
+    out = {
+        r["source"]: r
+        for r in unimax_resample_census(
+            df, "source", F.col("w"), ["doc_id"], budget_frac=0.6
+        ).collect()
+    }
+    for s in ("s1", "s2"):
+        assert out[s]["keep_frac"] == 1.0
+        assert out[s]["n_kept"] == out[s]["n_rows"]
+        assert out[s]["weight_kept"] == out[s]["grp_weight"]
+    assert out["big"]["keep_frac"] < 1.0
+    assert out["big"]["n_kept"] < out["big"]["n_rows"]

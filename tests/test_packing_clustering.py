@@ -156,3 +156,47 @@ def test_contamination_flags_only_train_docs(spark):
     rows = out.collect()
     assert all(r["doc_id"] % 50 != 0 for r in rows)  # benchmark never flags itself
     assert all(r["n_overlap"] >= 5 for r in rows)
+
+
+def test_dedup_keep_best_survivor_is_max_quality(spark):
+    from symat_hbase_tools_spark.entry import doc_dedup_keep_best
+    from symat_hbase_tools_spark.operators import dedup, text_analysis
+    from symat_hbase_tools_spark.operators.clustering import connected_components
+    from tests.conftest import SF_DIR
+
+    out = doc_dedup_keep_best(spark, SF_DIR).collect()
+    assert out, "no survivors"
+    # survivors are unique per cluster, and clusters partition the corpus
+    clusters = [r["cluster"] for r in out]
+    assert len(clusters) == len(set(clusters))
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in text_analysis.quality_score(spark, SF_DIR)
+        .select("doc_id", "quality_score")
+        .collect()
+    }
+    assert len(out) == len(quality) - (
+        # members dropped = all clustered nodes minus one survivor per cluster
+        connected_components(dedup.ngram_jaccard_pairs(spark, SF_DIR)).count()
+        - len(
+            set(
+                r["cluster"]
+                for r in connected_components(
+                    dedup.ngram_jaccard_pairs(spark, SF_DIR)
+                ).collect()
+            )
+        )
+    )
+    # the survivor beats every co-cluster member on (quality, -doc_id)
+    cc = {
+        r["node"]: r["cluster"]
+        for r in connected_components(dedup.ngram_jaccard_pairs(spark, SF_DIR)).collect()
+    }
+    members: dict = {}
+    for doc_id, q in quality.items():
+        members.setdefault(cc.get(doc_id, doc_id), []).append((q, doc_id))
+    for r in out:
+        best_q, best_id = max(members[r["cluster"]], key=lambda t: (t[0], -t[1]))
+        assert r["doc_id"] == best_id
+        assert r["quality_score"] == best_q
+        assert r["n_members"] == len(members[r["cluster"]])

@@ -265,3 +265,83 @@ def test_unigram_logprob_matches_python(spark, documents):
         assert abs(got_avg - want) < 1e-5
         checked += 1
     assert checked > 0
+
+
+def test_bpe_pair_stats_match_python(spark, documents):
+    from collections import Counter
+
+    texts = [r["text"] for r in documents.select("text").collect()]
+    counts = Counter()
+    for s in texts:
+        toks = s.split()
+        counts.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r["pair"], r["pair_count"])
+        for r in text_analysis.bpe_pair_stats(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_bpe_pair_stats_short_docs_contribute_nothing(spark):
+    df_texts = ["one", "", "  ", "two words", "a b c"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(df_texts)], "doc_id long, text string"
+    )
+    # route through the same expression stack via a temp dir-independent call:
+    from symat_hbase_tools_spark.functions.text import tokens
+
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    zipped = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, n - 1).alias("w1"),
+            F.slice(toks, 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = df.select(F.explode(zipped).alias("z")).select(
+        F.concat_ws(" ", F.col("z.w1"), F.col("z.w2")).alias("pair")
+    )
+    got = sorted(r["pair"] for r in pairs.collect())
+    assert got == ["a b", "b c", "two words"]
+
+
+def test_tfidf_topk_ranks_by_score_then_term(spark):
+    out = text_analysis.tfidf_topk(spark, SF_DIR).collect()
+    assert out, "tfidf produced no rows"
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        keys = [(-r["score"], r["term"]) for r in rows]
+        assert keys == sorted(keys), f"doc {doc_id} not rank-ordered"
+
+
+def test_quality_classifier_matches_python(spark, documents):
+    import hashlib
+
+    texts = {r["doc_id"]: r["text"] for r in documents.select("doc_id", "text").collect()}
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["wsum"], r["score"], r["keep"])
+        for r in text_analysis.quality_classifier(spark, SF_DIR).collect()
+    }
+    checked = 0
+    for doc_id, s in texts.items():
+        toks = s.split()
+        if not toks:
+            assert doc_id not in out
+            continue
+        wsum = 0
+        for t in toks:
+            h = hashlib.md5(f"cls7\x1f{t}".encode()).hexdigest()
+            wsum += int(h[:2], 16) - 128
+        n, got_wsum, score, keep = out[doc_id]
+        assert (n, got_wsum) == (len(toks), wsum)
+        assert score == wsum / (256.0 * len(toks))
+        assert keep == (score > 0)
+        checked += 1
+    assert checked > 0
