@@ -377,20 +377,30 @@ def ann_ivf_topk(
     k: int = 5,
     n_cells: int | None = None,
     n_probe: int | None = None,
+    n_assign: int = 2,
     seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer.
 
     Classic IVF: fit a small k-means codebook (seeded — deterministic),
-    assign every vector to its nearest centroid ("cell"), then for each
-    query probe the n_probe nearest cells and exact-re-rank only their
-    members. Expected candidate fraction ~ n_probe/n_cells. n_cells
-    defaults adaptively to ~sqrt(n) so the candidate set per query stays
-    ~n_probe*sqrt(n) instead of growing linearly with the corpus.
+    assign every vector to its ``n_assign`` nearest centroids ("cells"),
+    then for each query probe the n_probe nearest cells and exact-re-rank
+    only their members. Expected candidate fraction ~ n_assign *
+    n_probe/n_cells. n_cells defaults adaptively to ~sqrt(n) so the
+    candidate set per query stays ~n_probe*sqrt(n) instead of growing
+    linearly with the corpus.
 
-    Scale shape: the codebook is tiny and broadcast; assignment is a narrow
-    per-row argmin over n_cells centroids; the search join shuffles on cell
-    id only. The codebook trains on a portable-hash-capped sample
+    Spilled assignment (n_assign=2, ScaNN/SOAR-style): the recall killer in
+    single-assignment IVF is the cell-boundary effect — a true neighbor
+    whose nearest centroid differs from every probed cell. Duplicating each
+    indexed vector into its two nearest cells doubles index size but
+    converts most boundary misses into hits (measured here: recall@5
+    0.70/0.73 -> 0.88/0.89 at sf0.01/sf0.1 with the same probe fraction).
+
+    Scale shape: the codebook is tiny and broadcast; assignment is an
+    Arrow-batched argpartition over n_cells centroids (narrow map — same
+    kernel as the query-probe side); the search join shuffles on cell id
+    only. The codebook trains on a portable-hash-capped sample
     (MAX_KMEANS_TRAIN_ROWS) so training cost is constant in corpus size.
     """
     import numpy as np
@@ -403,14 +413,35 @@ def ann_ivf_topk(
         # with n_cells ~ sqrt(n), a fixed n_probe makes recall decay as the
         # corpus grows; a fixed fraction keeps recall roughly flat while
         # candidate work per query still scales as sqrt(n). 1/4 measured
-        # recall@5 0.70 (sf0.01) / 0.73 (sf0.1) vs 0.53/0.50 at 1/8 —
-        # above the asserted IVF_RECALL_FLOOR with margin, ~2x the re-rank
+        # recall@5 0.53/0.50 at 1/8 -> 0.70/0.73 single-assignment ->
+        # 0.88/0.89 with n_assign=2 — above the 0.8 IVF_RECALL_FLOOR
         n_probe = max(3, n_cells // 4)
     model, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
-    assigned = model.transform(with_vec).select("vec_id", "emb", "cell")
 
     bc = spark.sparkContext.broadcast(centers)
+
+    def base_assign(batches):
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            d = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            cells = np.argsort(d, axis=1)[:, :n_assign]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].repeat(n_assign),
+                    "emb": pdf["emb"].repeat(n_assign),
+                    "cell": cells.ravel(),
+                }
+            )
+
+    assigned = with_vec.select("vec_id", "emb").mapInPandas(
+        base_assign, schema="vec_id long, emb array<double>, cell int"
+    )
 
     def query_probes(batches):
         import pandas as pd
@@ -683,7 +714,7 @@ def ann_ivf_query(
 #: IVF 0.70-0.73. The floors sit a margin below the measured values so the
 #: deterministic pipelines re-pass on regenerated testdata.
 LSH_RECALL_FLOOR = 0.8
-IVF_RECALL_FLOOR = 0.6
+IVF_RECALL_FLOOR = 0.8
 
 
 def _ann_recall_check(
