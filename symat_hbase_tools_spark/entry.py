@@ -542,9 +542,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # order with a 50-entry budget (round-1 VERDICT). This window is
     # deliberately ordered to span the whole SURVEY §2 surface: one
     # representative per reference-op row, the six event-time queries, one
-    # representative per relational category, and EVERY LLM-pipeline
-    # operator. The remaining 57 queries follow and are covered by the
-    # local oracle mirror (tests/test_oracle.py).
+    # representative per relational category, and the LLM-pipeline
+    # operators (every family; siblings within a family — e.g. the
+    # stratified/reservoir sampling variants of doc_sample — sit at 51+).
+    # The remaining 77 queries follow and are covered by the local oracle
+    # mirror (tests/test_oracle.py) and the sf0.1 sweep (SF01_VERIFY.json).
     # ------------------------------------------------------------------
     # reference surface representatives (S1-S5, K1-K3, T1-T5)
     "kv_point_get": kv_point_get,
@@ -564,7 +566,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_signup": relational.asof_purchase_signup,
     "events_sessionize": relational.events_sessionize,
     "purchase_attribution": relational.purchase_attribution,
-    "click_conversion": relational.click_conversion,
     "click_conversion_full": relational.click_conversion_full,
     # LLM-pipeline surface: dedup
     "dedup_exact": dedup.exact_dedup,
@@ -581,15 +582,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         spark, sf, threshold=0.4
     ),
     "pipeline_curated_search": pipeline.curated_similarity_search,
-    "embedding_label_centroids": similarity.label_centroids,
     # LLM-pipeline surface: text analysis
     "text_lang_id": text_analysis.lang_id,
     "text_quality_score": text_analysis.quality_score,
     "text_token_stats": text_analysis.token_stats,
-    "text_doc_fingerprints": text_analysis.doc_fingerprints,
     "text_repetition_signals": text_analysis.repetition_signals,
     "doc_mixture_weights": text_analysis.mixture_weights,
-    "doc_length_histogram": text_analysis.length_histogram,
     "boilerplate_shingles": text_analysis.boilerplate_shingles,
     "text_cleaning": text_analysis.text_cleaning,
     "text_nfc_clean": text_analysis.text_nfc_clean,
@@ -601,14 +599,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_census": multimodal.multimodal_frame_census,
     # sampling surface
     "doc_sample": doc_sample,
-    "doc_sample_stratified": doc_sample_stratified,
     "doc_shuffle_assign": doc_shuffle_assign,
-    "doc_reservoir_per_lang": doc_reservoir_per_lang,
     # training-pipeline assembly
     "doc_pack_sequences": doc_pack_sequences,
-    "doc_pack_stats": doc_pack_stats,
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_contamination": doc_contamination,
+    "bpe_pair_stats": text_analysis.bpe_pair_stats,
+    "text_tfidf_topk": text_analysis.tfidf_topk,
+    "doc_quality_classifier": text_analysis.quality_classifier,
+    "doc_unimax_resample": doc_unimax_resample,
+    "doc_dedup_keep_best": doc_dedup_keep_best,
     # ------------------------------------------------------------------
     # entries 51+ — remainder of the surface (driver-verified as budget
     # allows; always covered by tests/test_oracle.py locally)
@@ -688,12 +688,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_lsh_check": similarity.embedding_near_dup_lsh_check,
     "dedup_simhash_portable": dedup.simhash_portable_pairs,
     "dedup_incremental": dedup.incremental_dedup,
+    # window evictions (oracle-verified locally + by the sf0.1 sweep;
+    # each has an in-window sibling covering the same operator family)
+    "click_conversion": relational.click_conversion,
+    "embedding_label_centroids": similarity.label_centroids,
+    "text_doc_fingerprints": text_analysis.doc_fingerprints,
+    "doc_length_histogram": text_analysis.length_histogram,
+    "doc_sample_stratified": doc_sample_stratified,
+    "doc_reservoir_per_lang": doc_reservoir_per_lang,
+    "doc_pack_stats": doc_pack_stats,
     # round-3 operators
-    "bpe_pair_stats": text_analysis.bpe_pair_stats,
-    "text_tfidf_topk": text_analysis.tfidf_topk,
-    "doc_quality_classifier": text_analysis.quality_classifier,
-    "doc_unimax_resample": doc_unimax_resample,
-    "doc_dedup_keep_best": doc_dedup_keep_best,
 }
 
 
