@@ -58,6 +58,12 @@ HEADLINE = [
     "price_quantity_stats",
     "text_repetition_signals",
     "doc_shuffle_assign",
+    # round-3 operators
+    "bpe_pair_stats",
+    "text_tfidf_topk",
+    "doc_quality_classifier",
+    "doc_unimax_resample",
+    "doc_dedup_keep_best",
 ]
 
 

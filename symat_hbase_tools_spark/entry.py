@@ -697,6 +697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sample_stratified": doc_sample_stratified,
     "doc_reservoir_per_lang": doc_reservoir_per_lang,
     "doc_pack_stats": doc_pack_stats,
+    "doc_chunk_census": text_analysis.chunk_census,
     # round-3 operators
 }
 
@@ -2139,6 +2140,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, cluster, CAST(n_members AS BIGINT) AS n_members,
                quality_score
         FROM ranked WHERE rk = 1
+    """,
+    "doc_chunk_census": f"""
+        WITH t AS (SELECT doc_id,
+                          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                               ELSE string_split_regex(trim(text), ' +') END AS w
+                   FROM documents),
+        c AS (SELECT doc_id, w,
+                     unnest(range(0, CAST(ceil(len(w) / 24.0) AS INT))) AS i
+              FROM t WHERE len(w) > 0)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+               CAST(i * 24 AS BIGINT) AS start_tok,
+               CAST(len(list_slice(w, i * 24 + 1, i * 24 + 32)) AS BIGINT)
+                   AS chunk_tokens,
+               md5(array_to_string(list_slice(w, i * 24 + 1, i * 24 + 32), ' '))
+                   AS chunk_fp
+        FROM c
     """,
 }
 

@@ -616,3 +616,56 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score > 0).alias("keep"),
     )
+
+
+#: context-window chunking: 32-token windows, stride 24 (8-token overlap) —
+#: the prepare-for-training split applied after packing-length analysis
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_census(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Sliding-window document chunking census — the context-window split a
+    training pipeline applies to long documents (chunk tokens per window,
+    chunk-stride overlap so no boundary context is lost).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk); windows start while
+    i*stride < n_tokens, so tails shorter than a full chunk are kept (the
+    last partial window still trains). Every chunk carries a portable md5
+    fingerprint of its joined tokens, so the oracle verifies the chunk
+    CONTENT, not just the counts.
+
+    Shape: pure per-row expressions (sequence -> explode -> slice ->
+    array_join -> md5), all inside codegen; the explode fan-out is
+    ~n_tokens/stride per document. No shuffle at all until the driver
+    fetch — at 100 TB this is a map-only stage writing sharded output.
+    """
+    from symat_hbase_tools_spark.plans.partitioning import fanout
+
+    docs = fanout(spark, load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(float(stride))).cast("int")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = docs.select(
+        "doc_id", toks.alias("w"), F.explode(starts).alias("i")
+    ).select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_id"),
+        (F.col("i") * stride).cast("bigint").alias("start_tok"),
+        F.slice(F.col("w"), F.col("i") * stride + 1, chunk).alias("cw"),
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        F.size("cw").cast("bigint").alias("chunk_tokens"),
+        F.md5(F.array_join("cw", " ")).alias("chunk_fp"),
+    )

@@ -345,3 +345,31 @@ def test_quality_classifier_matches_python(spark, documents):
         assert keep == (score > 0)
         checked += 1
     assert checked > 0
+
+
+def test_chunk_census_matches_python(spark, documents):
+    import hashlib
+
+    CH, ST = 32, 24
+    texts = {r["doc_id"]: r["text"] for r in documents.select("doc_id", "text").collect()}
+    want = {}
+    for doc_id, s in texts.items():
+        toks = s.split()
+        n = len(toks)
+        if n == 0:
+            continue
+        n_chunks = -(-n // ST)
+        for i in range(n_chunks):
+            cw = toks[i * ST : i * ST + CH]
+            want[(doc_id, i)] = (
+                i * ST,
+                len(cw),
+                hashlib.md5(" ".join(cw).encode()).hexdigest(),
+            )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start_tok"], r["chunk_tokens"], r["chunk_fp"])
+        for r in text_analysis.chunk_census(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # overlap invariant: consecutive chunks share CH - ST tokens of context
+    assert any(v[1] == CH for v in got.values())
