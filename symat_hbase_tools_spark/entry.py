@@ -686,6 +686,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall_check": similarity.ann_ivf_recall_check,
     "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
     "embedding_near_dup_lsh_check": similarity.embedding_near_dup_lsh_check,
+    "embedding_semantic_dedup": similarity.embedding_semantic_dedup,
+    "embedding_semantic_dedup_check": similarity.embedding_semantic_dedup_check,
     "dedup_simhash_portable": dedup.simhash_portable_pairs,
     "dedup_incremental": dedup.incremental_dedup,
     # window evictions (oracle-verified locally + by the sf0.1 sweep;
@@ -1972,6 +1974,9 @@ ORACLE_SQL: dict[str, str] = {
     # coverage check: every vector gets a jittered clone, >=95% of the
     # planted pairs must be recovered at threshold 0.99
     "embedding_near_dup_lsh_check": """
+        SELECT COUNT(*) AS n_planted, TRUE AS coverage_ok FROM embeddings
+    """,
+    "embedding_semantic_dedup_check": """
         SELECT COUNT(*) AS n_planted, TRUE AS coverage_ok FROM embeddings
     """,
     "orders_cohort_retention": """

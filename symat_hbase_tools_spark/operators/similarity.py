@@ -371,6 +371,35 @@ def _adaptive_cells(n: int) -> int:
     return max(16, min(4096, int(math.sqrt(max(n, 1)))))
 
 
+def _cell_assign(df: DataFrame, bc, n_assign: int) -> DataFrame:
+    """Arrow-batched spilled assignment: each (vec_id, emb) row lands in its
+    ``n_assign`` nearest codebook cells (broadcast centroid matrix ``bc``).
+    Narrow map stage — one distance matrix per Arrow batch, no shuffle."""
+    import numpy as np
+
+    def gen(batches):
+        import pandas as pd
+
+        C = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            d = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            cells = np.argsort(d, axis=1)[:, :n_assign]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].repeat(n_assign),
+                    "emb": pdf["emb"].repeat(n_assign),
+                    "cell": cells.ravel(),
+                }
+            )
+
+    return df.select("vec_id", "emb").mapInPandas(
+        gen, schema="vec_id long, emb array<double>, cell int"
+    )
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -420,28 +449,7 @@ def ann_ivf_topk(
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
 
     bc = spark.sparkContext.broadcast(centers)
-
-    def base_assign(batches):
-        import pandas as pd
-
-        C = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            E = np.array(pdf["emb"].tolist(), dtype=np.float64)
-            d = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            cells = np.argsort(d, axis=1)[:, :n_assign]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].repeat(n_assign),
-                    "emb": pdf["emb"].repeat(n_assign),
-                    "cell": cells.ravel(),
-                }
-            )
-
-    assigned = with_vec.select("vec_id", "emb").mapInPandas(
-        base_assign, schema="vec_id long, emb array<double>, cell int"
-    )
+    assigned = _cell_assign(with_vec, bc, n_assign)
 
     def query_probes(batches):
         import pandas as pd
@@ -603,6 +611,94 @@ def embedding_near_dup_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh = near_dup_lsh_df(base.unionByName(clone), threshold=0.99)
     planted_found = lsh.filter(F.col("d2") == F.col("d1") + _PLANT_OFFSET)
+    return (
+        base.agg(F.count(F.lit(1)).alias("n_planted"))
+        .crossJoin(planted_found.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(
+            "n_planted",
+            (F.col("n_found") >= 0.95 * F.col("n_planted")).alias("coverage_ok"),
+        )
+    )
+
+
+def semantic_dedup_pairs_df(
+    spark: SparkSession,
+    base: DataFrame,
+    threshold: float,
+    n_cells: int | None = None,
+    n_assign: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): k-means
+    cells as semantic blocks, exact cosine within blocks.
+
+    The cluster-then-compare shape is what makes semantic dedup tractable
+    at corpus scale: candidate pairs are confined to cells of ~sqrt(n)
+    expected occupancy, so pair volume grows ~n^1.5/cells instead of n².
+    Spilled assignment (n_assign=2, same kernel as the IVF index) removes
+    the cell-boundary misses that single-assignment SemDeDup suffers.
+
+    Scale shape: codebook broadcast; assignment is a narrow Arrow map; the
+    self-join shuffles on cell id only; exact cosine re-ranks candidates in
+    Arrow batches. Deterministic: seeded sample-trained codebook.
+    """
+    import numpy as np
+
+    if n_cells is None:
+        n_cells = _adaptive_cells(base.count())
+    model, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    bc = spark.sparkContext.broadcast(centers)
+    assigned = _cell_assign(with_vec, bc, n_assign)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ce")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return (
+        _batch_cosine(pairs)
+        .select(
+            F.col("query_id").alias("d1"),
+            F.col("neighbor_id").alias("d2"),
+            F.round("sim_raw", 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def embedding_semantic_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Semantic near-dup pairs over the embeddings table (rows-only entry —
+    a k-means codebook is not SQL-expressible; coverage is oracle-checked by
+    ``embedding_semantic_dedup_check``)."""
+    return semantic_dedup_pairs_df(spark, _emb(spark, sf_dir), threshold)
+
+
+def embedding_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-duplicate coverage check for the semantic-dedup path (same
+    protocol as ``embedding_near_dup_lsh_check``): every vector gets a
+    jittered clone (cosine ~0.999); cell blocking with spilled assignment
+    must co-locate and recover >= 95% of the planted pairs. One row:
+    n_planted (hash-comparable) + coverage boolean."""
+    base = _emb(spark, sf_dir)
+    clone = base.select(
+        (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("emb", 1) + F.lit(0.01)),
+            F.slice("emb", 2, DIM - 1),
+        ).alias("emb"),
+    )
+    pairs = semantic_dedup_pairs_df(
+        spark, base.unionByName(clone), threshold=0.99
+    )
+    planted_found = pairs.filter(F.col("d2") == F.col("d1") + _PLANT_OFFSET)
     return (
         base.agg(F.count(F.lit(1)).alias("n_planted"))
         .crossJoin(planted_found.agg(F.count(F.lit(1)).alias("n_found")))

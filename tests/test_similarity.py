@@ -222,3 +222,38 @@ def test_int8_quantization_reconstruction_bound(spark, embeddings):
         assert l1 == int(np.abs(q).sum())
         # reconstruction error bounded by one quantization step
         assert np.all(np.abs(v - q * scale) <= scale + 1e-12)
+
+
+def test_semantic_dedup_finds_planted_clones(spark):
+    from symat_hbase_tools_spark.operators import similarity
+    from tests.conftest import SF_DIR
+
+    out = similarity.embedding_semantic_dedup_check(spark, SF_DIR).collect()
+    assert len(out) == 1 and out[0]["coverage_ok"]
+
+
+def test_semantic_dedup_pair_sims_are_exact(spark, embeddings):
+    """Blocking only SELECTS candidates — the reported cosine must be the
+    exact value (numpy recompute), every pair >= threshold and d1 < d2.
+    (Note: cell blocking legitimately finds cross-LABEL pairs that the
+    label-blocked embedding_near_dup_pairs path cannot, so a subset
+    assertion against it would be wrong at low thresholds.)"""
+    import numpy as np
+
+    from symat_hbase_tools_spark.operators import similarity
+    from tests.conftest import SF_DIR
+
+    sem = {
+        (r["d1"], r["d2"]): r["sim"]
+        for r in similarity.embedding_semantic_dedup(spark, SF_DIR).collect()
+    }
+    assert sem, "no semantic pairs at threshold 0.4"
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in embeddings.collect()
+    }
+    for (d1, d2), sim in sem.items():
+        assert d1 < d2 and sim >= 0.4
+        a, b = vecs[d1], vecs[d2]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(sim - want) < 1e-6
