@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from symat_hbase_tools_spark.operators import (
+    bpe,
     dedup,
     kv,
     multimodal,
@@ -687,6 +688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
     "embedding_near_dup_lsh_check": similarity.embedding_near_dup_lsh_check,
     "embedding_semantic_dedup": similarity.embedding_semantic_dedup,
+    "bpe_learn_merges": lambda spark, sf: bpe.learn_merges(spark, sf),
     "embedding_semantic_dedup_check": similarity.embedding_semantic_dedup_check,
     "dedup_simhash_portable": dedup.simhash_portable_pairs,
     "dedup_incremental": dedup.incremental_dedup,

@@ -1,0 +1,102 @@
+"""Distributed BPE merge learning (Sennrich et al. 2016, word-histogram
+formulation) — the tokenizer-training step of a pre-training pipeline.
+
+The scalable shape: the only corpus-sized work is ONE shuffle building the
+word-frequency histogram (groupBy word — at 100 TB this is the standard
+wordcount). The merge loop then iterates over the VOCAB-sized histogram
+(orders of magnitude smaller than the corpus, the same reduction
+SentencePiece/HF trainers rely on): each round counts weighted adjacent
+symbol pairs (codegen arrays_zip explode + partial agg), picks the argmax
+deterministically, and applies the merge with a vectorized Arrow kernel
+(greedy left-to-right, standard BPE application). localCheckpoint per round
+caps the lineage so round N doesn't replay rounds 0..N-1.
+
+Iterative — not SQL-expressible, so the query entry is rows-only; a pure-
+python reference implementation parity-tests the whole loop in
+tests/test_text_analysis.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from symat_hbase_tools_spark.functions.text import tokens
+from symat_hbase_tools_spark.sources.tables import load_table
+
+
+def _adjacent_pairs(arr: F.Column) -> F.Column:
+    """array<struct<w1,w2>> of adjacent element pairs (codegen arrays_zip of
+    the array against its own tail; empty for arrays shorter than 2)."""
+    n = F.size(arr)
+    return F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(arr, 1, n - 1).alias("w1"),
+            F.slice(arr, 2, n - 1).alias("w2"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-frequency table — the one corpus-sized aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def learn_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the documents corpus.
+
+    Output: (merge_rank, left, right, pair_count) — the ranked merge table a
+    tokenizer trainer exports. Deterministic: argmax ties break on
+    (left, right) lexicographically.
+    """
+    vocab = word_histogram(spark, sf_dir).withColumn(
+        "syms", F.split("word", "")
+    ).select("freq", "syms")
+    vocab = vocab.localCheckpoint(eager=True)
+
+    merges = []
+    for rank in range(n_merges):
+        top = (
+            vocab.select("freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(F.col("p.w1").alias("left"), F.col("p.w2").alias("right"))
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append((rank, a, b, int(cnt)))
+
+        def apply_merge(batches, a=a, b=b):
+            for pdf in batches:
+                def m(syms):
+                    out, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    return out
+
+                pdf["syms"] = pdf["syms"].map(m)
+                yield pdf
+
+        vocab = vocab.mapInPandas(
+            apply_merge, schema="freq long, syms array<string>"
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    ).orderBy("merge_rank")

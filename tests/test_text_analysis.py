@@ -373,3 +373,49 @@ def test_chunk_census_matches_python(spark, documents):
     assert got == want
     # overlap invariant: consecutive chunks share CH - ST tokens of context
     assert any(v[1] == CH for v in got.values())
+
+
+def test_bpe_learn_merges_matches_python_reference(spark, documents):
+    from collections import Counter
+
+    from symat_hbase_tools_spark.operators import bpe
+
+    words = Counter()
+    for r in documents.select("text").collect():
+        words.update(r["text"].split())
+
+    def ref_merges(word_freq, n):
+        vocab = {tuple(w): f for w, f in word_freq.items()}
+        out = []
+        for rank in range(n):
+            pairs = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += f
+            if not pairs:
+                break
+            (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((rank, a, b, cnt))
+            new_vocab = {}
+            for syms, f in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                key = tuple(merged)
+                new_vocab[key] = new_vocab.get(key, 0) + f
+            vocab = new_vocab
+        return out
+
+    want = ref_merges(words, 6)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe.learn_merges(spark, SF_DIR, n_merges=6).collect()
+    ]
+    assert got == want
+    # merges actually compose: later merges may consume earlier merge symbols
+    assert len(got) == 6
