@@ -521,6 +521,34 @@ def docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def docs_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange round-trip: export documents as ORC (Spark-native
+    columnar sink), re-read with the canonical schema enforced, aggregate a
+    census INCLUDING a 24-bit md5-prefix content checksum of every text.
+    Matching the parquet-side oracle proves byte-lossless interchange."""
+    import hashlib
+    import os
+
+    from symat_hbase_tools_spark.sources.io import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        "/tmp", "symat_orc", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    write_documents_orc(docs, path)
+    back = read_documents_orc(spark, path)
+    text_fp = F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("bigint")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(text_fp).alias("text_fp_sum"),
+    )
+
+
 def kv_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     snap_a = customer_cells(customer)
@@ -678,6 +706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_histogram": similarity.embedding_norm_histogram,
     # interchange formats (round 2)
     "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
+    "docs_orc_roundtrip": docs_orc_roundtrip,
     # round-2 operators
     "events_salted_agg": events_salted_agg,
     "doc_pii_scrub": text_analysis.pii_scrub,
@@ -1916,6 +1945,13 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # jsonl round-trip: oracle reads the parquet directly — equality proves
     # the JSONL writer+PERMISSIVE reader are lossless with zero quarantines
+    "docs_orc_roundtrip": """
+        WITH h AS (SELECT source, n_chars, md5(text) AS h FROM documents)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(((((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1))) AS BIGINT) AS text_fp_sum
+        FROM h GROUP BY source
+    """,
     "docs_jsonl_roundtrip": """
         SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
                SUM(length(text)) AS sum_text_len

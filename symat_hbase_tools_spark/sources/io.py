@@ -116,3 +116,17 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> tuple[DataFrame, Dat
     good = parsed.filter(is_good).select("j.*")
     bad = parsed.filter(~is_good).select(F.col("value").alias("raw_line"))
     return good, bad
+
+
+def write_documents_orc(docs: DataFrame, path: str) -> None:
+    """Export a documents table as ORC (Spark-native columnar interchange —
+    zlib by default, splittable, predicate-pushdown capable like parquet)."""
+    docs.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).orc(path)
+
+
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Documents from ORC with the canonical schema enforced (schema drift in
+    interchange files surfaces as an analysis error, not silent nulls)."""
+    return spark.read.schema(DOCUMENTS_SCHEMA).orc(path)

@@ -106,3 +106,19 @@ def test_jsonl_roundtrip_query_matches_parquet(spark):
         .collect()
     }
     assert out == want
+
+
+def test_orc_roundtrip_lossless(spark, documents, tmp_path):
+    from symat_hbase_tools_spark.sources.io import (
+        read_documents_orc,
+        write_documents_orc,
+    )
+
+    path = str(tmp_path / "orc")
+    write_documents_orc(documents, path)
+    back = read_documents_orc(spark, path)
+    orig = {r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
+            for r in documents.collect()}
+    got = {r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
+           for r in back.collect()}
+    assert got == orig
