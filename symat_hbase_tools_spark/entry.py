@@ -718,6 +718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup_lsh_check": similarity.embedding_near_dup_lsh_check,
     "embedding_semantic_dedup": similarity.embedding_semantic_dedup,
     "bpe_learn_merges": lambda spark, sf: bpe.learn_merges(spark, sf),
+    "bpe_tokenize_census": lambda spark, sf: bpe.tokenize_census(spark, sf),
     "embedding_semantic_dedup_check": similarity.embedding_semantic_dedup_check,
     "dedup_simhash_portable": dedup.simhash_portable_pairs,
     "dedup_incremental": dedup.incremental_dedup,

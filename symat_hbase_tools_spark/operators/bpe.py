@@ -100,3 +100,66 @@ def learn_merges(
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     ).orderBy("merge_rank")
+
+
+def tokenize_census(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """Apply the learned merge table to the whole corpus and report the
+    compression it buys: per (lang, source), characters in, BPE tokens out,
+    and the chars-per-token ratio — the fertility number a tokenizer
+    evaluation reports.
+
+    Scale shape: the merge table is tiny (n_merges rows) and ships as a
+    plain closure constant into ONE Arrow-batched kernel that tokenizes
+    every document (greedy merge application per word, merges in learned
+    order — the standard BPE encode); the census is then a partial-agg
+    groupBy on (lang, source). The corpus scans once; learning the table
+    (learn_merges) scans once more — two passes total, both map-heavy.
+    """
+    merge_rows = learn_merges(spark, sf_dir, n_merges=n_merges).collect()
+    merge_list = [(r["left"], r["right"]) for r in merge_rows]
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def encode(batches):
+        def word_tokens(word):
+            syms = list(word)
+            for a, b in merge_list:
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        for pdf in batches:
+            cache: dict[str, int] = {}
+
+            def doc_tokens(text):
+                total = 0
+                for w in text.split():
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = cache[w] = word_tokens(w)
+                    total += hit
+                return total
+
+            pdf["n_bpe_tokens"] = pdf["text"].map(doc_tokens)
+            yield pdf[["lang", "source", "n_chars", "n_bpe_tokens"]]
+
+    per_doc = docs.select("lang", "source", "n_chars", "text").mapInPandas(
+        encode, schema="lang string, source string, n_chars long, n_bpe_tokens long"
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        (
+            F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens")
+        ).alias("chars_per_token"),
+    )

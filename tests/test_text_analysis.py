@@ -419,3 +419,44 @@ def test_bpe_learn_merges_matches_python_reference(spark, documents):
     assert got == want
     # merges actually compose: later merges may consume earlier merge symbols
     assert len(got) == 6
+
+
+def test_bpe_tokenize_census_matches_python(spark, documents):
+    from collections import Counter
+
+    from symat_hbase_tools_spark.operators import bpe
+
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe.learn_merges(spark, SF_DIR, n_merges=8).collect()
+    ]
+
+    def word_tokens(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    want: dict = {}
+    for r in documents.select("lang", "source", "n_chars", "text").collect():
+        key = (r["lang"], r["source"])
+        d = want.setdefault(key, [0, 0, 0])
+        d[0] += 1
+        d[1] += r["n_chars"]
+        d[2] += sum(word_tokens(w) for w in r["text"].split())
+    got = {
+        (r["lang"], r["source"]): [r["n_docs"], r["total_chars"], r["total_bpe_tokens"]]
+        for r in bpe.tokenize_census(spark, SF_DIR, n_merges=8).collect()
+    }
+    assert got == want
+    # BPE must compress: fewer tokens than characters
+    for (n, ch, tok) in got.values():
+        assert tok < ch
