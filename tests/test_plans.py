@@ -292,3 +292,56 @@ def test_cohort_retention_broadcasts_cohort_dim(spark):
     df.count()  # let AQE finalize
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_pair_stats_one_shuffle_pruned_scan(spark):
+    from symat_hbase_tools_spark.operators import text_analysis
+    from symat_hbase_tools_spark.plans.explain import count_exchanges
+
+    df = text_analysis.bpe_pair_stats(spark, SF_DIR)
+    assert_read_schema_only(df, {"text"})
+    assert count_exchanges(df) == 1  # pair groupBy; top-N is TakeOrdered
+    assert "TakeOrderedAndProject" in plan_string(df)
+
+
+def test_tfidf_single_corpus_scan(spark):
+    """df-as-window formulation: ONE documents scan feeds tf -> df -> rank
+    (a groupBy-on-term df would duplicate the whole explode+tf subtree)."""
+    from symat_hbase_tools_spark.operators import text_analysis
+
+    import re
+
+    plan = plan_string(text_analysis.tfidf_topk(spark, SF_DIR))
+    # corpus once + the 1-row n_docs count (formatted mode lists each node
+    # once in the tree and once in the detail section -> match details only)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quality_classifier_one_shuffle_no_python(spark):
+    from symat_hbase_tools_spark.operators import text_analysis
+    from symat_hbase_tools_spark.plans.explain import count_exchanges
+
+    df = text_analysis.quality_classifier(spark, SF_DIR)
+    plan = plan_string(df)
+    assert count_exchanges(df) == 1  # doc_id groupBy only
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_chunk_census_is_map_only(spark):
+    from symat_hbase_tools_spark.operators import text_analysis
+    from symat_hbase_tools_spark.plans.explain import count_exchanges
+
+    df = text_analysis.chunk_census(spark, SF_DIR)
+    assert count_exchanges(df) == 0
+    assert_read_schema_only(df, {"doc_id", "text"})
+
+
+def test_unimax_broadcasts_domain_cuts(spark):
+    """The per-domain cutoff table (domain-sized) must broadcast back; the
+    only hash shuffles are the two domain-keyed aggregations."""
+    from symat_hbase_tools_spark.entry import doc_unimax_resample
+
+    plan = plan_string(doc_unimax_resample(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
