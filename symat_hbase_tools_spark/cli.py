@@ -80,6 +80,30 @@ def main(argv: list[str] | None = None) -> int:
     )
     dd.add_argument("--output", required=True, help="parquet path for survivors")
 
+    bt = sub.add_parser(
+        "bpe-train", help="learn a BPE merge table over the documents corpus"
+    )
+    bt.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    bt.add_argument("--merges", type=int, default=8, help="number of merges to learn")
+    bt.add_argument("--output", required=True, help="TSV path for the merge table")
+
+    rs = sub.add_parser(
+        "resample",
+        help="write a UniMax per-domain budget-resampled documents corpus",
+    )
+    rs.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    rs.add_argument("--groupBy", default="source", help="domain column")
+    rs.add_argument(
+        "--budgetFrac", type=float, default=0.5, help="overall token budget fraction"
+    )
+    rs.add_argument("--output", required=True, help="parquet path for kept docs")
+
+    ch = sub.add_parser(
+        "chunk", help="write the sliding-window chunked corpus (context-window split)"
+    )
+    ch.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    ch.add_argument("--output", required=True, help="parquet path for chunk census")
+
     q = sub.add_parser("query", help="run any inventory query against a test-data dir")
     q.add_argument("--name", required=True, help="queries() name, or 'list' to enumerate")
     q.add_argument("--sfDir", default="/root/testdata/sf0.001")
@@ -191,6 +215,53 @@ def main(argv: list[str] | None = None) -> int:
                 f"DOCS_BEFORE={n_before} DOCS_AFTER={n_after} "
                 f"DROPPED={n_before - n_after}"
             )
+            return 0
+        if args.tool == "bpe-train":
+            import os
+
+            from symat_hbase_tools_spark.operators import bpe
+
+            rows = bpe.learn_merges(spark, args.sfDir, n_merges=args.merges).collect()
+            os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+            with open(args.output, "w") as f:
+                for r in rows:
+                    f.write(
+                        f"{r['merge_rank']}\t{r['left']}\t{r['right']}\t{r['pair_count']}\n"
+                    )
+            print(f"LEARNED_MERGES={len(rows)}")
+            return 0
+        if args.tool == "resample":
+            from pyspark.sql import functions as F
+
+            from symat_hbase_tools_spark.functions.text import token_count
+            from symat_hbase_tools_spark.operators.sampling import unimax_resample
+            from symat_hbase_tools_spark.sources.tables import load_table
+
+            docs = load_table(spark, args.sfDir, "documents")
+            n_before = docs.count()
+            kept = unimax_resample(
+                docs,
+                args.groupBy,
+                token_count(F.col("text")),
+                ["doc_id"],
+                budget_frac=args.budgetFrac,
+            )
+            kept.write.mode("overwrite").parquet(args.output)
+            n_after = spark.read.parquet(args.output).count()
+            print(
+                f"DOCS_BEFORE={n_before} DOCS_AFTER={n_after} "
+                f"DROPPED={n_before - n_after}"
+            )
+            return 0
+        if args.tool == "chunk":
+            from symat_hbase_tools_spark.operators import text_analysis
+
+            chunks = text_analysis.chunk_census(spark, args.sfDir)
+            chunks.write.mode("overwrite").parquet(args.output)
+            out = spark.read.parquet(args.output)
+            n_chunks = out.count()
+            n_docs = out.select("doc_id").distinct().count()
+            print(f"DOCS={n_docs} CHUNKS={n_chunks}")
             return 0
         if args.tool == "query":
             from symat_hbase_tools_spark.entry import QUERIES

@@ -225,3 +225,41 @@ def unimax_resample_census(
         "n_kept",
         "weight_kept",
     )
+
+def unimax_resample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: Column,
+    key_cols: list[str],
+    budget_frac: float = 0.5,
+    seed: int = 57,
+) -> DataFrame:
+    """The row-filtering twin of ``unimax_resample_census``: returns the
+    KEPT rows of ``df`` (all original columns) under the identical
+    per-domain budget rule, so a pipeline can materialize the resampled
+    corpus, not just the census. Same cutoffs, same md5 membership —
+    row-for-row consistent with what the census counts."""
+    w = weight_col.cast("bigint")
+    with_h = df.withColumn("_wgt", w).withColumn(
+        "_h", _portable_hex(key_cols, seed)
+    )
+    totals = with_h.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum("_wgt").alias("grp_weight")
+    )
+    overall = totals.agg(
+        F.sum("grp_weight").alias("total_weight"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    budget = F.lit(budget_frac) * F.col("total_weight") / F.col("n_groups")
+    cuts = totals.crossJoin(F.broadcast(overall)).select(
+        "grp",
+        F.least(F.lit(1.0), budget / F.col("grp_weight")).alias("_keep_frac"),
+    )
+    val = F.conv(F.substring("_h", 1, 6), 16, 10).cast("bigint")
+    frac = val / F.lit(float(16**6))
+    return (
+        with_h.withColumn("_frac", frac)
+        .join(F.broadcast(cuts), F.col(group_col) == F.col("grp"))
+        .filter(F.col("_frac") < F.col("_keep_frac"))
+        .drop("_wgt", "_h", "_frac", "_keep_frac", "grp")
+    )

@@ -200,3 +200,35 @@ def test_unimax_under_budget_groups_kept_whole(spark):
         assert out[s]["weight_kept"] == out[s]["grp_weight"]
     assert out["big"]["keep_frac"] < 1.0
     assert out["big"]["n_kept"] < out["big"]["n_rows"]
+
+
+def test_unimax_resample_rows_consistent_with_census(spark, documents):
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.functions.text import token_count
+    from symat_hbase_tools_spark.operators.sampling import (
+        unimax_resample,
+        unimax_resample_census,
+    )
+
+    kept = unimax_resample(
+        documents, "source", token_count(F.col("text")), ["doc_id"]
+    )
+    assert kept.columns == documents.columns
+    got = {
+        r["source"]: (r["n"], r["tok"])
+        for r in kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(token_count(F.col("text"))).alias("tok"),
+        )
+        .collect()
+    }
+    want = {
+        r["source"]: (r["n_kept"], r["weight_kept"])
+        for r in unimax_resample_census(
+            documents, "source", token_count(F.col("text")), ["doc_id"]
+        ).collect()
+        if r["n_kept"] > 0
+    }
+    assert got == want
