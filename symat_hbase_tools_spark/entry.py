@@ -34,6 +34,7 @@ from symat_hbase_tools_spark.operators import (
     relational,
     similarity,
     text_analysis,
+    timeseries,
 )
 from symat_hbase_tools_spark.operators.audit import audit
 from symat_hbase_tools_spark.operators.copy_row import copy_row_cells
@@ -732,7 +733,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_reservoir_per_lang": doc_reservoir_per_lang,
     "doc_pack_stats": doc_pack_stats,
     "doc_chunk_census": text_analysis.chunk_census,
-    # round-3 operators
+    # round-3 operators: event-time analytics (funnel / gap-fill / anomaly /
+    # range-band join / OHLC downsample)
+    "events_funnel": timeseries.events_funnel,
+    "events_gap_fill": timeseries.events_gap_fill,
+    "events_anomaly_hours": timeseries.events_anomaly_hours,
+    "events_value_bands": timeseries.events_value_bands,
+    "events_ohlc_daily": timeseries.events_ohlc_daily,
 }
 
 
@@ -2200,6 +2207,87 @@ ORACLE_SQL: dict[str, str] = {
                md5(array_to_string(list_slice(w, i * 24 + 1, i * 24 + 32), ' '))
                    AS chunk_fp
         FROM c
+    """,
+    # ------------------------------------------------------------------
+    # round-3: event-time analytics
+    # ------------------------------------------------------------------
+    "events_funnel": """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        s1 AS (SELECT user_id, MIN(us) AS prev_us FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, MIN(us) AS prev_us FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND us > s1.prev_us GROUP BY 1),
+        s3 AS (SELECT e.user_id, MIN(us) AS prev_us FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND us > s2.prev_us GROUP BY 1)
+        SELECT CAST(1 AS INTEGER) AS stage, 'view' AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(NULL AS DOUBLE) AS avg_hop_seconds FROM s1
+        UNION ALL
+        SELECT 2, 'click', CAST(COUNT(*) AS BIGINT),
+               CAST(CAST(SUM(s2.prev_us - s1.prev_us) AS BIGINT) AS DOUBLE)
+                   / COUNT(*) / 1e6
+        FROM s2 JOIN s1 USING (user_id)
+        UNION ALL
+        SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
+               CAST(CAST(SUM(s3.prev_us - s2.prev_us) AS BIGINT) AS DOUBLE)
+                   / COUNT(*) / 1e6
+        FROM s3 JOIN s2 USING (user_id)
+    """,
+    "events_gap_fill": """
+        WITH hourly AS (
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   arg_max(value, printf('%018d%010d', epoch_us(ts), event_id))
+                       AS close
+            FROM events GROUP BY 1, 2),
+        bounds AS (SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM hourly),
+        spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
+                  FROM bounds),
+        grid AS (SELECT hour_epoch, event_type
+                 FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM hourly))
+        SELECT g.hour_epoch, g.event_type,
+               COALESCE(h.n, 0) AS n_events,
+               last_value(h.close IGNORE NULLS)
+                   OVER (PARTITION BY g.event_type ORDER BY g.hour_epoch)
+                   AS filled_close
+        FROM grid g LEFT JOIN hourly h USING (hour_epoch, event_type)
+    """,
+    "events_anomaly_hours": """
+        WITH hourly AS (
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        stats AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS h,
+                   CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS q
+            FROM hourly GROUP BY 1),
+        scored AS (
+            SELECT event_type, hour_epoch, n AS n_events,
+                   (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / h)
+                       / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / h)
+                              / (h - 1)) AS z
+            FROM hourly JOIN stats USING (event_type))
+        SELECT * FROM scored WHERE abs(z) > 2.5
+    """,
+    "events_value_bands": f"""
+        WITH bands(band, lo, hi) AS (VALUES
+            ('micro', CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)),
+            ('small', 1, 5), ('mid', 5, 20), ('large', 20, 100),
+            ('whale', 100, CAST('infinity' AS DOUBLE)))
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events,
+               {_money('value')} AS sum_value,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY band
+    """,
+    "events_ohlc_daily": f"""
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+               arg_min(value, printf('%018d%010d', epoch_us(ts), event_id)) AS open,
+               MAX(value) AS high, MIN(value) AS low,
+               arg_max(value, printf('%018d%010d', epoch_us(ts), event_id)) AS close,
+               {_money('value')} AS volume,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
     """,
 }
 

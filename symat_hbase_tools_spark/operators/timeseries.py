@@ -1,0 +1,252 @@
+"""Event-time analytics operators: funnels, gap-fill, anomaly flags,
+range-band joins, OHLC downsampling.
+
+The reference engine's scan surface stops at raw KV reads
+(/root/reference — see SURVEY.md §2.5); these are the standard event-stream
+analytics a warehouse user runs daily, expressed so Catalyst keeps every
+stage on the codegen fast path:
+
+  * every per-key reduction is an AGGREGATE (map-side partial combine),
+    never a window sort, unless ordering semantics force one;
+  * time spines / band dimensions are tiny derived tables joined with an
+    explicit ``F.broadcast`` — the fact table is scanned exactly once;
+  * float determinism follows the house rules (entry.py module docstring):
+    integer sums first, one mirrored double expression last.
+
+Scale notes per operator in each docstring — all shapes hold when events is
+100 TB because reductions happen before any join and every join's build side
+is O(groups), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from symat_hbase_tools_spark.operators.relational import money_sum
+from symat_hbase_tools_spark.sources.tables import load_table
+
+#: funnel stage sequence (strictly-increasing event times between stages)
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+#: |z| above which an hourly count is flagged anomalous
+ANOMALY_Z = 2.5
+
+#: irregular value bands for the broadcast range join (lo inclusive, hi
+#: exclusive; the last band is open-ended)
+VALUE_BANDS = (
+    ("micro", 0.0, 1.0),
+    ("small", 1.0, 5.0),
+    ("mid", 5.0, 20.0),
+    ("large", 20.0, 100.0),
+    ("whale", 100.0, float("inf")),
+)
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase.
+
+    A user converts at stage k only with a stage-k event STRICTLY after
+    their stage-(k-1) conversion time (first-touch semantics: the earliest
+    qualifying event per stage). Output is one row per stage with the
+    surviving user count and the mean seconds spent in the hop — the
+    standard product-analytics funnel report.
+
+    Scale shape: each stage is filter -> per-user min-aggregate (map-side
+    combine, output O(users)) -> equi-join on user_id with the previous
+    stage's O(users) frame. No window sorts, no self-join of raw events;
+    at 100 TB the three filtered aggregates scan events once each (or once
+    total if the source is persisted) and every join handles user-sized
+    inputs. gap sums are exact integer microseconds; the mean is assembled
+    by ONE double division mirrored in the oracle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    e = events.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+
+    def stage_min(event_type: str, prev: DataFrame | None) -> DataFrame:
+        s = e.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("us") > F.col("prev_us"))
+        return s.groupBy("user_id").agg(F.min("us").alias("prev_us"))
+
+    stages, prev = [], None
+    for name in FUNNEL_STAGES:
+        prev = stage_min(name, prev)
+        stages.append((name, prev))
+
+    reports = []
+    for i, (name, frame) in enumerate(stages):
+        if i == 0:
+            rep = frame.agg(
+                F.lit(i + 1).cast("int").alias("stage"),
+                F.lit(name).alias("event_type"),
+                F.count(F.lit(1)).alias("n_users"),
+                F.lit(None).cast("double").alias("avg_hop_seconds"),
+            )
+        else:
+            joined = stages[i - 1][1].select(
+                "user_id", F.col("prev_us").alias("from_us")
+            ).join(frame, "user_id")
+            rep = joined.agg(
+                F.lit(i + 1).cast("int").alias("stage"),
+                F.lit(name).alias("event_type"),
+                F.count(F.lit(1)).alias("n_users"),
+                (
+                    F.sum(F.col("prev_us") - F.col("from_us")).cast("double")
+                    / F.count(F.lit(1))
+                    / 1e6
+                ).alias("avg_hop_seconds"),
+            )
+        reports.append(rep)
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled + forward-filled hourly series per event type.
+
+    Builds the dense hour spine [min_hour, max_hour] x event_type, left
+    joins the hourly aggregate onto it, zero-fills counts, and
+    forward-fills the hourly closing value (latest event's value in the
+    hour, carried across empty hours) — the gap-fill/LOCF shape every
+    time-series store exposes (`time_bucket_gapfill` et al.).
+
+    Scale shape: the expensive part is ONE partial-aggregated pass over
+    events (O(hours x types) output). The spine is sequence()+explode over
+    a 1-row bounds aggregate cross-joined with the distinct types — tiny —
+    and is the BROADCAST side of the fill join. The forward-fill window
+    partitions by event_type over O(hours) rows: driver-scale, not
+    data-scale. The hourly close uses max_by with a fixed-width
+    (epoch, event_id) string ordering key so ties resolve identically in
+    the oracle (same trick as kv.latest_cells).
+    """
+    events = load_table(spark, sf_dir, "events")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+    ord_key = F.format_string("%018d%010d", F.unix_micros("ts"), F.col("event_id"))
+    hourly = events.groupBy(
+        hour.alias("hour_epoch"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max_by("value", ord_key).alias("close"),
+    )
+    bounds = hourly.agg(
+        F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi")
+    )
+    types = hourly.select("event_type").distinct()
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_epoch")
+        )
+        .crossJoin(F.broadcast(types))
+    )
+    filled = spine.join(F.broadcast(hourly), ["hour_epoch", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "hour_epoch",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("close", ignorenulls=True).over(w).alias("filled_close"),
+    )
+
+
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-count anomalies per type (z-score over the type's own
+    hourly distribution) — the cheap burst/outage detector run over a
+    metrics stream before alerting.
+
+    Only hours with |z| > ANOMALY_Z survive. Determinism: the per-type
+    moments are EXACT integer sums (count, sum n, sum n^2); mean/variance/z
+    are then computed in one fixed double-expression order mirrored
+    verbatim in the oracle, so both engines round identically (all inputs
+    exact integers, each double op correctly rounded). Sample variance
+    (H-1) is used.
+
+    Scale shape: one partial-aggregated pass to O(hours x types), a second
+    O(types) aggregate, broadcast back. Nothing data-scale after the first
+    aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+    hourly = events.groupBy(hour.alias("hour_epoch"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("h"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    mean = F.col("s").cast("double") / F.col("h")
+    var = (
+        F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("h")
+    ) / (F.col("h") - F.lit(1))
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        j.select(
+            "event_type",
+            "hour_epoch",
+            F.col("n").alias("n_events"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > ANOMALY_Z)
+    )
+
+
+def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: classify every event's value into an IRREGULAR
+    band dimension — the canonical inequality join (price tiers, latency
+    SLO buckets, age bands).
+
+    Spark has no range-join optimizer rule; the right physical plan for a
+    tiny band table is an explicit BroadcastNestedLoopJoin: each executor
+    streams its events partition against the ~5-row broadcast dimension,
+    no shuffle of the fact side at all (plan-asserted in tests). For a
+    LARGE band table the idiom flips to bucketing both sides on a
+    coarsened key (floor(value / g)) and equi-joining bucket-to-candidate
+    -bands — same trick dup_span_census uses for time windows.
+
+    Aggregate output: count + exact money sum per band.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(n, lo, hi) for n, lo, hi in VALUE_BANDS], "band string, lo double, hi double"
+    )
+    cond = (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    joined = events.join(F.broadcast(bands), cond, "inner")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum(F.col("value"), "sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) + volume per event type — the
+    classic market-data downsample, reused verbatim for any metered stream.
+
+    ONE aggregate: open/close are min_by/max_by with a fixed-width
+    (epoch_us, event_id) string ordering key (total order even under equal
+    timestamps, identical on both engines — DuckDB 1.0's arg_min can't
+    take a composite key, so the key is a zero-padded string on both
+    sides). high/low are plain min/max; volume is the exact-integer money
+    sum. Map-side combine applies to all six aggregates: the shuffle
+    carries O(days x types) rows regardless of input size.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    ord_key = F.format_string("%018d%010d", F.unix_micros("ts"), F.col("event_id"))
+    return events.groupBy(day.alias("day"), F.col("event_type")).agg(
+        F.min_by("value", ord_key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ord_key).alias("close"),
+        money_sum(F.col("value"), "volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

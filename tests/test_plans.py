@@ -16,6 +16,17 @@ from symat_hbase_tools_spark.plans.explain import (
 from tests.conftest import SF_DIR
 
 
+@pytest.fixture(autouse=True)
+def _no_cached_plans(spark):
+    """Plan-shape asserts must see the REAL scans. Spark's cache manager
+    substitutes InMemoryRelation by logical-plan equality, so a `.cache()`
+    of a shared `load_table` frame anywhere earlier in the session (the
+    conftest table fixtures) would silently replace the parquet scan here
+    and break ReadSchema/PushedFilters asserts depending on test order."""
+    spark.catalog.clearCache()
+    yield
+
+
 def test_q1_scan_is_pruned_and_pushed(spark):
     df = relational.q1_pricing_summary(spark, SF_DIR)
     plan = plan_string(df)

@@ -1,0 +1,87 @@
+"""Event-time analytics: semantics + plan-shape (funnel / gap-fill /
+anomaly / band join / OHLC). Cross-engine value parity is covered by
+tests/test_oracle.py — these tests pin the SEMANTIC invariants and the
+physical plans the operators are designed to produce."""
+
+from __future__ import annotations
+
+import pytest
+
+from symat_hbase_tools_spark.operators import timeseries
+from symat_hbase_tools_spark.plans.explain import plan_string
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _no_cached_plans(spark):
+    spark.catalog.clearCache()
+    yield
+
+
+def test_funnel_counts_monotonically_shrink(spark):
+    rows = {r["stage"]: r for r in timeseries.events_funnel(spark, SF_DIR).collect()}
+    assert list(rows) == [1, 2, 3]
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
+    assert rows[1]["avg_hop_seconds"] is None
+    for stage in (2, 3):
+        if rows[stage]["n_users"]:
+            assert rows[stage]["avg_hop_seconds"] > 0
+
+
+def test_funnel_is_aggregate_only(spark):
+    """First-touch funnel must not sort events: no Window, no global Sort —
+    per-user minima are partial-aggregated before any join."""
+    plan = plan_string(timeseries.events_funnel(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "min(us)" in plan
+
+
+def test_gap_fill_spine_is_dense_and_filled(spark):
+    pdf = timeseries.events_gap_fill(spark, SF_DIR).toPandas()
+    hours = sorted(pdf["hour_epoch"].unique())
+    # dense: every hour between min and max present, per type
+    assert hours == list(range(hours[0], hours[-1] + 3600, 3600))
+    n_types = pdf["event_type"].nunique()
+    assert len(pdf) == len(hours) * n_types
+    assert (pdf["n_events"] >= 0).all()
+    # forward fill: after each type's first observed hour, no null closes
+    for _, g in pdf.groupby("event_type"):
+        g = g.sort_values("hour_epoch")
+        first = g["filled_close"].first_valid_index()
+        assert g.loc[first:, "filled_close"].notna().all()
+
+
+def test_anomaly_rows_all_exceed_threshold(spark):
+    pdf = timeseries.events_anomaly_hours(spark, SF_DIR).toPandas()
+    assert (pdf["z"].abs() > timeseries.ANOMALY_Z).all()
+    # sanity: the detector is selective, not a pass-through
+    hourly_rows = (
+        timeseries.events_gap_fill(spark, SF_DIR)
+        .filter("n_events > 0")
+        .count()
+    )
+    assert 0 < len(pdf) < hourly_rows / 4
+
+
+def test_value_bands_is_broadcast_nested_loop(spark):
+    """The tiny irregular band dim must broadcast: the events side streams
+    with NO shuffle before the join (the 100 TB-safe plan for an
+    inequality join against an O(1)-row dimension)."""
+    df = timeseries.events_value_bands(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    pdf = df.toPandas()
+    assert set(pdf["band"]) <= {b for b, _, _ in timeseries.VALUE_BANDS}
+    # bands partition the value domain: totals add up to the full table
+    total = sum(pdf["n_events"])
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert total == n_events
+
+
+def test_ohlc_single_exchange_and_invariants(spark):
+    df = timeseries.events_ohlc_daily(spark, SF_DIR)
+    assert plan_string(df, mode="simple").count("Exchange") == 1
+    pdf = df.toPandas()
+    assert (pdf["low"] <= pdf["open"]).all() and (pdf["open"] <= pdf["high"]).all()
+    assert (pdf["low"] <= pdf["close"]).all() and (pdf["close"] <= pdf["high"]).all()
+    assert (pdf["n_events"] > 0).all()
