@@ -669,3 +669,96 @@ def chunk_census(
         F.size("cw").cast("bigint").alias("chunk_tokens"),
         F.md5(F.array_join("cw", " ")).alias("chunk_fp"),
     )
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under an add-1-smoothed corpus
+    bigram LM — one LM-quality notch above ``unigram_logprob`` (CCNet-style
+    filtering ladder: cheap n-gram LM before paying for a real-LM
+    perplexity pass). score = mean over the doc's bigrams of
+    -ln((c(w1,w2)+1) / (c(w1)+V)), with c(w1) the CONTEXT count (bigrams
+    starting at w1) and V the corpus vocabulary size.
+
+    Scale shape: bigrams come from zipping the token array against itself
+    shifted by one — a MAP-ONLY derivation (no window sort over positions,
+    which would shuffle the whole token stream by doc_id). The bigram and
+    context count tables are partial-aggregated (vocab-sized); the score
+    join shuffles on (w1, w2) — the one honest data-scale shuffle. V and
+    the context counts ride along broadcast. ln() last-ulp noise absorbed
+    by round-6, the module's established discipline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    bg = (
+        docs.filter(n >= 2)
+        .select("doc_id", F.explode(zipped).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bigram_c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    context_c = bigram_c.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        docs.select(F.explode(toks).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    scored = (
+        bg.join(bigram_c, ["w1", "w2"])
+        .join(F.broadcast(context_c), "w1")
+        .join(F.broadcast(vocab))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg(-F.log((F.col("c12") + 1) / (F.col("c1") + F.col("v")))).alias("raw"),
+    )
+    return per_doc.select(
+        "doc_id", "n_bigrams", F.round("raw", 6).alias("avg_surprisal")
+    )
+
+
+def mixture_temperature(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled sampling distribution over (lang, source) groups —
+    the multilingual-corpus rebalancing rule (sample group i with
+    p_i ∝ share_i^alpha): alpha=1 keeps the natural mix, alpha->0
+    approaches uniform, 0.5 is the square-root rule. Companion to
+    ``mixture_weights`` (uniform target).
+
+    Oracle determinism: with alpha=0.5, share^alpha ∝ sqrt(n_i). The
+    weights are frozen to exact integers — round(sqrt(n_i) * 1e6) — so the
+    normalizing sum is an EXACT integer sum (order-free); p and boost are
+    then assembled in one mirrored double-expression order. (sqrt is
+    IEEE-correctly-rounded; a pow() formulation would not be portable
+    bit-for-bit.)
+
+    Scale: one partial-aggregated group census, a 1-row total, broadcast
+    back. Nothing data-scale after the first aggregate.
+    """
+    assert alpha == 0.5, "only the square-root rule is frozen for the oracle"
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.round(F.sqrt(F.col("n_docs")) * 1e6).cast("long").alias("w")
+    gw = g.select("lang", "source", "n_docs", w)
+    tot = gw.agg(
+        F.sum("w").alias("w_total"), F.sum("n_docs").alias("corpus_docs")
+    )
+    j = gw.join(F.broadcast(tot))
+    share = F.col("n_docs").cast("double") / F.col("corpus_docs")
+    p = F.col("w").cast("double") / F.col("w_total")
+    return j.select(
+        "lang",
+        "source",
+        "n_docs",
+        share.alias("share"),
+        p.alias("p_temp"),
+        (
+            F.col("w").cast("double")
+            / F.col("w_total")
+            * F.col("corpus_docs")
+            / F.col("n_docs")
+        ).alias("boost"),
+    )

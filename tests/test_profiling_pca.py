@@ -1,0 +1,107 @@
+"""Profiling, n-gram LM scoring, mixture temperature, distributed PCA:
+semantics + plan shape. Cross-engine value parity is in tests/test_oracle.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from symat_hbase_tools_spark.operators import pca, text_analysis
+from symat_hbase_tools_spark.plans.explain import plan_string
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _no_cached_plans(spark):
+    spark.catalog.clearCache()
+    yield
+
+
+def test_orders_profile_semantics(spark):
+    from symat_hbase_tools_spark.entry import orders_profile
+
+    pdf = orders_profile(spark, SF_DIR).toPandas().set_index("column_name")
+    assert set(pdf.index) == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    }
+    n = pdf["n_rows"].iloc[0]
+    assert (pdf["n_rows"] == n).all()
+    assert (pdf["n_nonnull"] <= n).all()
+    assert (pdf["n_distinct"] <= pdf["n_nonnull"]).all()
+    # unique key profile: orderkey distinct == nonnull
+    assert pdf.loc["o_orderkey", "n_distinct"] == pdf.loc["o_orderkey", "n_nonnull"]
+    # min/max rendered on NATIVE order, not lexicographic
+    assert float(pdf.loc["o_totalprice", "min_repr"]) <= float(
+        pdf.loc["o_totalprice", "max_repr"]
+    )
+    assert int(pdf.loc["o_orderkey", "min_repr"]) <= int(
+        pdf.loc["o_orderkey", "max_repr"]
+    )
+
+
+def test_profile_has_no_expand(spark):
+    """The melt formulation must keep ONE distinct aggregate — no N-branch
+    Expand node (the wide count(DISTINCT ...) plan)."""
+    from symat_hbase_tools_spark.entry import orders_profile
+
+    assert "Expand" not in plan_string(orders_profile(spark, SF_DIR))
+
+
+def test_bigram_surprisal_is_map_only_pair_derivation(spark):
+    """Bigrams come from array zip, not a positional window: no Window
+    node anywhere in the plan."""
+    df = text_analysis.bigram_surprisal(spark, SF_DIR)
+    assert "Window" not in plan_string(df)
+    pdf = df.toPandas()
+    assert (pdf["avg_surprisal"] > 0).all()
+    assert (pdf["n_bigrams"] >= 1).all()
+
+
+def test_bigram_surprisal_flags_repetitive_text_low(spark):
+    """A doc repeating one common bigram must score below the corpus mean —
+    the filter signal the op exists for."""
+    pdf = text_analysis.bigram_surprisal(spark, SF_DIR).toPandas()
+    assert pdf["avg_surprisal"].std() > 0  # discriminative, not constant
+
+
+def test_mixture_temperature_is_distribution(spark):
+    pdf = text_analysis.mixture_temperature(spark, SF_DIR).toPandas()
+    assert abs(pdf["p_temp"].sum() - 1.0) < 1e-9
+    assert abs(pdf["share"].sum() - 1.0) < 1e-9
+    # temperature flattens: small groups boosted, large groups damped
+    small = pdf.nsmallest(5, "n_docs")["boost"]
+    large = pdf.nlargest(5, "n_docs")["boost"]
+    assert small.mean() > large.mean()
+
+
+def test_pca_projection_matches_numpy(spark):
+    """End-to-end parity with an exact in-memory PCA on the same data
+    (tolerances absorb partition-order float drift)."""
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    k = 4
+    proj = pca.pca_project(spark, SF_DIR, k=k).toPandas()
+    rows = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    comp = evecs[:, np.argsort(evals)[::-1][:k]]
+    ref = (x - mean) @ comp
+
+    got = np.stack(proj.set_index("vec_id").loc[ids, "proj"].to_numpy())
+    # eigenvectors have sign freedom: compare per-axis up to sign
+    for axis in range(k):
+        a, b = got[:, axis], ref[:, axis]
+        err = min(np.abs(a - b).max(), np.abs(a + b).max())
+        assert err < 1e-6, f"axis {axis} err {err}"
+
+
+def test_pca_check_booleans_hold(spark):
+    row = pca.pca_check(spark, SF_DIR).first()
+    assert row["orthonormal_ok"] and row["centered_ok"] and row["variance_ok"]
+    assert row["n_vectors"] > 0 and row["k"] == pca.PCA_K
