@@ -552,6 +552,41 @@ def docs_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange round-trip: export documents as RFC 4180 quoted CSV,
+    re-read with the canonical schema + matching quote-escape options,
+    aggregate a census with a 24-bit md5-prefix checksum of every text.
+    Matching the parquet-side oracle proves the quote/escape cycle is
+    byte-lossless (commas, quotes, and newlines in text survive)."""
+    import hashlib
+    import os
+
+    from symat_hbase_tools_spark.sources.io import (
+        read_documents_csv,
+        write_documents_csv,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        "/tmp", "symat_csv", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    write_documents_csv(docs, path)
+    back = read_documents_csv(spark, path)
+    text_fp = F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("bigint")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(text_fp).alias("text_fp_sum"),
+    )
+
+
+def referential_integrity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK violation census across the whole star schema (profiling.py)."""
+    return profiling.referential_integrity(
+        lambda name: load_table(spark, sf_dir, name)
+    )
+
+
 def kv_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     snap_a = customer_cells(customer)
@@ -767,6 +802,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_mixture_temperature": text_analysis.mixture_temperature,
     "embedding_pca_project": pca.pca_project,
     "embedding_pca_check": pca.pca_check,
+    # round-3: FK integrity, time-decay attribution, incremental rollup
+    # maintenance, CSV interchange
+    "referential_integrity_census": referential_integrity_census,
+    "events_attribution_decay": timeseries.events_attribution_decay,
+    "events_hourly_incremental": timeseries.events_hourly_incremental,
+    "docs_csv_roundtrip": docs_csv_roundtrip,
 }
 
 
@@ -910,6 +951,24 @@ _PROFILE_RENDER_SQL = {
     "money": "printf('%.2f', {m}({c}))",
     "date": "strftime({m}({c}), '%Y-%m-%d')",
 }
+
+
+def _fk_oracle_sql(edges) -> str:
+    """UNION ALL mirror of profiling.referential_integrity (same edges)."""
+    parts = []
+    for child, ckey, parent, pkey in edges:
+        parts.append(
+            f"SELECT '{child}.{ckey}->{parent}.{pkey}' AS relationship, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_child, "
+            f"CAST(SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.__pk IS NULL "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans, "
+            f"CAST(SUM(CASE WHEN c.{ckey} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_null_keys "
+            f"FROM {child} c LEFT JOIN "
+            f"(SELECT DISTINCT {pkey} AS __pk FROM {parent}) p "
+            f"ON c.{ckey} = p.__pk"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def _profile_oracle_sql(table: str, renderers: dict[str, str]) -> str:
@@ -2373,6 +2432,36 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, CAST(8 AS INTEGER) AS k,
                TRUE AS orthonormal_ok, TRUE AS centered_ok, TRUE AS variance_ok
         FROM embeddings
+    """,
+    "referential_integrity_census": _fk_oracle_sql(profiling.FK_EDGES),
+    "events_attribution_decay": """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        c AS (SELECT user_id, us AS click_us FROM e WHERE event_type = 'click'),
+        p AS (SELECT user_id, us AS purchase_us FROM e
+              WHERE event_type = 'purchase'),
+        pairs AS (SELECT c.user_id, click_us, purchase_us
+                  FROM c JOIN p USING (user_id)
+                  WHERE click_us < purchase_us
+                    AND purchase_us - click_us <= 604800000000)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_touch_pairs,
+               round(SUM(exp(-(purchase_us - click_us) / 86400000000.0)), 6)
+                   AS total_credit
+        FROM pairs GROUP BY 1
+    """,
+    # full recompute over ALL events — equality proves the base+delta merge
+    # of the mergeable (count, integer-micros hi/lo) states is lossless
+    "events_hourly_incremental": f"""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               event_type, COUNT(*) AS n_events,
+               {_money('value')} AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "docs_csv_roundtrip": """
+        WITH h AS (SELECT lang, n_chars, md5(text) AS h FROM documents)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(((((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1))) AS BIGINT) AS text_fp_sum
+        FROM h GROUP BY lang
     """,
 }
 

@@ -80,3 +80,55 @@ def profile(df: DataFrame, renderers: dict[str, str]) -> DataFrame:
         "min_repr",
         "max_repr",
     )
+
+
+#: FK edges of the star schema: (child table, child key, parent table, parent key)
+FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def referential_integrity(load, edges=FK_EDGES) -> DataFrame:
+    """Foreign-key violation census across a star schema — the referential
+    half of the data-quality gate (``profile`` is the per-column half).
+
+    For each FK edge: child row count, orphan count (child keys with no
+    parent), and null-key count. One row per edge.
+
+    Scale shape per edge: the parent side is reduced to DISTINCT keys
+    FIRST — a vocab-sized build input, so Catalyst/AQE picks a broadcast
+    join for every dimension that fits (nation/region always; customer up
+    to the broadcast threshold) and a shuffle join beyond, exactly the
+    right call per edge. The orphan count is a LEFT JOIN + conditional sum
+    rather than an anti-join so child count and orphan count come from ONE
+    pass per edge. Null child keys are counted separately (SQL FK
+    semantics: NULL references are not violations).
+
+    ``load`` is a table-name -> DataFrame loader so the census runs on any
+    catalog (tests inject corrupted frames).
+    """
+    reports = []
+    for child, ckey, parent, pkey in edges:
+        c = load(child).select(F.col(ckey).alias("__ck"))
+        p = load(parent).select(F.col(pkey).alias("__pk")).distinct()
+        joined = c.join(p, c["__ck"] == p["__pk"], "left")
+        reports.append(
+            joined.agg(
+                F.lit(f"{child}.{ckey}->{parent}.{pkey}").alias("relationship"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    (F.col("__ck").isNotNull() & F.col("__pk").isNull()).cast("long")
+                ).alias("n_orphans"),
+                F.sum(F.col("__ck").isNull().cast("long")).alias("n_null_keys"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -250,3 +250,95 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(F.col("value"), "volume"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+#: attribution lookback window (purchase credits clicks within this span)
+ATTRIB_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+#: exponential decay time constant (credit halves roughly every tau*ln2)
+ATTRIB_TAU_US = 24 * 3600 * 1_000_000.0
+
+
+def events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every purchase distributes credit
+    exp(-gap/tau) to each of the user's clicks in the preceding 7 days —
+    the standard position-free alternative to last-touch
+    (purchase_attribution is the as-of/last-touch sibling).
+
+    Scale shape: clicks x purchases join ONLY on user_id with the time
+    predicate applied in the join filter — pair fan-out is bounded by
+    per-user activity, never cross-corpus; skewed users are AQE's
+    skew-join case. Credit sums are doubles; round-6 absorbs fold-order
+    ulps (house discipline for exp/ln aggregates).
+    """
+    events = load_table(spark, sf_dir, "events")
+    e = events.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("click_us")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("purchase_us")
+    )
+    pairs = clicks.join(purchases, "user_id").filter(
+        (F.col("click_us") < F.col("purchase_us"))
+        & (F.col("purchase_us") - F.col("click_us") <= ATTRIB_WINDOW_US)
+    )
+    credit = F.exp(
+        -(F.col("purchase_us") - F.col("click_us")) / F.lit(ATTRIB_TAU_US)
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_touch_pairs"),
+        F.round(F.sum(credit), 6).alias("total_credit"),
+    )
+
+
+def events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, proven lossless: the
+    hourly rollup is computed as stored-aggregate MERGE delta-aggregate
+    (simulating a nightly batch landing: every 7th event is "new"), and
+    the oracle recomputes the rollup over ALL events directly — equality
+    IS the proof that the merge loses nothing.
+
+    The mergeable representation keeps counts and exact integer-micro
+    money sums (hi/lo longs, the money_sum internals): partial states add
+    with plain integer +, so merge is associative and the stored view
+    never re-reads history — THE pattern for keeping a 100 TB rollup
+    fresh from deltas. The double renders once, after the merge, from the
+    identical integer totals the one-shot aggregate would produce.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.pmod(F.col("event_id"), F.lit(7)) != 0)
+    delta = events.filter(F.pmod(F.col("event_id"), F.lit(7)) == 0)
+
+    micros = 1_000_000
+    split = 1_000_000_000
+
+    def partial_state(df: DataFrame) -> DataFrame:
+        m = F.round(F.col("value") * micros).cast("long")
+        lo = F.pmod(m, F.lit(split).cast("long"))
+        hi = ((m - lo) / split).cast("long")
+        hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+        return df.groupBy(hour.alias("hour_epoch"), F.col("event_type")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(hi).alias("hi"),
+            F.sum(lo).alias("lo"),
+        )
+    b, d = partial_state(base), partial_state(delta)
+    keys = ["hour_epoch", "event_type"]
+    merged = b.join(d, keys, "full_outer").select(
+        *keys,
+        *[
+            (
+                F.coalesce(b[c], F.lit(0)) + F.coalesce(d[c], F.lit(0))
+            ).alias(c)
+            for c in ("n", "hi", "lo")
+        ],
+    )
+    return merged.select(
+        "hour_epoch",
+        "event_type",
+        F.col("n").alias("n_events"),
+        (
+            (F.col("hi").cast("double") * float(split) + F.col("lo").cast("double"))
+            / float(micros)
+        ).alias("sum_value"),
+    )

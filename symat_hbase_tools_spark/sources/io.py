@@ -130,3 +130,29 @@ def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
     """Documents from ORC with the canonical schema enforced (schema drift in
     interchange files surfaces as an analysis error, not silent nulls)."""
     return spark.read.schema(DOCUMENTS_SCHEMA).orc(path)
+
+
+def write_documents_csv(docs: DataFrame, path: str) -> None:
+    """Export a documents table as headered CSV: fields quoted, embedded
+    quotes doubled (RFC 4180), newlines kept verbatim inside quotes."""
+    docs.select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).option("header", True).option("escape", '"').csv(path)
+
+
+def read_documents_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Documents from CSV with the canonical schema enforced and RFC 4180
+    quote-escape parsing matching the writer.
+
+    ``multiLine`` is required for quoted embedded newlines — and it makes
+    each CSV FILE one parse unit (no intra-file splits), which is why CSV
+    is interchange-only here (module header): at corpus scale the writer's
+    many part-files are the parallelism unit, parquet/ORC the real format.
+    """
+    return (
+        spark.read.schema(DOCUMENTS_SCHEMA)
+        .option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(path)
+    )

@@ -105,3 +105,61 @@ def test_pca_check_booleans_hold(spark):
     row = pca.pca_check(spark, SF_DIR).first()
     assert row["orthonormal_ok"] and row["centered_ok"] and row["variance_ok"]
     assert row["n_vectors"] > 0 and row["k"] == pca.PCA_K
+
+
+def test_referential_integrity_flags_injected_orphans(spark):
+    """Corrupt a child table in-memory: the census must count exactly the
+    injected orphans and nulls, leaving clean edges at zero."""
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.operators.profiling import referential_integrity
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    def load(name):
+        df = load_table(spark, SF_DIR, name)
+        if name == "orders":
+            # 3 orphan custkeys + 2 NULL custkeys
+            return df.withColumn(
+                "o_custkey",
+                F.when(F.col("o_orderkey") < 3, F.lit(-999))
+                .when(F.col("o_orderkey").isin(5, 6), F.lit(None))
+                .otherwise(F.col("o_custkey")),
+            )
+        return df
+
+    edges = (
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    )
+    rows = {r["relationship"]: r for r in referential_integrity(load, edges).collect()}
+    bad = rows["orders.o_custkey->customer.c_custkey"]
+    assert bad["n_orphans"] == 3 and bad["n_null_keys"] == 2
+    clean = rows["nation.n_regionkey->region.r_regionkey"]
+    assert clean["n_orphans"] == 0 and clean["n_null_keys"] == 0
+
+
+def test_csv_roundtrip_survives_hostile_text(spark, tmp_path):
+    """Commas, RFC-4180 quotes, and embedded newlines must survive the
+    write/read cycle byte-for-byte."""
+    from symat_hbase_tools_spark.sources.io import (
+        read_documents_csv,
+        write_documents_csv,
+    )
+
+    rows = [
+        (1, 'a,b,"c" d', "en", "src0", 9),
+        (2, "line1\nline2", "en", "src1", 11),
+        (3, '"""', "de", "src2", 3),
+        (4, "", "de", "src3", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "csv")
+    write_documents_csv(docs, path)
+    back = {
+        r["doc_id"]: r["text"]
+        for r in read_documents_csv(spark, path).collect()
+    }
+    for doc_id, text, *_ in rows:
+        assert back[doc_id] == (text or None), (doc_id, back[doc_id])
