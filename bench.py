@@ -64,6 +64,15 @@ HEADLINE = [
     "doc_quality_classifier",
     "doc_unimax_resample",
     "doc_dedup_keep_best",
+    # round-3: event-time analytics + data quality + LM scoring
+    "events_funnel",
+    "events_gap_fill",
+    "events_ohlc_daily",
+    "events_hourly_incremental",
+    "events_attribution_decay",
+    "orders_profile",
+    "referential_integrity_census",
+    "text_bigram_surprisal",
 ]
 
 

@@ -263,3 +263,72 @@ def unimax_resample(
         .filter(F.col("_frac") < F.col("_keep_frac"))
         .drop("_wgt", "_h", "_frac", "_keep_frac", "grp")
     )
+
+
+def pps_systematic(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    target_k: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay rows on a
+    weight tape in ``id_col`` order and pick every ``stride``-th point
+    (stride = total_weight div target_k) — a row is selected iff a stride
+    multiple lands inside its weight interval, so selection probability is
+    proportional to weight and heavy rows are picked deterministically.
+
+    Chosen over Efraimidis-Spirakis (u^(1/w) keys) as the weighted-sampling
+    primitive here because it is EXACT-INTEGER arithmetic end to end:
+    cross-engine bit-equal, no pow/ln ulp risk in the ranking, and the
+    sample is identical on any partition layout. The classic use: pick k
+    documents for human eval with long docs proportionally represented.
+
+    Scale shape: the same distributed prefix sum as packing.pack_sequences
+    (range partition by id -> per-partition window cumsum -> O(partitions)
+    driver offsets broadcast back); selection itself is then a pure filter.
+    Output: (id, weight, sample_rank) for selected rows, sample_rank the
+    index of the stride point that landed in the row's interval.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from symat_hbase_tools_spark.plans.partitioning import scan_fanout
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col), F.col(weight_col).cast("long").alias("_w")
+    )
+    parts = n_partitions or scan_fanout(spark, df)
+    ranged = base.repartitionByRange(parts, id_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_local_cum", F.sum("_w").over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    totals = local.groupBy("_pid").agg(F.max("_local_cum").alias("_total")).collect()
+    offsets, running = {}, 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = running
+        running += r["_total"] or 0
+    stride = max(running // max(target_k, 1), 1)
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    cum = (F.col("_local_cum") - F.col("_w") + F.col("_offset")).alias("_cum")
+    tape = local.join(F.broadcast(off_df), "_pid").select(id_col, "_w", cum)
+    first_point = F.expr(f"(_cum + {stride} - 1) div {stride}")
+    last_point = F.expr(f"(_cum + _w - 1) div {stride}")
+    return (
+        tape.filter((F.col("_w") > 0) & (last_point >= first_point))
+        .select(
+            F.col(id_col),
+            F.col("_w").alias(weight_col),
+            first_point.cast("long").alias("sample_rank"),
+        )
+    )

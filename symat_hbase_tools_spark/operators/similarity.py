@@ -947,3 +947,81 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sq").cast("double") / (F.col("n_vecs") * 1e6)).alias("centroid"),
         )
     )
+
+
+# -- k-means clustering as a first-class operator ----------------------------
+
+
+def embedding_kmeans_fit(
+    spark: SparkSession, sf_dir: str, k: int = 10, seed: int = 42
+) -> DataFrame:
+    """Per-cluster census of a k-means clustering over the embeddings table
+    (rows-only — Lloyd's iterations are not SQL-expressible; invariants are
+    oracle-checked by ``embedding_kmeans_check``).
+
+    Reuses the IVF machinery: codebook fit on a portable-hash-capped sample
+    (layout-independent), broadcast centroids, one Arrow-batched assignment
+    pass (``_cell_assign`` with n_assign=1 — each vector to its single
+    nearest centroid), then a k-row aggregate: cluster size + mean squared
+    distance to the centroid (the per-cluster inertia contribution).
+    Scale: the only data-scale stages are the narrow assignment map and one
+    partial-aggregated k-group shuffle.
+    """
+    import numpy as np
+
+    base = _emb(spark, sf_dir)
+    model, with_vec = _fit_codebook(
+        base.select("vec_id", "emb"), n_cells=k, seed=seed
+    )
+    C = np.array([np.asarray(c) for c in model.clusterCenters()])
+    bc = spark.sparkContext.broadcast(C)
+    assigned = _cell_assign(base, bc, n_assign=1)
+
+    def with_dist(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            d2 = ((E - C[pdf["cell"].to_numpy()]) ** 2).sum(axis=1)
+            yield pd.DataFrame({"cell": pdf["cell"], "d2": d2})
+
+    dists = assigned.mapInPandas(with_dist, schema="cell int, d2 double")
+    return dists.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("d2"), 6).alias("mean_sq_dist"),
+    )
+
+
+def embedding_kmeans_check(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Oracle-paired invariants for ``embedding_kmeans_fit``: membership is
+    a partition (sizes sum to the corpus count — the oracle's COUNT(*)),
+    every cluster is non-empty, and the clustering strictly beats the
+    trivial 1-cluster solution: total within-cluster inertia < total
+    variance around the GLOBAL mean (sum ||x - mean||^2, from the same
+    distributed moment pass PCA uses)."""
+    from symat_hbase_tools_spark.operators.pca import _moment_stats
+
+    census = embedding_kmeans_fit(spark, sf_dir, k=k)
+    base = _emb(spark, sf_dir)
+    d = len(base.select("emb").first()["emb"])
+    stats = _moment_stats(base.select(F.col("emb").alias("embedding")), d)
+    n, s = stats[0], stats[1 : 1 + d]
+    gram_diag_sum = stats[1 + d :].reshape(d, d).trace()
+    total_var = gram_diag_sum - (s @ s) / n
+
+    rows = census.collect()
+    sizes = {r["cell"]: r["n_members"] for r in rows}
+    inertia = sum(r["n_members"] * r["mean_sq_dist"] for r in rows)
+    return spark.createDataFrame(
+        [
+            (
+                int(sum(sizes.values())),
+                int(k),
+                bool(len(sizes) == k and min(sizes.values()) > 0),
+                bool(inertia < total_var),
+            )
+        ],
+        "n_vectors long, k int, partition_ok boolean, inertia_ok boolean",
+    )

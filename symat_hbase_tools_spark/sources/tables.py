@@ -83,14 +83,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hit = _SCAN_CACHE.get(key)
     # session pinned in the value: a GC'd session can't alias a live id()
     if hit is not None and hit[0] is spark:
-        return hit[1]
+        return hit[1].alias(name)
     df = spark.read.parquet(path)
     if name == "events":
         df = normalize_events(df)
     if len(_SCAN_CACHE) >= _SCAN_CACHE_MAX:
         _SCAN_CACHE.clear()
     _SCAN_CACHE[key] = (spark, df)
-    return df
+    # Callers get a FRESH lightweight wrapper (one py4j call) around the
+    # shared analyzed plan, never the cached object itself: a JVM Dataset
+    # memoizes its optimized plan on first use, so if a caller .cache()d
+    # the shared object and later unpersisted it, the memoized
+    # InMemoryRelation would outlive the cache — inputFiles() turns empty
+    # and scan_fanout() mistakes a file scan for an in-memory relation
+    # (observed as a spurious repartition Exchange in map-only plans).
+    return df.alias(name)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:

@@ -163,3 +163,48 @@ def test_csv_roundtrip_survives_hostile_text(spark, tmp_path):
     }
     for doc_id, text, *_ in rows:
         assert back[doc_id] == (text or None), (doc_id, back[doc_id])
+
+
+def test_pps_weighted_sample_layout_independent(spark):
+    """The PPS systematic sample must be identical regardless of input
+    partitioning (the property that makes it usable on any cluster), and
+    selection must favor heavy docs proportionally."""
+    from symat_hbase_tools_spark.operators.sampling import pps_systematic
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = pps_systematic(docs, "doc_id", "n_chars", target_k=50).toPandas()
+    b = pps_systematic(
+        docs.repartition(13), "doc_id", "n_chars", target_k=50, n_partitions=3
+    ).toPandas()
+    sa = sorted(map(tuple, a[["doc_id", "sample_rank"]].to_numpy()))
+    sb = sorted(map(tuple, b[["doc_id", "sample_rank"]].to_numpy()))
+    assert sa == sb
+    # ~target_k picks; heavy docs overrepresented vs uniform
+    assert 40 <= len(sa) <= 60
+    corpus_mean = docs.toPandas()["n_chars"].mean()
+    assert a["n_chars"].mean() > corpus_mean
+
+
+def test_pps_heavy_row_multi_hit_has_one_output_row(spark):
+    """A row heavier than the stride absorbs multiple sample points but
+    appears once, carrying the FIRST point's rank (ranks stay unique across
+    the output)."""
+    from symat_hbase_tools_spark.operators.sampling import pps_systematic
+
+    rows = [(1, 10), (2, 1000), (3, 10), (4, 10)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    out = pps_systematic(df, "id", "w", target_k=10).toPandas()
+    # stride = 1030 // 10 = 103: doc 2 spans [10, 1010) -> points 103..927
+    assert 2 in set(out["id"])
+    assert out["sample_rank"].is_unique
+
+
+def test_kmeans_census_partitions_corpus(spark):
+    from symat_hbase_tools_spark.operators import similarity
+
+    census = similarity.embedding_kmeans_fit(spark, SF_DIR, k=8).toPandas()
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert census["n_members"].sum() == n
+    assert len(census) == 8
+    assert (census["mean_sq_dist"] >= 0).all()
