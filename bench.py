@@ -73,6 +73,9 @@ HEADLINE = [
     "orders_profile",
     "referential_integrity_census",
     "text_bigram_surprisal",
+    "events_active_users",
+    "events_mean_shift",
+    "doc_sample_weighted",
 ]
 
 

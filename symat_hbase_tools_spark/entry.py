@@ -832,6 +832,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sample_weighted": doc_sample_weighted,
     "embedding_kmeans_fit": similarity.embedding_kmeans_fit,
     "embedding_kmeans_check": similarity.embedding_kmeans_check,
+    # round-3: engagement metrics + changepoint detection
+    "events_active_users": timeseries.events_active_users,
+    "events_mean_shift": timeseries.events_mean_shift,
 }
 
 
@@ -2508,6 +2511,61 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, CAST(10 AS INTEGER) AS k,
                TRUE AS partition_ok, TRUE AS inertia_ok
         FROM embeddings
+    """,
+    "events_active_users": """
+        WITH pairs AS (SELECT DISTINCT
+                           CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+                               AS day_no,
+                           user_id
+                       FROM events),
+        hi AS (SELECT MAX(day_no) AS hi FROM pairs),
+        fan AS (
+            SELECT user_id, CAST(1 AS INTEGER) AS window_days,
+                   day_no AS report_day FROM pairs
+            UNION ALL
+            SELECT user_id, 7, day_no + x.i FROM pairs, range(0, 7) x(i)
+            UNION ALL
+            SELECT user_id, 30, day_no + x.i FROM pairs, range(0, 30) x(i))
+        SELECT strftime(make_timestamp(report_day * 86400 * 1000000),
+                        '%Y-%m-%d') AS day,
+               window_days,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM fan CROSS JOIN hi
+        WHERE report_day <= hi
+        GROUP BY 1, 2
+    """,
+    "events_mean_shift": """
+        WITH hourly AS (
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        bounds AS (SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM hourly),
+        spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
+                  FROM bounds),
+        grid AS (SELECT hour_epoch, event_type
+                 FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM hourly)),
+        filled AS (SELECT g.hour_epoch, g.event_type,
+                          COALESCE(h.n, 0) AS n_events
+                   FROM grid g LEFT JOIN hourly h USING (hour_epoch, event_type)),
+        scored AS (
+            SELECT event_type, hour_epoch,
+                   SUM(n_events) OVER w_prev AS s_prev,
+                   COUNT(*) OVER w_prev AS c_prev,
+                   SUM(n_events) OVER w_next AS s_next,
+                   COUNT(*) OVER w_next AS c_next
+            FROM filled
+            WINDOW w_prev AS (PARTITION BY event_type ORDER BY hour_epoch
+                              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+                   w_next AS (PARTITION BY event_type ORDER BY hour_epoch
+                              ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)),
+        means AS (
+            SELECT event_type, hour_epoch,
+                   CAST(s_prev AS DOUBLE) / c_prev AS mean_prev,
+                   CAST(s_next AS DOUBLE) / c_next AS mean_next,
+                   CAST(s_next AS DOUBLE) / c_next
+                       - CAST(s_prev AS DOUBLE) / c_prev AS shift
+            FROM scored WHERE c_prev = 24 AND c_next = 24)
+        SELECT * FROM means WHERE abs(shift) > 0.75 * mean_prev
     """,
 }
 

@@ -342,3 +342,114 @@ def events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             / float(micros)
         ).alias("sum_value"),
     )
+
+
+#: trailing windows for active-user counts (days)
+ACTIVE_WINDOWS = (1, 7, 30)
+
+
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU: per day, distinct users active in the trailing 1,
+    7, and 30 days — the standard engagement report.
+
+    Distinct-over-sliding-window doesn't decompose into partial aggregates,
+    so the scalable shape is: (1) reduce the stream to DISTINCT (day, user)
+    pairs — one partial-agg shuffle, output O(days x users); (2) fan each
+    pair out to the <=30 report days whose trailing window contains it
+    (explode of a sequence — bounded by the window length, not the data);
+    (3) one count_distinct per (report_day, window). The fan-out join is
+    the textbook alternative to a quadratic day-x-day self-join; HLL
+    sketches (approx_count_distinct partial states) are the next notch if
+    users x days stops fitting — the exact formulation is what the oracle
+    can mirror.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    pairs = events.select(
+        (F.unix_timestamp(day) / 86400).cast("long").alias("day_no"),
+        "user_id",
+    ).distinct()
+    bounds = pairs.agg(F.max("day_no").alias("hi"))
+    reports = []
+    for win in ACTIVE_WINDOWS:
+        fan = pairs.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day_no"), F.col("day_no") + win - 1)
+            ).alias("report_day"),
+        )
+        counted = (
+            fan.join(F.broadcast(bounds), F.col("report_day") <= F.col("hi"))
+            .groupBy("report_day")
+            .agg(F.count_distinct("user_id").alias("n_active"))
+            .select(
+                F.col("report_day").alias("day_no"),
+                F.lit(win).cast("int").alias("window_days"),
+                "n_active",
+            )
+        )
+        reports.append(counted)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        F.date_format(
+            F.to_timestamp(F.col("day_no") * 86400), "yyyy-MM-dd"
+        ).alias("day"),
+        "window_days",
+        "n_active",
+    )
+
+
+#: trailing/leading comparison span for the mean-shift detector (hours)
+SHIFT_SPAN = 24
+#: minimum |level shift| in events/hour to flag, as a fraction of the
+#: trailing mean
+SHIFT_FRACTION = 0.75
+
+
+def events_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint (level-shift) detection on the hourly series: for every
+    hour, compare the mean rate over the PREVIOUS 24 h against the NEXT
+    24 h (current inclusive) and flag hours where the level jumps by more
+    than SHIFT_FRACTION of the trailing mean — the two-window mean-shift
+    test, the standard cheap changepoint detector.
+
+    Builds on the dense gap-filled spine (missing hours count as zero —
+    without the spine, frame offsets silently skip empty hours and the
+    windows stop being time-aligned). Frame sums are exact integers; the
+    shift test is one mirrored double expression. The frames run per
+    event_type over O(hours) rows — driver-scale after the first
+    aggregate, like the gap fill itself.
+    """
+    filled = events_gap_fill(spark, sf_dir)
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(-SHIFT_SPAN, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(0, SHIFT_SPAN - 1)
+    )
+    scored = filled.select(
+        "event_type",
+        "hour_epoch",
+        F.sum("n_events").over(w_prev).alias("s_prev"),
+        F.count(F.lit(1)).over(w_prev).alias("c_prev"),
+        F.sum("n_events").over(w_next).alias("s_next"),
+        F.count(F.lit(1)).over(w_next).alias("c_next"),
+    ).filter((F.col("c_prev") == SHIFT_SPAN) & (F.col("c_next") == SHIFT_SPAN))
+    mean_prev = F.col("s_prev").cast("double") / F.col("c_prev")
+    mean_next = F.col("s_next").cast("double") / F.col("c_next")
+    shift = mean_next - mean_prev
+    return scored.select(
+        "event_type",
+        "hour_epoch",
+        mean_prev.alias("mean_prev"),
+        mean_next.alias("mean_next"),
+        shift.alias("shift"),
+    ).filter(
+        F.abs(shift) > F.lit(SHIFT_FRACTION) * mean_prev
+    )

@@ -85,3 +85,41 @@ def test_ohlc_single_exchange_and_invariants(spark):
     assert (pdf["low"] <= pdf["open"]).all() and (pdf["open"] <= pdf["high"]).all()
     assert (pdf["low"] <= pdf["close"]).all() and (pdf["close"] <= pdf["high"]).all()
     assert (pdf["n_events"] > 0).all()
+
+
+def test_active_users_windows_nest(spark):
+    """For any day: DAU <= WAU <= MAU, and every count <= total users."""
+    pdf = timeseries.events_active_users(spark, SF_DIR).toPandas()
+    total_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    by_day = pdf.pivot(index="day", columns="window_days", values="n_active")
+    nested = by_day.dropna()  # early days lack full trailing windows
+    assert (nested[1] <= nested[7]).all() and (nested[7] <= nested[30]).all()
+    assert (pdf["n_active"] <= total_users).all()
+    assert set(pdf["window_days"]) == set(timeseries.ACTIVE_WINDOWS)
+
+
+def test_mean_shift_flags_injected_changepoint(spark, tmp_path):
+    """Inject a synthetic 10x level shift into a copy of events: the
+    detector must flag hours at the jump and mean_next/mean_prev must
+    reflect the two levels."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # amplify the second half of the stream for one type by replicating
+    mid = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    cut = mid["lo"] + (mid["hi"] - mid["lo"]) / 2
+    boosted = events.filter(
+        (F.col("event_type") == "click") & (F.col("ts") >= F.lit(cut))
+    )
+    spiked = events.unionByName(boosted).unionByName(boosted)  # 3x after cut
+    sf_dir = str(tmp_path / "sfdir")
+    spiked.write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    out = timeseries.events_mean_shift(spark, sf_dir).toPandas()
+    clicks = out[out["event_type"] == "click"]
+    assert len(clicks) > 0
+    assert (clicks["mean_next"] > clicks["mean_prev"]).any()
