@@ -291,6 +291,63 @@ def events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+#: integer-micros money-state constants (shared with the streaming rollup)
+_STATE_MICROS = 1_000_000
+_STATE_SPLIT = 1_000_000_000
+
+#: the mergeable-state key
+HOURLY_STATE_KEYS = ("hour_epoch", "event_type")
+
+
+def hourly_partial_state(df: DataFrame) -> DataFrame:
+    """Mergeable hourly rollup state for an event batch: per (hour, type)
+    count + exact integer-micro money sums in hi/lo-split longs. Partial
+    states of any two disjoint batches ADD with plain integer + — the
+    property that makes the rollup maintainable from deltas (batch) or
+    micro-batches (streaming) without re-reading history."""
+    m = F.round(F.col("value") * _STATE_MICROS).cast("long")
+    lo = F.pmod(m, F.lit(_STATE_SPLIT).cast("long"))
+    hi = ((m - lo) / _STATE_SPLIT).cast("long")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+    return df.groupBy(hour.alias("hour_epoch"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(hi).alias("hi"),
+        F.sum(lo).alias("lo"),
+    )
+
+
+def merge_hourly_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two hourly states (full outer on the key, integer adds)."""
+    keys = list(HOURLY_STATE_KEYS)
+    return a.join(b, keys, "full_outer").select(
+        *keys,
+        *[
+            (F.coalesce(a[c], F.lit(0)) + F.coalesce(b[c], F.lit(0))).alias(c)
+            for c in ("n", "hi", "lo")
+        ],
+    )
+
+
+def render_hourly_state(state: DataFrame) -> DataFrame:
+    """Assemble the user-facing rollup from a state table (double built once
+    from the exact integer totals)."""
+    return state.select(
+        "hour_epoch",
+        "event_type",
+        F.col("n").alias("n_events"),
+        (
+            (
+                F.col("hi").cast("double") * float(_STATE_SPLIT)
+                + F.col("lo").cast("double")
+            )
+            / float(_STATE_MICROS)
+        ).alias("sum_value"),
+    )
+
+
+
 def events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance, proven lossless: the
     hourly rollup is computed as stored-aggregate MERGE delta-aggregate
@@ -309,38 +366,8 @@ def events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = events.filter(F.pmod(F.col("event_id"), F.lit(7)) != 0)
     delta = events.filter(F.pmod(F.col("event_id"), F.lit(7)) == 0)
 
-    micros = 1_000_000
-    split = 1_000_000_000
-
-    def partial_state(df: DataFrame) -> DataFrame:
-        m = F.round(F.col("value") * micros).cast("long")
-        lo = F.pmod(m, F.lit(split).cast("long"))
-        hi = ((m - lo) / split).cast("long")
-        hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
-        return df.groupBy(hour.alias("hour_epoch"), F.col("event_type")).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(hi).alias("hi"),
-            F.sum(lo).alias("lo"),
-        )
-    b, d = partial_state(base), partial_state(delta)
-    keys = ["hour_epoch", "event_type"]
-    merged = b.join(d, keys, "full_outer").select(
-        *keys,
-        *[
-            (
-                F.coalesce(b[c], F.lit(0)) + F.coalesce(d[c], F.lit(0))
-            ).alias(c)
-            for c in ("n", "hi", "lo")
-        ],
-    )
-    return merged.select(
-        "hour_epoch",
-        "event_type",
-        F.col("n").alias("n_events"),
-        (
-            (F.col("hi").cast("double") * float(split) + F.col("lo").cast("double"))
-            / float(micros)
-        ).alias("sum_value"),
+    return render_hourly_state(
+        merge_hourly_states(hourly_partial_state(base), hourly_partial_state(delta))
     )
 
 

@@ -351,3 +351,50 @@ def test_exactly_once_streaming_matches_batch_twin(spark, events, tmp_path):
         for r in relational.events_exactly_once(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_rollup_state_merge_matches_batch(spark, tmp_path):
+    """Micro-batched foreachBatch state maintenance: split events into 4
+    files, force one micro-batch per file, merge each into the generation
+    state — the final rendered rollup must EQUAL the one-shot batch
+    aggregate, and replaying the last batch (same batch id, same input)
+    must be a no-op (idempotent generations)."""
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from symat_hbase_tools_spark.streaming import rollup
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    rollup.maintain_rollup(stream, state_dir, ckpt)
+
+    gens = rollup._gen_dirs(state_dir)
+    assert len(gens) >= 2, "expected multiple micro-batches"
+
+    snap = lambda df: {  # noqa: E731
+        (r["hour_epoch"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in df.collect()
+    }
+    want = snap(relational.events_hourly(spark, SF_DIR))
+    assert snap(rollup.rollup_view(spark, state_dir)) == want
+
+    # idempotent replay: re-merge the engine's OWN last batch — id and
+    # file list read from the checkpoint's file-source log, the exact
+    # mapping Structured Streaming replays after a crash — the
+    # regenerated state must render identically
+    import json
+    import os
+
+    last_bid = max(int(f) for f in os.listdir(f"{ckpt}/sources/0")
+                   if not f.startswith("."))
+    with open(f"{ckpt}/sources/0/{last_bid}") as fh:
+        last_files = [json.loads(line)["path"]
+                      for line in fh if line.startswith("{")]
+    rollup.merge_batch(spark, spark.read.parquet(*last_files), last_bid, state_dir)
+    assert snap(rollup.rollup_view(spark, state_dir)) == want
