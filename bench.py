@@ -76,6 +76,9 @@ HEADLINE = [
     "events_active_users",
     "events_mean_shift",
     "doc_sample_weighted",
+    "events_interarrival_histogram",
+    "users_rfm_segments",
+    "events_type_correlation",
 ]
 
 

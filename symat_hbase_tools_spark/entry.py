@@ -835,6 +835,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-3: engagement metrics + changepoint detection
     "events_active_users": timeseries.events_active_users,
     "events_mean_shift": timeseries.events_mean_shift,
+    # round-3: latency histogram, RFM segmentation, series correlation
+    "events_interarrival_histogram": timeseries.events_interarrival_histogram,
+    "users_rfm_segments": timeseries.users_rfm_segments,
+    "events_type_correlation": timeseries.events_type_correlation,
 }
 
 
@@ -2566,6 +2570,75 @@ ORACLE_SQL: dict[str, str] = {
                        - CAST(s_prev AS DOUBLE) / c_prev AS shift
             FROM scored WHERE c_prev = 24 AND c_next = 24)
         SELECT * FROM means WHERE abs(shift) > 0.75 * mean_prev
+    """,
+    "events_interarrival_histogram": """
+        WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+                   FROM events),
+        g AS (SELECT event_type,
+                     (us - lag(us) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY us, event_id)) // 1000000
+                         AS gap_s
+              FROM e),
+        f AS (SELECT event_type, gap_s,
+                     CASE WHEN gap_s < 60 THEN '<60s'
+                          WHEN gap_s < 600 THEN '<600s'
+                          WHEN gap_s < 3600 THEN '<3600s'
+                          WHEN gap_s < 21600 THEN '<21600s'
+                          WHEN gap_s < 86400 THEN '<86400s'
+                          ELSE '>86400s' END AS bucket
+              FROM g WHERE gap_s IS NOT NULL)
+        SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s
+        FROM f GROUP BY 1, 2
+    """,
+    "users_rfm_segments": f"""
+        WITH per_user AS (
+            SELECT user_id, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   {_money('value')} AS monetary
+            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        scored AS (
+            SELECT user_id, frequency, monetary,
+                   CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id)
+                        AS INTEGER) AS r_quintile,
+                   CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
+                        AS INTEGER) AS f_quintile,
+                   CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)
+                        AS INTEGER) AS m_quintile
+            FROM per_user)
+        SELECT *, printf('R%dF%dM%d', r_quintile, f_quintile, m_quintile)
+                   AS segment
+        FROM scored
+    """,
+    "events_type_correlation": """
+        WITH hourly AS (
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        bounds AS (SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM hourly),
+        spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
+                  FROM bounds),
+        grid AS (SELECT hour_epoch, event_type
+                 FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM hourly)),
+        filled AS (SELECT g.hour_epoch, g.event_type,
+                          COALESCE(h.n, 0) AS n_events
+                   FROM grid g LEFT JOIN hourly h USING (hour_epoch, event_type)),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     a.n_events AS x, b.n_events AS y
+              FROM filled a JOIN filled b USING (hour_epoch)
+              WHERE a.event_type < b.event_type),
+        mom AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy
+                FROM p GROUP BY 1, 2)
+        SELECT type_a, type_b, n,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                   AS pearson_r
+        FROM mom
     """,
 }
 

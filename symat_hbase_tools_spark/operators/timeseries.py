@@ -480,3 +480,118 @@ def events_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         F.abs(shift) > F.lit(SHIFT_FRACTION) * mean_prev
     )
+
+
+#: fixed inter-arrival latency buckets (upper bounds in seconds; integer
+#: comparisons — portable, unlike a log2() bucket whose boundary ulps
+#: could differ cross-engine)
+INTERARRIVAL_BUCKETS = (60, 600, 3600, 21600, 86400)
+
+
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type histogram of user inter-arrival gaps — the latency/
+    engagement-cadence distribution (how long between a user's consecutive
+    events of each type).
+
+    The one honest data-scale stage is the per-(user, type) ordered lag
+    window (shuffle + sort on the partition key — unavoidable: gaps are a
+    sequential property). Bucketing is a CASE ladder over integer second
+    bounds, then a tiny (types x buckets) aggregate with exact integer gap
+    sums for the per-bucket mean.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = (
+        events.select(
+            "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+        )
+        .withColumn("gap_s", (F.col("us") - F.lag("us").over(w)) / 1_000_000)
+        .filter(F.col("gap_s").isNotNull())
+        .withColumn("gap_s", F.col("gap_s").cast("long"))
+    )
+    bucket = F.lit(f">{INTERARRIVAL_BUCKETS[-1]}s")
+    for bound in reversed(INTERARRIVAL_BUCKETS):
+        bucket = F.when(F.col("gap_s") < bound, F.lit(f"<{bound}s")).otherwise(bucket)
+    return gaps.groupBy(F.col("event_type"), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("sum_gap_s"),
+    )
+
+
+def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation over
+    purchase events — the classic customer-value scoring.
+
+    One per-user aggregate (recency = last purchase time, frequency =
+    count, monetary = exact money sum), then three ntile(5) windows with a
+    unique tie-break (user_id) so bucket assignment is total-ordered and
+    cross-engine identical. The windows are global sorts over O(users)
+    rows — user-scale, not event-scale; at 100 TB of events the aggregate
+    has already shrunk the input by orders of magnitude.
+    """
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            money_sum(F.col("value"), "monetary"),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("last_us").desc(), "user_id"))
+    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+    return per_user.select(
+        "user_id",
+        "frequency",
+        "monetary",
+        r.alias("r_quintile"),
+        f.alias("f_quintile"),
+        m.alias("m_quintile"),
+    ).withColumn(
+        "segment",
+        F.format_string(
+            "R%dF%dM%d",
+            F.col("r_quintile"),
+            F.col("f_quintile"),
+            F.col("m_quintile"),
+        ),
+    )
+
+
+def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every pair of event types' hourly count
+    series — the ops-diagnostics question "do error spikes track traffic?".
+
+    Correlates over the DENSE hour spine (zero hours included — skipping
+    them biases r upward, the classic mistake). All moments (n, Σx, Σy,
+    Σxy, Σx², Σy²) are exact integer sums over the O(hours x type-pairs)
+    self-joined series; r is assembled in ONE mirrored double expression.
+    Everything after the first aggregate is driver-scale.
+    """
+    filled = events_gap_fill(spark, sf_dir).select(
+        "hour_epoch", "event_type", F.col("n_events").alias("n")
+    )
+    a, b = filled.alias("a"), filled.alias("b")
+    pairs = a.join(b, "hour_epoch").filter(
+        F.col("a.event_type") < F.col("b.event_type")
+    )
+    mom = pairs.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a.n")).alias("sx"),
+        F.sum(F.col("b.n")).alias("sy"),
+        F.sum(F.col("a.n") * F.col("b.n")).alias("sxy"),
+        F.sum(F.col("a.n") * F.col("a.n")).alias("sxx"),
+        F.sum(F.col("b.n") * F.col("b.n")).alias("syy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    )
+    return mom.select("type_a", "type_b", "n", (num / den).alias("pearson_r"))

@@ -123,3 +123,39 @@ def test_mean_shift_flags_injected_changepoint(spark, tmp_path):
     clicks = out[out["event_type"] == "click"]
     assert len(clicks) > 0
     assert (clicks["mean_next"] > clicks["mean_prev"]).any()
+
+
+def test_interarrival_histogram_accounts_every_gap(spark):
+    pdf = timeseries.events_interarrival_histogram(spark, SF_DIR).toPandas()
+    import pandas as pd
+
+    events = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    per = events.groupby(["user_id", "event_type"]).size()
+    expected_gaps = int((per - 1).clip(lower=0).sum())
+    assert pdf["n_gaps"].sum() == expected_gaps
+    assert (pdf["sum_gap_s"] >= 0).all()
+
+
+def test_rfm_quintiles_are_balanced_partition(spark):
+    pdf = timeseries.users_rfm_segments(spark, SF_DIR).toPandas()
+    n = len(pdf)
+    for col in ("r_quintile", "f_quintile", "m_quintile"):
+        counts = pdf[col].value_counts()
+        assert set(counts.index) == {1, 2, 3, 4, 5}
+        # ntile balance: sizes differ by at most 1
+        assert counts.max() - counts.min() <= 1
+        assert counts.sum() == n
+    # high-frequency users sit in better (lower) f quintiles
+    top = pdf.nlargest(10, "frequency")["f_quintile"]
+    bottom = pdf.nsmallest(10, "frequency")["f_quintile"]
+    assert top.mean() < bottom.mean()
+
+
+def test_type_correlation_bounds_and_symmetric_coverage(spark):
+    pdf = timeseries.events_type_correlation(spark, SF_DIR).toPandas()
+    types = set(pdf["type_a"]) | set(pdf["type_b"])
+    k = len(types)
+    assert len(pdf) == k * (k - 1) // 2  # every unordered pair once
+    assert ((pdf["pearson_r"] >= -1.000001) & (pdf["pearson_r"] <= 1.000001)).all()
+    # a series correlates perfectly with itself: sanity via variance > 0
+    assert pdf["n"].nunique() == 1  # same dense spine length for all pairs
