@@ -79,6 +79,8 @@ HEADLINE = [
     "events_interarrival_histogram",
     "users_rfm_segments",
     "events_type_correlation",
+    "users_dn_retention",
+    "events_skew_report",
 ]
 
 

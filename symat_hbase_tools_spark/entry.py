@@ -839,6 +839,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interarrival_histogram": timeseries.events_interarrival_histogram,
     "users_rfm_segments": timeseries.users_rfm_segments,
     "events_type_correlation": timeseries.events_type_correlation,
+    # round-3: cohort retention + skew diagnostics
+    "users_dn_retention": timeseries.users_dn_retention,
+    "events_skew_report": timeseries.events_skew_report,
 }
 
 
@@ -2639,6 +2642,56 @@ ORACLE_SQL: dict[str, str] = {
                       * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
                    AS pearson_r
         FROM mom
+    """,
+    "users_dn_retention": """
+        WITH d AS (SELECT user_id, event_type,
+                          CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+                              AS day_no
+                   FROM events),
+        signups AS (SELECT user_id, MIN(day_no) AS cohort_day
+                    FROM d WHERE event_type = 'signup' GROUP BY 1),
+        activity AS (SELECT DISTINCT user_id, day_no AS act_day FROM d),
+        j AS (SELECT s.user_id, s.cohort_day, a.act_day
+              FROM signups s JOIN activity a USING (user_id)),
+        agg AS (
+            SELECT cohort_day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_signups,
+                   CAST(COUNT(DISTINCT CASE WHEN act_day - cohort_day = 1
+                        THEN user_id END) AS BIGINT) AS d1_active,
+                   CAST(COUNT(DISTINCT CASE WHEN act_day - cohort_day = 7
+                        THEN user_id END) AS BIGINT) AS d7_active,
+                   CAST(COUNT(DISTINCT CASE WHEN act_day - cohort_day = 30
+                        THEN user_id END) AS BIGINT) AS d30_active
+            FROM j GROUP BY 1)
+        SELECT strftime(make_timestamp(cohort_day * 86400 * 1000000),
+                        '%Y-%m-%d') AS cohort,
+               n_signups, d1_active, d7_active, d30_active,
+               CAST(d1_active AS DOUBLE) / n_signups AS d1_rate,
+               CAST(d7_active AS DOUBLE) / n_signups AS d7_rate,
+               CAST(d30_active AS DOUBLE) / n_signups AS d30_rate
+        FROM agg
+    """,
+    "events_skew_report": """
+        WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1),
+        ranked AS (SELECT c,
+                          row_number() OVER (ORDER BY c ASC, user_id ASC) AS i,
+                          row_number() OVER (ORDER BY c DESC, user_id ASC)
+                              AS r_desc
+                   FROM counts),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                     CAST(SUM(c) AS BIGINT) AS total,
+                     CAST(MAX(c) AS BIGINT) AS max_c,
+                     CAST(SUM(i * c) AS BIGINT) AS ic,
+                     CAST(SUM(CASE WHEN r_desc <= 10 THEN c ELSE 0 END)
+                          AS BIGINT) AS top10
+              FROM ranked)
+        SELECT n_keys, total AS total_events, max_c AS max_key_events,
+               CAST(max_c AS DOUBLE) / total AS top1_share,
+               CAST(top10 AS DOUBLE) / total AS top10_share,
+               (2.0 * ic - CAST(n_keys + 1 AS DOUBLE) * total)
+                   / (CAST(n_keys AS DOUBLE) * total) AS gini
+        FROM m
     """,
 }
 

@@ -595,3 +595,100 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
     )
     return mom.select("type_a", "type_b", "n", (num / den).alias("pearson_r"))
+
+
+#: retention check offsets (days after signup)
+RETENTION_DAYS = (1, 7, 30)
+
+
+def users_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D7/D30 retention by signup-day cohort — the growth metric next
+    to DAU/WAU/MAU: of the users who first signed up on day X, how many
+    were active (any event) exactly k days later.
+
+    Scale shape: signups reduce to one row per user (min-aggregate);
+    activity reduces to DISTINCT (user, day) — both partial-aggregated
+    to user-scale before the one equi-join on user_id. The retention
+    flags are conditional count-distincts over the joined frame, so the
+    whole report is one more k-group aggregate. Rates divide two exact
+    integers, mirrored.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day_no = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+    ).cast("long")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day_no).alias("cohort_day"))
+    )
+    activity = events.select("user_id", day_no.alias("act_day")).distinct()
+    j = signups.join(activity, "user_id")
+    aggs = [F.count_distinct("user_id").alias("n_signups")]
+    for k in RETENTION_DAYS:
+        aggs.append(
+            F.count_distinct(
+                F.when(F.col("act_day") - F.col("cohort_day") == k, F.col("user_id"))
+            ).alias(f"d{k}_active")
+        )
+    out = j.groupBy("cohort_day").agg(*aggs)
+    rate_cols = [
+        (F.col(f"d{k}_active").cast("double") / F.col("n_signups")).alias(
+            f"d{k}_rate"
+        )
+        for k in RETENTION_DAYS
+    ]
+    return out.select(
+        F.date_format(
+            F.to_timestamp(F.col("cohort_day") * 86400), "yyyy-MM-dd"
+        ).alias("cohort"),
+        "n_signups",
+        *[F.col(f"d{k}_active") for k in RETENTION_DAYS],
+        *rate_cols,
+    )
+
+
+def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics over user_id — the report that decides whether
+    a join/aggregate on this key needs salting (operators/skew.py) or AQE
+    skew handling: key count, hottest-key share, top-10 share, and the
+    Gini coefficient of the per-key event-count distribution.
+
+    Shape: one partial-aggregated count per key (the only data-scale
+    stage), then a rank window over O(keys) rows and a 1-row moment
+    aggregate. Gini uses the rank formula G = (2*Σ(i*c_i) - (n+1)*Σc) /
+    (n*Σc) with counts sorted ascending and a unique tie-break — every
+    term an exact integer, one mirrored double expression at the end.
+    """
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").asc(), F.col("user_id").asc())
+    w_desc = Window.orderBy(F.col("c").desc(), F.col("user_id").asc())
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("i"),
+        F.row_number().over(w_desc).alias("r_desc"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total"),
+        F.max("c").alias("max_c"),
+        F.sum(F.col("i") * F.col("c")).alias("ic"),
+        F.sum(F.when(F.col("r_desc") <= 10, F.col("c")).otherwise(0)).alias(
+            "top10"
+        ),
+    )
+    return m.select(
+        "n_keys",
+        F.col("total").alias("total_events"),
+        F.col("max_c").alias("max_key_events"),
+        (F.col("max_c").cast("double") / F.col("total")).alias("top1_share"),
+        (F.col("top10").cast("double") / F.col("total")).alias("top10_share"),
+        (
+            (
+                F.lit(2.0) * F.col("ic")
+                - (F.col("n_keys") + F.lit(1)).cast("double") * F.col("total")
+            )
+            / (F.col("n_keys").cast("double") * F.col("total"))
+        ).alias("gini"),
+    )

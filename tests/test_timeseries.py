@@ -159,3 +159,36 @@ def test_type_correlation_bounds_and_symmetric_coverage(spark):
     assert ((pdf["pearson_r"] >= -1.000001) & (pdf["pearson_r"] <= 1.000001)).all()
     # a series correlates perfectly with itself: sanity via variance > 0
     assert pdf["n"].nunique() == 1  # same dense spine length for all pairs
+
+
+def test_dn_retention_bounds(spark):
+    pdf = timeseries.users_dn_retention(spark, SF_DIR).toPandas()
+    assert (pdf["n_signups"] > 0).all()
+    for k in timeseries.RETENTION_DAYS:
+        assert (pdf[f"d{k}_active"] <= pdf["n_signups"]).all()
+        assert ((pdf[f"d{k}_rate"] >= 0) & (pdf[f"d{k}_rate"] <= 1)).all()
+    # a cohort's signups sum to the distinct signup-user count
+    n_signup_users = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter("event_type = 'signup'")
+        .select("user_id").distinct().count()
+    )
+    assert pdf["n_signups"].sum() == n_signup_users
+
+
+def test_skew_report_flags_injected_hot_key(spark, tmp_path):
+    """A synthetic hot key must move every skew signal the right way."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    base = timeseries.events_skew_report(spark, SF_DIR).first()
+    hot = events.limit(500).withColumn("user_id", F.lit(99999))
+    sf_dir = str(tmp_path / "sfdir")
+    events.unionByName(hot).write.mode("overwrite").parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    skewed = timeseries.events_skew_report(spark, sf_dir).first()
+    assert skewed["top1_share"] > base["top1_share"]
+    assert skewed["gini"] > base["gini"]
+    assert skewed["max_key_events"] >= 500
+    assert 0 <= base["gini"] <= 1 and 0 <= skewed["gini"] <= 1
