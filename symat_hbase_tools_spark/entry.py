@@ -842,6 +842,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-3: cohort retention + skew diagnostics
     "users_dn_retention": timeseries.users_dn_retention,
     "events_skew_report": timeseries.events_skew_report,
+    # round-3: equi-depth histogram (optimizer-statistics shape)
+    "orders_equidepth_histogram": relational.orders_equidepth_histogram,
 }
 
 
@@ -2692,6 +2694,19 @@ ORACLE_SQL: dict[str, str] = {
                (2.0 * ic - CAST(n_keys + 1 AS DOUBLE) * total)
                    / (CAST(n_keys AS DOUBLE) * total) AS gini
         FROM m
+    """,
+    "orders_equidepth_histogram": f"""
+        WITH cuts AS (SELECT
+            {', '.join(f'CAST(quantile_cont(o_totalprice, 0.{i}) AS DOUBLE) AS c{i}'
+                       for i in range(1, 10))}
+            FROM orders)
+        SELECT ({' + '.join(f'CAST(o_totalprice > c{i} AS INTEGER)'
+                            for i in range(1, 10))}) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+               {_money('o_totalprice')} AS sum_total
+        FROM orders CROSS JOIN cuts
+        GROUP BY 1
     """,
 }
 

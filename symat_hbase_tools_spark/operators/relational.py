@@ -1361,3 +1361,40 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
         )
         .orderBy(F.desc("n_events"), "user_id")
     )
+
+
+def orders_equidepth_histogram(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 10
+) -> DataFrame:
+    """Equal-depth (equi-height) histogram of order totals: decile
+    cutpoints from the exact interpolated percentile, then a per-bucket
+    census — the optimizer-statistics / distribution-report shape (each
+    bucket holds ~10% of rows, unlike the fixed-width histograms of
+    doc_length_histogram).
+
+    Scale shape: ONE percentile aggregate produces the 9-cut row
+    (percentile needs a sort of the value column — the approx-sketch twin
+    is the unbounded path, as with price_percentiles_approx), broadcast
+    back; bucket assignment is 9 codegen comparisons summed — no
+    higher-order functions, no join explosion; then one partial-aggregated
+    k-group census with exact money sums.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = orders.agg(
+        *[
+            F.percentile("o_totalprice", F.lit(q)).alias(f"c{i}")
+            for i, q in enumerate(qs, 1)
+        ]
+    )
+    j = orders.select("o_totalprice").join(F.broadcast(cuts))
+    bucket = None
+    for i in range(1, n_buckets):
+        term = (F.col("o_totalprice") > F.col(f"c{i}")).cast("int")
+        bucket = term if bucket is None else bucket + term
+    return j.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        money_sum(F.col("o_totalprice"), "sum_total"),
+    )

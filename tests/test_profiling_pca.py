@@ -208,3 +208,42 @@ def test_kmeans_census_partitions_corpus(spark):
     assert census["n_members"].sum() == n
     assert len(census) == 8
     assert (census["mean_sq_dist"] >= 0).all()
+
+
+def test_equidepth_histogram_buckets_balanced(spark):
+    from symat_hbase_tools_spark.operators import relational
+
+    pdf = relational.orders_equidepth_histogram(spark, SF_DIR).toPandas()
+    assert len(pdf) == 10
+    n = pdf["n_orders"].sum()
+    # equal depth: every bucket within 2% of n/10 (interpolated cuts + ties)
+    assert (abs(pdf["n_orders"] - n / 10) <= max(2, 0.02 * n)).all()
+    s = pdf.sort_values("bucket")
+    # buckets tile the value range in order
+    assert (s["lo"].values[1:] >= s["hi"].values[:-1]).all()
+
+
+def test_pps_properties_random_weights(spark):
+    """Property: for arbitrary nonneg integer weights, systematic PPS
+    yields floor(W/stride)+-1 picks, every pick is a distinct stride rank,
+    and zero-weight rows never appear. (Plain parametrized sweep — a
+    hypothesis strategy would respawn Spark jobs per example; 3 seeds
+    cover the shape.)"""
+    import random
+
+    from symat_hbase_tools_spark.operators.sampling import pps_systematic
+
+    for seed in (7, 13, 99):
+        rng = random.Random(seed)
+        rows = [(i, rng.choice([0, 1, 5, 50, 1000])) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, w long")
+        out = pps_systematic(df, "id", "w", target_k=25).toPandas()
+        total = sum(w for _, w in rows)
+        stride = max(total // 25, 1)
+        expected = total // stride
+        assert abs(len(out) - expected) <= 1, (seed, len(out), expected)
+        assert out["sample_rank"].is_unique
+        weights = dict(rows)
+        assert all(weights[i] > 0 for i in out["id"])
+        # heavy rows always picked once weight >= stride
+        assert all(i in set(out["id"]) for i, w in rows if w >= stride)
