@@ -844,6 +844,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_skew_report": timeseries.events_skew_report,
     # round-3: equi-depth histogram (optimizer-statistics shape)
     "orders_equidepth_histogram": relational.orders_equidepth_histogram,
+    # round-3: HLL scale path of active-users + Zipf corpus diagnostic
+    "events_active_users_approx": timeseries.events_active_users_approx,
+    "text_zipf_fit": text_analysis.zipf_fit,
 }
 
 
@@ -2707,6 +2710,49 @@ ORACLE_SQL: dict[str, str] = {
                {_money('o_totalprice')} AS sum_total
         FROM orders CROSS JOIN cuts
         GROUP BY 1
+    """,
+    # tolerance oracle: exact WAU hash-compared; the HLL sketch result is
+    # asserted within 5% as a boolean the oracle states as TRUE
+    "events_active_users_approx": """
+        WITH pairs AS (SELECT DISTINCT
+                           CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+                               AS day_no,
+                           user_id
+                       FROM events),
+        hi AS (SELECT MAX(day_no) AS hi FROM pairs),
+        fan AS (SELECT user_id, day_no + x.i AS report_day
+                FROM pairs, range(0, 7) x(i))
+        SELECT strftime(make_timestamp(report_day * 86400 * 1000000),
+                        '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_exact,
+               TRUE AS sketch_ok
+        FROM fan CROSS JOIN hi
+        WHERE report_day <= hi
+        GROUP BY 1
+    """,
+    "text_zipf_fit": f"""
+        WITH vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM (SELECT unnest({_TOKENS}) AS w FROM documents
+                             WHERE trim(text) <> '')
+                       GROUP BY 1),
+        xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w ASC)
+                              AS DOUBLE)) AS x,
+                      ln(CAST(c AS DOUBLE)) AS y
+               FROM vocab),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+              FROM xy)
+        SELECT n AS n_vocab,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+               round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                     / CAST(n AS DOUBLE), 6) AS intercept,
+               round(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                      * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                     / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
+        FROM m
     """,
 }
 

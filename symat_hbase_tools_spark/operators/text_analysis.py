@@ -762,3 +762,50 @@ def mixture_temperature(
             / F.col("n_docs")
         ).alias("boost"),
     )
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: least-squares slope of
+    ln(freq) against ln(rank) — the one-row corpus-health diagnostic
+    (natural text sits near slope -1; a pile of boilerplate or synthetic
+    junk does not).
+
+    Shape: one explode -> vocab-sized count aggregate, a rank window over
+    vocab rows with a unique tie-break (count DESC, word), then a 1-row
+    regression from sum aggregates. The log sums are order-dependent
+    doubles, but with |terms| ~ 1e5 the fold-order error is ~1e-7 —
+    absorbed by round-6, the module discipline. At web-corpus vocab sizes
+    the rank window would restrict to the top-N words (the fit only needs
+    the head); here vocab is small enough to rank exactly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(F.explode(tokens(F.col("text"))).alias("w")).groupBy(
+        "w"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    xy = vocab.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (num * num) / (
+        den * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").alias("n_vocab"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -692,3 +692,44 @@ def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_keys").cast("double") * F.col("total"))
         ).alias("gini"),
     )
+
+
+def events_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB notch of ``events_active_users``: trailing-7-day active
+    users via the mergeable HLL sketch (``approx_count_distinct``) next to
+    the exact count, tolerance-oracle form (the approx_distinct_parts
+    pattern): the query emits the EXACT count (hash-comparable) plus a
+    boolean asserting the sketch is within 5% relative error — sketch
+    drift flips the boolean and fails the driver's hash compare.
+
+    Why this is THE scale path: the exact fan-out shuffles (user, day)
+    pairs; the sketch version partial-aggregates HLL registers map-side,
+    so the shuffle carries O(days x register_width) regardless of user
+    count, and day sketches are mergeable across arbitrary re-partitions.
+    """
+    events = load_table(spark, sf_dir, "events")
+    day_no = (
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
+    ).cast("long")
+    pairs = events.select(day_no.alias("day_no"), "user_id").distinct()
+    bounds = pairs.agg(F.max("day_no").alias("hi"))
+    fan = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day_no"), F.col("day_no") + 6)).alias(
+            "report_day"
+        ),
+    ).join(F.broadcast(bounds), F.col("report_day") <= F.col("hi"))
+    counted = fan.groupBy("report_day").agg(
+        F.count_distinct("user_id").alias("wau_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    )
+    return counted.select(
+        F.date_format(
+            F.to_timestamp(F.col("report_day") * 86400), "yyyy-MM-dd"
+        ).alias("day"),
+        "wau_exact",
+        (
+            F.abs(F.col("approx") - F.col("wau_exact"))
+            <= 0.05 * F.col("wau_exact")
+        ).alias("sketch_ok"),
+    )

@@ -460,3 +460,24 @@ def test_bpe_tokenize_census_matches_python(spark, documents):
     # BPE must compress: fewer tokens than characters
     for (n, ch, tok) in got.values():
         assert tok < ch
+
+
+def test_zipf_fit_recovers_zipfian_slope(spark, tmp_path):
+    """A synthetic corpus with freq(rank) ~ rank^-1 must fit slope ~ -1
+    with high r^2; the op is the corpus-health diagnostic."""
+    words = []
+    for rank in range(1, 101):
+        words += [f"w{rank:03d}"] * max(1, round(1000 / rank))
+    rows = [(i, " ".join(words[i::50]), "en", "src", 1) for i in range(50)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "zipf")
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    from symat_hbase_tools_spark.operators.text_analysis import zipf_fit
+
+    row = zipf_fit(spark, sf_dir).first()
+    assert row["n_vocab"] == 100
+    assert -1.15 < row["slope"] < -0.85, row
+    assert row["r2"] > 0.95, row

@@ -192,3 +192,13 @@ def test_skew_report_flags_injected_hot_key(spark, tmp_path):
     assert skewed["gini"] > base["gini"]
     assert skewed["max_key_events"] >= 500
     assert 0 <= base["gini"] <= 1 and 0 <= skewed["gini"] <= 1
+
+
+def test_active_users_approx_sketch_within_tolerance(spark):
+    pdf = timeseries.events_active_users_approx(spark, SF_DIR).toPandas()
+    assert pdf["sketch_ok"].all()
+    # exact WAU here must match the window_days=7 slice of the exact op
+    exact = timeseries.events_active_users(spark, SF_DIR).toPandas()
+    w7 = exact[exact["window_days"] == 7].set_index("day")["n_active"]
+    got = pdf.set_index("day")["wau_exact"]
+    assert got.sort_index().equals(w7.sort_index())
