@@ -847,6 +847,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-3: HLL scale path of active-users + Zipf corpus diagnostic
     "events_active_users_approx": timeseries.events_active_users_approx,
     "text_zipf_fit": text_analysis.zipf_fit,
+    # round-3: exact set-similarity join via prefix filtering (complete
+    # candidates — no LSH recall loss, no DF cap; same oracle as
+    # dedup_ngram_jaccard because the SPEC is identical)
+    "dedup_prefix_filter": dedup.prefix_filter_pairs,
 }
 
 
@@ -1690,6 +1694,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT fp, min(doc_id) AS keep_doc_id, COUNT(*) AS n_docs FROM fps GROUP BY fp
     """,
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    # same spec, different (prefix-filtering) candidate algorithm
+    "dedup_prefix_filter": _JACCARD_SQL,
     # dedup_minhash_lsh verifies candidates with EXACT jaccard; at the corpus'
     # similarity gap (pairs are ~0.99 or <0.1) a banded miss has p ~ 1e-22, so
     # the exact-jaccard SQL is its oracle too. dedup_simhash / ann_lsh_topk

@@ -675,3 +675,72 @@ def incremental_dedup_indexed(
             F.round("jaccard", 6).alias("best_jaccard"),
         )
     )
+
+
+def prefix_filter_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs via PREFIX FILTERING (the ppjoin-family
+    candidate generator; Chaudhuri et al.'s SSJoin / Xiao et al.'s ppjoin):
+    order every document's shingles by ascending corpus document frequency
+    (rarest first, ties by hash) and join only each document's PREFIX —
+    the first |S| - ceil(t*|S|) + 1 shingles. Two sets with Jaccard >= t
+    MUST share a prefix token under a common global order, so candidate
+    generation is COMPLETE: unlike MinHash-LSH there are no false
+    negatives, and unlike the DF-capped shingle self-join
+    (``ngram_jaccard_pairs``) no hot-shingle cap is needed — frequent
+    shingles are pushed out of prefixes by the rarest-first order itself.
+
+    Output is identical to brute-force Jaccard (same oracle as
+    ``dedup_ngram_jaccard``); the candidate join touches ~half the tokens
+    at t=0.5 and shrinks linearly as t grows — the exact-dedup shape for
+    corpora where LSH's recall loss is unacceptable.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
+        "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+    ranked = (
+        sh.join(df_tab, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "s")
+    a, b = prefix.alias("a"), prefix.hint("shuffle_hash").alias("b")
+    cands = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # verify candidates only: restrict the token join through the pair list
+    left = sh.select(F.col("doc_id").alias("d1"), "s").join(cands, "d1")
+    inter = (
+        left.join(
+            sh.select(F.col("doc_id").alias("d2"), "s"), ["d2", "s"]
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -208,3 +208,45 @@ def test_indexed_probe_join_no_index_side_exchange(spark, tmp_path):
     # assert the probe join consumed its bucketing (SelectedBucketsCount
     # present => bucket-aware scan, no exchange inserted above it)
     assert "SelectedBucketsCount" in plan, plan
+
+
+def test_prefix_filter_complete_under_hot_shingles(spark, tmp_path):
+    """Prefix filtering stays EXACT where the DF-capped join degrades: a
+    boilerplate shingle shared by every doc never enters any prefix (the
+    rarest-first order evicts it), yet the emitted Jaccard is the TRUE
+    uncapped value — checked against a pure-python brute force."""
+    from itertools import combinations
+
+    from symat_hbase_tools_spark.operators.dedup import prefix_filter_pairs
+
+    boiler = "terms of service apply to all"
+    bodies = [
+        "alpha bravo charlie delta echo foxtrot golf hotel",
+        "alpha bravo charlie delta echo foxtrot golf india",  # near-dup of 0
+        "kilo lima mike november oscar papa quebec romeo",
+        "sierra tango uniform victor whiskey xray yankee zulu",
+    ]
+    rows = [(i, f"{boiler} {b}", "en", "src", len(b)) for i, b in enumerate(bodies)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "hot")
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    def shingles(text, n=3):
+        w = text.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+    want = set()
+    sets = {i: shingles(r[1]) for i, r in enumerate(rows)}
+    for a, b in combinations(sets, 2):
+        i = len(sets[a] & sets[b])
+        j = i / (len(sets[a]) + len(sets[b]) - i)
+        if j >= 0.5:
+            want.add((a, b, round(j, 9)))
+
+    got = {
+        (r["d1"], r["d2"], round(r["jaccard"], 9))
+        for r in prefix_filter_pairs(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) >= 1
