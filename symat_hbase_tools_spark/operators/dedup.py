@@ -694,53 +694,68 @@ def prefix_filter_pairs(
     (``ngram_jaccard_pairs``) no hot-shingle cap is needed — frequent
     shingles are pushed out of prefixes by the rarest-first order itself.
 
-    Output is identical to brute-force Jaccard (same oracle as
-    ``dedup_ngram_jaccard``); the candidate join touches ~half the tokens
-    at t=0.5 and shrinks linearly as t grows — the exact-dedup shape for
-    corpora where LSH's recall loss is unacceptable.
+    Plan shape (kept deliberately sort-free at table scale): one exploded
+    pass builds the df table; the canonical order is imposed PER DOCUMENT
+    by sort_array over each doc's (df, s) structs inside a hash aggregate
+    — small per-row arrays instead of a SortExec over the whole exploded
+    table; the candidate self-join touches only prefixes; verification
+    joins the per-doc sorted arrays onto the candidate pairs and counts
+    the overlap with array_intersect — per-pair work proportional to the
+    two documents, never a corpus-wide token join. Output is identical to
+    brute force (same oracle as ``dedup_ngram_jaccard``).
     """
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
-    sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
+    sh = _doc_shingles(spark, sf_dir, n).select(
         "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
-    ranked = (
-        sh.join(df_tab, "s")
-        .withColumn("pos", F.row_number().over(w))
-        .join(sizes, "doc_id")
     )
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "s")
+    df_tab = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_tab, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "s"))).alias("o"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        .withColumn("toks", F.col("o.s"))
+        .drop("o")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefix = per_doc.select(
+        "doc_id", "n_sh", F.explode(F.slice("toks", 1, prefix_len)).alias("s")
+    )
     a, b = prefix.alias("a"), prefix.hint("shuffle_hash").alias("b")
+    # length filter (ppjoin): J >= t forces min(|A|,|B|) >= t*max(|A|,|B|) —
+    # applied INSIDE the join so mismatched-size pairs never reach the
+    # distinct shuffle (the candidate-volume hot spot at low thresholds)
     cands = (
         a.join(b, "s")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least("a.n_sh", "b.n_sh")
+                >= F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh")
+            )
+        )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    # verify candidates only: restrict the token join through the pair list
-    left = sh.select(F.col("doc_id").alias("d1"), "s").join(cands, "d1")
-    inter = (
-        left.join(
-            sh.select(F.col("doc_id").alias("d2"), "s"), ["d2", "s"]
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("i"))
+    left = per_doc.select(
+        F.col("doc_id").alias("d1"), F.col("toks").alias("t1"), F.col("n_sh").alias("n1")
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
-    return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .select(
-            "d1",
-            "d2",
-            (F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    right = per_doc.select(
+        F.col("doc_id").alias("d2"), F.col("toks").alias("t2"), F.col("n_sh").alias("n2")
     )
+    verified = (
+        cands.join(left, "d1")
+        .join(right, "d2")
+        .withColumn("i", F.size(F.array_intersect("t1", "t2")))
+    )
+    return verified.select(
+        "d1",
+        "d2",
+        (F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
