@@ -81,6 +81,10 @@ HEADLINE = [
     "events_type_correlation",
     "users_dn_retention",
     "events_skew_report",
+    "orders_equidepth_histogram",
+    "events_active_users_approx",
+    "text_zipf_fit",
+    "dedup_prefix_filter",
 ]
 
 
