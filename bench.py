@@ -85,6 +85,8 @@ HEADLINE = [
     "events_active_users_approx",
     "text_zipf_fit",
     "dedup_prefix_filter",
+    "events_session_paths",
+    "events_markov_transitions",
 ]
 
 

@@ -851,6 +851,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # candidates — no LSH recall loss, no DF cap; same oracle as
     # dedup_ngram_jaccard because the SPEC is identical)
     "dedup_prefix_filter": dedup.prefix_filter_pairs,
+    # round-3: journey analytics (session paths + Markov transitions)
+    "events_session_paths": timeseries.events_session_paths,
+    "events_markov_transitions": timeseries.events_markov_transitions,
 }
 
 
@@ -1696,6 +1699,43 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_ngram_jaccard": _JACCARD_SQL,
     # same spec, different (prefix-filtering) candidate algorithm
     "dedup_prefix_filter": _JACCARD_SQL,
+    "events_session_paths": """
+        WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                   FROM events),
+        lagged AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id) AS prev
+                   FROM e),
+        s AS (SELECT *, SUM(CASE WHEN prev IS NULL THEN 0
+                                 WHEN us - prev > 28800000000 THEN 1
+                                 ELSE 0 END)
+                            OVER (PARTITION BY user_id ORDER BY us, event_id)
+                            AS session_no
+              FROM lagged),
+        p AS (SELECT user_id, session_no,
+                     string_agg(event_type, '>' ORDER BY us, event_id) AS path
+              FROM s GROUP BY 1, 2),
+        c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+              FROM p GROUP BY 1),
+        r AS (SELECT *, CAST(row_number() OVER (ORDER BY n_sessions DESC,
+                                                path ASC) AS INTEGER) AS rank
+              FROM c)
+        SELECT rank, path, n_sessions FROM r WHERE rank <= 20
+    """,
+    "events_markov_transitions": """
+        WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+                   FROM events),
+        pr AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY us, event_id)
+                          AS from_type,
+                      event_type AS to_type
+               FROM e),
+        c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM pr WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+              FROM c GROUP BY 1)
+        SELECT from_type, to_type, n, CAST(n AS DOUBLE) / n_from AS p
+        FROM c JOIN t USING (from_type)
+    """,
     # dedup_minhash_lsh verifies candidates with EXACT jaccard; at the corpus'
     # similarity gap (pairs are ~0.99 or <0.1) a banded miss has p ~ 1e-22, so
     # the exact-jaccard SQL is its oracle too. dedup_simhash / ann_lsh_topk

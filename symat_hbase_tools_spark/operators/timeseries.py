@@ -733,3 +733,87 @@ def events_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("wau_exact")
         ).alias("sketch_ok"),
     )
+
+
+#: top-N session paths reported
+TOP_PATHS = 20
+
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session journeys: the most common ordered event-type sequences
+    within a session (8h-gap sessionization, same rule as
+    events_sessionize) — the path/journey analysis behind "what do users
+    actually do in a visit".
+
+    Shape: one window pass per user assigns session ids (lag-gap +
+    running sum — the standard sessionize recurrence), a per-session
+    ordered aggregate renders the path string (sort_array over
+    (us, event_id, type) structs keeps ordering INSIDE the aggregate —
+    no second window), then a path-count aggregate and an exact top-N
+    with a path tie-break. Everything after the per-user window is
+    session-scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    prev = F.lag(us).over(w)
+    is_new = (
+        F.when(prev.isNull(), 0)
+        .when(us - prev > 8 * 3600 * 1_000_000, 1)
+        .otherwise(0)
+    )
+    sess = events.select(
+        "user_id",
+        us.alias("us"),
+        "event_id",
+        "event_type",
+        F.sum(is_new).over(w).alias("session_no"),
+    )
+    paths = sess.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(F.struct("us", "event_id", "event_type"))
+            ).getField("event_type"),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    w_top = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= TOP_PATHS)
+        .select("rank", "path", "n_sessions")
+    )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types per user
+    stream — the journey model behind next-action prediction and funnel
+    design: P(next = to | current = from).
+
+    Shape: one per-user ordered lag window derives consecutive pairs (the
+    honest sequential shuffle), then a (from, to)-keyed aggregate and a
+    broadcast of per-from totals; probabilities divide two exact
+    integers.
+    """
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p"),
+    )

@@ -202,3 +202,25 @@ def test_active_users_approx_sketch_within_tolerance(spark):
     w7 = exact[exact["window_days"] == 7].set_index("day")["n_active"]
     got = pdf.set_index("day")["wau_exact"]
     assert got.sort_index().equals(w7.sort_index())
+
+
+def test_session_paths_top_n_and_structure(spark):
+    pdf = timeseries.events_session_paths(spark, SF_DIR).toPandas()
+    assert len(pdf) == timeseries.TOP_PATHS
+    assert pdf["rank"].tolist() == list(range(1, timeseries.TOP_PATHS + 1))
+    # counts non-increasing in rank
+    assert (pdf.sort_values("rank")["n_sessions"].diff().dropna() <= 0).all()
+    # paths are '>'-joined event types
+    types = {"view", "click", "purchase", "signup", "error"}
+    for p in pdf["path"]:
+        assert set(p.split(">")) <= types
+
+
+def test_markov_transitions_rows_are_distributions(spark):
+    pdf = timeseries.events_markov_transitions(spark, SF_DIR).toPandas()
+    sums = pdf.groupby("from_type")["p"].sum()
+    assert ((sums - 1.0).abs() < 1e-9).all()
+    n_pairs = pdf["n"].sum()
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    expected = (events.groupby("user_id").size() - 1).clip(lower=0).sum()
+    assert n_pairs == expected
