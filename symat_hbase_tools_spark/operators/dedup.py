@@ -212,6 +212,15 @@ def _minhash_signatures_arrow(docs: DataFrame, num_hashes: int) -> DataFrame:
     nothing either (partial agg), but pays 64 interpreted-expression
     evaluations per shingle row; the numpy kernel is one BLAS-shaped pass.
     """
+    hashed = docs.select("doc_id", shingle_hashes(F.col("sh")).alias("hs"))
+    return _minhash_sig_from_hashed(hashed, num_hashes)
+
+
+def _minhash_sig_from_hashed(hashed: DataFrame, num_hashes: int) -> DataFrame:
+    """Arrow/numpy MinHash kernel over a pre-hashed (doc_id, hs) table —
+    split out so callers that already materialize the hashed shingle table
+    (``minhash_lsh_pairs`` persists it for signature + both verify sides)
+    don't re-run the string xxhash64 pass inside the kernel's input plan."""
     import numpy as np
     import pandas as pd
 
@@ -221,8 +230,6 @@ def _minhash_signatures_arrow(docs: DataFrame, num_hashes: int) -> DataFrame:
     A = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
     B = np.array([b for _, b in consts], dtype=np.int64)[:, None]
     mask31 = (1 << 31) - 1
-
-    hashed = docs.select("doc_id", shingle_hashes(F.col("sh")).alias("hs"))
 
     def batches(it):
         for pdf in it:
@@ -273,11 +280,22 @@ def minhash_lsh_pairs(
     num_bands: int = NUM_BANDS,
 ) -> DataFrame:
     """MinHash-LSH candidates, exact-Jaccard verified. Output = (d1, d2, jaccard)."""
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // num_bands
-    # persist: the shingle table feeds the signature AND both verification
-    # sides — three plan references (see _doc_shingles docstring)
-    docs = _doc_shingles(spark, sf_dir, n, persist=True).filter(F.size("sh") > 0)
-    sig = minhash_signatures(docs, num_hashes)
+    # persist the HASHED shingle table (long arrays, not strings): it feeds
+    # the signature kernel AND both verification sides — three plan
+    # references (see _doc_shingles docstring) — and caching post-hash
+    # keeps the cached unit ~8 bytes/shingle instead of the shingle text,
+    # so the fair-warm re-materialization (clearCache per bench repeat)
+    # costs one map-only scan+hash pass
+    hashed = (
+        _doc_shingles(spark, sf_dir, n)
+        .filter(F.size("sh") > 0)
+        .select("doc_id", shingle_hashes(F.col("sh")).alias("hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = _minhash_sig_from_hashed(hashed, num_hashes)
     bands = F.array(
         *[
             F.struct(
@@ -300,8 +318,8 @@ def minhash_lsh_pairs(
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
-    sh1 = docs.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
-    sh2 = docs.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    sh1 = hashed.select(F.col("doc_id").alias("d1"), F.col("hs").alias("sh1"))
+    sh2 = hashed.select(F.col("doc_id").alias("d2"), F.col("hs").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
     return (

@@ -304,16 +304,32 @@ def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-window surface: decile (ntile), percent_rank, cume_dist
-    over account balance. One shuffle (single window spec, unique-key
-    tiebreak keeps every rank deterministic)."""
+    over account balance — computed from the DISTRIBUTED global rank
+    (plans/ranking.py: range repartition + per-partition offsets), not a
+    partition-less window, because the input here is the RAW customer
+    table: a single-task sort over it is exactly the plan that dies at
+    100x scale. With the unique (c_acctbal, c_custkey) tie-break all
+    three window functions are pure expressions of (rank, n) and the
+    output is bit-identical to the window form (parity-tested)."""
+    from symat_hbase_tools_spark.plans.ranking import (
+        cume_dist_from_rank,
+        global_order_rank,
+        ntile_from_rank,
+        percent_rank_from_rank,
+    )
+
     customer = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return customer.select(
+    ranked, n = global_order_rank(
+        customer.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        "rk",
+    )
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        ntile_from_rank(F.col("rk"), n, 10).alias("decile"),
+        percent_rank_from_rank(F.col("rk"), n).alias("pct_rank"),
+        cume_dist_from_rank(F.col("rk"), n).alias("cume"),
     )
 
 

@@ -432,9 +432,15 @@ def vocab_coverage(spark: SparkSession, sf_dir: str, vocab_size: int = 10) -> Da
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    # top-V cut via orderBy().limit() — TakeOrderedAndProject (per-partition
+    # heaps), not the single-partition sort a row_number window over the
+    # full count table would force; ranks are then assigned over the
+    # already-limited V rows, a bounded constant at any corpus size
     w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    vocab = counts.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= vocab_size
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .withColumn("rk", F.row_number().over(w))
     )
     return (
         toks.join(F.broadcast(vocab.select("tok", "rk")), "tok", "left")
@@ -778,13 +784,21 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank window would restrict to the top-N words (the fit only needs
     the head); here vocab is small enough to rank exactly.
     """
+    from symat_hbase_tools_spark.plans.ranking import global_order_rank
+
     docs = load_table(spark, sf_dir, "documents")
     vocab = docs.select(F.explode(tokens(F.col("text"))).alias("w")).groupBy(
         "w"
     ).agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").desc(), F.col("w").asc())
-    xy = vocab.select(
-        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    # the regression needs log(rank) for EVERY vocab word, so this is a
+    # genuine global rank — computed distributed (plans/ranking.py), not
+    # with a partition-less row_number window that would sort the whole
+    # vocabulary in one task at web-corpus sizes
+    ranked, _n = global_order_rank(
+        vocab, [F.col("c").desc(), F.col("w").asc()], "rk"
+    )
+    xy = ranked.select(
+        F.log(F.col("rk").cast("double")).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
     )
     m = xy.agg(

@@ -523,12 +523,21 @@ def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase events — the classic customer-value scoring.
 
     One per-user aggregate (recency = last purchase time, frequency =
-    count, monetary = exact money sum), then three ntile(5) windows with a
-    unique tie-break (user_id) so bucket assignment is total-ordered and
-    cross-engine identical. The windows are global sorts over O(users)
-    rows — user-scale, not event-scale; at 100 TB of events the aggregate
-    has already shrunk the input by orders of magnitude.
+    count, monetary = exact money sum), then three quintile assignments
+    with a unique tie-break (user_id) so bucketing is total-ordered and
+    cross-engine identical. Quintiles come from the DISTRIBUTED global
+    rank (plans/ranking.py: range repartition + per-partition offsets),
+    not ``ntile().over(Window.orderBy(...))`` — the partition-less window
+    is a single-task sort over O(users) rows, which at 100 TB of events
+    is billions of users through one executor thread. ntile semantics are
+    reproduced exactly from (rank, n) so the output is bit-identical to
+    the window form (parity-tested).
     """
+    from symat_hbase_tools_spark.plans.ranking import (
+        global_order_rank,
+        ntile_from_rank,
+    )
+
     events = load_table(spark, sf_dir, "events")
     per_user = (
         events.filter(F.col("event_type") == "purchase")
@@ -539,16 +548,22 @@ def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("value"), "monetary"),
         )
     )
-    r = F.ntile(5).over(Window.orderBy(F.col("last_us").desc(), "user_id"))
-    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "user_id"))
-    m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "user_id"))
-    return per_user.select(
+    ranked, n = global_order_rank(
+        per_user, [F.col("last_us").desc(), F.col("user_id")], "r_rank"
+    )
+    ranked, _ = global_order_rank(
+        ranked, [F.col("frequency").desc(), F.col("user_id")], "f_rank"
+    )
+    ranked, _ = global_order_rank(
+        ranked, [F.col("monetary").desc(), F.col("user_id")], "m_rank"
+    )
+    return ranked.select(
         "user_id",
         "frequency",
         "monetary",
-        r.alias("r_quintile"),
-        f.alias("f_quintile"),
-        m.alias("m_quintile"),
+        ntile_from_rank(F.col("r_rank"), n, 5).alias("r_quintile"),
+        ntile_from_rank(F.col("f_rank"), n, 5).alias("f_quintile"),
+        ntile_from_rank(F.col("m_rank"), n, 5).alias("m_quintile"),
     ).withColumn(
         "segment",
         F.format_string(
@@ -655,29 +670,34 @@ def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gini coefficient of the per-key event-count distribution.
 
     Shape: one partial-aggregated count per key (the only data-scale
-    stage), then a rank window over O(keys) rows and a 1-row moment
-    aggregate. Gini uses the rank formula G = (2*Σ(i*c_i) - (n+1)*Σc) /
-    (n*Σc) with counts sorted ascending and a unique tie-break — every
-    term an exact integer, one mirrored double expression at the end.
+    stage), then a DISTRIBUTED ascending rank over O(keys) rows
+    (plans/ranking.py — a partition-less row_number window would funnel
+    every key through one task at 100 TB) and a 1-row moment aggregate.
+    The top-10 slice is an ``orderBy().limit(10)`` — Catalyst plans it as
+    TakeOrderedAndProject (per-partition heaps, no global sort) — joined
+    in as a 1-row broadcast. Gini uses the rank formula
+    G = (2*Σ(i*c_i) - (n+1)*Σc) / (n*Σc) with counts sorted ascending and
+    a unique tie-break — every term an exact integer, one mirrored double
+    expression at the end.
     """
+    from symat_hbase_tools_spark.plans.ranking import global_order_rank
+
     events = load_table(spark, sf_dir, "events")
     counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").asc(), F.col("user_id").asc())
-    w_desc = Window.orderBy(F.col("c").desc(), F.col("user_id").asc())
-    ranked = counts.select(
-        "c",
-        F.row_number().over(w).alias("i"),
-        F.row_number().over(w_desc).alias("r_desc"),
+    ranked, _n = global_order_rank(
+        counts, [F.col("c").asc(), F.col("user_id").asc()], "i"
+    )
+    top10 = (
+        counts.orderBy(F.col("c").desc(), F.col("user_id").asc())
+        .limit(10)
+        .agg(F.sum("c").alias("top10"))
     )
     m = ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("c").alias("total"),
         F.max("c").alias("max_c"),
         F.sum(F.col("i") * F.col("c")).alias("ic"),
-        F.sum(F.when(F.col("r_desc") <= 10, F.col("c")).otherwise(0)).alias(
-            "top10"
-        ),
-    )
+    ).crossJoin(F.broadcast(top10))
     return m.select(
         "n_keys",
         F.col("total").alias("total_events"),
@@ -778,10 +798,15 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    # top-k via orderBy().limit(): Catalyst plans TakeOrderedAndProject
+    # (per-partition heaps) instead of the single-partition sort a
+    # row_number window forces; the rank column is then a window over the
+    # ALREADY-LIMITED k rows — constant-size at any corpus scale
     w_top = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
     return (
-        counted.withColumn("rank", F.row_number().over(w_top))
-        .filter(F.col("rank") <= TOP_PATHS)
+        counted.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(TOP_PATHS)
+        .withColumn("rank", F.row_number().over(w_top))
         .select("rank", "path", "n_sessions")
     )
 

@@ -356,3 +356,63 @@ def test_unimax_broadcasts_domain_cuts(spark):
     plan = plan_string(doc_unimax_resample(spark, SF_DIR))
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _no_single_partition_window(df):
+    """Assert no Window/Sort runs over an Exchange SinglePartition — the
+    single-task global-sort anti-pattern these operators were rewritten to
+    avoid (plans/ranking.py). A SinglePartition exchange is still fine
+    under a 1-row global aggregate or a bounded LIMIT result."""
+    plan = plan_string(df, "simple")
+    for i, line in enumerate(plan.splitlines()):
+        if "Window" in line:
+            # the window's input must not be a single-partition exchange
+            below = "\n".join(plan.splitlines()[i + 1 : i + 4])
+            assert not (
+                "Exchange SinglePartition" in below and "TakeOrderedAndProject" not in below
+                and "Limit" not in below
+            ), plan
+    return plan
+
+
+def test_rfm_segments_no_global_sort_window(spark):
+    from symat_hbase_tools_spark.operators import timeseries
+
+    plan = _no_single_partition_window(timeseries.users_rfm_segments(spark, SF_DIR))
+    # the quintile machinery is range-partitioned, not single-partition
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_balance_distribution_no_global_sort_window(spark):
+    plan = _no_single_partition_window(
+        relational.customer_balance_distribution(spark, SF_DIR)
+    )
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_skew_report_top10_is_take_ordered(spark):
+    from symat_hbase_tools_spark.operators import timeseries
+
+    plan = _no_single_partition_window(timeseries.events_skew_report(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_session_paths_topk_is_take_ordered(spark):
+    from symat_hbase_tools_spark.operators import timeseries
+
+    plan = plan_string(timeseries.events_session_paths(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_vocab_coverage_topv_is_take_ordered(spark):
+    from symat_hbase_tools_spark.operators import text_analysis
+
+    plan = plan_string(text_analysis.vocab_coverage(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_zipf_fit_rank_is_distributed(spark):
+    from symat_hbase_tools_spark.operators import text_analysis
+
+    plan = _no_single_partition_window(text_analysis.zipf_fit(spark, SF_DIR))
+    assert "rangepartitioning" in plan.lower(), plan
