@@ -115,9 +115,13 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the expensive part is ONE partial-aggregated pass over
     events (O(hours x types) output). The spine is sequence()+explode over
-    a 1-row bounds aggregate cross-joined with the distinct types — tiny —
-    and is the BROADCAST side of the fill join. The forward-fill window
-    partitions by event_type over O(hours) rows: driver-scale, not
+    a 1-row bounds aggregate cross-joined with the distinct types. Both
+    fill-join sides are O(hours x types) — on a multi-year stream with
+    many types NEITHER fits a broadcast (the round-3 advisory caught an
+    explicit broadcast(hourly) hint here contradicting exactly that) — so
+    the join carries no hint: AQE broadcasts the build side while it is
+    small and falls back to a shuffle join when it isn't. The forward-fill
+    window partitions by event_type over O(hours) rows: driver-scale, not
     data-scale. The hourly close uses max_by with a fixed-width
     (epoch, event_id) string ordering key so ties resolve identically in
     the oracle (same trick as kv.latest_cells).
@@ -141,7 +145,7 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(types))
     )
-    filled = spine.join(F.broadcast(hourly), ["hour_epoch", "event_type"], "left")
+    filled = spine.join(hourly, ["hour_epoch", "event_type"], "left")
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_epoch")
@@ -585,8 +589,15 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joined series; r is assembled in ONE mirrored double expression.
     Everything after the first aggregate is driver-scale.
     """
-    filled = events_gap_fill(spark, sf_dir).select(
-        "hour_epoch", "event_type", F.col("n_events").alias("n")
+    from pyspark import StorageLevel
+
+    # persist: the filled series is BOTH self-join sides; Spark does not
+    # dedupe common subplans (round-3 advisory — without this the events
+    # scan + hourly aggregate + spine + fill window run twice per action)
+    filled = (
+        events_gap_fill(spark, sf_dir)
+        .select("hour_epoch", "event_type", F.col("n_events").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = filled.alias("a"), filled.alias("b")
     pairs = a.join(b, "hour_epoch").filter(

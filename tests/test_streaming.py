@@ -374,8 +374,10 @@ def test_rollup_state_merge_matches_batch(spark, tmp_path):
     state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
     rollup.maintain_rollup(stream, state_dir, ckpt)
 
-    gens = rollup._gen_dirs(state_dir)
-    assert len(gens) >= 2, "expected multiple micro-batches"
+    gens = rollup._gen_dirs(spark, state_dir)
+    # older generations are pruned after each merge (storage O(state), not
+    # O(batches)) — exactly KEEP_GENERATIONS complete ones remain
+    assert len(gens) == rollup.KEEP_GENERATIONS, gens
 
     snap = lambda df: {  # noqa: E731
         (r["hour_epoch"], r["event_type"]): (r["n_events"], r["sum_value"])
@@ -398,3 +400,25 @@ def test_rollup_state_merge_matches_batch(spark, tmp_path):
                       for line in fh if line.startswith("{")]
     rollup.merge_batch(spark, spark.read.parquet(*last_files), last_bid, state_dir)
     assert snap(rollup.rollup_view(spark, state_dir)) == want
+
+
+def test_rollup_merge_sql_shape(spark, tmp_path):
+    """The MERGE INTO form submits an honest statement; on this image's
+    parquet catalog tables (no row-level-operation support) it must
+    surface NotImplementedError, never fall back to a fake
+    read-modify-overwrite."""
+    import pytest
+
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from symat_hbase_tools_spark.streaming import rollup
+
+    events = load_table(spark, SF_DIR, "events").limit(100)
+    spark.sql("DROP TABLE IF EXISTS rollup_state_sql")
+    spark.createDataFrame([], rollup.STATE_SCHEMA).write.saveAsTable(
+        "rollup_state_sql"
+    )
+    try:
+        with pytest.raises(NotImplementedError, match="MERGE INTO"):
+            rollup.merge_batch_sql(spark, events, 0, "rollup_state_sql")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rollup_state_sql")
