@@ -439,6 +439,17 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_contamination(spark, sf_dir)
 
 
+def doc_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened contamination sweep — the 100 TB notch of
+    doc_contamination (bitmap broadcast + Arrow probe, exact verify on
+    survivors only). Identical output, shares the exact oracle."""
+    from symat_hbase_tools_spark.operators.contamination import (
+        benchmark_contamination_bloom,
+    )
+
+    return benchmark_contamination_bloom(spark, sf_dir)
+
+
 def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical selection over near-dup clusters: the surviving document of
     every cluster is its highest-quality member (FineWeb keep-best policy).
@@ -915,6 +926,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-3: journey analytics (session paths + Markov transitions)
     "events_session_paths": timeseries.events_session_paths,
     "events_markov_transitions": timeseries.events_markov_transitions,
+    # round-4: bloom-screened contamination (scale notch of
+    # doc_contamination: bitmap broadcast + Arrow probe, exact verify)
+    "doc_contamination_bloom": doc_contamination_bloom,
 }
 
 
@@ -2263,6 +2277,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM c GROUP BY 1
     """,
     "doc_contamination": f"""
+        WITH {_SHINGLE_CTE}
+        SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0) tr
+        JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0) be USING (s)
+        GROUP BY tr.doc_id HAVING COUNT(*) >= 5
+    """,
+    # bloom screening has no false negatives and survivors are exactly
+    # verified, so the bloom path's spec — and oracle — is the exact one's
+    "doc_contamination_bloom": f"""
         WITH {_SHINGLE_CTE}
         SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
         FROM (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0) tr

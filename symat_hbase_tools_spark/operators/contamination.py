@@ -47,3 +47,90 @@ def benchmark_contamination(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
+
+
+#: bloom sizing: ~10 bits per element + 7 hashes -> ~0.8% false-positive
+#: rate; false positives only cost verify-join volume, never correctness
+BLOOM_BITS_PER_ELEMENT = 10
+BLOOM_NUM_HASHES = 7
+
+
+def _splitmix_positions(hashes, m_bits: int, k: int):
+    """k bloom bit positions per input hash — numpy splitmix64 remixes of
+    the JVM xxhash64 shingle key. Build and probe share this function, so
+    no cross-engine hash agreement is needed."""
+    import numpy as np
+
+    h = hashes.astype(np.uint64)
+    out = []
+    for i in range(k):
+        x = h + np.uint64(0x9E3779B97F4A7C15) * np.uint64(i + 1)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        out.append((x % np.uint64(m_bits)).astype(np.int64))
+    return out
+
+
+def benchmark_contamination_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    min_overlap: int = 5,
+    benchmark_mod: int = 50,
+) -> DataFrame:
+    """The 100 TB notch of ``benchmark_contamination``: identical output
+    (bloom filters have NO false negatives and every survivor is exactly
+    verified — shares the exact operator's oracle), different screening
+    cost.
+
+    The exact operator broadcasts the benchmark's full distinct shingle
+    set — 8+ bytes per shingle, GBs once the eval suite covers hundreds of
+    millions of shingles. Here the broadcast is a ~10-bit-per-element
+    bloom BITMAP (6-50x smaller), the corpus-side screen is a numpy
+    bitmap probe inside one Arrow kernel (no join, no shuffle), and only
+    the survivors — true matches plus the ~0.8%% false-positive trickle —
+    reach the exact verify join and the per-doc overlap aggregate. The
+    bitmap ships once per executor via SparkContext.broadcast.
+    """
+    import numpy as np
+
+    sh = _doc_shingles(spark, sf_dir, n).select(
+        "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
+    )
+    is_bench = F.col("doc_id") % benchmark_mod == 0
+    bench = sh.filter(is_bench).select("s").distinct()
+
+    bench_hashes = bench.toPandas()["s"].to_numpy(dtype=np.int64)
+    n_elems = max(len(bench_hashes), 1)
+    m_bits = 1 << int(np.ceil(np.log2(n_elems * BLOOM_BITS_PER_ELEMENT)))
+    words = np.zeros(m_bits // 64 + 1, dtype=np.uint64)
+    for pos in _splitmix_positions(bench_hashes, m_bits, BLOOM_NUM_HASHES):
+        np.bitwise_or.at(
+            words, pos // 64, np.uint64(1) << (pos.astype(np.uint64) % np.uint64(64))
+        )
+    bc = spark.sparkContext.broadcast((words, m_bits))
+
+    def screen(batches):
+        bitmap, m = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            h = pdf["s"].to_numpy(dtype=np.int64)
+            keep = np.ones(len(h), dtype=bool)
+            for pos in _splitmix_positions(h, m, BLOOM_NUM_HASHES):
+                keep &= (
+                    bitmap[pos // 64] >> (pos.astype(np.uint64) % np.uint64(64))
+                ) & np.uint64(1) != 0
+            yield pdf[keep]
+
+    survivors = (
+        sh.filter(~is_bench)
+        .mapInPandas(screen, schema="doc_id long, s long")
+    )
+    return (
+        survivors.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )

@@ -200,3 +200,61 @@ def test_dedup_keep_best_survivor_is_max_quality(spark):
         assert r["doc_id"] == best_id
         assert r["quality_score"] == best_q
         assert r["n_members"] == len(members[r["cluster"]])
+
+
+def test_contamination_bloom_equals_exact(spark):
+    """The bloom-screened path must produce byte-identical output to the
+    exact operator (no false negatives by construction; every survivor
+    exactly verified)."""
+    from symat_hbase_tools_spark.operators.contamination import (
+        benchmark_contamination,
+        benchmark_contamination_bloom,
+    )
+    from tests.conftest import SF_DIR
+
+    exact = {
+        (r["doc_id"], r["n_overlap"])
+        for r in benchmark_contamination(spark, SF_DIR).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_overlap"])
+        for r in benchmark_contamination_bloom(spark, SF_DIR).collect()
+    }
+    assert bloom == exact and len(exact) > 0
+
+
+def test_contamination_bloom_screen_prunes(spark):
+    """The bitmap screen must actually prune: the survivor stream entering
+    the verify join is a small fraction of the train shingle stream (true
+    matches + ~0.8% false positives), not a pass-through."""
+    import numpy as np
+
+    from symat_hbase_tools_spark.operators.contamination import (
+        BLOOM_BITS_PER_ELEMENT,
+        BLOOM_NUM_HASHES,
+        _splitmix_positions,
+    )
+
+    rng = np.random.default_rng(3)
+    members = rng.integers(-(2**62), 2**62, size=10_000, dtype=np.int64)
+    probes = rng.integers(-(2**62), 2**62, size=100_000, dtype=np.int64)
+    m_bits = 1 << int(np.ceil(np.log2(len(members) * BLOOM_BITS_PER_ELEMENT)))
+    words = np.zeros(m_bits // 64 + 1, dtype=np.uint64)
+    for pos in _splitmix_positions(members, m_bits, BLOOM_NUM_HASHES):
+        np.bitwise_or.at(
+            words, pos // 64, np.uint64(1) << (pos.astype(np.uint64) % np.uint64(64))
+        )
+    keep = np.ones(len(probes), dtype=bool)
+    for pos in _splitmix_positions(probes, m_bits, BLOOM_NUM_HASHES):
+        keep &= (
+            words[pos // 64] >> (pos.astype(np.uint64) % np.uint64(64))
+        ) & np.uint64(1) != 0
+    # members always pass
+    keep_m = np.ones(len(members), dtype=bool)
+    for pos in _splitmix_positions(members, m_bits, BLOOM_NUM_HASHES):
+        keep_m &= (
+            words[pos // 64] >> (pos.astype(np.uint64) % np.uint64(64))
+        ) & np.uint64(1) != 0
+    assert keep_m.all()
+    # random non-members pass at ~the theoretical fp rate, well under 5%
+    assert keep.mean() < 0.05, keep.mean()
