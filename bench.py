@@ -87,6 +87,9 @@ HEADLINE = [
     "dedup_prefix_filter",
     "events_session_paths",
     "events_markov_transitions",
+    # round-4: bloom-screened contamination + distributed-rank rewrites are
+    # covered by existing entries; the bloom path is its own headline entry
+    "doc_contamination_bloom",
 ]
 
 
@@ -202,7 +205,10 @@ def main() -> None:
         # to a file + a verbose first line; the LAST line is a compact
         # summary (no cold_queries) guarded to stay inside the window.
         summary = {k: v for k, v in detail.items() if k != "cold_queries"}
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BASELINE_DETAIL.json" if baseline else "BENCH_DETAIL.json",
+    )
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
