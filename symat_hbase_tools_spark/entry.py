@@ -808,6 +808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_table_diff": kv_table_diff,
     # relational surface
     "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+    "q7_volume_shipping": relational.q7_volume_shipping,
     "top_parts_per_brand": relational.top_parts_per_brand,
     "customer_order_deltas": relational.customer_order_deltas,
     "segment_distinct_counts": relational.segment_distinct_counts,
@@ -819,6 +820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_status_by_priority": relational.pivot_status_by_priority,
     "price_percentiles": relational.price_percentiles,
     "price_percentiles_approx": relational.price_percentiles_approx,
+    "price_percentiles_exact_rank": relational.price_percentiles_exact_rank,
     "orders_without_lineitems": relational.orders_without_lineitems,
     "events_hourly": relational.events_hourly,
     "events_sliding_6h": relational.events_sliding_6h,
@@ -1334,6 +1336,22 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey LIMIT 10
     """,
+    "q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               {_money('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        GROUP BY 1, 2, 3
+    """,
     "q5_local_supplier_volume": f"""
         SELECT n_name, {_money('l_extendedprice * (1 - l_discount)')} AS revenue
         FROM lineitem
@@ -1817,6 +1835,14 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders GROUP BY o_orderpriority
     """,
     "price_percentiles": """
+        SELECT l_returnflag,
+               CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+               CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # identical spec via distributed rank selection (the exact-percentile
+    # scale path) — same oracle as price_percentiles
+    "price_percentiles_exact_rank": """
         SELECT l_returnflag,
                CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
                CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90

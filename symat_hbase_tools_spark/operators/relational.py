@@ -142,6 +142,46 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation trade volume per ship year.
+
+    The nation pair predicate lands on the two BROADCAST nation dims (n1
+    via supplier, n2 via customer), so the lineitem fact stream is
+    filtered by two broadcast-hash probes and shuffles once for the final
+    aggregate; the OR-of-two-pairs condition is applied post-join where
+    both nation names are in hand (Catalyst cannot push a cross-dim OR
+    into either scan)."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    a, b = "NATION_3", "NATION_7"
+    pair_ok = (
+        (F.col("supp_nation") == a) & (F.col("cust_nation") == b)
+    ) | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
 def top_parts_per_brand(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Top-k per group: revenue rank of parts within brand (window + filter)."""
     part = load_table(spark, sf_dir, "part")
@@ -527,6 +567,66 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
         F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
     )
+
+
+def price_percentiles_exact_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per return flag via distributed rank
+    selection — the 100 TB path for exact percentiles.
+
+    ``F.percentile`` buffers each group's values in ONE aggregation state
+    (a per-group sort): exact but reducer-memory-bound at data scale. Here
+    the values are globally ranked by (flag, price) with the distributed
+    rank machinery (plans/ranking.py — range repartition + O(partitions)
+    driver offsets), per-group positions derive from broadcast (min rank,
+    count) per flag, and only the 2-4 boundary rows per (group,
+    percentile) survive the filter; interpolation mirrors Spark's
+    (n-1)*p linear rule exactly, so the output equals ``price_percentiles``
+    bit-for-bit (same oracle).
+    """
+    from symat_hbase_tools_spark.plans.ranking import global_order_rank
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ranked, _n = global_order_rank(
+        lineitem, [F.col("l_returnflag"), F.col("l_extendedprice")], "rk"
+    )
+    groups = ranked.groupBy("l_returnflag").agg(
+        F.min("rk").alias("rk0"), F.count(F.lit(1)).alias("n_g")
+    )
+    j = ranked.join(F.broadcast(groups), "l_returnflag").withColumn(
+        "pos0", F.col("rk") - F.col("rk0")
+    )
+    cols = {}
+    cond = F.lit(False)
+    for name, p in (("p50", 0.5), ("p90", 0.9)):
+        # Spark percentile: position (n-1)*p, linear interpolation
+        pos = (F.col("n_g") - 1) * F.lit(p)
+        lo, hi = F.floor(pos), F.ceil(pos)
+        cond = cond | (F.col("pos0") == lo) | (F.col("pos0") == hi)
+        frac = pos - lo
+        v_lo = F.max(F.when(F.col("pos0") == F.floor((F.col("n_g") - 1) * F.lit(p)), F.col("l_extendedprice")))
+        v_hi = F.max(F.when(F.col("pos0") == F.ceil((F.col("n_g") - 1) * F.lit(p)), F.col("l_extendedprice")))
+        cols[name] = (p, v_lo, v_hi)
+    boundary = j.filter(cond)
+    agg = boundary.groupBy("l_returnflag", "n_g").agg(
+        *[v_lo.alias(f"{name}_lo") for name, (p, v_lo, _) in cols.items()],
+        *[v_hi.alias(f"{name}_hi") for name, (p, _, v_hi) in cols.items()],
+    )
+    out_cols = []
+    for name, (p, _, _) in cols.items():
+        # mirror quantile_cont / Spark percentile's interpolation form
+        # (1-frac)*lo + frac*hi — the algebraically-equal lo+frac*(hi-lo)
+        # differs in the last ulp and fails the bit-exact oracle compare
+        pos = (F.col("n_g") - 1) * F.lit(p)
+        frac = pos - F.floor(pos)
+        out_cols.append(
+            (
+                (F.lit(1.0) - frac) * F.col(f"{name}_lo")
+                + frac * F.col(f"{name}_hi")
+            ).alias(name)
+        )
+    return agg.select("l_returnflag", *out_cols)
 
 
 def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
