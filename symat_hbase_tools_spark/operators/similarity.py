@@ -803,6 +803,59 @@ def build_ivf_index(
     )
 
 
+def ivf_index_append(
+    spark: SparkSession, index_dir: str, new_vectors: DataFrame
+) -> None:
+    """Append a NEW batch of vectors to a persisted IVF index — the nightly
+    embedding-ingest path (the ANN sibling of dedup's
+    ``incremental_dedup_indexed``).
+
+    The codebook is FROZEN: new vectors are assigned to the existing
+    centroids (broadcast, one Arrow argmin per batch) and appended into
+    the matching ``assignments/cell=N/`` directories. Per-ingest cost is
+    O(|batch| x n_cells); the existing index is never read or rewritten,
+    and queries see the union immediately because search is directory
+    pruning + re-rank, not a monolithic structure rebuild. Centroid drift
+    under sustained ingest degrades cell balance, not correctness —
+    re-run build_ivf_index when the append volume rivals the base (the
+    same compaction trade HBase/LSM stores make).
+
+    new_vectors: (vec_id, embedding) with the embeddings-table schema.
+    """
+    import numpy as np
+
+    cent = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+    C = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(batches):
+        import pandas as pd
+
+        cmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            d = ((M[:, None, :] - cmat[None, :, :]) ** 2).sum(-1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "emb": pdf["emb"],
+                    "cell": d.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    (
+        new_vectors.select(
+            "vec_id", as_double(F.col("embedding")).alias("emb")
+        )
+        .mapInPandas(assign, schema="vec_id long, emb array<double>, cell int")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/assignments")
+    )
+
+
 def ann_ivf_query(
     spark: SparkSession,
     index_dir: str,

