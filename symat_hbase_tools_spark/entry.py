@@ -439,6 +439,33 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_contamination(spark, sf_dir)
 
 
+ZORDER_BITS = 8
+
+
+def orders_zorder_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout census over orders: Morton-interleave (custkey mod
+    256, order-day mod 256) into a 16-bit Z-value and report per-quadrant
+    occupancy — the cross-engine-checkable half of the Z-order story (the
+    write-side layout + footer-stats pruning evidence lives in
+    operators/layout.py + tests/test_layout.py). The interleave is pure
+    integer bit math, reproduced verbatim in the DuckDB oracle."""
+    from symat_hbase_tools_spark.operators.layout import zvalue
+
+    orders = load_table(spark, sf_dir, "orders")
+    ck = F.pmod(F.col("o_custkey"), F.lit(256))
+    dy = F.pmod(F.floor(F.unix_timestamp("o_orderdate") / 86400), F.lit(256))
+    zv = zvalue([ck, dy], bits=ZORDER_BITS)
+    return (
+        orders.select(zv.alias("zv"))
+        .groupBy(F.shiftright(F.col("zv"), 10).cast("int").alias("quadrant"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("zv").alias("zv_min"),
+            F.max("zv").alias("zv_max"),
+        )
+    )
+
+
 def doc_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-screened contamination sweep — the 100 TB notch of
     doc_contamination (bitmap broadcast + Arrow probe, exact verify on
@@ -931,6 +958,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-4: bloom-screened contamination (scale notch of
     # doc_contamination: bitmap broadcast + Arrow probe, exact verify)
     "doc_contamination_bloom": doc_contamination_bloom,
+    # round-4: Z-order layout census (Morton interleave, oracle-checked)
+    "orders_zorder_census": orders_zorder_census,
 }
 
 
@@ -2311,6 +2340,17 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # bloom screening has no false negatives and survivors are exactly
     # verified, so the bloom path's spec — and oracle — is the exact one's
+    "orders_zorder_census": """
+        WITH g AS (
+            SELECT o_custkey % 256 AS ck,
+                   (CAST(epoch(o_orderdate) AS BIGINT) // 86400) % 256 AS dy
+            FROM orders),
+        z AS (SELECT (((ck >> 0) & 1) << 0) + (((dy >> 0) & 1) << 1) + (((ck >> 1) & 1) << 2) + (((dy >> 1) & 1) << 3) + (((ck >> 2) & 1) << 4) + (((dy >> 2) & 1) << 5) + (((ck >> 3) & 1) << 6) + (((dy >> 3) & 1) << 7) + (((ck >> 4) & 1) << 8) + (((dy >> 4) & 1) << 9) + (((ck >> 5) & 1) << 10) + (((dy >> 5) & 1) << 11) + (((ck >> 6) & 1) << 12) + (((dy >> 6) & 1) << 13) + (((ck >> 7) & 1) << 14) + (((dy >> 7) & 1) << 15) AS zv FROM g)
+        SELECT CAST(zv >> 10 AS INT) AS quadrant,
+               COUNT(*) AS n_orders,
+               MIN(zv) AS zv_min, MAX(zv) AS zv_max
+        FROM z GROUP BY 1
+    """,
     "doc_contamination_bloom": f"""
         WITH {_SHINGLE_CTE}
         SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap

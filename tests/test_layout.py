@@ -1,97 +1,106 @@
-"""Z-order layout tests: the written files must exhibit multi-dimensional
-locality (small per-file bounding boxes) so parquet min/max stats can prune
-on EITHER clustered column — the property single-column sorting lacks."""
+"""Z-order layout: the written files must give NARROW per-file min/max
+statistics on EVERY clustered dimension — that is the entire point (2-D
+predicates prune files), and it is measurable from the parquet footers."""
 
 from __future__ import annotations
 
-import glob
+import pyspark.sql.functions as F
+import pytest
 
-import pyarrow.parquet as pq
-from pyspark.sql import functions as F
-
-from symat_hbase_tools_spark.sources.layout import morton_key, write_zordered
+from symat_hbase_tools_spark.operators.layout import (
+    file_dim_coverage,
+    grid_bucket,
+    zorder_write,
+    zvalue,
+)
 from symat_hbase_tools_spark.sources.tables import load_table
 from tests.conftest import SF_DIR
 
 
-def _file_boxes(path: str, xcol: str, ycol: str):
-    """(xmin, xmax, ymin, ymax) per parquet data file from footer stats."""
-    boxes = []
-    for f in glob.glob(f"{path}/part-*.parquet"):
-        md = pq.ParquetFile(f).metadata
-        xmn = ymn = float("inf")
-        xmx = ymx = float("-inf")
-        for rg in range(md.num_row_groups):
-            row_group = md.row_group(rg)
-            for ci in range(row_group.num_columns):
-                col = row_group.column(ci)
-                name = col.path_in_schema
-                if name == xcol:
-                    xmn = min(xmn, col.statistics.min)
-                    xmx = max(xmx, col.statistics.max)
-                elif name == ycol:
-                    ymn = min(ymn, col.statistics.min)
-                    ymx = max(ymx, col.statistics.max)
-        boxes.append((xmn, xmx, ymn, ymx))
-    return boxes
+def test_zvalue_interleave_bits(spark):
+    # bit b of dim i lands at b*ndims + i
+    df = spark.createDataFrame([(0b1010, 0b0110)], "x long, y long")
+    got = df.select(
+        zvalue([F.col("x"), F.col("y")], bits=4).alias("z")
+    ).collect()[0]["z"]
+    want = 0
+    for b in range(4):
+        want |= ((0b1010 >> b) & 1) << (2 * b)
+        want |= ((0b0110 >> b) & 1) << (2 * b + 1)
+    assert got == want
 
 
-def test_morton_key_interleaves(spark):
-    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 3)], "a long, b long")
+def test_grid_bucket_bounds(spark):
+    df = spark.createDataFrame([(0.0,), (50.0,), (100.0,)], "v double")
     got = [
-        r["z"]
+        r["b"]
         for r in df.select(
-            morton_key([F.col("a"), F.col("b")], bits=2).alias("z")
+            grid_bucket(F.col("v"), F.lit(0.0), F.lit(100.0), bits=8).alias("b")
         ).collect()
     ]
-    # z(a,b) with a in even bits, b in odd: (0,0)->0 (1,0)->1 (0,1)->2 (3,3)->15
-    assert got == [0, 1, 2, 15]
+    assert got[0] == 0 and got[2] == 255 and 120 <= got[1] <= 135
 
 
-def test_zorder_layout_has_2d_locality(spark, tmp_path):
-    events = load_table(spark, SF_DIR, "events").select(
-        "event_id", "user_id", F.col("ts_ns").alias("t")
+def _avg_span(cov, col, lo, hi):
+    spans = [
+        (rec[col][1] - rec[col][0]) / (hi - lo)
+        for rec in cov
+        if col in rec and hi > lo
+    ]
+    return sum(spans) / len(spans)
+
+
+def test_zorder_layout_narrows_both_dims(spark, tmp_path):
+    """Z-ordered write: every file covers a small rectangle of
+    (custkey, orderdate); a single-column sort leaves the second dim's
+    per-file range ~full-width. Quantified straight from the parquet
+    footers that the scan planner prunes with."""
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", F.unix_timestamp("o_orderdate").alias("ts")
     )
-    n = events.count()
-    z_path = str(tmp_path / "zordered")
-    s_path = str(tmp_path / "timesorted")
-    write_zordered(events, z_path, ["user_id", "t"], n_files=8)
-    events.repartitionByRange(8, "t").sortWithinPartitions("t").write.parquet(s_path)
-
-    # round trip intact
-    assert spark.read.parquet(z_path).count() == n
-
-    span = lambda lo, hi, gmin, gmax: (hi - lo) / max(gmax - gmin, 1)  # noqa: E731
-    g = events.agg(
-        F.min("user_id"), F.max("user_id"), F.min("t"), F.max("t")
+    lo_c, hi_c, lo_t, hi_t = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("ts"), F.max("ts")
     ).collect()[0]
-    umin, umax, tmin, tmax = g
 
-    def mean_spans(path):
-        boxes = _file_boxes(path, "user_id", "t")
-        assert boxes
-        u_spans = [span(x0, x1, umin, umax) for x0, x1, _, _ in boxes]
-        t_spans = [span(y0, y1, tmin, tmax) for _, _, y0, y1 in boxes]
-        return sum(u_spans) / len(u_spans), sum(t_spans) / len(t_spans)
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    zorder_write(orders, ["o_custkey", "ts"], zpath, n_files=16)
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
 
-    z_u, z_t = mean_spans(z_path)
-    s_u, s_t = mean_spans(s_path)
-    # single-column sorting constrains ONLY its sort axis: every time-sorted
-    # file spans ~the full user range. Z-ordered files constrain BOTH axes
-    # partially — that's what buys pruning on either predicate.
-    assert s_u > 0.9, s_u
-    assert z_u < 0.6, (z_u, s_u)
-    assert z_t < 0.6, (z_t, s_t)
+    zcov = file_dim_coverage(zpath, ["o_custkey", "ts"])
+    scov = file_dim_coverage(spath, ["o_custkey", "ts"])
+    assert len(zcov) >= 8 and len(scov) >= 8
 
-    # a user-only range predicate (the axis sorting can't serve) must
-    # intersect strictly fewer z-ordered files than time-sorted ones
-    q_lo = umax - (umax - umin) // 4  # top quarter of the user range
+    z_ck = _avg_span(zcov, "o_custkey", lo_c, hi_c)
+    z_ts = _avg_span(zcov, "ts", lo_t, hi_t)
+    s_ck = _avg_span(scov, "o_custkey", lo_c, hi_c)
+    s_ts = _avg_span(scov, "ts", lo_t, hi_t)
 
-    def files_hit_user_range(path):
-        return sum(
-            1
-            for x0, x1, _, _ in _file_boxes(path, "user_id", "t")
-            if not (x1 < q_lo or x0 > umax)
-        )
+    # single-sort: first dim tight, second dim ~full width — a predicate
+    # on ts alone prunes NOTHING in this layout
+    assert s_ck < 0.25 and s_ts > 0.8, (s_ck, s_ts)
+    # z-order: BOTH dims well under full width. (The span PRODUCT is the
+    # same for both layouts in theory — 16 files tile the same total area;
+    # z-order's win is the worst-dimension bound: any single-dim or 2-D
+    # predicate prunes, instead of only the lead-column ones.)
+    assert z_ck < 0.5 and z_ts < 0.5, (z_ck, z_ts)
+    assert max(z_ck, z_ts) < 0.6 < max(s_ck, s_ts), (z_ck, z_ts, s_ck, s_ts)
 
-    assert files_hit_user_range(z_path) < files_hit_user_range(s_path)
+
+def test_zorder_write_roundtrip_content(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", F.unix_timestamp("o_orderdate").alias("ts")
+    )
+    path = str(tmp_path / "z2")
+    zorder_write(orders, ["o_custkey", "ts"], path, n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert set(back.columns) == {"o_orderkey", "o_custkey", "ts"}
+    assert back.select(F.sum("o_orderkey")).collect() == orders.select(
+        F.sum("o_orderkey")
+    ).collect()
