@@ -836,6 +836,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational surface
     "q5_local_supplier_volume": relational.q5_local_supplier_volume,
     "q7_volume_shipping": relational.q7_volume_shipping,
+    # round-4: footer-only stats via parquet aggregate pushdown
+    "orders_stats_pushdown": relational.orders_stats_pushdown,
     "top_parts_per_brand": relational.top_parts_per_brand,
     "customer_order_deltas": relational.customer_order_deltas,
     "segment_distinct_counts": relational.segment_distinct_counts,
@@ -1364,6 +1366,12 @@ ORACLE_SQL: dict[str, str] = {
           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "orders_stats_pushdown": """
+        SELECT COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+               MIN(o_custkey) AS min_custkey, MAX(o_custkey) AS max_custkey
+        FROM orders
     """,
     "q7_volume_shipping": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -142,6 +142,62 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-only COUNT/MIN/MAX over orders — parquet AGGREGATE pushdown.
+
+    With `spark.sql.parquet.aggregatePushdown` and the DSv2 parquet
+    source, partial-aggregate-free COUNT(*)/MIN/MAX compile into the
+    BatchScan itself (`PushedAggregation: [COUNT(*), MIN(...), MAX(...)]`
+    — plan-asserted in tests/test_plans.py): the scan answers from
+    row-group footer statistics and reads NO data pages. At 100 TB this
+    is the difference between a metadata round-trip and a full-table
+    scan for the "table profile header" queries every catalog UI issues.
+    The v2-source switch is scoped to plan construction (the resolved
+    relation keeps its source after the conf is restored) because the
+    rest of the engine stays on v1 parquet (bucketing, insertInto).
+    """
+    import os
+
+    v1_before = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    agg_before = spark.conf.get("spark.sql.parquet.aggregatePushdown", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        # numeric + integer stats only: one timestamp_ntz min/max in the
+        # list makes the source reject the WHOLE pushdown (unsupported
+        # pushdown type — verified at sf0.001, whose o_orderdate is ntz)
+        # and silently plan a full scan
+        out = orders.agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+        )
+        # force the FULL query execution pipeline (analysis + optimization
+        # + physical planning) while the pushdown confs are active — the
+        # V2ScanRelationPushDown rule reads them lazily at first plan
+        # access, which without this happens after the finally block and
+        # silently plans an unpushed aggregate
+        out._jdf.queryExecution().executedPlan()  # noqa: SLF001
+        return out
+    finally:
+        # conf.get(key, None) returns None when the key was never SET in
+        # the session (even though a server-side default exists): restore
+        # means UNSET in that case, or the "" override leaks session-wide
+        # and silently flips every later parquet read to the v2 source
+        # (which cannot serve bucketed scans)
+        if v1_before is not None:
+            spark.conf.set("spark.sql.sources.useV1SourceList", v1_before)
+        else:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        if agg_before is not None:
+            spark.conf.set("spark.sql.parquet.aggregatePushdown", agg_before)
+        else:
+            spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+
+
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bidirectional two-nation trade volume per ship year.
 

@@ -416,3 +416,16 @@ def test_zipf_fit_rank_is_distributed(spark):
 
     plan = _no_single_partition_window(text_analysis.zipf_fit(spark, SF_DIR))
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_orders_stats_pushdown_is_footer_only(spark):
+    """COUNT/MIN/MAX must compile INTO the v2 BatchScan (PushedAggregation)
+    — the scan answers from row-group footers, no data pages read — and
+    the v2-source conf override must not leak into later reads."""
+    df = relational.orders_stats_pushdown(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "PushedAggregation" in plan, plan
+    # the session is back on the v1 source afterwards (bucketed scans
+    # elsewhere depend on it)
+    later = relational.q1_pricing_summary(spark, SF_DIR)
+    assert "Scan parquet" in plan_string(later, "simple")
