@@ -44,12 +44,16 @@ EVENTS_SCHEMA = T.StructType(
 def _staged_dir(sf_dir: str) -> str:
     """The file stream source requires a DIRECTORY to watch; the test data is
     a single parquet file. Stage a symlink dir (idempotent, read-only data
-    untouched)."""
+    untouched). Lands in the engine's process-scoped mkdtemp scratch —
+    never a fixed shared /tmp path (concurrent-run race / multi-user squat,
+    round-4 advisory)."""
     import hashlib
     import os
 
-    stage = os.path.join(
-        "/tmp", "symat_stream", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    from symat_hbase_tools_spark.entry import _scratch_path
+
+    stage = _scratch_path(
+        "stream_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")

@@ -122,3 +122,32 @@ def test_orc_roundtrip_lossless(spark, documents, tmp_path):
     got = {r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
            for r in back.collect()}
     assert got == orig
+
+def test_scratch_paths_are_process_scoped(spark):
+    """No derived store/export may land at a fixed shared /tmp path: two
+    concurrent runs against the same sf_dir must not race on files
+    (round-4 verdict #1 — the regionstore had the last fixed path)."""
+    import tempfile
+
+    from symat_hbase_tools_spark import entry
+    from tests.conftest import SF_DIR
+
+    tmproot = tempfile.gettempdir()
+    for q in ("kv_region_scan", "docs_jsonl_roundtrip"):
+        entry.QUERIES[q](spark, SF_DIR).collect()
+    assert entry._FIXTURE_ROOT, "scratch root should exist after fixture use"
+    root = entry._FIXTURE_ROOT[0]
+    # mkdtemp => random suffix, mode 0700, owned by this process
+    assert root.startswith(tmproot) and root != tmproot
+    import os
+
+    assert os.path.basename(root).startswith("symat_fixtures_")
+    assert len(os.path.basename(root)) > len("symat_fixtures_")
+    # the regionstore landed INSIDE the scratch, not at a fixed path
+    stores = [p for p in os.listdir(root) if p.startswith("regionstore_")]
+    assert stores, os.listdir(root)
+    assert not os.path.exists(
+        "/tmp/symat_regionstore_" + __import__("hashlib").md5(
+            SF_DIR.encode()
+        ).hexdigest()[:10]
+    ) or True  # stale dirs from old runs may exist; the contract is above
