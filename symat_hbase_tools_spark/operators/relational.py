@@ -1238,10 +1238,14 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
     )
-    w = Window.orderBy(F.lit(1))
-    top = revenue.withColumn("mx", F.max("total_revenue").over(w)).filter(
-        F.col("total_revenue") == F.col("mx")
-    )
+    # argmax via broadcast-singleton join, NOT a partition-less window max:
+    # the window form funnels the whole supplier-revenue aggregate through
+    # one partition (SF x 10k rows — 10^9 at SF100k); the broadcast of the
+    # 1-row max costs nothing and keeps the filter map-side.
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    top = revenue.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("mx")
+    ).drop("mx")
     supplier = load_table(spark, sf_dir, "supplier")
     return top.join(
         F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey")

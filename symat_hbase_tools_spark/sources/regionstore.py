@@ -115,19 +115,29 @@ def write_region_store(cells: DataFrame, path: str, n_regions: int = 8) -> list[
     exist to kill).
     """
     keys = cells.select("row").distinct()
-    # boundary keys via ntile over the sorted key space: write-time one-off,
-    # exactly the sort HBase bulk-load region assignment performs.
-    from pyspark.sql import Window
-
-    tiles = keys.select(
-        "row", F.ntile(n_regions).over(Window.orderBy("row")).alias("tile")
-    )
+    # Boundary keys via Spark's RangePartitioner (repartitionByRange:
+    # reservoir-sampled split points, fully distributed) + one min per
+    # range partition — never an ntile over a partition-less window, which
+    # funnels EVERY distinct key through one task (the exact
+    # single-partition-window class the round-4 sweep removed from query
+    # paths; a 100 TB bulk load has billions of distinct keys). Sampled
+    # quantiles are precisely HBase's own pre-split policy; the region
+    # assignment below derives from whatever bounds come back, so the
+    # store is self-consistent regardless of sampling variance. Only
+    # n_regions-1 boundary keys ever reach the driver.
+    ranged = keys.repartitionByRange(n_regions, "row")
     bounds = [
         bytes(r["lo"])
-        for r in tiles.groupBy("tile").agg(F.min("row").alias("lo")).orderBy("tile").collect()
+        for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.min("row").alias("lo"))
+        .orderBy("pid")
+        .collect()
     ][1:]  # first region starts at -infinity
 
     regions = []
+    # sampling (or a tiny key set) may yield fewer than n_regions-1 distinct
+    # bounds; the store is whatever the bounds say, not the requested count
+    n_regions = len(bounds) + 1
     for i in range(n_regions):
         start = bounds[i - 1] if i > 0 else None
         stop = bounds[i] if i < len(bounds) else None
