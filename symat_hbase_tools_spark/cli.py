@@ -1,10 +1,19 @@
 """CLI entry points mirroring the reference tools' flags.
 
-  copy-row     — /root/reference/.../CopyRow.java usage (lines 45-56):
-                 --sourceTable, --destinationTable, --rowKey (toBytesBinary
-                 escaped), --override, --timestamp
-  corrupt-rows — CorruptRowsMR.java usage (lines 187-196):
-                 --table, --outputDir, --traceCells
+  copy-row     — /root/reference/.../CopyRow.java usage (lines 45-56 / 70-79):
+                 reference-exact spellings --sourceTable --destTable
+                 --rowKeyByteString --override <true|false>
+                 --timestampToUse are accepted verbatim, alongside the
+                 engine's own --destinationTable/--rowKey/--timestamp
+                 aliases and bare store-true --override.
+  corrupt-rows — CorruptRowsMR.java usage (lines 187-196 / 205-214):
+                 --table, --output (reference-exact) / --outputDir alias,
+                 --traceCells <true|false> (value optional).
+
+Table arguments accept logical ``ns:table`` names (``CorruptRowsMR.java:191``,
+``TableName.valueOf`` in ``CopyRow.java:107``) resolved through
+``sources/catalog.py`` — the twin of the namespace handling MRUtil.java
+exists to fix — as well as plain paths.
 
 Improvement over the reference: errors propagate as a nonzero exit code
 instead of being swallowed (CopyRow.java:145-147 logs and returns normally).
@@ -22,10 +31,23 @@ from symat_hbase_tools_spark.functions.bytes_binary import to_bytes_binary
 from symat_hbase_tools_spark.operators.audit import audit, counters_of, write_report_tsv
 from symat_hbase_tools_spark.operators.copy_row import copy_row
 from symat_hbase_tools_spark.session import get_spark
+from symat_hbase_tools_spark.sources.catalog import (
+    overwrite_table_in_place,
+    resolve_table,
+)
 
 
 def _load_cells(spark, table: str):
-    return spark.read.parquet(table)
+    return spark.read.parquet(resolve_table(table))
+
+
+def _parse_bool(v) -> bool:
+    """``Boolean.parseBoolean`` semantics (CopyRow.java:77): case-insensitive
+    "true" is True, everything else — including "false", "1", garbage — is
+    False. A bare flag (argparse const) arrives as True already."""
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() == "true"
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -34,16 +56,39 @@ def main(argv: list[str] | None = None) -> int:
 
     cp = sub.add_parser("copy-row", help="copy one row between cells tables")
     cp.add_argument("--sourceTable", required=True)
-    cp.add_argument("--destinationTable", required=True)
-    cp.add_argument("--rowKey", required=True, help="toBytesBinary-escaped key")
-    cp.add_argument("--override", action="store_true", help="rewrite cell timestamps")
-    cp.add_argument("--timestamp", type=int, default=None, help="epoch millis for --override")
-    cp.add_argument("--output", required=True, help="path to write the updated dest cells")
+    # reference spelling --destTable (CopyRow.java:72) + engine alias
+    cp.add_argument("--destinationTable", "--destTable", dest="destinationTable", required=True)
+    # reference spelling --rowKeyByteString (CopyRow.java:74) + engine alias
+    cp.add_argument(
+        "--rowKey", "--rowKeyByteString", dest="rowKey", required=True,
+        help="toBytesBinary-escaped key",
+    )
+    # reference form is `--override <true|false>` (CopyRow.java:76-77);
+    # nargs="?" keeps the engine's bare store-true form working too
+    cp.add_argument(
+        "--override", nargs="?", const=True, default=False,
+        help="rewrite cell timestamps (true|false; bare flag = true)",
+    )
+    # reference spelling --timestampToUse (CopyRow.java:78) + engine alias
+    cp.add_argument(
+        "--timestamp", "--timestampToUse", dest="timestamp", type=int, default=None,
+        help="epoch millis for --override",
+    )
+    cp.add_argument(
+        "--output", default=None,
+        help="path for the updated dest cells (default: rewrite the "
+        "destination table in place, like the reference)",
+    )
 
     cr = sub.add_parser("corrupt-rows", help="row-integrity audit")
     cr.add_argument("--table", required=True)
-    cr.add_argument("--outputDir", required=True)
-    cr.add_argument("--traceCells", action="store_true", help="log failing cells (never in prod)")
+    # reference spelling --output (CorruptRowsMR.java:210) + engine alias
+    cr.add_argument("--outputDir", "--output", dest="outputDir", required=True)
+    # reference form is `--traceCells <true|false>` (CorruptRowsMR.java:213)
+    cr.add_argument(
+        "--traceCells", nargs="?", const=True, default=False,
+        help="log failing cells, true|false (never in prod)",
+    )
 
     rp = sub.add_parser(
         "repair", help="make a replica cells table match an authoritative one"
@@ -118,7 +163,7 @@ def main(argv: list[str] | None = None) -> int:
 
             key = to_bytes_binary(args.rowKey)
             ts = None
-            if args.override:
+            if _parse_bool(args.override):
                 ts = args.timestamp if args.timestamp is not None else int(time.time() * 1000)
             src = _load_cells(spark, args.sourceTable)
             dst = (
@@ -130,7 +175,14 @@ def main(argv: list[str] | None = None) -> int:
             if n == 0:
                 print(f"no data found for row key {args.rowKey!r}; nothing written")
                 return 0
-            new_dest.write.mode("overwrite").parquet(args.output)
+            if args.output is not None:
+                new_dest.write.mode("overwrite").parquet(args.output)
+            else:
+                # reference semantics: CopyRow mutates the destination TABLE
+                # itself (CopyRow.java:118-131) — no --output flag exists
+                overwrite_table_in_place(
+                    new_dest, resolve_table(args.destinationTable)
+                )
             print(f"copied {n} cells of row {args.rowKey!r}")
             return 0
         if args.tool == "repair":
@@ -281,7 +333,7 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         cells = _load_cells(spark, args.table)
         report, counters = audit(cells)
-        if args.traceCells:
+        if _parse_bool(args.traceCells):
             report.show(100, truncate=False)
         write_report_tsv(report, args.outputDir)
         c = counters_of(counters)

@@ -1,0 +1,90 @@
+"""Logical ``ns:table`` name resolution — the namespace layer the reference
+carries in MRUtil.
+
+The reference tools take HBase table names, including namespace-qualified
+ones (``CorruptRowsMR.java:191`` documents ``--table <ns:table>``;
+``CopyRow.java:107`` resolves via ``TableName.valueOf``), and
+``MRUtil.java:36-40`` exists *solely* to make non-default namespaces work
+in the MapReduce input path (the stock ``TableMapReduceUtil`` broke on
+them). This module is the engine's twin: a logical-name catalog that maps
+``ns:table`` (or bare ``table`` = the ``default`` namespace) to storage
+paths, so a user can drive the CLI with the reference's exact table
+arguments instead of raw parquet paths.
+
+Resolution order:
+
+1. A string that is an existing path, an absolute path, or a URI is used
+   verbatim (backward-compatible: every pre-round-5 invocation passed
+   paths).
+2. ``SYMAT_TABLE_CATALOG`` (JSON file of ``{"ns:table": "/path", ...}``)
+   — the explicit catalog, analogous to an HMS/HBase meta lookup.
+3. Convention fallback: ``$SYMAT_WAREHOUSE/<ns>/<table>`` (warehouse
+   default ``./spark-warehouse``) — the colon maps to a directory level,
+   so non-default namespaces land in their own subtree, never mangled
+   into a filename (the MRUtil bug class).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+#: env var naming a JSON catalog file mapping logical names to paths
+CATALOG_ENV = "SYMAT_TABLE_CATALOG"
+#: env var naming the warehouse root for convention-resolved tables
+WAREHOUSE_ENV = "SYMAT_WAREHOUSE"
+DEFAULT_NAMESPACE = "default"
+
+
+def split_table_name(name: str) -> tuple[str, str]:
+    """``"ns:table" -> ("ns", "table")``; bare names get the default
+    namespace — exactly ``TableName.valueOf``'s contract."""
+    ns, sep, tbl = name.partition(":")
+    if not sep:
+        return DEFAULT_NAMESPACE, name
+    if not ns or not tbl:
+        raise ValueError(f"malformed table name {name!r} (want ns:table)")
+    return ns, tbl
+
+
+def resolve_table(name: str) -> str:
+    """Resolve a CLI table argument (path or logical ``ns:table``) to a
+    storage path."""
+    looks_like_path = (
+        os.path.exists(name)
+        or os.path.isabs(name)
+        or "://" in name
+        or name.startswith(("./", "../", "~"))
+    )
+    if looks_like_path:
+        return name
+    catalog_file = os.environ.get(CATALOG_ENV)
+    if catalog_file:
+        with open(catalog_file) as f:
+            catalog = json.load(f)
+        if name in catalog:
+            return catalog[name]
+    ns, tbl = split_table_name(name)
+    root = os.environ.get(WAREHOUSE_ENV, "spark-warehouse")
+    return os.path.join(root, ns, tbl)
+
+
+def overwrite_table_in_place(df, path: str) -> None:
+    """Overwrite a table directory that may also be an INPUT of ``df``.
+
+    Spark cannot ``mode("overwrite")`` a path it is concurrently reading
+    (the scan would see its own truncation), and the reference's CopyRow
+    writes into the destination TABLE it just read from
+    (``CopyRow.java:118-131``). Twin semantics: materialize to a sibling
+    temp dir, then atomically swap directories. Driver-side rename only —
+    data never moves through the driver.
+    """
+    import shutil
+
+    tmp = f"{path}.inflight-{os.getpid()}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.replaced-{os.getpid()}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)

