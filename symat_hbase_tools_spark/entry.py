@@ -380,6 +380,24 @@ def events_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pretty_cells(kv.visible_cells(cells), "row_key", "qualifier", "ts", "value")
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible oracle row for the streaming session-window path
+    (round-4 verdict #7): runs streaming/events.py::session_counts — the
+    SAME groupBy(session_window) code the stream executes — on the bounded
+    events table. Spark's unified model makes withWatermark a no-op in
+    batch and plans session_window as a batch aggregate, so a green hash
+    here certifies the streaming aggregation's arithmetic, not a rewrite.
+
+    One row per (user, session): sessions merge while consecutive gaps are
+    STRICTLY under the 8h gap (session windows are [start, start+gap) —
+    an event at exactly +gap opens a new session), which is what the
+    gaps-and-islands oracle mirrors with `>= gap -> new`.
+    """
+    from symat_hbase_tools_spark.streaming.events import session_counts
+
+    return session_counts(load_table(spark, sf_dir, "events"))
+
+
 REPAIR_TS = CELL_TS + 9000
 
 
@@ -779,6 +797,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_kv_state": events_kv_state,
     "asof_purchase_signup": relational.asof_purchase_signup,
     "events_sessionize": relational.events_sessionize,
+    "events_session_window": events_session_window,
     "purchase_attribution": relational.purchase_attribution,
     "click_conversion_full": relational.click_conversion_full,
     # LLM-pipeline surface: dedup (simhash is represented by its
@@ -983,76 +1002,77 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 # ---------------------------------------------------------------------------
-# driver verification window (round-4 rotation)
+# driver verification window (round-5 rotation)
 #
 # The driver hash-verifies the FIRST 50 entries in dict order against the
-# DuckDB oracles at sf0.01. Rounds 1-3 kept a fixed curated window, so the
-# strongest external signal never touched entries 51+ (round-3 verdict,
-# "What's missing" #3). Round 4 rotates: 14 long-green veterans (driver-
-# verified every round since r1/r2, still covered by the local oracle
-# mirror in tests/test_oracle.py and both sf sweeps) move out; 14 first-
-# time entries move in — all seven operators whose plans were REWRITTEN
-# this round (distributed-rank windows, prefix-filter hot ordering,
-# fixture-cached kv reads) plus the verdict's named picks. Every operator
-# family keeps at least one in-window representative.
+# DuckDB oracles at sf0.01. The round-4 verdict's top instruction:
+# rotate AGGRESSIVELY — ~100 of 166 entries had never had an external
+# CORRECTNESS row. This window seats 31 never-driver-verified entries
+# (the TPC-H tail, all three interchange roundtrips, the event-time
+# analytics family, the embedding check family) plus the four kv scans
+# last verified in round 1 and the NEW streaming session-window twin.
+# 15 long-green veterans stay as family representatives; everything
+# rotated out remains covered by tests/test_oracle.py and the sf0.01 /
+# sf0.1 sweeps (SF001_GATE.json / SF01_VERIFY.json).
 
 _DRIVER_WINDOW = [
-    # kv / reference surface
+    # kv / reference surface (4 scans: driver-verified r1 only — re-seat)
     "kv_point_get",
     "kv_audit_report",
     "kv_copy_row_bump",
-    "kv_latest_version",      # r4 first-time: fixture-cached read path
-    "kv_scd2_history",        # r4 first-time (verdict pick)
-    # relational
+    "kv_table_diff",          # r1-only: re-verify
+    "kv_visible_cells",       # r1-only: re-verify
+    "kv_range_scan",          # r1-only: re-verify
+    "kv_region_scan",         # r1-only: re-verify (scratch-path rewrite this round)
+    # relational: the never-verified TPC-H tail
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "min_cost_supplier",      # r4 first-time (verdict pick)
-    "market_share",           # r4 first-time (verdict pick)
-    "orders_equidepth_histogram",  # r4 first-time (verdict pick)
-    "customer_balance_distribution",  # r4 first-time: distributed-rank rewrite
-    # event-time
-    "events_json_extract",
-    "asof_purchase_signup",
+    "q9_product_profit",      # first-time
+    "q11_part_value_share",   # first-time
+    "q14_promo_revenue",      # first-time
+    "q16_part_supplier_counts",   # first-time
+    "q17_small_quantity_revenue", # first-time
+    "q19_disjunctive_revenue",    # first-time
+    "q20_promotion_suppliers",    # first-time
+    "q21_waiting_suppliers",      # first-time
+    "q22_idle_customers",         # first-time
+    "heavy_hitter_users",         # first-time
+    "orders_cohort_retention",    # first-time
+    # event-time (sessionize veteran + the never-verified analytics family)
     "events_sessionize",
-    "events_funnel",
-    "events_gap_fill",
-    "events_hourly_incremental",
-    "events_ohlc_daily",      # r4 first-time (verdict pick)
-    "events_skew_report",     # r4 first-time: distributed-rank rewrite
-    "events_session_paths",   # r4 first-time: TakeOrdered top-k rewrite
-    "users_rfm_segments",     # r4 first-time: distributed-ntile rewrite
+    "events_session_window",  # NEW this round: streaming session-window twin
+    "events_anomaly_hours",   # first-time (verdict pick)
+    "events_active_users",    # first-time
+    "events_value_bands",     # first-time
+    "events_attribution_decay",     # first-time
+    "events_interarrival_histogram",  # first-time
+    "users_dn_retention",     # first-time
+    "events_markov_transitions",    # first-time
     # dedup
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash_portable",
-    "dedup_prefix_filter",    # r4 first-time: hot-ordering rewrite
-    "doc_dup_spans",
-    "doc_dedup_clusters",
-    "doc_dedup_keep_best",
+    "dedup_incremental",      # first-time
     "doc_contamination",
-    # similarity / embeddings
+    # similarity / embeddings (the never-verified check family)
     "knn_cosine_topk",
     "ann_lsh_recall_check",
-    "ann_ivf_recall_check",
-    "embedding_near_dup",
-    "embedding_pca_check",
+    "embedding_quantize_int8",        # first-time
+    "embedding_kmeans_check",         # first-time
+    "embedding_semantic_dedup_check", # first-time
+    "embedding_near_dup_lsh_check",   # first-time
     # text analysis / LM
-    "text_lang_id",
     "text_quality_score",
-    "text_bigram_surprisal",
-    "text_bm25_search",
-    "text_zipf_fit",          # r4 first-time: distributed-rank rewrite
-    "text_vocab_coverage",    # r4 first-time: TakeOrdered top-V rewrite
-    "doc_mixture_weights",
-    "doc_quality_classifier",
-    "bpe_pair_stats",
+    "text_nfc_clean",         # first-time
+    "doc_chunk_census",       # first-time
+    "doc_mixture_temperature",  # first-time
+    "doc_pii_scrub",          # first-time (verdict pick)
+    # interchange roundtrips (never verified)
+    "docs_jsonl_roundtrip",   # first-time
+    "docs_orc_roundtrip",     # first-time
+    "docs_csv_roundtrip",     # first-time
     # data quality
     "orders_profile",
-    "referential_integrity_census",
     # sampling / packing / multimodal
     "doc_sample",
-    "doc_sample_weighted",    # r4 first-time (verdict pick)
     "doc_pack_sequences",
     "multimodal_features",
 ]
@@ -1805,6 +1825,24 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, CAST(SUM(is_new) + 1 AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM g GROUP BY user_id
+    """,
+    "events_session_window": """
+        WITH o AS (
+            SELECT user_id, epoch_us(ts) AS us,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                        WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 28800000000 THEN 1
+                        ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        ), s AS (
+            SELECT user_id, us,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(MIN(us) // 1000000 AS BIGINT) AS session_start
+        FROM s GROUP BY user_id, sid
     """,
     "purchase_attribution": """
         SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
