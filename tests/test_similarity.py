@@ -40,7 +40,9 @@ def test_knn_matches_numpy(spark, numpy_topk):
 
 def test_ann_recall_against_brute_force(spark):
     brute = similarity.knn_cosine_topk(spark, SF_DIR, k=5).collect()
-    ann = similarity.ann_lsh_topk(spark, SF_DIR, k=5).collect()
+    # auto_route=False: below ANN_BRUTE_CROSSOVER the default routes to
+    # exact brute force — recall would be trivially 1.0 and test nothing
+    ann = similarity.ann_lsh_topk(spark, SF_DIR, k=5, auto_route=False).collect()
     bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
     aset = {(r["query_id"], r["neighbor_id"]) for r in ann}
     recall = len(bset & aset) / len(bset)
@@ -60,11 +62,28 @@ def test_ann_multiprobe_improves_recall(spark):
              for r in similarity.knn_cosine_topk(spark, SF_DIR, k=5).collect()}
     single = {(r["query_id"], r["neighbor_id"])
               for r in similarity.ann_lsh_topk(
-                  spark, SF_DIR, k=5, num_tables=1, multiprobe=False).collect()}
+                  spark, SF_DIR, k=5, num_tables=1, multiprobe=False,
+                  auto_route=False).collect()}
     multi = {(r["query_id"], r["neighbor_id"])
              for r in similarity.ann_lsh_topk(
-                 spark, SF_DIR, k=5, num_tables=1, multiprobe=True).collect()}
+                 spark, SF_DIR, k=5, num_tables=1, multiprobe=True,
+                 auto_route=False).collect()}
     assert len(multi & brute) >= len(single & brute)
+
+
+def test_ann_auto_routes_to_brute_below_crossover(spark):
+    """Below ANN_BRUTE_CROSSOVER the default ann_lsh_topk plan IS the exact
+    brute-force plan (measured: BLAS brute beats recall-floor LSH 20-40x up
+    to n=200k — SCALING.md round-5 crossover study). The routed result must
+    be exactly the brute result, and its plan must contain no LSH cogroup."""
+    routed = similarity.ann_lsh_topk(spark, SF_DIR, k=5)
+    brute = similarity.knn_cosine_topk(spark, SF_DIR, k=5)
+    r = {(x["query_id"], x["neighbor_id"], x["sim"]) for x in routed.collect()}
+    b = {(x["query_id"], x["neighbor_id"], x["sim"]) for x in brute.collect()}
+    assert r == b
+    from symat_hbase_tools_spark.plans.explain import plan_string
+
+    assert "FlatMapCoGroupsInPandas" not in plan_string(routed)
 
 
 def test_near_dup_pairs_threshold(spark):
