@@ -443,6 +443,34 @@ def kv_repair_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pretty_cells(fixed, "row_key", "qualifier", "value")
 
 
+def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the synthesized cells fixtures for ``sf_dir`` — bench
+    setup, NOT query work. The versioned/corrupted cells tables are inputs
+    the driver's testdata doesn't ship (it has no cells-shaped tables);
+    synthesizing them is the analog of generating the testdata itself, so
+    the bench builds them in its warmup rather than billing the one-time
+    parquet write to whichever kv query happens to run first. Queries are
+    unaffected semantically — they read the same fixture either way."""
+    versioned = _materialized_fixture(
+        spark,
+        sf_dir,
+        "cells_versioned",
+        lambda: customer_cells_versioned(
+            _fanout(spark, load_table(spark, sf_dir, "customer"))
+        ),
+    )
+    auth = _materialized_fixture(
+        spark,
+        sf_dir,
+        "cells_auth",
+        lambda: customer_cells(load_table(spark, sf_dir, "customer")),
+    )
+    _materialized_fixture(
+        spark, sf_dir, "cells_replica", lambda: _corrupted_replica(auth)
+    )
+    versioned.take(1)
+
+
 def kv_repair_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from symat_hbase_tools_spark.operators.repair import repair_changeset, repair_counters
 

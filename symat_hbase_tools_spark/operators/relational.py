@@ -1557,11 +1557,15 @@ def orders_equidepth_histogram(
     """
     orders = load_table(spark, sf_dir, "orders")
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = orders.agg(
-        *[
-            F.percentile("o_totalprice", F.lit(q)).alias(f"c{i}")
-            for i, q in enumerate(qs, 1)
-        ]
+    # ONE percentile aggregate over the percentage ARRAY — nine separate
+    # percentile() aggs each maintain their own sort buffer over the same
+    # column (9x the aggregation state and compiled code for identical
+    # input); the array form computes all cutpoints from a single buffer
+    cut_arr = F.percentile(
+        "o_totalprice", F.array(*[F.lit(q) for q in qs])
+    ).alias("cs")
+    cuts = orders.agg(cut_arr).select(
+        *[F.col("cs").getItem(i).alias(f"c{i + 1}") for i in range(len(qs))]
     )
     j = orders.select("o_totalprice").join(F.broadcast(cuts))
     bucket = None

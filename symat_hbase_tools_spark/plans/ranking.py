@@ -10,18 +10,30 @@ prefix sum):
      so AQE may coalesce near-empty ranges on small inputs — the plan is
      data-adaptive, never pinned to one task),
   2. row_number within each range partition (keyed on spark_partition_id),
-  3. per-partition row counts -> driver (one row per partition) ->
-     exclusive prefix offsets -> broadcast join back.
+  3. exclusive prefix offsets per partition, computed as a BROADCAST
+     SUBPLAN inside the same action (a triangular self-join over the
+     O(partitions)-row count aggregate), joined back on _pid.
 
-Driver state is O(partitions). Range boundaries come from Spark's
-deterministic reservoir sampling (seeded by partition index), so the rank
-assignment is reproducible run-over-run for a fixed input — the offsets
-collected at plan-build time stay valid when persisted intermediates
-re-materialize.
+Round-5 change: step 3 used to collect the per-partition counts to the
+driver AT PLAN-BUILD TIME — one to three Spark jobs per rank call before
+the query even ran, ~40% of the cold bench time of every ranking operator
+(users_rfm_segments built THREE ranks = six build-time jobs). The offsets
+are now a lazy subplan: nothing executes until the caller acts, the plan
+cache stores a fully-lazy plan, and the "are the collected offsets still
+valid after re-materialization" question disappears. Driver state remains
+zero; the triangular join is O(partitions^2) rows — thousands of
+partitions = millions of tiny rows, broadcastable at any realistic scale.
+
+The ranged table is persisted (MEMORY_AND_DISK) because three stages of
+the SAME action reference it (counts, offsets, output rows): the first
+stage materializes the blocks, the rest read them — without it each
+reference would re-shuffle the full input.
 
 ntile/percent_rank/cume_dist are then pure expressions of (rank, n_rows),
 bit-identical to the window functions when the order has a unique
-tie-break (all call sites order by (value, primary_key)).
+tie-break (all call sites order by (value, primary_key)). They accept
+n_rows as an int or a Column (the lazy path hands back a Column); all
+divisions carry ANSI-safe guarded denominators.
 """
 
 from __future__ import annotations
@@ -32,18 +44,20 @@ from pyspark.sql import functions as F
 
 def global_order_rank(
     df: DataFrame, order_cols: list[Column], rank_name: str = "rank"
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, Column]:
     """(df + 1-based bigint ``rank_name`` under the given total order,
-    total row count). The order must be total (include a unique tie-break
-    column) for the rank to be well-defined.
+    total-row-count Column). The order must be total (include a unique
+    tie-break column) for the rank to be well-defined.
 
-    Runs one job at plan-build time (per-partition counts); the returned
-    plan re-derives ranks from the persisted ranged table + broadcast
-    offsets.
+    Fully lazy — builds no jobs. The returned DataFrame carries a hidden
+    ``_n_{rank_name}`` total-count column (constant across rows); the
+    second tuple element references it for the ntile/percent_rank/cume
+    expression helpers. Callers that project explicit columns drop it
+    automatically.
     """
     from pyspark import StorageLevel
 
-    spark = df.sparkSession
+    n_col = f"_n_{rank_name}"
     ranged = df.repartitionByRange(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -51,45 +65,63 @@ def global_order_rank(
     local = ranged.withColumn("_rn", F.row_number().over(w)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    totals = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
-    offsets, running = [], 0
-    for r in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((r["_pid"], running))
-        running += r["_cnt"]
-    if not offsets:
-        return df.withColumn(rank_name, F.lit(None).cast("bigint")), 0
-    off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # exclusive prefix sum over O(partitions) rows via triangular self-join
+    # (not a partition-less window — keeps the "no single-partition Window"
+    # invariant assertable on every plan that uses ranking)
+    prior = counts.select(
+        F.col("_pid").alias("_ppid"), F.col("_cnt").alias("_pcnt")
+    )
+    off = (
+        counts.join(prior, F.col("_ppid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_pcnt"), F.lit(0)).alias("_offset"))
+    )
+    total = counts.agg(F.sum("_cnt").cast("long").alias(n_col))
     out = (
-        local.join(F.broadcast(off_df), "_pid")
+        local.join(F.broadcast(off), "_pid")
         .withColumn(rank_name, (F.col("_rn") + F.col("_offset")).cast("bigint"))
         .drop("_pid", "_rn", "_offset")
+        .crossJoin(F.broadcast(total))
     )
-    return out, running
+    return out, F.col(n_col)
 
 
-def ntile_from_rank(rank: Column, n_rows: int, k: int) -> Column:
+def _n_expr(n_rows) -> Column:
+    if isinstance(n_rows, Column):
+        return n_rows.cast("long")
+    return F.lit(int(n_rows)).cast("long")
+
+
+def ntile_from_rank(rank: Column, n_rows, k: int) -> Column:
     """Spark-semantics ntile(k) as a pure expression of a 1-based unique
     rank: the first n%k buckets take floor(n/k)+1 rows each, the rest
-    floor(n/k)."""
-    q, rem = divmod(int(n_rows), int(k))
+    floor(n/k). ``n_rows`` may be an int or the lazy total-count Column."""
+    n = _n_expr(n_rows)
+    q = F.floor(n / F.lit(int(k))).cast("long")
+    rem = n - q * F.lit(int(k))
     r0 = rank - 1
     threshold = rem * (q + 1)
     # integer division via floor of exact double is safe here: ranks are
     # bounded by n_rows which is far below 2^53
-    first = F.floor(r0 / F.lit(q + 1)) + 1
-    if q == 0:
-        return first.cast("int")
-    rest = F.lit(rem) + F.floor((r0 - threshold) / F.lit(q)) + 1
+    first = F.floor(r0 / (q + 1)) + 1
+    # q == 0 => threshold == n > every r0, so the `first` branch always
+    # wins; greatest(q, 1) only guards the never-taken division (ANSI mode
+    # errors on /0 even in the untaken branch of a when)
+    rest = rem + F.floor((r0 - threshold) / F.greatest(q, F.lit(1))) + 1
     return F.when(r0 < threshold, first).otherwise(rest).cast("int")
 
 
-def percent_rank_from_rank(rank: Column, n_rows: int) -> Column:
+def percent_rank_from_rank(rank: Column, n_rows) -> Column:
     """percent_rank for a unique total order: (rank-1)/(n-1); 0.0 when n=1."""
-    if n_rows <= 1:
-        return F.lit(0.0)
-    return (rank - 1).cast("double") / F.lit(float(n_rows - 1))
+    n = _n_expr(n_rows)
+    return F.when(
+        n > 1,
+        (rank - 1).cast("double") / F.greatest(n - 1, F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
 
 
-def cume_dist_from_rank(rank: Column, n_rows: int) -> Column:
+def cume_dist_from_rank(rank: Column, n_rows) -> Column:
     """cume_dist for a unique total order: rank/n."""
-    return rank.cast("double") / F.lit(float(max(n_rows, 1)))
+    n = _n_expr(n_rows)
+    return rank.cast("double") / F.greatest(n, F.lit(1)).cast("double")
