@@ -93,6 +93,9 @@ HEADLINE = [
     "q7_volume_shipping",
     "price_percentiles_exact_rank",
     "orders_zorder_census",
+    # round-5: robust-stats + drift data-quality gates
+    "orders_price_mad",
+    "events_value_drift",
 ]
 
 

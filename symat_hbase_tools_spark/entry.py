@@ -564,6 +564,46 @@ def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(quality, pairs)
 
 
+def orders_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of order totals per priority — the robust
+    spread statistic for outlier gates (operators/profiling.py::group_mad;
+    mean/stddev saturate on the outliers they should catch)."""
+    from symat_hbase_tools_spark.operators.profiling import group_mad
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    return group_mad(orders, "o_orderpriority", "price")
+
+
+#: fixed calendar boundary splitting the events table into baseline /
+#: current snapshots for the drift report (events span 2024-01)
+DRIFT_SPLIT_TS = "2024-01-16"
+
+
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift report: value-distribution shift per event type between
+    the first and second half of the month — the train/serve feature-drift
+    gate (operators/profiling.py::psi_drift). psi rounded to 5 dp: the
+    10-term sum is the one place engine-vs-oracle fold order could differ
+    in final ulps."""
+    from symat_hbase_tools_spark.operators.profiling import psi_drift
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v"), "ts"
+    )
+    split = F.lit(DRIFT_SPLIT_TS).cast("timestamp")
+    out = psi_drift(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        "event_type",
+        "v",
+    )
+    return out.select(
+        "event_type", F.round("psi", 5).alias("psi"), "n_buckets_used"
+    )
+
+
 UNIMAX_BUDGET_FRAC = 0.5
 UNIMAX_SEED = 57
 
@@ -862,6 +902,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # data-quality surface (round 3)
     "orders_profile": orders_profile,
     "referential_integrity_census": referential_integrity_census,
+    # round-5 data-quality additions
+    "orders_price_mad": orders_price_mad,
+    "events_value_drift": events_value_drift,
     # embedding maintenance (round 3; executes the PCA path end-to-end)
     "embedding_pca_check": pca.pca_check,
     # LLM-pipeline surface: multimodal plumbing
@@ -2845,6 +2888,59 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings
     """,
     "referential_integrity_census": _fk_oracle_sql(profiling.FK_EDGES),
+    "orders_price_mad": """
+        WITH o AS (SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price
+                   FROM orders),
+        med AS (SELECT o_orderpriority, quantile_cont(price, 0.5) AS m,
+                       COUNT(*) AS n
+                FROM o GROUP BY o_orderpriority)
+        SELECT o.o_orderpriority,
+               any_value(med.n) AS n,
+               any_value(med.m) AS median,
+               quantile_cont(abs(o.price - med.m), 0.5) * 1.4826 AS mad,
+               quantile_cont(abs(o.price - med.m), 0.5) AS mad_raw
+        FROM o JOIN med USING (o_orderpriority)
+        GROUP BY o.o_orderpriority
+    """,
+    "events_value_drift": """
+        WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v, ts FROM events),
+        base AS (SELECT * FROM ev WHERE ts < TIMESTAMP '2024-01-16'),
+        cur  AS (SELECT * FROM ev WHERE ts >= TIMESTAMP '2024-01-16'),
+        cuts AS (SELECT event_type,
+                        quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+                 FROM base GROUP BY event_type),
+        bb AS (SELECT b.event_type,
+                      CAST((v > cs[1]) AS INT) + CAST((v > cs[2]) AS INT) +
+                      CAST((v > cs[3]) AS INT) + CAST((v > cs[4]) AS INT) +
+                      CAST((v > cs[5]) AS INT) + CAST((v > cs[6]) AS INT) +
+                      CAST((v > cs[7]) AS INT) + CAST((v > cs[8]) AS INT) +
+                      CAST((v > cs[9]) AS INT) AS bucket
+               FROM base b JOIN cuts USING (event_type)),
+        cb AS (SELECT c.event_type,
+                      CAST((v > cs[1]) AS INT) + CAST((v > cs[2]) AS INT) +
+                      CAST((v > cs[3]) AS INT) + CAST((v > cs[4]) AS INT) +
+                      CAST((v > cs[5]) AS INT) + CAST((v > cs[6]) AS INT) +
+                      CAST((v > cs[7]) AS INT) + CAST((v > cs[8]) AS INT) +
+                      CAST((v > cs[9]) AS INT) AS bucket
+               FROM cur c JOIN cuts USING (event_type)),
+        bn AS (SELECT event_type, bucket, COUNT(*) AS n_base FROM bb GROUP BY 1, 2),
+        cn AS (SELECT event_type, bucket, COUNT(*) AS n_cur FROM cb GROUP BY 1, 2),
+        per AS (SELECT COALESCE(bn.event_type, cn.event_type) AS event_type,
+                       COALESCE(bn.bucket, cn.bucket) AS bucket,
+                       COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+                FROM bn FULL OUTER JOIN cn
+                  ON bn.event_type = cn.event_type AND bn.bucket = cn.bucket),
+        tot AS (SELECT event_type, SUM(n_base) AS tb, SUM(n_cur) AS tc
+                FROM per GROUP BY event_type),
+        p AS (SELECT per.event_type, bucket,
+                     (n_base + 0.5) / (tb + 0.5 * 10) AS pb,
+                     (n_cur + 0.5) / (tc + 0.5 * 10) AS pc
+              FROM per JOIN tot USING (event_type))
+        SELECT event_type,
+               ROUND(SUM((pc - pb) * ln(pc / pb)), 5) AS psi,
+               COUNT(*) AS n_buckets_used
+        FROM p GROUP BY event_type
+    """,
     "events_attribution_decay": """
         WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         c AS (SELECT user_id, us AS click_us FROM e WHERE event_type = 'click'),

@@ -132,3 +132,113 @@ def referential_integrity(load, edges=FK_EDGES) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def group_mad(
+    df: DataFrame, group_col: str, value_col: str, scale: float = 1.4826
+) -> DataFrame:
+    """Median absolute deviation per group — the robust spread statistic
+    (MAD; scale 1.4826 makes it a consistent sigma estimator under
+    normality). Outlier gates built on mean/stddev saturate on the very
+    outliers they should catch; MAD is the data-quality alternative every
+    serious profiling pass ships.
+
+    Two exact passes, both distributed:
+
+      1. per-group exact median via ``percentile(0.5)`` (sort-based
+         aggregate with map-side partial buffers, shuffled on the group
+         key only);
+      2. broadcast the per-group medians back (group cardinality is
+         dimension-sized), compute |x - median| map-side, and aggregate
+         the second percentile the same way.
+
+    At unbounded group cardinality pass 2's join downgrades to a shuffle
+    join on the group key — same key as the aggregate, so AQE reuses the
+    partitioning. Output: group, n, median, mad (scaled), mad_raw.
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    return (
+        dev.groupBy(group_col, "n", "_med")
+        .agg(F.percentile("_adev", F.lit(0.5)).alias("mad_raw"))
+        .select(
+            group_col,
+            "n",
+            F.col("_med").alias("median"),
+            (F.col("mad_raw") * F.lit(scale)).alias("mad"),
+            "mad_raw",
+        )
+    )
+
+
+#: PSI severity conventions: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25
+#: action required (the credit-scoring thresholds the metric comes from)
+PSI_BUCKETS = 10
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = PSI_BUCKETS,
+) -> DataFrame:
+    """Population Stability Index per group between a baseline and a
+    current snapshot — THE train/serve drift gate for feature pipelines.
+
+    PSI = sum over value-buckets of (p_cur - p_base) * ln(p_cur / p_base),
+    with buckets cut at the BASELINE's equi-depth quantiles (the standard
+    construction: buckets are defined once on the reference window).
+
+    Scale shape: bucket cutpoints come from ONE percentile(array)
+    aggregate per group on the baseline (broadcast back — cutpoint table
+    is groups x buckets, dimension-sized); both snapshots then bucket
+    map-side with n_buckets-1 summed comparisons (same codegen shape as
+    the equi-depth histogram) and aggregate counts per (group, bucket).
+    Zero-count buckets get a 0.5-count smoothing (Laplace-style) so the
+    log stays finite — deterministic and mirrored in the oracle.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = base.groupBy(group_col).agg(
+        F.percentile(value_col, F.array(*[F.lit(q) for q in qs])).alias("_cs")
+    )
+
+    def bucketed(df):
+        j = df.join(F.broadcast(cuts), group_col)
+        b = None
+        for i in range(n_buckets - 1):
+            term = (F.col(value_col) > F.col("_cs").getItem(i)).cast("int")
+            b = term if b is None else b + term
+        return j.groupBy(group_col, b.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+
+    bb = bucketed(base).select(group_col, "bucket", F.col("_n").alias("n_base"))
+    cb = bucketed(current).select(group_col, "bucket", F.col("_n").alias("n_cur"))
+    # full outer on (group, bucket): a bucket may be empty on either side
+    per = (
+        bb.join(cb, [group_col, "bucket"], "full_outer")
+        .withColumn("n_base", F.coalesce("n_base", F.lit(0)))
+        .withColumn("n_cur", F.coalesce("n_cur", F.lit(0)))
+    )
+    tot = per.groupBy(group_col).agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    p = per.join(F.broadcast(tot), group_col).select(
+        group_col,
+        "bucket",
+        ((F.col("n_base") + F.lit(0.5)) / (F.col("tb") + F.lit(0.5) * n_buckets)).alias("pb"),
+        ((F.col("n_cur") + F.lit(0.5)) / (F.col("tc") + F.lit(0.5) * n_buckets)).alias("pc"),
+    )
+    return (
+        p.groupBy(group_col)
+        .agg(
+            F.sum((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))).alias("psi"),
+            F.count(F.lit(1)).alias("n_buckets_used"),
+        )
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from symat_hbase_tools_spark.operators import pca, text_analysis
 from symat_hbase_tools_spark.plans.explain import plan_string
@@ -247,3 +248,65 @@ def test_pps_properties_random_weights(spark):
         assert all(weights[i] > 0 for i in out["id"])
         # heavy rows always picked once weight >= stride
         assert all(i in set(out["id"]) for i, w in rows if w >= stride)
+
+
+def test_group_mad_matches_numpy(spark):
+    import numpy as np
+
+    from symat_hbase_tools_spark.operators.profiling import group_mad
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    got = {
+        r["o_orderpriority"]: (r["n"], r["median"], r["mad_raw"])
+        for r in group_mad(orders, "o_orderpriority", "price").collect()
+    }
+    pdf = orders.toPandas()
+    for grp, sub in pdf.groupby("o_orderpriority"):
+        v = sub["price"].to_numpy()
+        med = np.percentile(v, 50)  # linear interpolation — Spark's rule
+        mad = np.percentile(np.abs(v - med), 50)
+        n, gmed, gmad = got[grp]
+        assert n == len(v)
+        assert abs(gmed - med) < 1e-9
+        assert abs(gmad - mad) < 1e-9
+
+
+def test_psi_zero_for_identical_snapshots(spark):
+    """PSI of a distribution against itself must be ~0 (smoothing keeps it
+    finite, identity keeps it at exactly the smoothed-count fixpoint)."""
+    from symat_hbase_tools_spark.operators.profiling import psi_drift
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    out = psi_drift(ev, ev, "event_type", "v").collect()
+    assert len(out) > 0
+    for r in out:
+        assert abs(r["psi"]) < 1e-12, r
+
+
+def test_psi_detects_planted_shift(spark):
+    """Shifting one group's values by 3x its spread must push PSI past the
+    0.25 action threshold while an unshifted group stays below 0.1."""
+    from symat_hbase_tools_spark.operators.profiling import psi_drift
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    shifted = ev.withColumn(
+        "v",
+        F.when(F.col("event_type") == "click", F.col("v") * 3 + 100).otherwise(
+            F.col("v")
+        ),
+    )
+    psi = {r["event_type"]: r["psi"] for r in psi_drift(ev, shifted, "event_type", "v").collect()}
+    assert psi["click"] > 0.25, psi
+    assert psi["view"] < 0.1, psi
