@@ -905,6 +905,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 data-quality additions
     "orders_price_mad": orders_price_mad,
     "events_value_drift": events_value_drift,
+    # round-5: closed-form linear-probe training (normal equations from
+    # one distributed pass; exact-integer Gram => hash-exact oracle)
+    "doc_probe_gram": lambda spark, sf: __import__(
+        "symat_hbase_tools_spark.operators.regression", fromlist=["probe_gram"]
+    ).probe_gram(spark, sf),
+    "doc_probe_ridge": lambda spark, sf: __import__(
+        "symat_hbase_tools_spark.operators.regression", fromlist=["ridge_fit"]
+    ).ridge_fit(spark, sf),
+    "doc_probe_ridge_check": lambda spark, sf: __import__(
+        "symat_hbase_tools_spark.operators.regression", fromlist=["probe_fit_check"]
+    ).probe_fit_check(spark, sf),
     # embedding maintenance (round 3; executes the PCA path end-to-end)
     "embedding_pca_check": pca.pca_check,
     # LLM-pipeline surface: multimodal plumbing
@@ -2888,6 +2899,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings
     """,
     "referential_integrity_census": _fk_oracle_sql(profiling.FK_EDGES),
+    "doc_probe_gram": (lambda: (
+        "WITH f AS (SELECT CAST(1 AS BIGINT) AS f0, "
+        "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(string_split_regex(trim(text), ' +')) END AS BIGINT) AS f1, "
+        "CAST(length(text) AS BIGINT) AS f2, "
+        "CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) "
+        "AS BIGINT) AS f3, "
+        "CAST(len(list_filter(string_split_regex(trim(text), ' +'), "
+        "t -> list_contains(['the','a','of','and','to','in','is','it'], t))) "
+        "AS BIGINT) AS f4, "
+        "CAST((lang = 'en') AS BIGINT) AS y FROM documents) "
+        + " UNION ALL ".join(
+            [
+                f"SELECT 'xx_{i}_{j}' AS stat, CAST(SUM(f{i} * f{j}) AS BIGINT)"
+                f" AS value FROM f"
+                for i in range(5)
+                for j in range(i, 5)
+            ]
+            + [
+                f"SELECT 'xy_{i}' AS stat, CAST(SUM(f{i} * y) AS BIGINT)"
+                f" AS value FROM f"
+                for i in range(5)
+            ]
+            + ["SELECT 'yy' AS stat, CAST(SUM(y * y) AS BIGINT) AS value FROM f"]
+        )
+    ))(),
+    "doc_probe_ridge_check": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS counts_match,
+               TRUE AS mse_nonneg, TRUE AS r2_in_range
+        FROM documents
+    """,
     "orders_price_mad": """
         WITH o AS (SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price
                    FROM orders),

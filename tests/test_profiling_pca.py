@@ -310,3 +310,42 @@ def test_psi_detects_planted_shift(spark):
     psi = {r["event_type"]: r["psi"] for r in psi_drift(ev, shifted, "event_type", "v").collect()}
     assert psi["click"] > 0.25, psi
     assert psi["view"] < 0.1, psi
+
+
+def test_ridge_probe_matches_numpy_lstsq(spark):
+    """The Gram-based driver solve must equal a direct numpy ridge fit on
+    the collected feature matrix (same lambda, unpenalized intercept)."""
+    from symat_hbase_tools_spark.operators import regression as R
+
+    docs, feats, label = R._probe_features(spark, SF_DIR)
+    pdf = docs.select(
+        *[f.alias(f"f{i}") for i, f in enumerate(feats)], label.alias("y")
+    ).toPandas()
+    X = pdf[[f"f{i}" for i in range(len(R.FEATURE_NAMES))]].to_numpy(dtype=float)
+    y = pdf["y"].to_numpy(dtype=float)
+    k = X.shape[1]
+    reg = np.eye(k) * float(R.RIDGE_LAMBDA)
+    reg[0, 0] = 0.0
+    w_direct = np.linalg.solve(X.T @ X + reg, X.T @ y)
+    fit = R.ridge_fit(spark, SF_DIR).toPandas().set_index("feature")
+    for i, name in enumerate(R.FEATURE_NAMES):
+        assert abs(fit.loc[name, "coef"] - w_direct[i]) < 1e-8, name
+    mse_direct = float(np.mean((X @ w_direct - y) ** 2))
+    assert abs(fit["mse"].iloc[0] - mse_direct) < 1e-9
+
+
+def test_probe_gram_is_single_pass_no_shuffle_of_rows(spark):
+    """The sufficient-statistics pass must be one scan + partial-agg
+    exchange of ONE row — no data-row shuffle, no join."""
+    from symat_hbase_tools_spark.operators import regression as R
+    from symat_hbase_tools_spark.plans.explain import plan_string
+
+    plan = plan_string(R.probe_gram(spark, SF_DIR))
+    assert "Join" not in plan
+    # exactly one exchange node: the 1-row final aggregate's SinglePartition
+    n_exchanges = sum(
+        1 for l in plan.splitlines() if "(" in l and l.split("(")[0].strip(" +-:")
+        == "Exchange"
+    )
+    assert n_exchanges == 1, plan
+    assert "SinglePartition" in plan, plan
