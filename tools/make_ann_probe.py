@@ -15,6 +15,10 @@ bucket occupancy scales the way a real 10x corpus would.
 Usage:
     python tools/make_ann_probe.py /tmp/ann_sf1 10     # 20k vectors
     python tools/make_ann_probe.py /tmp/ann_sf10 100   # 200k vectors
+    python tools/make_ann_probe.py /tmp/ann_clustered 100 clustered
+        # 200k vectors in 1000 Gaussian clusters — the IVF-FAVORABLE
+        # regime (real embedding corpora cluster; the orthogonal-copy
+        # probe is the k-means-hostile worst case)
 """
 
 from __future__ import annotations
@@ -30,10 +34,37 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1/embeddings.parquet"
 
 
+def make_clustered(outdir: str, copies: int) -> None:
+    """n = copies x 2000 vectors drawn from 1000 isotropic Gaussian
+    clusters (sigma 0.25 around unit-norm centers): nearest neighbors are
+    overwhelmingly intra-cluster, the regime IVF's coarse quantizer is
+    built for."""
+    rng = np.random.default_rng(7)
+    n = copies * 2000
+    n_clusters = 1000
+    dim = 64
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, size=n)
+    pts = centers[assign] + 0.25 * rng.standard_normal((n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "label": pa.array(assign.astype("int64")),
+            "embedding": pa.array(pts.tolist(), type=pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, f"{outdir}/embeddings.parquet")
+    print(f"embeddings: {n} clustered ({n_clusters} gaussians) at {outdir}")
+
+
 def main() -> None:
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ann_sf1"
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     os.makedirs(outdir, exist_ok=True)
+    if len(sys.argv) > 3 and sys.argv[3] == "clustered":
+        make_clustered(outdir, copies)
+        return
 
     base = pq.read_table(SRC)
     n = base.num_rows
