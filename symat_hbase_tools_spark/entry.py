@@ -2535,8 +2535,9 @@ ORACLE_SQL: dict[str, str] = {
         FROM h GROUP BY source
     """,
     "docs_jsonl_roundtrip": """
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-               SUM(length(text)) AS sum_text_len
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
         FROM documents GROUP BY lang
     """,
     # pii scrub: counts via regexp_extract_all length; fingerprint of the
@@ -2620,16 +2621,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT vec_id,
                CASE WHEN max_abs = 0 THEN 0.0
                     ELSE max_abs / 127.0 END AS scale,
-               CASE WHEN max_abs = 0 THEN 0 ELSE
+               CAST(CASE WHEN max_abs = 0 THEN 0 ELSE
                    list_sum(list_transform(range(1, len(embedding) + 1),
                        i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
                                        / max_abs * 127.0) AS BIGINT) * i))
-               END AS q_wsum,
-               CASE WHEN max_abs = 0 THEN 0 ELSE
+               END AS BIGINT) AS q_wsum,
+               CAST(CASE WHEN max_abs = 0 THEN 0 ELSE
                    list_sum(list_transform(embedding,
                        x -> abs(CAST(floor(CAST(x AS DOUBLE)
                                            / max_abs * 127.0) AS BIGINT))))
-               END AS q_l1
+               END AS BIGINT) AS q_l1
         FROM m
     """,
     "embedding_norm_histogram": """

@@ -39,6 +39,42 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_BROADCAST_QUERIES = 1_000_000
 
 
+def _topk_rows(sims, c_ids, kk):
+    """Deterministic per-row top-``kk`` by ``(-sim, neighbor_id)``.
+
+    ``argpartition`` alone picks an ARBITRARY subset when more than ``kk``
+    candidates tie at the boundary similarity — the survivors then differ
+    run to run and the downstream global window tie-break cannot recover a
+    tied neighbor that was dropped locally (round-5 advisory).  Fix: take
+    the k-th best value as a pivot, widen the selection window to include
+    every boundary tie, then lexsort that window by ``(-sim, neighbor_id)``
+    and truncate.  Ties are rare, so the window is almost always exactly
+    ``kk`` wide and the cost stays argpartition-shaped, not full-sort.
+
+    Returns ``(top, nbr)`` arrays of shape ``(rows, kk)``.
+    """
+    import numpy as np
+
+    rows, n = sims.shape
+    full = np.broadcast_to(c_ids, sims.shape)
+    width = n
+    if kk < n:
+        pivot = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1 : kk]
+        if np.isfinite(pivot).all():
+            width = min(int((sims >= pivot).sum(axis=1).max()), n)
+    if width < n:
+        idx = np.argpartition(-sims, width - 1, axis=1)[:, :width]
+        top = np.take_along_axis(sims, idx, axis=1)
+        nbr = np.take_along_axis(full, idx, axis=1)
+    else:
+        top, nbr = sims, full
+    order = np.lexsort((nbr, -top), axis=1)[:, :kk]
+    return (
+        np.take_along_axis(top, order, axis=1),
+        np.take_along_axis(nbr, order, axis=1),
+    )
+
+
 def knn_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors for every vector (query_id, neighbor_id, sim)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -50,6 +86,7 @@ def brute_topk(
     e: DataFrame,
     k: int = 5,
     max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k over a (vec_id, embedding) DataFrame.
 
@@ -76,11 +113,14 @@ def brute_topk(
     parquet-metadata count; chunks are hash-partitioned, so each driver
     collect is ~``max_broadcast_queries`` rows (exact split would need a
     global sort — hash deviation at the >=1M-row scale the gate fires at
-    is O(sqrt(n)), well under a percent).
+    is O(sqrt(n)), well under a percent). Callers that already know the
+    row count pass ``n_queries`` so routing layers don't run a second
+    count job (round-5 advisory: the auto-routed ann path counted twice).
     """
     from functools import reduce
 
-    n_queries = e.count()
+    if n_queries is None:
+        n_queries = e.count()
     if n_queries > max_broadcast_queries:
         id_col = e.columns[0]
         n_chunks = -(-n_queries // max_broadcast_queries)  # ceil
@@ -139,16 +179,10 @@ def _brute_topk_one_chunk(
                 sims[ids_s[:, None] == c_ids[None, :]] = -np.inf
                 kk = min(k, sims.shape[1])
                 # fully vectorized top-k (no per-query Python loop — at 10^6
-                # broadcast queries the loop itself would dominate):
-                # argpartition selects the kk best unordered in O(batch),
-                # then a row-wise lexsort orders those kk by
-                # (-sim, neighbor_id), the same tie-break as the final merge.
-                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-                top = np.take_along_axis(sims, idx, axis=1)
-                nbr = c_ids[idx]
-                order = np.lexsort((nbr, -top), axis=1)
-                top = np.take_along_axis(top, order, axis=1)
-                nbr = np.take_along_axis(nbr, order, axis=1)
+                # broadcast queries the loop itself would dominate); the
+                # shared helper widens past boundary ties so the local
+                # truncation is deterministic by (-sim, neighbor_id).
+                top, nbr = _topk_rows(sims, c_ids, kk)
                 keep = np.isfinite(top).ravel()  # drops masked self-matches
                 yield pd.DataFrame(
                     {
@@ -238,9 +272,11 @@ def ann_lsh_topk(
     re-ranks candidates, so reported sims are exact for returned pairs.
 
     num_planes defaults ADAPTIVELY: ceil(log2(n/LSH_TARGET_BUCKET)) so
-    expected bucket occupancy stays ~128 regardless of corpus size. A fixed
-    plane count is a scale bug — 4 planes = 16 buckets turns the bucket
-    join quadratic the moment the table grows.
+    expected bucket occupancy stays ~LSH_TARGET_BUCKET regardless of corpus
+    size (512 since the round-5 recall study — wide buckets hold recall at
+    scale, probe counts don't). A fixed plane count is a scale bug —
+    4 planes = 16 buckets turns the bucket join quadratic the moment the
+    table grows.
 
     auto_route (round-5 crossover study, SCALING.md): below
     ANN_BRUTE_CROSSOVER vectors this routes to EXACT brute force — measured
@@ -249,15 +285,17 @@ def ann_lsh_topk(
     result is exact (recall 1.0, sims identical); the LSH plan remains
     available via auto_route=False and is what the recall check exercises.
     """
-    base = _emb(spark, sf_dir)
-    n = base.count()
+    # count the RAW table once and reuse it for both the route decision and
+    # brute_topk's chunk gate — the routed path must not pay a second count
+    # job or the _emb projection it would discard (round-5 advisory)
+    e_raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e_raw.count()
     if auto_route and n <= ANN_BRUTE_CROSSOVER:
-        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        return brute_topk(spark, e, k=k)
+        return brute_topk(spark, e_raw, k=k, n_queries=n)
     if num_planes is None:
         num_planes = _adaptive_planes(n)
     return lsh_topk_df(
-        base,
+        _emb(spark, sf_dir),
         k=k,
         num_planes=num_planes,
         num_tables=num_tables,
@@ -660,9 +698,10 @@ def _cell_topk_kernel(k: int):
         sims = qm @ cm.T
         sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
         kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        top = np.take_along_axis(sims, idx, axis=1)
-        nbr = c_ids[idx]
+        # deterministic local truncation by (-sim, neighbor_id) — matches
+        # the brute kernel; a boundary tie dropped HERE could never be
+        # recovered by the global window tie-break (round-5 advisory).
+        top, nbr = _topk_rows(sims, c_ids, kk)
         keep = np.isfinite(top).ravel()
         return pd.DataFrame(
             {

@@ -76,15 +76,41 @@ def overwrite_table_in_place(df, path: str) -> None:
     (the scan would see its own truncation), and the reference's CopyRow
     writes into the destination TABLE it just read from
     (``CopyRow.java:118-131``). Twin semantics: materialize to a sibling
-    temp dir, then atomically swap directories. Driver-side rename only —
-    data never moves through the driver.
-    """
-    import shutil
+    temp dir, then swap directories via the Hadoop FileSystem API — so
+    ``hdfs://`` / ``s3a://`` tables work, not just local paths (driver-local
+    ``os.rename`` would crash AFTER Spark had already written the temp dir).
 
-    tmp = f"{path}.inflight-{os.getpid()}"
-    df.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.replaced-{os.getpid()}"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    Failure posture: the destination is renamed aside and the new data
+    renamed in; if the second rename fails, the original is restored in a
+    ``try/except`` so the destination directory is never left absent.  A
+    hard process kill between the two renames can still strand the
+    ``.replaced-`` sibling (directory swap has no atomic primitive on HDFS
+    or object stores); the predictable suffix makes recovery obvious.
+    """
+
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _jp(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    dest = _jp(path)
+    fs = dest.getFileSystem(hconf)
+    tmp = _jp(f"{path}.inflight-{os.getpid()}")
+    df.write.mode("overwrite").parquet(tmp.toString())
+    old = _jp(f"{path}.replaced-{os.getpid()}")
+    dest_existed = fs.exists(dest)
+    if dest_existed and not fs.rename(dest, old):
+        fs.delete(tmp, True)
+        raise IOError(f"could not move {path} aside for in-place overwrite")
+    try:
+        if not fs.rename(tmp, dest):
+            raise IOError(f"could not move new data into place at {path}")
+    except BaseException:
+        # never leave the destination absent: put the original back
+        if dest_existed and not fs.exists(dest):
+            fs.rename(old, dest)
+        raise
+    if dest_existed:
+        fs.delete(old, True)

@@ -146,8 +146,3 @@ def test_scratch_paths_are_process_scoped(spark):
     # the regionstore landed INSIDE the scratch, not at a fixed path
     stores = [p for p in os.listdir(root) if p.startswith("regionstore_")]
     assert stores, os.listdir(root)
-    assert not os.path.exists(
-        "/tmp/symat_regionstore_" + __import__("hashlib").md5(
-            SF_DIR.encode()
-        ).hexdigest()[:10]
-    ) or True  # stale dirs from old runs may exist; the contract is above

@@ -31,14 +31,22 @@ def duck():
 
 
 def canon_cell(x):
+    # Numeric-CLASS sensitive, mirroring the driver's value hash: an int64
+    # Spark column vs a DuckDB HUGEINT->float64 column (uncast SUM/list_sum)
+    # must fail even though 123 == 123.0 in Python.  Round-5 driver gate
+    # caught two oracles this compare had waved through.
     if x is None:
         return None
-    if isinstance(x, float):
-        if math.isnan(x):
-            return "NaN"
-        return x
     if hasattr(x, "item"):  # numpy scalar
         return canon_cell(x.item())
+    if isinstance(x, bool):
+        return ("b", x)
+    if isinstance(x, float):
+        if math.isnan(x):
+            return ("f", "NaN")
+        return ("f", x)
+    if isinstance(x, int):
+        return ("i", x)
     if isinstance(x, (bytes, bytearray)):
         return bytes(x)
     return x

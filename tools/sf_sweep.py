@@ -30,12 +30,20 @@ TABLES = (
 
 
 def canon_cell(x):
+    # Numeric-CLASS sensitive, like the driver's value hash: a Spark BIGINT
+    # next to a DuckDB HUGEINT->float64 (uncast SUM/list_sum) must FAIL here
+    # even though 123 == 123.0 in Python (round-5 lesson: two oracles without
+    # CAST(... AS BIGINT) passed this compare but failed the driver's hash).
     if x is None:
         return None
-    if isinstance(x, float):
-        return "NaN" if math.isnan(x) else x
     if hasattr(x, "item"):
         return canon_cell(x.item())
+    if isinstance(x, bool):
+        return ("b", x)
+    if isinstance(x, float):
+        return ("f", "NaN" if math.isnan(x) else x)
+    if isinstance(x, int):
+        return ("i", x)
     if isinstance(x, (bytes, bytearray)):
         return bytes(x)
     return x
