@@ -1098,65 +1098,71 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # sf0.1 sweeps (SF001_GATE.json / SF01_VERIFY.json).
 
 _DRIVER_WINDOW = [
-    # kv / reference surface (4 scans: driver-verified r1 only — re-seat)
+    # Round-6 rotation: the LAST 33 never-driver-verified entries (26
+    # oracle-paired + the 7 rows-only-by-design whose paired companions are
+    # already green) + the two round-5 hash-mismatch fixes re-seated for
+    # green re-verification + 15 green family representatives. After this
+    # round every registry entry has >=1 driver CORRECTNESS row.
+    #
+    # green family reps (driver-pass in r4/r5)
     "kv_point_get",
     "kv_audit_report",
     "kv_copy_row_bump",
-    "kv_table_diff",          # r1-only: re-verify
-    "kv_visible_cells",       # r1-only: re-verify
-    "kv_range_scan",          # r1-only: re-verify
-    "kv_region_scan",         # r1-only: re-verify (scratch-path rewrite this round)
-    # relational: the never-verified TPC-H tail
     "q1_pricing_summary",
-    "q9_product_profit",      # first-time
-    "q11_part_value_share",   # first-time
-    "q14_promo_revenue",      # first-time
-    "q16_part_supplier_counts",   # first-time
-    "q17_small_quantity_revenue", # first-time
-    "q19_disjunctive_revenue",    # first-time
-    "q20_promotion_suppliers",    # first-time
-    "q21_waiting_suppliers",      # first-time
-    "q22_idle_customers",         # first-time
-    "heavy_hitter_users",         # first-time
-    "orders_cohort_retention",    # first-time
-    # event-time (sessionize veteran + the never-verified analytics family)
     "events_sessionize",
-    "events_session_window",  # NEW this round: streaming session-window twin
-    "events_anomaly_hours",   # first-time (verdict pick)
-    "events_active_users",    # first-time
-    "events_value_bands",     # first-time
-    "events_attribution_decay",     # first-time
-    "events_interarrival_histogram",  # first-time
-    "users_dn_retention",     # first-time
-    "events_markov_transitions",    # first-time
-    # dedup
+    "events_session_window",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_incremental",      # first-time
+    "dedup_prefix_filter",
     "doc_contamination",
-    # similarity / embeddings (the never-verified check family)
     "knn_cosine_topk",
     "ann_lsh_recall_check",
-    "embedding_quantize_int8",        # first-time
-    "embedding_kmeans_check",         # first-time
-    "embedding_semantic_dedup_check", # first-time
-    "embedding_near_dup_lsh_check",   # first-time
-    # text analysis / LM
     "text_quality_score",
-    "text_nfc_clean",         # first-time
-    "doc_chunk_census",       # first-time
-    "doc_mixture_temperature",  # first-time
-    "doc_pii_scrub",          # first-time (verdict pick)
-    # interchange roundtrips (never verified)
-    "docs_jsonl_roundtrip",   # first-time
-    "docs_orc_roundtrip",     # first-time
-    "docs_csv_roundtrip",     # first-time
-    # data quality
-    "orders_profile",
-    # sampling / packing / multimodal
-    "doc_sample",
     "doc_pack_sequences",
     "multimodal_features",
+    # round-5 hash-mismatch fixes (uncast HUGEINT oracles): re-verify green
+    "embedding_quantize_int8",
+    "docs_jsonl_roundtrip",
+    # relational tail (first-time)
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_late_shipment_priorities",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "top_customer_per_nation",
+    "nation_pair_volume",
+    "price_quantity_stats",
+    "price_percentiles_exact_rank",
+    "orders_stats_pushdown",
+    "orders_zorder_census",
+    "heavy_hitters_sketch",
+    "sketch_event_stats",
+    # event-time analytics (first-time)
+    "events_mean_shift",
+    "events_type_correlation",
+    "events_active_users_approx",
+    "events_salted_agg",
+    "events_exactly_once",
+    "events_value_drift",
+    # data quality / robust stats (first-time, new in r5)
+    "orders_price_mad",
+    # linear-probe training (first-time, new in r5)
+    "doc_probe_gram",
+    "doc_probe_ridge",            # rows-only; paired check next
+    "doc_probe_ridge_check",
+    # dedup / contamination (first-time)
+    "doc_contamination_bloom",
+    # embeddings (first-time; the rows-only ops' paired checks are green)
+    "embedding_norm_histogram",
+    "embedding_near_dup_lsh",     # rows-only by design (plane-seed buckets)
+    "embedding_semantic_dedup",   # rows-only by design
+    "embedding_pca_project",      # rows-only; pca check green r4
+    "embedding_kmeans_fit",       # rows-only; kmeans check green r5
+    # BPE training loop (first-time; rows-only, python-parity tested)
+    "bpe_learn_merges",
+    "bpe_tokenize_census",
 ]
 
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
