@@ -1151,8 +1151,12 @@ _DRIVER_WINDOW = [
     "dedup_minhash_lsh",
     "dedup_prefix_filter",
     "doc_contamination",
-    "knn_cosine_topk",
     "ann_lsh_recall_check",
+    # NEW this round (would otherwise end the round driver-unverified,
+    # falsifying the completeness claim above); knn_cosine_topk rotates
+    # out as its family's r5-green representative — the exact brute path
+    # stays exercised here anyway as this check's recall baseline
+    "ann_ivf_indexed_recall_check",
     "text_quality_score",
     "doc_pack_sequences",
     "multimodal_features",

@@ -558,7 +558,7 @@ def _cell_assign(df: DataFrame, bc, n_assign: int) -> DataFrame:
                 continue
             E = np.array(pdf["emb"].tolist(), dtype=np.float64)
             d = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            cells = np.argsort(d, axis=1)[:, :n_assign]
+            cells = np.argsort(d, axis=1, kind="stable")[:, :n_assign]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].repeat(n_assign),
@@ -636,7 +636,7 @@ def ann_ivf_topk(
                 continue
             Q = np.array(pdf["emb"].tolist(), dtype=np.float64)
             d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            probes = np.argsort(d, axis=1)[:, :n_probe]
+            probes = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
             yield pd.DataFrame(
                 {
                     "query_id": pdf["vec_id"].repeat(n_probe),
@@ -969,13 +969,11 @@ def build_ivf_index(
 
     base = _emb(spark, sf_dir)
     model, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
-    centers = [np.asarray(c).tolist() for c in model.clusterCenters()]
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
     spark.createDataFrame(
-        pd.DataFrame({"cell": range(n_cells), "centroid": centers})
+        pd.DataFrame({"cell": range(n_cells), "centroid": centers.tolist()})
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    bc = spark.sparkContext.broadcast(
-        np.array([np.asarray(c) for c in model.clusterCenters()])
-    )
+    bc = spark.sparkContext.broadcast(centers)
     (
         _cell_assign(with_vec, bc, n_assign)
         .write.mode("overwrite")
@@ -1065,7 +1063,7 @@ def ann_ivf_query(
                 continue
             Q = np.array(pdf["qe"].tolist(), dtype=np.float64)
             d = ((Q[:, None, :] - cmat[None, :, :]) ** 2).sum(-1)
-            probes = np.argsort(d, axis=1)[:, :n_probe]
+            probes = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].repeat(n_probe),
@@ -1074,9 +1072,21 @@ def ann_ivf_query(
                 }
             )
 
-    q = queries.select(
-        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qe")
-    ).mapInPandas(probes_for, schema="query_id long, qe array<double>, cell int")
+    from pyspark import StorageLevel
+
+    # persist: the probe table is referenced TWICE (the probed-cell
+    # collect below and the cogroup) — without it the query scan + probe
+    # kernel run twice per call, and a NONDETERMINISTIC queries plan
+    # (.limit/.sample) could probe one set of cells and then cogroup a
+    # different set of query rows whose cells were pruned away
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double(F.col("embedding")).alias("qe"),
+        )
+        .mapInPandas(probes_for, schema="query_id long, qe array<double>, cell int")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # O(n_cells) driver state — the probed-cell list prunes index
     # directories at scan time (static partition pruning; cogroup cannot
     # trigger DPP the way the old join could, so prune explicitly)

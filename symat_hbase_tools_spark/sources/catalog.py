@@ -98,8 +98,16 @@ def overwrite_table_in_place(df, path: str) -> None:
     dest = _jp(path)
     fs = dest.getFileSystem(hconf)
     tmp = _jp(f"{path}.inflight-{os.getpid()}")
-    df.write.mode("overwrite").parquet(tmp.toString())
     old = _jp(f"{path}.replaced-{os.getpid()}")
+    # clear STALE siblings from a previous hard-killed run first: PIDs
+    # recycle (containers restart at the same pid), and Hadoop rename
+    # into an EXISTING directory nests the source inside it instead of
+    # failing — a stale .replaced- dir would swallow the table and the
+    # failure-restore below would then "restore" the stale wrapper
+    for leftover in (tmp, old):
+        if fs.exists(leftover):
+            fs.delete(leftover, True)
+    df.write.mode("overwrite").parquet(tmp.toString())
     dest_existed = fs.exists(dest)
     if dest_existed and not fs.rename(dest, old):
         fs.delete(tmp, True)
@@ -108,9 +116,11 @@ def overwrite_table_in_place(df, path: str) -> None:
         if not fs.rename(tmp, dest):
             raise IOError(f"could not move new data into place at {path}")
     except BaseException:
-        # never leave the destination absent: put the original back
+        # never leave the destination absent: put the original back,
+        # and don't leak the inflight dir
         if dest_existed and not fs.exists(dest):
             fs.rename(old, dest)
+        fs.delete(tmp, True)
         raise
     if dest_existed:
         fs.delete(old, True)

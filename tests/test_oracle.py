@@ -6,8 +6,6 @@ see symat_hbase_tools_spark/entry.py docstring)."""
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
@@ -30,32 +28,11 @@ def duck():
     con.close()
 
 
-def canon_cell(x):
-    # Numeric-CLASS sensitive, mirroring the driver's value hash: an int64
-    # Spark column vs a DuckDB HUGEINT->float64 column (uncast SUM/list_sum)
-    # must fail even though 123 == 123.0 in Python.  Round-5 driver gate
-    # caught two oracles this compare had waved through.
-    if x is None:
-        return None
-    if hasattr(x, "item"):  # numpy scalar
-        return canon_cell(x.item())
-    if isinstance(x, bool):
-        return ("b", x)
-    if isinstance(x, float):
-        if math.isnan(x):
-            return ("f", "NaN")
-        return ("f", x)
-    if isinstance(x, int):
-        return ("i", x)
-    if isinstance(x, (bytes, bytearray)):
-        return bytes(x)
-    return x
-
-
-def canon_rows(pdf):
-    cols = sorted(pdf.columns)
-    rows = [tuple(canon_cell(v) for v in row) for row in pdf[cols].itertuples(index=False)]
-    return sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r)), cols
+# ONE canonicalization shared with the sweep gate — two copies is how the
+# round-5 compare-vs-driver-hash divergence happened (numeric-class
+# sensitivity: int64 vs HUGEINT->float64 vs DECIMAL must all FAIL across
+# classes even where Python == says equal)
+from tools.sf_sweep import canon_cell, canon_rows  # noqa: E402
 
 
 ORACLES = entry_mod.oracle_sql()

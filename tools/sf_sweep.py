@@ -34,6 +34,13 @@ def canon_cell(x):
     # next to a DuckDB HUGEINT->float64 (uncast SUM/list_sum) must FAIL here
     # even though 123 == 123.0 in Python (round-5 lesson: two oracles without
     # CAST(... AS BIGINT) passed this compare but failed the driver's hash).
+    # DECIMAL gets its own tag for the same reason: Decimal('1.5') == 1.5 in
+    # Python, so a DECIMAL-vs-DOUBLE column pair would silently pass a
+    # compare the driver's hash distinguishes — oracles must CAST instead.
+    # This is the ONE canonicalization (tests/test_oracle.py imports it);
+    # a second copy is how the round-5 compare-vs-hash divergence happened.
+    import decimal
+
     if x is None:
         return None
     if hasattr(x, "item"):
@@ -44,6 +51,8 @@ def canon_cell(x):
         return ("f", "NaN" if math.isnan(x) else x)
     if isinstance(x, int):
         return ("i", x)
+    if isinstance(x, decimal.Decimal):
+        return ("d", str(x.normalize()))
     if isinstance(x, (bytes, bytearray)):
         return bytes(x)
     return x
