@@ -134,3 +134,35 @@ def test_malformed_table_name_rejected():
         catalog.split_table_name(":accounts")
     with pytest.raises(ValueError):
         catalog.split_table_name("prod:")
+
+
+def test_in_place_overwrite_survives_stale_siblings(spark, warehouse):
+    """A hard-killed previous run can strand `.inflight-<pid>` /
+    `.replaced-<pid>` siblings, and container restarts RECYCLE pids.
+    Hadoop rename into an existing directory NESTS the source inside it,
+    so without the pre-clean a stale .replaced dir would swallow the
+    table (round-6 review). The overwrite must clear stale siblings and
+    land the new data flat at the table path."""
+    import os
+
+    from symat_hbase_tools_spark.sources.catalog import overwrite_table_in_place
+
+    path = str(warehouse / "prod" / "accounts")
+    df = spark.read.parquet(path)
+    n = df.count()
+    # simulate the stranded siblings of a previous run under THIS pid
+    os.makedirs(f"{path}.replaced-{os.getpid()}/junk", exist_ok=True)
+    os.makedirs(f"{path}.inflight-{os.getpid()}", exist_ok=True)
+
+    overwrite_table_in_place(df.filter(F.col("row").isNotNull()), path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    # flat layout: parquet part files directly under the table dir, no
+    # nested wrapper directory from a rename-into-existing-dir
+    entries = os.listdir(path)
+    assert any(e.endswith(".parquet") for e in entries), entries
+    assert not any(os.path.isdir(os.path.join(path, e)) for e in entries), entries
+    # no leftover siblings
+    parent = os.path.dirname(path)
+    assert not any(".replaced-" in e or ".inflight-" in e for e in os.listdir(parent))
