@@ -360,3 +360,34 @@ def test_indexed_ivf_recall_check_entry(spark):
     from symat_hbase_tools_spark.sources.tables import load_table
 
     assert row["n_queries"] == load_table(spark, SF_DIR, "embeddings").count()
+
+
+def test_topk_rows_deterministic_tie_break():
+    """_topk_rows must return, per row, the kk best by (-sim, neighbor_id)
+    INCLUDING when more than kk candidates tie at the boundary similarity —
+    argpartition alone picks an arbitrary tied subset (round-5 advisory).
+    Property-checked against a brute per-row reference over random sims
+    with many planted exact ties."""
+    import numpy as np
+
+    from hypothesis import given, settings, strategies as st
+
+    from symat_hbase_tools_spark.operators.similarity import _topk_rows
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 8), st.integers(1, 12))
+    def check(seed, rows, kk):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(kk, 40))
+        # few distinct values => frequent exact boundary ties
+        sims = rng.choice([0.1, 0.5, 0.5, 0.9], size=(rows, n)).astype(float)
+        # sprinkle -inf self-masks like the kernels do
+        sims[rng.random((rows, n)) < 0.1] = -np.inf
+        c_ids = rng.permutation(10_000)[:n]
+        top, nbr = _topk_rows(sims, c_ids, min(kk, n))
+        for r in range(rows):
+            want = sorted(zip(-sims[r], c_ids))[: min(kk, n)]
+            got = list(zip(-top[r], nbr[r]))
+            assert got == want, (r, got, want)
+
+    check()
