@@ -149,6 +149,26 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--sfDir", default="/root/testdata/sf0.001")
     ch.add_argument("--output", required=True, help="parquet path for chunk census")
 
+    ai = sub.add_parser(
+        "ann-index",
+        help="build / append to / query a persisted IVF ANN index "
+        "(build once, serve many — the >1M-vector regime)",
+    )
+    ai.add_argument("--action", choices=["build", "append", "query"], required=True)
+    ai.add_argument("--indexDir", required=True, help="index root (centroids/ + assignments/)")
+    ai.add_argument("--sfDir", default="/root/testdata/sf0.001",
+                    help="build: corpus dir containing embeddings.parquet")
+    ai.add_argument("--vectors", default=None,
+                    help="append/query: parquet (or ns:table) of (vec_id, embedding)")
+    ai.add_argument("--cells", type=int, default=None,
+                    help="build: codebook size (default ~sqrt(n))")
+    ai.add_argument("--nAssign", type=int, default=3,
+                    help="spilled assignment fan-out (recall lever; match on append)")
+    ai.add_argument("--nProbe", type=int, default=None,
+                    help="query: cells probed per query (default cells/4)")
+    ai.add_argument("--k", type=int, default=5)
+    ai.add_argument("--output", default=None, help="query: parquet output path")
+
     q = sub.add_parser("query", help="run any inventory query against a test-data dir")
     q.add_argument("--name", required=True, help="queries() name, or 'list' to enumerate")
     q.add_argument("--sfDir", default="/root/testdata/sf0.001")
@@ -314,6 +334,38 @@ def main(argv: list[str] | None = None) -> int:
             n_chunks = out.count()
             n_docs = out.select("doc_id").distinct().count()
             print(f"DOCS={n_docs} CHUNKS={n_chunks}")
+            return 0
+        if args.tool == "ann-index":
+            from symat_hbase_tools_spark.operators import similarity as S
+
+            if args.action == "build":
+                import os as _os
+
+                emb = spark.read.parquet(
+                    _os.path.join(args.sfDir, "embeddings.parquet")
+                )
+                cells = args.cells or S._adaptive_cells(emb.count())
+                S.build_ivf_index(
+                    spark, args.sfDir, args.indexDir,
+                    n_cells=cells, n_assign=args.nAssign,
+                )
+                print(f"built index at {args.indexDir}: cells={cells} n_assign={args.nAssign}")
+                return 0
+            if not args.vectors:
+                print("error: --vectors required for append/query", file=sys.stderr)
+                return 1
+            vecs = spark.read.parquet(resolve_table(args.vectors))
+            if args.action == "append":
+                S.ivf_index_append(spark, args.indexDir, vecs, n_assign=args.nAssign)
+                print(f"appended {vecs.count()} vectors into {args.indexDir}")
+                return 0
+            n_cells = spark.read.parquet(f"{args.indexDir}/centroids").count()
+            n_probe = args.nProbe or max(3, n_cells // 4)
+            out = S.ann_ivf_query(spark, args.indexDir, vecs, k=args.k, n_probe=n_probe)
+            out.show(20, truncate=False)
+            if args.output:
+                out.write.mode("overwrite").parquet(args.output)
+                print(f"wrote {args.output}")
             return 0
         if args.tool == "query":
             from symat_hbase_tools_spark.entry import QUERIES

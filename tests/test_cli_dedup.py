@@ -77,3 +77,43 @@ def test_cli_chunk_covers_every_doc(tmp_path, capsys):
     m = re.search(r"DOCS=(\d+) CHUNKS=(\d+)", capsys.readouterr().out)
     n_docs, n_chunks = map(int, m.groups())
     assert n_docs == 500 and n_chunks >= n_docs
+
+
+def test_cli_ann_index_build_append_query(spark, tmp_path, capsys):
+    """ann-index lifecycle through the CLI: build a persisted IVF index,
+    append a shifted-id clone batch (frozen-codebook ingest), query with
+    the clones — every clone must find its original at sim 1.0 (the
+    appended union is immediately searchable), results land in parquet."""
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.cli import main
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "ivf")
+    rc = main(["ann-index", "--action", "build", "--indexDir", idx,
+               "--sfDir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    assert "built index" in capsys.readouterr().out
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    batch = emb.limit(40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    bpath = str(tmp_path / "batch")
+    batch.write.parquet(bpath)
+    rc = main(["ann-index", "--action", "append", "--indexDir", idx,
+               "--vectors", bpath, "--nAssign", "3"])
+    assert rc == 0
+    assert "appended 40" in capsys.readouterr().out
+
+    out = str(tmp_path / "res")
+    rc = main(["ann-index", "--action", "query", "--indexDir", idx,
+               "--vectors", bpath, "--k", "3", "--output", out])
+    assert rc == 0
+    res = spark.read.parquet(out)
+    top = {r["query_id"]: (r["neighbor_id"], r["sim"])
+           for r in res.filter(F.col("sim") >= 0.999999).collect()}
+    # every clone's exact twin (vec_id - 100000) is its sim-1.0 neighbor
+    for qid, (nid, _) in top.items():
+        assert nid == qid - 100000
+    assert len(top) == 40
