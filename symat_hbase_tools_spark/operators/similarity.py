@@ -476,37 +476,6 @@ def _lsh_buckets_arrow(
     return base.mapInPandas(gen, schema=schema)
 
 
-def _batch_cosine(pairs: DataFrame) -> DataFrame:
-    """Exact cosine for candidate pairs — one numpy pass per Arrow batch
-    (row-wise dot/norms), replacing the per-pair interpreted fold. Used on
-    the recall-verified ANN paths; oracle-paired operators keep the JVM
-    ``cosine`` expression so their fold order stays bit-identical to SQL.
-    """
-    import numpy as np
-    import pandas as pd
-
-    def rerank(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            Q = np.array(pdf["qe"].tolist(), dtype=np.float64)
-            C = np.array(pdf["ce"].tolist(), dtype=np.float64)
-            sims = (Q * C).sum(1) / (
-                np.linalg.norm(Q, axis=1) * np.linalg.norm(C, axis=1)
-            )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "sim_raw": sims,
-                }
-            )
-
-    return pairs.select("query_id", "neighbor_id", "qe", "ce").mapInPandas(
-        rerank, schema="query_id long, neighbor_id long, sim_raw double"
-    )
-
-
 # Cap on rows fed to KMeans codebook training. Coarse quantization needs a
 # representative sample, not the corpus: 16-256 centroids fitted on 200k
 # points are statistically indistinguishable from centroids fitted on 10^9.
@@ -765,17 +734,72 @@ def embedding_near_dup_lsh(
     )
 
 
+def _block_pairs_kernel(threshold: float):
+    """Grouped-map kernel over one candidate block (LSH bucket / k-means
+    cell): all (d1 < d2, raw cosine >= threshold-eps) pairs via one gram
+    matmul, row-block-sliced so memory stays bounded on a hot block.
+
+    Emitting (id, id, sim) rows here is the same round-5/6 rewrite as the
+    top-k kernels: the old plan self-joined the block and shipped BOTH
+    64-dim arrays on every candidate-pair row through the join AND the
+    dropDuplicates shuffle. The eps guard keeps the legacy semantics of
+    filtering on the ROUNDED sim downstream (a raw 0.3999997 that rounds
+    to 0.4 must still reach the final >= threshold filter)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf):
+        empty = pd.DataFrame({"d1": [], "d2": [], "sim_raw": []}).astype(
+            {"d1": "int64", "d2": "int64", "sim_raw": "float64"}
+        )
+        b = len(pdf)
+        if b < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        M = np.array(pdf["emb"].tolist(), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        cut = threshold - 1e-6
+        step = max(1, (1 << 25) // b)  # <=256 MB gram slice per pass
+        cols = np.arange(b)
+        frames = []
+        for lo in range(0, b, step):
+            rows = np.arange(lo, min(lo + step, b))
+            S = M[rows] @ M.T
+            mask = (cols[None, :] > rows[:, None]) & (S >= cut)
+            ri, ci = np.nonzero(mask)
+            if len(ri):
+                x, y = ids[rows[ri]], ids[ci]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "d1": np.minimum(x, y),
+                            "d2": np.maximum(x, y),
+                            "sim_raw": S[ri, ci],
+                        }
+                    )
+                )
+        return pd.concat(frames) if frames else empty
+
+    return kernel
+
+
 def near_dup_lsh_df(
     base: DataFrame,
     threshold: float,
     num_planes: int | None = None,
     num_tables: int = 3,
 ) -> DataFrame:
-    """LSH near-dup core over a (vec_id, emb: array<double>) DataFrame."""
+    """LSH near-dup core over a (vec_id, emb: array<double>) DataFrame.
+
+    BLOCK-LOCAL MATMUL shape: members shuffle ONCE on (table, bucket),
+    one gram matmul per bucket emits only (d1, d2, sim) candidate rows,
+    and the cross-table dedup handles 24-byte rows — not full-array pair
+    rows (the old join+dropDuplicates plan, round-6 rewrite; same class
+    as lsh_topk_df's round-5 one)."""
     if num_planes is None:
         num_planes = _adaptive_planes(base.count())
     with_buckets = _lsh_buckets_arrow(base, num_planes, num_tables)
-    buckets = with_buckets.select(
+    members = with_buckets.select(
         "vec_id",
         "emb",
         F.explode(
@@ -788,25 +812,13 @@ def near_dup_lsh_df(
                 ]
             )
         ).alias("bucket"),
-    )
-    a = buckets.select(
-        "bucket", F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
-    )
-    b = buckets.select(
-        "bucket", F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ce")
-    )
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("query_id") < F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    ).select("vec_id", "emb", F.col("bucket.t").alias("t"), F.col("bucket.b").alias("b"))
+    local = members.groupBy("t", "b").applyInPandas(
+        _block_pairs_kernel(threshold), schema="d1 long, d2 long, sim_raw double"
     )
     return (
-        _batch_cosine(pairs)
-        .select(
-            F.col("query_id").alias("d1"),
-            F.col("neighbor_id").alias("d2"),
-            F.round("sim_raw", 6).alias("sim"),
-        )
+        local.dropDuplicates(["d1", "d2"])
+        .select("d1", "d2", F.round("sim_raw", 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -878,24 +890,15 @@ def semantic_dedup_pairs_df(
     centers = np.array([np.asarray(c) for c in model.clusterCenters()])
     bc = spark.sparkContext.broadcast(centers)
     assigned = _cell_assign(with_vec, bc, n_assign)
-    a = assigned.select(
-        "cell", F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
-    )
-    b = assigned.select(
-        "cell", F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ce")
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("query_id") < F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    # BLOCK-LOCAL MATMUL (round-6, same rewrite as near_dup_lsh_df): one
+    # shuffle of members on cell id, one gram matmul per cell, (id,id,sim)
+    # rows out — never full-array pair rows through join+dropDuplicates
+    local = assigned.groupBy("cell").applyInPandas(
+        _block_pairs_kernel(threshold), schema="d1 long, d2 long, sim_raw double"
     )
     return (
-        _batch_cosine(pairs)
-        .select(
-            F.col("query_id").alias("d1"),
-            F.col("neighbor_id").alias("d2"),
-            F.round("sim_raw", 6).alias("sim"),
-        )
+        local.dropDuplicates(["d1", "d2"])
+        .select("d1", "d2", F.round("sim_raw", 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
