@@ -734,7 +734,7 @@ def embedding_near_dup_lsh(
     )
 
 
-def _block_pairs_kernel(threshold: float):
+def _block_pairs_kernel(threshold: float, slice_elems: int = 1 << 25):
     """Grouped-map kernel over one candidate block (LSH bucket / k-means
     cell): all (d1 < d2, raw cosine >= threshold-eps) pairs via one gram
     matmul, row-block-sliced so memory stays bounded on a hot block.
@@ -759,7 +759,7 @@ def _block_pairs_kernel(threshold: float):
         M = np.array(pdf["emb"].tolist(), dtype=np.float64)
         M /= np.linalg.norm(M, axis=1, keepdims=True)
         cut = threshold - 1e-6
-        step = max(1, (1 << 25) // b)  # <=256 MB gram slice per pass
+        step = max(1, slice_elems // b)  # <=256 MB gram slice per pass
         cols = np.arange(b)
         frames = []
         for lo in range(0, b, step):

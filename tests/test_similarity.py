@@ -391,3 +391,31 @@ def test_topk_rows_deterministic_tie_break():
             assert got == want, (r, got, want)
 
     check()
+
+
+def test_block_pairs_kernel_sliced_matches_unsliced():
+    """The row-block slicing in _block_pairs_kernel (bounded gram memory on
+    a hot block) must emit exactly the pairs a single-pass gram would —
+    including pairs straddling slice boundaries and the (d1 < d2) id
+    ordering when input ids are unsorted."""
+    import numpy as np
+    import pandas as pd
+
+    from symat_hbase_tools_spark.operators.similarity import _block_pairs_kernel
+
+    rng = np.random.default_rng(7)
+    b, dim = 200, 8
+    M = rng.normal(size=(b, dim))
+    # plant exact clones so the threshold keeps a known structure
+    M[50] = M[10]
+    M[150] = M[10]
+    pdf = pd.DataFrame({
+        "vec_id": rng.permutation(10_000)[:b].astype("int64"),
+        "emb": list(M),
+    })
+    full = _block_pairs_kernel(0.7)(pdf)
+    sliced = _block_pairs_kernel(0.7, slice_elems=b * 7)(pdf)  # step=7 -> 29 slices
+    key = lambda d: sorted(map(tuple, d[["d1", "d2"]].to_numpy()))  # noqa: E731
+    assert key(full) == key(sliced)
+    assert len(full) >= 3  # the planted clone triangle survives
+    assert (full["d1"] < full["d2"]).all()
