@@ -230,9 +230,14 @@ LSH_TARGET_BUCKET = 512
 #: 1.6 s at n=20k, ~2 min at n=200k on local[32]; recall-floor-holding LSH
 #: costs 2.6 s / 37 s / ~6 min at those sizes. Brute grows ~100x per decade
 #: (n^2), recall-holding LSH ~10-15x, so the curves cross around 10^6
-#: vectors PER 32 CORES — below that, approximate search is all cost and no
-#: benefit. (On a 1000-executor cluster the threshold scales with cores;
-#: callers can pass auto_route=False to force the LSH plan.)
+#: vectors — below that, approximate search is all cost and no benefit.
+#: The threshold does NOT scale with cluster cores: both paths distribute,
+#: so cores cancel out of the crossover (brute ~ a*n^2/C vs LSH ~
+#: b*n*probes/C); what pins it near 10^6 on ANY cluster is the
+#: MAX_BROADCAST_QUERIES gate — past 1M query vectors brute_topk must
+#: hash-chunk the broadcast and re-scan candidates per chunk, turning its
+#: n^2 into n^2 * n_chunks while per-executor broadcast memory stays the
+#: binding constraint. Callers can pass auto_route=False to force LSH.
 ANN_BRUTE_CROSSOVER = 1_000_000
 
 
