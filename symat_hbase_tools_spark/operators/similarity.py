@@ -490,22 +490,96 @@ def _lsh_buckets_arrow(
 MAX_KMEANS_TRAIN_ROWS = 200_000
 
 
+def _kmeans_pp_lloyd(X, k: int, seed: int, max_iter: int = 30, n_init: int | None = None):
+    """Seeded k-means++ init + Lloyd's iterations, pure numpy on the
+    driver, best-of-``n_init`` restarts by inertia (a single ++ run can
+    land in a visibly worse optimum than ml's kmeans|| — one restart cost
+    the sf0.001 IVF recall floor; default 4 restarts up to 50k rows, 2
+    above, where init sensitivity is lower and each run costs seconds).
+
+    Written allocation-lean for the 200k x 447 regime: init distances via
+    one gemv per pick (never an (n,d) temporary), per-cluster means via
+    stable-sort + add.reduceat (the naive 447-mask loop measured 10x the
+    whole fit), distance matrix via one gemm. Deterministic: fixed rng,
+    fixed input order (callers sort the sample by vec_id so partition
+    layout can't change the result). Empty clusters re-seed to the
+    points farthest from their assigned centers (keeps the
+    every-cluster-non-empty invariant the kmeans check asserts).
+    Early-stops when assignments stop changing."""
+    import numpy as np
+
+    n, d = X.shape
+    k = min(k, n)
+    if n_init is None:
+        n_init = 4 if n <= 50_000 else 2
+    x2 = (X**2).sum(1)
+
+    def one_run(rng):
+        centers = np.empty((k, d), dtype=np.float64)
+        centers[0] = X[rng.integers(n)]
+        d2 = np.maximum(x2 - 2.0 * (X @ centers[0]) + (centers[0] ** 2).sum(), 0)
+        for j in range(1, k):
+            tot = d2.sum()
+            p = d2 / tot if tot > 0 else None
+            centers[j] = X[rng.choice(n, p=p)]
+            nd = x2 - 2.0 * (X @ centers[j]) + (centers[j] ** 2).sum()
+            np.minimum(d2, np.maximum(nd, 0), out=d2)
+        prev = None
+        D = None
+        assign = np.zeros(n, dtype=np.int64)
+        for _ in range(max_iter):
+            D = -2.0 * (X @ centers.T)
+            D += (centers**2).sum(1)[None, :]
+            assign = D.argmin(1)
+            if prev is not None and (assign == prev).all():
+                break
+            prev = assign
+            order = np.argsort(assign, kind="stable")
+            starts = np.minimum(np.searchsorted(assign[order], np.arange(k)), n - 1)
+            sums = np.add.reduceat(X[order], starts, axis=0)
+            counts = np.bincount(assign, minlength=k)
+            ok = counts > 0
+            centers[ok] = sums[ok] / counts[ok][:, None]
+            if (~ok).any():
+                # reduceat gave empty segments a junk (next-row) sum — the
+                # counts mask skipped them; re-seed to the farthest points
+                dmin = D[np.arange(n), assign] + x2
+                far = np.argsort(-dmin, kind="stable")[: int((~ok).sum())]
+                centers[~ok] = X[far]
+        inertia = np.maximum(D[np.arange(n), assign] + x2, 0).sum()
+        return inertia, centers
+
+    best = None
+    for r in range(n_init):
+        inertia, centers = one_run(np.random.default_rng((seed, r)))
+        if best is None or inertia < best[0]:
+            best = (inertia, centers)
+    return best[1]
+
+
 def _fit_codebook(base: DataFrame, n_cells: int, seed: int):
     """Fit the IVF coarse quantizer on a hash-capped sample; returns
-    (model, full with_vec DataFrame for assignment)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    (centers ndarray, the input DataFrame for assignment).
 
-    with_vec = base.withColumn("features", array_to_vector("emb"))
-    n = with_vec.count()
-    train = with_vec
+    Round-6 change: the fit runs as DRIVER-SIDE numpy Lloyd's on the
+    collected sample instead of pyspark.ml.KMeans — the sample is already
+    capped at MAX_KMEANS_TRAIN_ROWS (<= ~100 MB), and the ml estimator
+    paid ~220 s at 200k x 64 where the BLAS loop pays ~15 s for the same
+    seeded, layout-independent codebook. The distributed part of IVF was
+    never the fit; it is the assignment/search, which stays on executors
+    (_cell_assign / the cell kernels)."""
+    import numpy as np
+
+    n = base.count()
+    train = base.select("vec_id", "emb")
     if n > MAX_KMEANS_TRAIN_ROWS:
         stride = -(-n // MAX_KMEANS_TRAIN_ROWS)  # ceil
-        train = with_vec.filter(
+        train = train.filter(
             F.pmod(F.xxhash64(F.lit(seed), F.col("vec_id")), F.lit(stride)) == 0
         )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    return km.fit(train), with_vec
+    pdf = train.toPandas().sort_values("vec_id")
+    X = np.array(pdf["emb"].tolist(), dtype=np.float64)
+    return _kmeans_pp_lloyd(X, n_cells, seed), base
 
 
 def _adaptive_cells(n: int) -> int:
@@ -595,8 +669,7 @@ def ann_ivf_topk(
         # 0.89 with n_assign=2 -> 0.95 with n_assign=3 (the 0.9
         # IVF_RECALL_FLOOR's headroom)
         n_probe = max(3, n_cells // 4)
-    model, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    centers, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
 
     bc = spark.sparkContext.broadcast(centers)
     assigned = _cell_assign(with_vec, bc, n_assign)
@@ -891,8 +964,7 @@ def semantic_dedup_pairs_df(
 
     if n_cells is None:
         n_cells = _adaptive_cells(base.count())
-    model, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    centers, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
     bc = spark.sparkContext.broadcast(centers)
     assigned = _cell_assign(with_vec, bc, n_assign)
     # BLOCK-LOCAL MATMUL (round-6, same rewrite as near_dup_lsh_df): one
@@ -976,14 +1048,19 @@ def build_ivf_index(
     import pandas as pd
 
     base = _emb(spark, sf_dir)
-    model, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    centers, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
     spark.createDataFrame(
         pd.DataFrame({"cell": range(n_cells), "centroid": centers.tolist()})
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     bc = spark.sparkContext.broadcast(centers)
     (
         _cell_assign(with_vec, bc, n_assign)
+        # repartition on cell BEFORE the dynamic-partition write: a scan
+        # with few input splits otherwise funnels the whole index through
+        # one or two writer tasks routing rows across n_cells directories
+        # (measured ~200 s of the 200k build); hashed on cell the write is
+        # cells-way parallel and each directory gets whole files
+        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{index_dir}/assignments")
@@ -1022,6 +1099,9 @@ def ivf_index_append(
     )
     (
         _cell_assign(vecs, bc, n_assign)
+        # same pre-write cell repartition as build_ivf_index (parallel
+        # writers, whole files per directory)
+        .repartition("cell")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{index_dir}/assignments")
@@ -1291,10 +1371,9 @@ def embedding_kmeans_fit(
     import numpy as np
 
     base = _emb(spark, sf_dir)
-    model, with_vec = _fit_codebook(
+    C, with_vec = _fit_codebook(
         base.select("vec_id", "emb"), n_cells=k, seed=seed
     )
-    C = np.array([np.asarray(c) for c in model.clusterCenters()])
     bc = spark.sparkContext.broadcast(C)
     assigned = _cell_assign(base, bc, n_assign=1)
 

@@ -200,17 +200,16 @@ def test_brute_topk_stays_exact_above_gate_via_chunking(spark, embeddings, monke
 
 
 def test_ivf_codebook_sample_cap(spark, embeddings, monkeypatch):
-    """Codebook training never sees more than MAX_KMEANS_TRAIN_ROWS rows."""
-    from pyspark.ml.clustering import KMeans
-
+    """Codebook training never sees more than MAX_KMEANS_TRAIN_ROWS rows
+    (the driver-side Lloyd fit collects the SAMPLE, never the corpus)."""
     seen = {}
-    real_fit = KMeans.fit
+    real = similarity._kmeans_pp_lloyd
 
-    def spy_fit(self, dataset, *a, **kw):
-        seen["n_train"] = dataset.count()
-        return real_fit(self, dataset, *a, **kw)
+    def spy(X, k, seed, **kw):
+        seen["n_train"] = len(X)
+        return real(X, k, seed, **kw)
 
-    monkeypatch.setattr(KMeans, "fit", spy_fit)
+    monkeypatch.setattr(similarity, "_kmeans_pp_lloyd", spy)
     monkeypatch.setattr(similarity, "MAX_KMEANS_TRAIN_ROWS", 64)
     out = similarity.ann_ivf_topk(spark, SF_DIR, k=5)
     assert out.count() > 0
