@@ -897,16 +897,23 @@ def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     hll = F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
-    kll = F.expr("kll_sketch_get_quantile_double(kll_sketch_agg_double(value), 0.5)")
+    # k=800: KLL compaction is RANDOMIZED (run-to-run nondeterministic), and
+    # at the default k=200 the observed value-space median error on this
+    # data reached 1.8% — a coin flip against a 2% bound (one sf0.1 sweep
+    # DID flake it, round 6). k=800 quarters the rank error: observed worst
+    # 0.46% over repeated runs, giving the 2% bound a real 4x margin while
+    # the sketch stays KB-sized and mergeable.
+    kll = F.expr(
+        "kll_sketch_get_quantile_double(kll_sketch_agg_double(value, 800), 0.5)"
+    )
     exact_users = F.countDistinct("user_id")
     exact_p50 = F.expr("percentile(value, 0.5)")
     return events.groupBy("event_type").agg(
         exact_users.alias("exact_users"),
         exact_p50.alias("exact_p50_value"),
         # tolerance-oracle booleans (DuckDB side emits TRUE): HLL within 5%
-        # of exact (default lgK=12 → ~1.6% rse; 3+ sigma margin), KLL median
-        # within 2% of the exact interpolated median (k=200 → ~1.65% rank
-        # error one-sided; value-space margin holds on this data's spread).
+        # of exact (default lgK=12 → ~1.6% rse, measured 0.4% here; 3+ sigma
+        # margin), KLL median within 2% of the exact interpolated median.
         # Sketch drift past either bound fails the driver's hash compare.
         (F.abs(hll - exact_users) <= 0.05 * exact_users).alias("hll_within_bound"),
         (F.abs(kll - exact_p50) <= 0.02 * F.abs(exact_p50)).alias(

@@ -661,14 +661,19 @@ def ann_ivf_topk(
     if n_cells is None:
         n_cells = _adaptive_cells(base.count())
     if n_probe is None:
-        # probe a constant FRACTION of cells (~1/4), not a constant count:
+        # probe a constant FRACTION of cells (~1/3), not a constant count:
         # with n_cells ~ sqrt(n), a fixed n_probe makes recall decay as the
         # corpus grows; a fixed fraction keeps recall roughly flat while
-        # candidate work per query still scales as sqrt(n). 1/4 measured
-        # recall@5 0.53/0.50 at 1/8 -> 0.70/0.73 single-assignment ->
-        # 0.89 with n_assign=2 -> 0.95 with n_assign=3 (the 0.9
-        # IVF_RECALL_FLOOR's headroom)
-        n_probe = max(3, n_cells // 4)
+        # candidate work per query still scales as sqrt(n). History: 1/8
+        # measured recall@5 0.53/0.50; 1/4 reached 0.95 with n_assign=3 on
+        # the ml-kmeans codebook; the round-6 numpy-Lloyd codebook has a
+        # slightly different boundary structure (same inertia class, lower
+        # IVF recall at 1/4: 0.88-0.90) — 1/3 restores the margin for 4/3
+        # the candidate volume: measured recall@5 0.949 (sf0.001) / 0.956
+        # (sf0.01) / 0.997 (sf0.1) vs the 0.9 IVF_RECALL_FLOOR. Lesson
+        # recorded in NEXT: k-means INERTIA does not track IVF recall —
+        # probe/spill fractions are the honest levers, not restarts.
+        n_probe = max(3, n_cells // 3)
     centers, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
 
     bc = spark.sparkContext.broadcast(centers)
