@@ -59,3 +59,41 @@ def ingest_events(stream: DataFrame, path: str, checkpoint: str) -> None:
         q.awaitTermination()
     finally:
         q.stop()
+
+
+def ingest_embeddings_into_ivf(
+    stream: DataFrame, index_dir: str, checkpoint: str, n_assign: int = 1
+) -> None:
+    """Drain a bounded (vec_id, embedding) stream into a PERSISTED IVF
+    index — the nightly/continuous embedding-ingest path as a stream.
+
+    Each micro-batch runs ``similarity.ivf_index_append``: frozen-codebook
+    assignment (broadcast centroids, one Arrow argmin/argsort pass) and an
+    append into the matching ``assignments/cell=N/`` directories. The
+    checkpoint makes delivery effectively-once at the batch level; a
+    replayed batch re-appends the same (vec_id, cell) rows, which
+    downstream search dedups via its (query_id, neighbor_id)
+    dropDuplicates — the same append-idempotent-at-the-read-layer trade
+    as the cell LSM ingest above. Queries see streamed vectors as soon as
+    their batch commits: search is directory pruning + re-rank, no
+    monolithic structure rebuild (similarity.ivf_index_append's contract).
+
+    ``n_assign`` should match the index build's (spill parity for base
+    and streamed vectors).
+    """
+    from symat_hbase_tools_spark.operators.similarity import ivf_index_append
+
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: ivf_index_append(
+                batch.sparkSession, index_dir, batch, n_assign=n_assign
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()

