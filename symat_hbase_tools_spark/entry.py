@@ -726,9 +726,9 @@ def ann_ivf_indexed_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (sf_dir, mtime) into the process-scoped scratch — the same
     amortization contract as the regionstore and cells fixtures — so the
     timed work here is ann_ivf_query itself: probed-cell directory pruning
-    + cell-local matmul + merge. Measured recall@5 with n_probe=6/16:
-    0.986 (sf0.001) / 0.990 (sf0.01) vs floor 0.9
-    (similarity.IVF_RECALL_FLOOR)."""
+    + cell-local matmul + merge. Measured recall@5 with n_probe=6/16 on
+    the round-6 numpy-Lloyd codebook: 0.966 (sf0.001) / 0.970 (sf0.01)
+    vs floor 0.9 (similarity.IVF_RECALL_FLOOR)."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
         key = (os.path.abspath(sf_dir), os.path.getmtime(src))

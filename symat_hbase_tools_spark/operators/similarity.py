@@ -1045,7 +1045,8 @@ def build_ivf_index(
     n_assign > 1 applies the same SPILLED assignment as ann_ivf_topk
     (each vector lands in its n_assign nearest cells): index size
     multiplies by n_assign, boundary misses turn into hits — measured
-    recall@5 at sf0.01 with n_probe=6/16: 0.83 (n_assign=1) vs 0.99 (3).
+    recall@5 at sf0.01 with n_probe=6/16: 0.83 (n_assign=1) vs 0.97 (3,
+    round-6 numpy-Lloyd codebook).
     Disk-for-recall is usually the right trade for a SERVING index; the
     default stays 1 so append-path assignment parity (argmin) holds.
     """
