@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from symat_hbase_tools_spark.operators import (
     bpe,
+    contamination,
     dedup,
     kv,
     multimodal,
@@ -962,6 +963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack_sequences": doc_pack_sequences,
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_contamination": doc_contamination,
+    "doc_contamination_overlap": contamination.contamination_overlap_census,
     "bpe_pair_stats": text_analysis.bpe_pair_stats,
     "text_tfidf_topk": text_analysis.tfidf_topk,
     "doc_quality_classifier": text_analysis.quality_classifier,
@@ -2528,6 +2530,31 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0) tr
         JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0) be USING (s)
         GROUP BY tr.doc_id HAVING COUNT(*) >= 5
+    """,
+    # overlap-fraction census: every train doc, exact integer ratio in
+    # double (bit-identical cross-engine), conventional severity bands
+    "doc_contamination_overlap": f"""
+        WITH {_SHINGLE_CTE},
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+        tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+        osz AS (SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY 1),
+        oov AS (SELECT tr.doc_id, COUNT(b.s) AS n_ov
+                FROM tr LEFT JOIN bench b USING (s) GROUP BY 1),
+        base AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+        SELECT base.doc_id,
+               CAST(COALESCE(osz.n_sh, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(oov.n_ov, 0) AS BIGINT) AS n_overlap,
+               CASE WHEN COALESCE(osz.n_sh, 0) = 0 THEN 0.0
+                    ELSE COALESCE(oov.n_ov, 0) / CAST(osz.n_sh AS DOUBLE)
+               END AS overlap_frac,
+               CASE WHEN COALESCE(osz.n_sh, 0) = 0 THEN 'clean'
+                    WHEN COALESCE(oov.n_ov, 0) / CAST(osz.n_sh AS DOUBLE) >= 0.5
+                        THEN 'leaked'
+                    WHEN COALESCE(oov.n_ov, 0) / CAST(osz.n_sh AS DOUBLE) >= 0.05
+                        THEN 'partial'
+                    ELSE 'clean'
+               END AS severity
+        FROM base LEFT JOIN osz USING (doc_id) LEFT JOIN oov USING (doc_id)
     """,
     # bloom screening has no false negatives and survivors are exactly
     # verified, so the bloom path's spec — and oracle — is the exact one's

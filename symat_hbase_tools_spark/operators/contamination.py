@@ -137,3 +137,63 @@ def benchmark_contamination_bloom(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
+
+
+def contamination_overlap_census(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    benchmark_mod: int = 50,
+) -> DataFrame:
+    """Per-document overlap-FRACTION census against the benchmark set —
+    the decontamination report shape the big-model papers use (fraction of
+    a train doc's distinct n-grams that appear anywhere in the eval
+    suite), where ``benchmark_contamination`` only flags docs past an
+    absolute count. EVERY train document appears, including zero-overlap
+    and shingle-less ones — a decontamination report that silently drops
+    clean docs can't prove coverage.
+
+    Output: doc_id, n_shingles, n_overlap, overlap_frac, severity
+    (clean < 5% <= partial < 50% <= leaked — the conventional bands).
+
+    Scale shape: identical to benchmark_contamination — the benchmark
+    shingle set is distinct-ed and BROADCAST (eval suites are MBs against
+    a 100 TB corpus), the train side never shuffles for the membership
+    probe, and the per-doc aggregate partial-combines map-side into one
+    narrow shuffle on doc_id. overlap_frac divides two exact integers in
+    double, so the value is bit-identical cross-engine and the severity
+    band compares are deterministic.
+    """
+    hs = _doc_shingles(spark, sf_dir, n).select(
+        "doc_id", shingle_hashes(F.col("sh")).alias("hs")
+    )
+    is_bench = F.col("doc_id") % benchmark_mod == 0
+    bench = (
+        hs.filter(is_bench)
+        .select(F.explode("hs").alias("s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = hs.filter(~is_bench).select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_shingles"),
+        F.explode_outer("hs").alias("s"),
+    )
+    counted = (
+        train.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_overlap"))
+    )
+    frac = F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
+        F.col("n_overlap") / F.col("n_shingles")
+    )
+    return counted.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        F.when(frac >= 0.5, "leaked")
+        .when(frac >= 0.05, "partial")
+        .otherwise("clean")
+        .alias("severity"),
+    )

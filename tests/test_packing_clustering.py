@@ -258,3 +258,32 @@ def test_contamination_bloom_screen_prunes(spark):
     assert keep_m.all()
     # random non-members pass at ~the theoretical fp rate, well under 5%
     assert keep.mean() < 0.05, keep.mean()
+
+
+def test_contamination_overlap_census_properties(spark):
+    """Overlap-fraction census invariants: covers EVERY train doc exactly
+    once (including zero-overlap docs — a decontamination report that
+    drops clean docs can't prove coverage), excludes benchmark docs,
+    severity bands match the fraction, and the docs the absolute-count
+    op flags are a subset of the docs with n_overlap >= its threshold."""
+    from symat_hbase_tools_spark.operators.contamination import (
+        benchmark_contamination,
+        contamination_overlap_census,
+    )
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    census = contamination_overlap_census(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    n_bench = load_table(spark, SF_DIR, "documents").filter("doc_id % 50 = 0").count()
+    assert len(census) == n_docs - n_bench
+    assert len({r["doc_id"] for r in census}) == len(census)
+    for r in census:
+        assert r["doc_id"] % 50 != 0
+        assert 0 <= r["n_overlap"] <= r["n_shingles"]
+        f = r["overlap_frac"]
+        want = ("leaked" if f >= 0.5 else "partial" if f >= 0.05 else "clean")
+        assert r["severity"] == want, (r, want)
+    flagged = {r["doc_id"] for r in benchmark_contamination(spark, SF_DIR).collect()}
+    heavy = {r["doc_id"] for r in census if r["n_overlap"] >= 5}
+    assert flagged == heavy
