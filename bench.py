@@ -90,6 +90,7 @@ HEADLINE = [
     # round-4: bloom-screened contamination + distributed-rank rewrites are
     # covered by existing entries; the bloom path is its own headline entry
     "doc_contamination_bloom",
+    "doc_contamination_overlap",
     "q7_volume_shipping",
     "price_percentiles_exact_rank",
     "orders_zorder_census",
