@@ -1052,6 +1052,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_semantic_dedup": similarity.embedding_semantic_dedup,
     "bpe_learn_merges": lambda spark, sf: bpe.learn_merges(spark, sf),
     "bpe_tokenize_census": lambda spark, sf: bpe.tokenize_census(spark, sf),
+    # round-7: oracle-paired check forms (DuckDB independently computes the
+    # first merge + per-group exact facts; loop invariants as booleans)
+    "bpe_learn_check": lambda spark, sf: bpe.learn_check(spark, sf),
+    "bpe_tokenize_check": lambda spark, sf: bpe.tokenize_check(spark, sf),
     "embedding_semantic_dedup_check": similarity.embedding_semantic_dedup_check,
     "dedup_incremental": dedup.incremental_dedup,
     # window evictions (oracle-verified locally + by the sf0.1 sweep;
@@ -1190,21 +1194,29 @@ _DRIVER_WINDOW = [
     "events_value_drift",
     # data quality / robust stats (first-time, new in r5)
     "orders_price_mad",
-    # linear-probe training (first-time, new in r5)
+    # linear-probe training (first-time, new in r5); the rows-only raw
+    # ridge output rotated out in r7 — doc_probe_ridge_check (oracle-
+    # paired, exercises the same fit) is its driver-verified form
     "doc_probe_gram",
-    "doc_probe_ridge",            # rows-only; paired check next
     "doc_probe_ridge_check",
+    # r7 re-seats: kv_latest_version re-verifies green after the packed
+    # fast-path swap; knn_cosine_topk returns as the exact-ANN baseline
+    "kv_latest_version",
+    "knn_cosine_topk",
     # dedup / contamination (first-time)
     "doc_contamination_bloom",
     # embeddings (first-time; the rows-only ops' paired checks are green)
     "embedding_norm_histogram",
     "embedding_near_dup_lsh",     # rows-only by design (plane-seed buckets)
     "embedding_semantic_dedup",   # rows-only by design
-    "embedding_pca_project",      # rows-only; pca check green r4
-    "embedding_kmeans_fit",       # rows-only; kmeans check green r5
-    # BPE training loop (first-time; rows-only, python-parity tested)
-    "bpe_learn_merges",
-    "bpe_tokenize_census",
+    "embedding_pca_project",      # rows-only (scalar pc columns since r7)
+    # kmeans raw fit rotated out r7; embedding_kmeans_check (in-window
+    # above) is its oracle-paired driver form
+    # BPE training loop: r7 seats the ORACLE-PAIRED check forms (DuckDB
+    # computes the first merge + per-group facts); raw forms stay
+    # registered at 51+ and python-parity tested
+    "bpe_learn_check",
+    "bpe_tokenize_check",
 ]
 
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
@@ -2742,6 +2754,32 @@ ORACLE_SQL: dict[str, str] = {
         FROM p GROUP BY pair
         ORDER BY pair_count DESC, pair
         LIMIT 50
+    """,
+    "bpe_learn_check": """
+        WITH w AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                               ELSE string_split_regex(trim(text), ' +') END AS ws
+                   FROM documents),
+        wd AS (SELECT unnest(ws) AS word FROM w),
+        p AS (SELECT unnest(list_transform(range(1, length(word)),
+                         i -> substr(word, i, 1) || chr(31) || substr(word, i + 1, 1)))
+                     AS pr
+              FROM wd WHERE length(word) >= 2),
+        top AS (SELECT split_part(pr, chr(31), 1) AS first_left,
+                       split_part(pr, chr(31), 2) AS first_right,
+                       CAST(COUNT(*) AS BIGINT) AS first_count
+                FROM p GROUP BY pr
+                ORDER BY first_count DESC, first_left, first_right
+                LIMIT 1)
+        SELECT first_left, first_right, first_count,
+               8 AS n_merges, TRUE AS ranks_ok, TRUE AS counts_positive,
+               TRUE AS parts_consistent
+        FROM top
+    """,
+    "bpe_tokenize_check": """
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               TRUE AS tokens_within_bounds
+        FROM documents GROUP BY lang, source
     """,
     "text_tfidf_topk": f"""
         WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term

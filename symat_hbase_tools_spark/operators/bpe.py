@@ -163,3 +163,88 @@ def tokenize_census(
             F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens")
         ).alias("chars_per_token"),
     )
+
+
+def learn_check(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataFrame:
+    """Oracle-paired verification of ``learn_merges`` (the tolerance-oracle
+    pattern of pca_check / kmeans_check): the parts SQL can state exactly,
+    it states — the FIRST merge is, by definition, the argmax weighted
+    adjacent character pair of the corpus word histogram, which DuckDB can
+    compute independently (same (count desc, left, right) tie-break). The
+    iterative tail is covered by structural invariants the engine asserts
+    as booleans:
+
+    * ranks_ok — merge_rank values are exactly 0..n-1;
+    * counts_positive — every merge's pair_count > 0;
+    * parts_consistent — every multi-character merge operand equals the
+      concatenation produced by an EARLIER merge (the defining BPE
+      vocabulary-growth invariant: symbols only exist once learned).
+
+    One row out; the full merge loop also has a pure-python reference
+    parity test (tests/test_text_analysis.py).
+    """
+    rows = sorted(
+        learn_merges(spark, sf_dir, n_merges=n_merges).collect(),
+        key=lambda r: r["merge_rank"],
+    )
+    ranks_ok = [r["merge_rank"] for r in rows] == list(range(len(rows)))
+    counts_positive = all(r["pair_count"] > 0 for r in rows)
+    produced: set[str] = set()
+    parts_consistent = True
+    for r in rows:
+        for part in (r["left"], r["right"]):
+            if len(part) > 1 and part not in produced:
+                parts_consistent = False
+        produced.add(r["left"] + r["right"])
+    first = rows[0] if rows else None
+    return spark.createDataFrame(
+        [
+            (
+                first["left"] if first else None,
+                first["right"] if first else None,
+                int(first["pair_count"]) if first else 0,
+                len(rows),
+                bool(ranks_ok),
+                bool(counts_positive),
+                bool(parts_consistent),
+            )
+        ],
+        "first_left string, first_right string, first_count long, "
+        "n_merges int, ranks_ok boolean, counts_positive boolean, "
+        "parts_consistent boolean",
+    )
+
+
+def tokenize_check(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """Oracle-paired verification of ``tokenize_census``: per (lang,
+    source) group the SQL-exact facts (n_docs, total_chars) plus the BPE
+    sandwich bound as a boolean — total BPE tokens lies between the word
+    count (every word is >= 1 token) and the non-space character count
+    (every token is >= 1 character). The raw census stays registered for
+    pipelines; this is the driver-verified form.
+    """
+    census = tokenize_census(spark, sf_dir, n_merges=n_merges).select(
+        "lang", "source", "n_docs", "total_chars", "total_bpe_tokens"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_words"),
+        F.sum(
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
+        ).alias("nonspace_chars"),
+    )
+    return (
+        census.join(bounds, ["lang", "source"])
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_chars",
+            (
+                (F.col("total_bpe_tokens") >= F.col("n_words"))
+                & (F.col("total_bpe_tokens") <= F.col("nonspace_chars"))
+            ).alias("tokens_within_bounds"),
+        )
+    )

@@ -35,7 +35,9 @@ def benchmark_contamination(
 
     Output: doc_id, n_overlap.
     """
-    sh = _doc_shingles(spark, sf_dir, n).select(
+    # persist=True: the shingle table is referenced twice (bench + train
+    # sides) and Spark does not dedupe common subplans
+    sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
         "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
     )
     is_bench = F.col("doc_id") % benchmark_mod == 0
@@ -98,7 +100,9 @@ def benchmark_contamination_bloom(
     """
     import numpy as np
 
-    sh = _doc_shingles(spark, sf_dir, n).select(
+    # persist=True: referenced twice — the bloom build collects the bench
+    # side, then the screened train side re-reads the same shingle table
+    sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
         "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
     )
     is_bench = F.col("doc_id") % benchmark_mod == 0
@@ -164,7 +168,8 @@ def contamination_overlap_census(
     double, so the value is bit-identical cross-engine and the severity
     band compares are deterministic.
     """
-    hs = _doc_shingles(spark, sf_dir, n).select(
+    # persist=True: the shingle table feeds BOTH the bench and train sides
+    hs = _doc_shingles(spark, sf_dir, n, persist=True).select(
         "doc_id", shingle_hashes(F.col("sh")).alias("hs")
     )
     is_bench = F.col("doc_id") % benchmark_mod == 0

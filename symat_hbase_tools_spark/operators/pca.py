@@ -81,16 +81,25 @@ def fit(spark: SparkSession, sf_dir: str, k: int = PCA_K):
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     components = evecs[:, order]
+    # sign-canonicalize: eigenvectors come with arbitrary sign; flip each
+    # so its largest-|coefficient| entry is positive — output then doesn't
+    # depend on the LAPACK build's sign convention
+    flip = np.sign(components[np.abs(components).argmax(axis=0), np.arange(len(order))])
+    flip[flip == 0] = 1.0
+    components = components * flip
     evr = evals[order] / evals.sum()
     return mean, components, evr
 
 
-def pca_project(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> DataFrame:
-    """Project every embedding onto the top-k principal axes.
-
-    Output: (vec_id, proj array<double>[k]) — rows-only (see module
-    docstring); ``pca_check`` is the oracle-paired verification.
-    """
+def pca_project_arrays(
+    spark: SparkSession, sf_dir: str, k: int = PCA_K
+) -> DataFrame:
+    """Project every embedding onto the top-k principal axes — ARRAY form
+    (vec_id, proj array<double>[k]). Internal/pipeline variant: downstream
+    embedding ops want the vector; verification (``pca_check``) posexplodes
+    it. The registered driver query is ``pca_project`` (scalar columns) —
+    comparison harnesses canonicalize by sorting on column values, which an
+    array column breaks (round-6 driver TypeError on numpy.ndarray)."""
     mean, components, _ = fit(spark, sf_dir, k)
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -109,6 +118,23 @@ def pca_project(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> DataFrame:
     )
 
 
+def pca_project(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> DataFrame:
+    """Project every embedding onto the top-k principal axes.
+
+    Output: (vec_id, pc1..pck double) — one SCALAR column per component,
+    each rounded to 6 decimals, keyed by vec_id. Rows-only (see module
+    docstring: partial Gram sums drift by ulps across partition layouts);
+    ``pca_check`` is the oracle-paired verification. The rounding plus the
+    sign canonicalization in ``fit`` make the emitted values stable across
+    runs/layouts in practice, and the all-scalar schema keeps the output
+    sortable by any comparison harness."""
+    proj = pca_project_arrays(spark, sf_dir, k)
+    cols = [
+        F.round(F.col("proj")[i], 6).alias(f"pc{i + 1}") for i in range(k)
+    ]
+    return proj.select("vec_id", *cols)
+
+
 def pca_check(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> DataFrame:
     """Tolerance oracle for ``pca_project`` (the ann_*_recall_check
     pattern): engine-side booleans the DuckDB oracle states as expected
@@ -125,7 +151,7 @@ def pca_check(spark: SparkSession, sf_dir: str, k: int = PCA_K) -> DataFrame:
     )
     var_ok = bool(0.0 < evr.sum() <= 1.0 + 1e-12)
 
-    proj = pca_project(spark, sf_dir, k)
+    proj = pca_project_arrays(spark, sf_dir, k)
     sums = proj.select(
         F.posexplode("proj").alias("axis", "x")
     ).groupBy("axis").agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))

@@ -535,14 +535,21 @@ def _kmeans_pp_lloyd(X, k: int, seed: int, max_iter: int = 30, n_init: int | Non
                 break
             prev = assign
             order = np.argsort(assign, kind="stable")
-            starts = np.minimum(np.searchsorted(assign[order], np.arange(k)), n - 1)
-            sums = np.add.reduceat(X[order], starts, axis=0)
             counts = np.bincount(assign, minlength=k)
             ok = counts > 0
-            centers[ok] = sums[ok] / counts[ok][:, None]
+            # reduceat only over NON-EMPTY clusters' segment starts: empty
+            # clusters contribute no rows, so consecutive ok-starts are
+            # exact segment boundaries and every start index is < n.
+            # (Clamping all k starts to n-1 stole the last sorted row out
+            # of the preceding cluster's segment when trailing clusters
+            # were empty — wrong centroid for that cluster.)
+            starts = np.searchsorted(assign[order], np.arange(k))
+            centers[ok] = (
+                np.add.reduceat(X[order], starts[ok], axis=0)
+                / counts[ok][:, None]
+            )
             if (~ok).any():
-                # reduceat gave empty segments a junk (next-row) sum — the
-                # counts mask skipped them; re-seed to the farthest points
+                # empty clusters re-seed to the farthest points
                 dmin = D[np.arange(n), assign] + x2
                 far = np.argsort(-dmin, kind="stable")[: int((~ok).sum())]
                 centers[~ok] = X[far]
@@ -1056,7 +1063,10 @@ def build_ivf_index(
     base = _emb(spark, sf_dir)
     centers, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
     spark.createDataFrame(
-        pd.DataFrame({"cell": range(n_cells), "centroid": centers.tolist()})
+        # len(centers), not n_cells: _kmeans_pp_lloyd clamps k to the
+        # (sampled) corpus size, so a small corpus degrades to fewer cells
+        # instead of a pandas length-mismatch crash
+        pd.DataFrame({"cell": range(len(centers)), "centroid": centers.tolist()})
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     bc = spark.sparkContext.broadcast(centers)
     (
@@ -1114,6 +1124,11 @@ def ivf_index_append(
     )
 
 
+#: probe-table caches outstanding from ann_ivf_query calls; each new call
+#: releases the previous call's cache (bounded at one call's worth)
+_IVF_PROBE_CACHES: list = []
+
+
 def ann_ivf_query(
     spark: SparkSession,
     index_dir: str,
@@ -1168,6 +1183,15 @@ def ann_ivf_query(
 
     from pyspark import StorageLevel
 
+    # serve-many hygiene: release the PREVIOUS call's probe cache before
+    # persisting a new one — without this, cached probe blocks accumulate
+    # across calls in a long-lived session until the context cleaner
+    # happens to GC them. Callers materialize each result before issuing
+    # the next query (the CLI / entry paths do), so the released cache is
+    # no longer referenced by a live plan.
+    while _IVF_PROBE_CACHES:
+        _IVF_PROBE_CACHES.pop().unpersist(blocking=False)
+
     # persist: the probe table is referenced TWICE (the probed-cell
     # collect below and the cogroup) — without it the query scan + probe
     # kernel run twice per call, and a NONDETERMINISTIC queries plan
@@ -1181,6 +1205,7 @@ def ann_ivf_query(
         .mapInPandas(probes_for, schema="query_id long, qe array<double>, cell int")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _IVF_PROBE_CACHES.append(q)
     # O(n_cells) driver state — the probed-cell list prunes index
     # directories at scan time (static partition pruning; cogroup cannot
     # trigger DPP the way the old join could, so prune explicitly)

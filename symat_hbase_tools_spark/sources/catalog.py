@@ -99,14 +99,18 @@ def overwrite_table_in_place(df, path: str) -> None:
     fs = dest.getFileSystem(hconf)
     tmp = _jp(f"{path}.inflight-{os.getpid()}")
     old = _jp(f"{path}.replaced-{os.getpid()}")
-    # clear STALE siblings from a previous hard-killed run first: PIDs
-    # recycle (containers restart at the same pid), and Hadoop rename
-    # into an EXISTING directory nests the source inside it instead of
-    # failing — a stale .replaced- dir would swallow the table and the
-    # failure-restore below would then "restore" the stale wrapper
-    for leftover in (tmp, old):
-        if fs.exists(leftover):
-            fs.delete(leftover, True)
+    # clear STALE siblings from a previous hard-killed run first — for
+    # ANY pid, not just ours: a crashed run under a different pid would
+    # otherwise strand its .replaced- copy of the whole table forever
+    # (doubling storage per crash). These suffixed dirs are only ever
+    # transient artifacts of this function, so deleting them is safe.
+    # Also guards PID recycling: Hadoop rename into an EXISTING directory
+    # nests the source inside it instead of failing — a stale .replaced-
+    # dir would swallow the table and the failure-restore below would
+    # then "restore" the stale wrapper.
+    for pattern in (f"{path}.inflight-*", f"{path}.replaced-*"):
+        for st in fs.globStatus(_jp(pattern)) or []:
+            fs.delete(st.getPath(), True)
     df.write.mode("overwrite").parquet(tmp.toString())
     dest_existed = fs.exists(dest)
     if dest_existed and not fs.rename(dest, old):

@@ -150,9 +150,14 @@ def test_in_place_overwrite_survives_stale_siblings(spark, warehouse):
     path = str(warehouse / "prod" / "accounts")
     df = spark.read.parquet(path)
     n = df.count()
-    # simulate the stranded siblings of a previous run under THIS pid
+    # simulate the stranded siblings of previous runs — BOTH under this
+    # pid (recycling) and under a different pid (round-6 advisory: a
+    # crashed run under another pid stranded its .replaced- copy forever,
+    # doubling storage per crash; pre-clean must glob ANY pid)
     os.makedirs(f"{path}.replaced-{os.getpid()}/junk", exist_ok=True)
     os.makedirs(f"{path}.inflight-{os.getpid()}", exist_ok=True)
+    os.makedirs(f"{path}.replaced-999999/junk", exist_ok=True)
+    os.makedirs(f"{path}.inflight-999999", exist_ok=True)
 
     overwrite_table_in_place(df.filter(F.col("row").isNotNull()), path)
 

@@ -82,7 +82,7 @@ def test_pca_projection_matches_numpy(spark):
     from symat_hbase_tools_spark.sources.tables import load_table
 
     k = 4
-    proj = pca.pca_project(spark, SF_DIR, k=k).toPandas()
+    proj = pca.pca_project_arrays(spark, SF_DIR, k=k).toPandas()
     rows = load_table(spark, SF_DIR, "embeddings").select(
         "vec_id", "embedding"
     ).collect()

@@ -418,3 +418,80 @@ def test_block_pairs_kernel_sliced_matches_unsliced():
     assert key(full) == key(sliced)
     assert len(full) >= 3  # the planted clone triangle survives
     assert (full["d1"] < full["d2"]).all()
+
+
+def test_kmeans_lloyd_empty_trailing_cluster_centroids_exact():
+    """Round-6 advisory regression: with trailing EMPTY clusters, the old
+    segment math clamped searchsorted starts to n-1, so reduceat stole the
+    last sorted row out of the preceding non-empty cluster's segment —
+    that cluster's mean excluded one row but divided by the full count.
+
+    Duplicate points force the shape: 6 rows at exactly 2 distinct
+    locations with k=3 guarantees >=1 empty cluster every iteration, and
+    the two data clusters are separated enough that any kmeans++ init
+    converges to their exact means. The buggy math returned a centroid
+    pulled off the true mean (e.g. sum over 2 of the 3 rows / 3)."""
+    import numpy as np
+
+    from symat_hbase_tools_spark.operators.similarity import _kmeans_pp_lloyd
+
+    a, b = np.array([0.0, 0.0]), np.array([100.0, 7.0])
+    X = np.vstack([a, a, a, b, b, b])
+    centers = _kmeans_pp_lloyd(X, k=3, seed=13)
+    # every returned center must sit EXACTLY on one of the two point
+    # locations (exact means of duplicate points; re-seeded empties land
+    # on data points too)
+    for c in centers:
+        assert min(np.abs(c - a).max(), np.abs(c - b).max()) == 0.0, centers
+    # and both true locations must be represented
+    assert any(np.array_equal(c, a) for c in centers)
+    assert any(np.array_equal(c, b) for c in centers)
+
+
+def test_kmeans_lloyd_segment_sums_property():
+    """Property check of the per-cluster mean path: centers returned for a
+    convergent run equal numpy groupby means of the final assignment."""
+    import numpy as np
+
+    from symat_hbase_tools_spark.operators.similarity import _kmeans_pp_lloyd
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        # clumpy data with deliberate duplicates -> some empty clusters
+        base = rng.normal(size=(4, 3)) * 50
+        X = np.repeat(base, repeats=rng.integers(1, 6, size=4), axis=0)
+        k = len(X) - 1  # force many empties
+        centers = _kmeans_pp_lloyd(X, k=k, seed=trial)
+        # recompute assignment and check each non-empty cluster's center
+        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in np.unique(assign):
+            np.testing.assert_allclose(
+                centers[j], X[assign == j].mean(0), atol=1e-9
+            )
+
+
+def test_build_ivf_index_small_corpus_degrades_to_fewer_cells(spark, tmp_path):
+    """Round-6 advisory: n_cells > corpus size must degrade to fewer cells
+    (len(centers) rows in the centroid table), not crash with a pandas
+    length mismatch."""
+    from symat_hbase_tools_spark.operators import similarity
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "tiny_idx")
+    tiny = similarity._emb(spark, SF_DIR).orderBy("vec_id").limit(7)
+
+    import symat_hbase_tools_spark.operators.similarity as S
+
+    real = S._emb
+    try:
+        S._emb = lambda sp, sd: tiny
+        similarity.build_ivf_index(spark, SF_DIR, idx, n_cells=32)
+    finally:
+        S._emb = real
+    cent = spark.read.parquet(f"{idx}/centroids")
+    n_cent = cent.count()
+    assert 1 <= n_cent <= 7
+    queries = load_table(spark, SF_DIR, "embeddings").orderBy("vec_id").limit(7)
+    got = similarity.ann_ivf_query(spark, idx, queries, k=3, n_probe=2).collect()
+    assert len(got) > 0
