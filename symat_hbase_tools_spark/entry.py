@@ -1939,9 +1939,11 @@ ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
     # heavy_hitters_sketch: tolerance oracle — the exact top-k with a
-    # per-row boolean that the frequent-items sketch tracked it exactly
+    # per-row boolean that the frequent-items sketch honored its error
+    # bound (items under ~n/maxItemsTracked carry no guarantee and pass
+    # vacuously — the sf1 lesson; see relational.heavy_hitters_sketch)
     "heavy_hitters_sketch": """
-        SELECT user_id, n_events, TRUE AS sketch_exact
+        SELECT user_id, n_events, TRUE AS sketch_within_bound
         FROM (SELECT user_id, COUNT(*) AS n_events FROM events
               GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10)
         ORDER BY n_events DESC, user_id

@@ -1515,12 +1515,19 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
     map-side, no per-key shuffle.
 
     Tolerance-oracle form: the output is the EXACT top-k (count desc,
-    user_id tiebreak — deterministic, hash-comparable) with a boolean per
-    row asserting the sketch tracked that user at the exact count (true
-    when maxItemsTracked >= true cardinality, as here; the sketch side over-
-    fetches k+50 so boundary tie ordering inside the sketch cannot hide a
-    genuinely-tracked user). A sketch miss or miscount fails the driver's
-    hash compare instead of going unchecked."""
+    user_id tiebreak — deterministic, hash-comparable) with a per-row
+    boolean stating the sketch's ACTUAL contract, so it holds at every
+    scale: an item whose true count exceeds the sketch's a-priori error
+    bound (~n/maxItemsTracked; 4x margin used here — DataSketches'
+    ItemsSketch epsilon is ~3.5/maxMapSize) must appear among the
+    sketch's top (k+50) with an estimate within that bound; an item BELOW
+    the bound carries no guarantee and passes vacuously. The round-6
+    formulation asserted est == exact, whose premise (maxItemsTracked >=
+    true cardinality) broke on the sf1 probe: 15k distinct users > 10k
+    tracked, and the true top count (99 of 1M events) sits under n/M =
+    100 — the sketch is THEORY-CORRECT to drop it, so the check, not the
+    sketch, was wrong at scale. A bound violation still fails the
+    driver's hash compare."""
     events = load_table(spark, sf_dir, "events")
     exact = (
         events.groupBy("user_id")
@@ -1528,19 +1535,29 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
         .orderBy(F.desc("n_events"), "user_id")
         .limit(k)
     )
-    sketch = (
-        events.agg(F.expr(f"approx_top_k(user_id, {k + 50}, 10000)").alias("tk"))
-        .select(F.explode("tk").alias("e"))
-        .select(F.col("e.item").alias("user_id"), F.col("e.count").alias("est"))
+    max_items = 10_000
+    # ONE row: the sketch and the total count from the same scan; cross-
+    # joined (broadcast, 1 row) onto the k exact rows so every row — even
+    # one the sketch dropped — sees n_total for its bound. The per-row
+    # sketch lookup is a 60-element array filter: interpreted, but over
+    # k x (k+50) cells total, driver-scale not data-scale.
+    sketch_and_total = events.agg(
+        F.expr(f"approx_top_k(user_id, {k + 50}, {max_items})").alias("tk"),
+        F.count(F.lit(1)).alias("n_total"),
     )
+    joined = exact.crossJoin(F.broadcast(sketch_and_total))
+    hit = F.filter("tk", lambda e: e["item"] == F.col("user_id"))
+    est = F.when(F.size(hit) > 0, F.element_at(hit, 1)["count"])
+    bound = F.lit(4.0) * F.col("n_total") / F.lit(max_items)
     return (
-        exact.join(F.broadcast(sketch), "user_id", "left")
-        .select(
+        joined.select(
             "user_id",
             "n_events",
-            F.coalesce(F.col("est") == F.col("n_events"), F.lit(False)).alias(
-                "sketch_exact"
-            ),
+            F.when(F.col("n_events") <= bound, F.lit(True))
+            .otherwise(
+                F.coalesce((est - F.col("n_events")) <= bound, F.lit(False))
+            )
+            .alias("sketch_within_bound"),
         )
         .orderBy(F.desc("n_events"), "user_id")
     )
