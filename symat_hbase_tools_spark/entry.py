@@ -399,6 +399,48 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_counts(load_table(spark, sf_dir, "events"))
 
 
+#: memory-sink names must be unique per invocation (a second stream with the
+#: same queryName would collide in the shared in-memory catalog)
+_STATEFUL_RUN_SEQ = iter(range(1, 1 << 30))
+
+
+def events_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator, driver-verified END TO END: this
+    ACTUALLY RUNS a structured stream (file source → applyInPandasWithState
+    via the transformWithState compat shim → memory sink, availableNow
+    drain), unlike events_session_window's batch-unified form — a green
+    hash here certifies the stateful-processor machinery itself.
+
+    The processor accumulates exact integer micros
+    (streaming/stateful.py::MicroProfileProcessor) so the converged state
+    is bit-identical to the SQL oracle no matter how the source files were
+    micro-batched. Update mode emits one row per (user, micro-batch); the
+    converged profile is the row with the max n_events (monotone per
+    user), reduced with the same max_by partial-aggregate shape as
+    kv_latest_version — O(users) state, no window sort."""
+    from symat_hbase_tools_spark.streaming import events as se
+    from symat_hbase_tools_spark.streaming.stateful import user_profiles_micros
+
+    stream = se.stream_events(spark, sf_dir)
+    name = f"stateful_profiles_{next(_STATEFUL_RUN_SEQ)}"
+    out = se.run_bounded(user_profiles_micros(stream), name, output_mode="update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "value_micros", "last_seen_us"),
+                F.col("n_events"),
+            ).alias("w")
+        )
+        .select(
+            "user_id",
+            F.col("w.n_events").alias("n_events"),
+            F.col("w.value_micros").alias("value_micros"),
+            F.col("w.last_seen_us").alias("last_seen_us"),
+        )
+    )
+
+
 REPAIR_TS = CELL_TS + 9000
 
 
@@ -902,6 +944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_signup": relational.asof_purchase_signup,
     "events_sessionize": relational.events_sessionize,
     "events_session_window": events_session_window,
+    "events_stateful_profiles": events_stateful_profiles,
     "purchase_attribution": relational.purchase_attribution,
     "click_conversion_full": relational.click_conversion_full,
     # LLM-pipeline surface: dedup (simhash is represented by its
@@ -1969,6 +2012,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, CAST(SUM(is_new) + 1 AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM g GROUP BY user_id
+    """,
+    # events_stateful_profiles: converged per-user running profile of the
+    # REAL stateful stream (integer-micros accumulation is micro-batch-
+    # order independent — see MicroProfileProcessor)
+    "events_stateful_profiles": """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS value_micros,
+               MAX(epoch_us(ts)) AS last_seen_us
+        FROM events GROUP BY user_id
     """,
     "events_session_window": """
         WITH o AS (

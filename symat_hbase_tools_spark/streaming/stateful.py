@@ -249,6 +249,66 @@ def user_profiles_tws_compat(stream: DataFrame) -> DataFrame:
     )
 
 
+class MicroProfileProcessor(StatefulProcessor):
+    """Integer-micros running profile — the DRIVER-VERIFIED stateful form.
+
+    ``ProfileProcessor`` accumulates the value sum as a python float, so
+    the converged total's low bits depend on micro-batch boundaries — fine
+    for the tolerance-tested parity tests, unusable for a hash-compared
+    SQL oracle. This twin accumulates ``floor(value * 1e6)`` as exact
+    int64 micros: floor of an IEEE double is deterministic and identical
+    across engines (no tie-breaking rule, unlike round-half-even vs
+    round-half-away), integer addition is order-independent, so the
+    converged state is bit-identical to the oracle's
+    ``SUM(CAST(floor(value * 1000000) AS BIGINT))`` regardless of how the
+    stream was micro-batched."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "profile", "n bigint, micros bigint, last_us bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if self._state.exists():
+            n, micros, last_us = self._state.get()
+        else:
+            n, micros, last_us = 0, 0, 0
+        for pdf in rows:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            micros += int(
+                np.floor(pdf["value"].to_numpy() * 1e6).astype(np.int64).sum()
+            )
+            last_us = max(last_us, int(pdf["us"].max()))
+        self._state.update((n, micros, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_micros": [micros],
+                "last_seen_us": [last_us],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_profiles_micros(stream: DataFrame) -> DataFrame:
+    """MicroProfileProcessor through the compat shim (update-mode stream of
+    running per-user profiles; exact-integer value accumulation)."""
+    return run_stateful_processor_compat(
+        _with_us(stream).groupBy("user_id"),
+        MicroProfileProcessor,
+        "user_id bigint, n_events bigint, value_micros bigint, last_seen_us bigint",
+        "n bigint, micros bigint, last_us bigint",
+        output_mode="update",
+    )
+
+
 def user_profiles_tws(stream: DataFrame) -> DataFrame:
     """Running per-user profile via native transformWithStateInPandas.
 
