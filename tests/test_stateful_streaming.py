@@ -170,3 +170,42 @@ def test_compat_shim_state_clear_removes_state(spark):
     # exactly one flush happened (at n=3), and it flushed exactly 3 —
     # proving the clear() removed state rather than leaving 3 to grow to 5
     assert [(r["user_id"], r["flushed"]) for r in rows] == [(1, 3)]
+
+
+def test_micro_profiles_batch_boundary_invariance(spark):
+    """The driver-verified form's core claim: the converged state is
+    IDENTICAL no matter how the stream was micro-batched (integer-micros
+    accumulation has no float-order dependence). Drive the same input as
+    one batch and as five single-file batches and compare exactly."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.streaming.stateful import user_profiles_micros
+
+    rows = [(u, float(v) / 7.0, 1_700_000_000_000_000 + i)
+            for i, (u, v) in enumerate((u, v) for u in (1, 2, 3) for v in range(17))]
+    src = spark.createDataFrame(rows, "user_id long, value double, us_raw long")
+    src = src.select("user_id", "value",
+                     F.timestamp_micros(F.col("us_raw")).alias("ts"))
+
+    def converged(max_files):
+        with tempfile.TemporaryDirectory() as d:
+            src.repartition(5).write.mode("overwrite").parquet(f"{d}/in")
+            stream = (spark.readStream.schema("user_id long, value double, ts timestamp")
+                      .option("maxFilesPerTrigger", max_files).parquet(f"{d}/in"))
+            out = user_profiles_micros(stream)
+            name = f"t_micro_{max_files}"
+            q = (out.writeStream.format("memory").queryName(name)
+                 .outputMode("update").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            pdf = (spark.table(name).groupBy("user_id")
+                   .agg(F.max_by(F.struct("n_events", "value_micros", "last_seen_us"),
+                                 F.col("n_events")).alias("w"))
+                   .select("user_id", "w.*").orderBy("user_id").toPandas())
+            return [tuple(r) for r in pdf.itertuples(index=False)]
+
+    one = converged(100)   # everything in one micro-batch
+    five = converged(1)    # one file per micro-batch
+    assert one == five
+    assert len(one) == 3 and all(r[1] == 17 for r in one)
