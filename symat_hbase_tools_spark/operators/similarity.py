@@ -589,6 +589,46 @@ def _fit_codebook(base: DataFrame, n_cells: int, seed: int):
     return _kmeans_pp_lloyd(X, n_cells, seed), base
 
 
+#: fitted-codebook memo, keyed (embeddings path, mtime, n, n_cells, seed).
+#: The fit is seeded and layout-independent (see _fit_codebook), so every
+#: re-fit in a process recomputes the IDENTICAL ndarray — caching it is the
+#: same amortization contract as the fixture / persisted-index caches
+#: (mtime-keyed: testdata regeneration refits). n in the key guards callers
+#: that rebind _emb to a subset (tests): different corpus -> different key.
+_CODEBOOK_CACHE: dict[tuple, object] = {}
+_CODEBOOK_CACHE_MAX = 8
+
+
+def _codebook_cached(spark: SparkSession, sf_dir: str, n_cells: int, seed: int):
+    """Memoized ``_fit_codebook`` over the sf_dir embeddings: returns
+    (centers, base). Serve-many sessions, recall checks, and bench repeats
+    all refit the same deterministic codebook otherwise — at 200k x 707
+    that is minutes of driver BLAS per query for a bit-identical result."""
+    import os
+
+    base = _emb(spark, sf_dir)
+    try:
+        p = os.path.join(sf_dir, "embeddings.parquet")
+        n = base.count()
+        # MAX_KMEANS_TRAIN_ROWS is in the key because it changes the fit
+        # input (tests patch it; a config change must not serve stale fits)
+        key = (
+            os.path.abspath(p),
+            os.path.getmtime(p),
+            n,
+            n_cells,
+            seed,
+            MAX_KMEANS_TRAIN_ROWS,
+        )
+    except OSError:
+        return _fit_codebook(base, n_cells=n_cells, seed=seed)
+    if key not in _CODEBOOK_CACHE:
+        while len(_CODEBOOK_CACHE) >= _CODEBOOK_CACHE_MAX:
+            _CODEBOOK_CACHE.pop(next(iter(_CODEBOOK_CACHE)))
+        _CODEBOOK_CACHE[key] = _fit_codebook(base, n_cells=n_cells, seed=seed)[0]
+    return _CODEBOOK_CACHE[key], base
+
+
 def _adaptive_cells(n: int) -> int:
     """IVF codebook size ~ sqrt(n) (the standard IVF sizing: balances
     codebook-scan cost against cell-member re-rank cost), floored at 16,
@@ -681,7 +721,7 @@ def ann_ivf_topk(
         # recorded in NEXT: k-means INERTIA does not track IVF recall —
         # probe/spill fractions are the honest levers, not restarts.
         n_probe = max(3, n_cells // 3)
-    centers, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
+    centers, with_vec = _codebook_cached(spark, sf_dir, n_cells, seed)
 
     bc = spark.sparkContext.broadcast(centers)
     assigned = _cell_assign(with_vec, bc, n_assign)
@@ -958,6 +998,7 @@ def semantic_dedup_pairs_df(
     n_cells: int | None = None,
     n_assign: int = 2,
     seed: int = 42,
+    centers=None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): k-means
     cells as semantic blocks, exact cosine within blocks.
@@ -976,9 +1017,10 @@ def semantic_dedup_pairs_df(
 
     if n_cells is None:
         n_cells = _adaptive_cells(base.count())
-    centers, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
+    if centers is None:
+        centers, _ = _fit_codebook(base, n_cells=n_cells, seed=seed)
     bc = spark.sparkContext.broadcast(centers)
-    assigned = _cell_assign(with_vec, bc, n_assign)
+    assigned = _cell_assign(base, bc, n_assign)
     # BLOCK-LOCAL MATMUL (round-6, same rewrite as near_dup_lsh_df): one
     # shuffle of members on cell id, one gram matmul per cell, (id,id,sim)
     # rows out — never full-array pair rows through join+dropDuplicates
@@ -998,7 +1040,12 @@ def embedding_semantic_dedup(
     """Semantic near-dup pairs over the embeddings table (rows-only entry —
     a k-means codebook is not SQL-expressible; coverage is oracle-checked by
     ``embedding_semantic_dedup_check``)."""
-    return semantic_dedup_pairs_df(spark, _emb(spark, sf_dir), threshold)
+    base = _emb(spark, sf_dir)
+    n_cells = _adaptive_cells(base.count())
+    centers, _ = _codebook_cached(spark, sf_dir, n_cells, seed=42)
+    return semantic_dedup_pairs_df(
+        spark, base, threshold, n_cells=n_cells, centers=centers
+    )
 
 
 def embedding_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,7 +1108,7 @@ def build_ivf_index(
     import pandas as pd
 
     base = _emb(spark, sf_dir)
-    centers, with_vec = _fit_codebook(base, n_cells=n_cells, seed=seed)
+    centers, with_vec = _codebook_cached(spark, sf_dir, n_cells, seed)
     spark.createDataFrame(
         # len(centers), not n_cells: _kmeans_pp_lloyd clamps k to the
         # (sampled) corpus size, so a small corpus degrades to fewer cells
@@ -1402,9 +1449,7 @@ def embedding_kmeans_fit(
     import numpy as np
 
     base = _emb(spark, sf_dir)
-    C, with_vec = _fit_codebook(
-        base.select("vec_id", "emb"), n_cells=k, seed=seed
-    )
+    C, with_vec = _codebook_cached(spark, sf_dir, k, seed)
     bc = spark.sparkContext.broadcast(C)
     assigned = _cell_assign(base, bc, n_assign=1)
 
