@@ -1194,7 +1194,10 @@ _DRIVER_WINDOW = [
     "kv_audit_report",
     "kv_copy_row_bump",
     "q1_pricing_summary",
-    "events_sessionize",
+    # events_sessionize rotates out in r7 (driver-green r4/r5/r6) for the
+    # NEW events_stateful_profiles — the stateful-processor machinery run
+    # as a REAL stream and hash-matched against a SQL oracle
+    "events_stateful_profiles",
     "events_session_window",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -1253,8 +1256,8 @@ _DRIVER_WINDOW = [
     "embedding_near_dup_lsh",     # rows-only by design (plane-seed buckets)
     "embedding_semantic_dedup",   # rows-only by design
     "embedding_pca_project",      # rows-only (scalar pc columns since r7)
-    # kmeans raw fit rotated out r7; embedding_kmeans_check (in-window
-    # above) is its oracle-paired driver form
+    # kmeans raw fit rotated out r7; embedding_kmeans_check (driver-green
+    # r5, registered at 51+) is its oracle-paired form
     # BPE training loop: r7 seats the ORACLE-PAIRED check forms (DuckDB
     # computes the first merge + per-group facts); raw forms stay
     # registered at 51+ and python-parity tested
