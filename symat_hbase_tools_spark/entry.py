@@ -1114,6 +1114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_coverage": text_analysis.vocab_coverage,
     "boilerplate_shingles": text_analysis.boilerplate_shingles,
     "multimodal_frame_census": multimodal.multimodal_frame_census,
+    "multimodal_resize_census": multimodal.multimodal_resize_census,
     "doc_shuffle_assign": doc_shuffle_assign,
     "click_conversion": relational.click_conversion,
     "embedding_label_centroids": similarity.label_centroids,
@@ -2533,6 +2534,30 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM((doc_id % 10) // 2 + 1) AS BIGINT) AS n_frames_sampled,
                COUNT(DISTINCT doc_id) AS n_docs
         FROM documents GROUP BY source
+    """,
+    # multimodal_resize_census: the fake resize kernel is exact integer
+    # arithmetic (aspect-preserving clamp to 64, area-ratio byte
+    # truncation) — restated verbatim; strlen = BYTE length in DuckDB
+    "multimodal_resize_census": """
+        WITH m AS (
+            SELECT doc_id, source,
+                   n_chars % 640 + 1 AS w,
+                   doc_id % 480 + 1 AS h,
+                   strlen(text) AS in_len
+            FROM documents
+        ), d AS (
+            SELECT doc_id, source, w, h, in_len,
+                   greatest(w * least(greatest(w, h), 64) // greatest(w, h), 1) AS ow,
+                   greatest(h * least(greatest(w, h), 64) // greatest(w, h), 1) AS oh
+            FROM m
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(SUM(ow) AS BIGINT) AS sum_out_width,
+               CAST(SUM(oh) AS BIGINT) AS sum_out_height,
+               CAST(SUM(least(greatest(in_len * (ow * oh) // (w * h), 1), in_len))
+                    AS BIGINT) AS sum_out_bytes,
+               CAST(MAX(ow) AS INT) AS max_out_width
+        FROM d GROUP BY source
     """,
     # portable md5 sampling: cutoffs are _md5_cut(fraction) hex strings —
     # 0.2->33333333, 0.25->40000000, 0.75->c0000000, 0.5->80000000

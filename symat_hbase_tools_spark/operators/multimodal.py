@@ -89,6 +89,79 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_payload(docs))
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, out_width int, out_height int, out_bytes binary, "
+    "out_len bigint"
+)
+
+
+def resize_images(
+    records: DataFrame,
+    max_side: int = 64,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Batch image resize via mapInPandas — the training-pipeline
+    preprocessing shape: payloads stream through Arrow batches, each task
+    resizes its batch and emits the resized payload + new dims; nothing is
+    collected, partitioning is inherited from the scan (map-only plan).
+
+    Aspect-preserving: the longer side clamps to ``max_side``; integer
+    floor-scaled short side floored at 1 (the standard thumbnail contract).
+    The REAL kernel (PIL's Image.resize) is env-gated like the decoder;
+    the deterministic fake emits a payload truncated proportionally to the
+    area ratio — byte-arithmetic a SQL oracle can restate exactly, so the
+    plumbing (schema, batch shape, output sizes) is hash-verified."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_real_decoder:
+            raise NotImplementedError(
+                "real image resize needs PIL, which is not available in "
+                "this container; the deterministic fake is the test path"
+            )
+        for pdf in batches:
+            w = pdf["meta"].map(lambda m: m["width"]).astype("int64")
+            h = pdf["meta"].map(lambda m: m["height"]).astype("int64")
+            long_side = w.where(w >= h, h)
+            scale_num = long_side.where(long_side < max_side, max_side)
+            ow = (w * scale_num // long_side).clip(lower=1).astype("int32")
+            oh = (h * scale_num // long_side).clip(lower=1).astype("int32")
+            payloads = pdf["payload"]
+            in_len = payloads.map(len)
+            out_len = (in_len * (ow.astype("int64") * oh) // (w * h)).clip(lower=1)
+            out_bytes = [
+                p[: int(n)] for p, n in zip(payloads, out_len)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": ow,
+                    "out_height": oh,
+                    "out_bytes": out_bytes,
+                    "out_len": [len(b) for b in out_bytes],
+                }
+            )
+
+    return records.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def multimodal_resize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verified resize pipeline: per-source census of resized dims
+    and output bytes (exact integer arithmetic — full SQL oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(attach_payload(docs))
+    return (
+        resized.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(F.col("out_width").cast("long")).alias("sum_out_width"),
+            F.sum(F.col("out_height").cast("long")).alias("sum_out_height"),
+            F.sum("out_len").alias("sum_out_bytes"),
+            F.max("out_width").alias("max_out_width"),
+        )
+    )
+
+
 def multimodal_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-frame counts per source (exercises the explode path)."""
     docs = load_table(spark, sf_dir, "documents")

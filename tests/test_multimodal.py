@@ -106,3 +106,44 @@ def test_sniff_media_meta_real_headers(spark):
 
     plan = plan_string(sniff_media_meta(df), "simple")
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_resize_aspect_and_bytes(spark, documents):
+    """Resize contract: long side clamps to max_side, aspect preserved
+    under integer floor, output bytes = area-ratio truncation of the
+    payload, never longer than the input."""
+    from symat_hbase_tools_spark.operators.multimodal import (
+        attach_payload,
+        resize_images,
+    )
+
+    recs = attach_payload(documents)
+    meta = {
+        r["doc_id"]: (r["meta"]["width"], r["meta"]["height"], len(r["payload"]))
+        for r in recs.collect()
+    }
+    out = resize_images(recs, max_side=64).collect()
+    assert len(out) == len(meta)
+    for r in out:
+        w, h, in_len = meta[r["doc_id"]]
+        long_side = max(w, h)
+        scale = min(long_side, 64)
+        assert r["out_width"] == max(w * scale // long_side, 1)
+        assert r["out_height"] == max(h * scale // long_side, 1)
+        assert max(r["out_width"], r["out_height"]) <= 64
+        want_len = min(max(in_len * (r["out_width"] * r["out_height"]) // (w * h), 1), in_len)
+        assert r["out_len"] == want_len == len(r["out_bytes"])
+        assert r["out_len"] <= in_len
+
+
+def test_resize_real_decoder_is_stubbed(spark, documents):
+    """The real-PIL path must refuse up front in this container."""
+    import pytest
+
+    from symat_hbase_tools_spark.operators.multimodal import (
+        attach_payload,
+        resize_images,
+    )
+
+    with pytest.raises(Exception, match="PIL"):
+        resize_images(attach_payload(documents), use_real_decoder=True).collect()
