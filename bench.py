@@ -53,6 +53,7 @@ HEADLINE = [
     "text_quality_score",
     "text_token_stats",
     "multimodal_features",
+    "multimodal_resize_census",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
     "price_quantity_stats",
