@@ -90,8 +90,27 @@ def main() -> None:
 
     queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     results: dict[str, dict] = {}
+    # SWEEP_RESUME=1: keep prior results from out_path and only run queries
+    # without a recorded non-FAIL status (long sweeps at probe scales get
+    # killed/restarted; re-running hours of green queries proves nothing)
+    if os.environ.get("SWEEP_RESUME") == "1" and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        results = {
+            k: v
+            for k, v in prior.items()
+            if v.get("status") in ("pass", "rows_only", "oracle_skipped")
+        }
+        print(f"resuming: {len(results)} prior results kept", flush=True)
     n_pass = n_rows_only = n_fail = 0
     for name, fn in queries.items():
+        if name in results:
+            st = results[name]["status"]
+            if st == "pass":
+                n_pass += 1
+            else:
+                n_rows_only += 1
+            continue
         t0 = time.perf_counter()
         try:
             pdf = fn(spark, sf_dir).toPandas()
@@ -137,6 +156,9 @@ def main() -> None:
             n_fail += 1
             results[name] = {"status": "ERROR", "err": str(exc)[:300]}
             print(f"{name}: ERROR {exc}", flush=True)
+        # incremental write: a killed sweep keeps its finished results
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
 
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
