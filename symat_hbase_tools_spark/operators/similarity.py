@@ -638,11 +638,32 @@ def _adaptive_cells(n: int) -> int:
     return max(16, min(4096, int(math.sqrt(max(n, 1)))))
 
 
+def _sqdist_to_centers(X, C):
+    """Squared distances to centroids via the gemm identity, up to the
+    per-row constant |x|² (irrelevant for per-row argmin/argsort over
+    cells): -2·X·Cᵀ + |c|². The naive broadcast form
+    ((X[:,None,:]-C[None,:,:])**2).sum(-1) materializes a
+    (batch, cells, dim) temporary — 7.2 GB per 10k-row batch at 1414
+    cells — and turned the 2M index build into a memory-bound crawl
+    (measured round 7); the gemm form is one BLAS call and a rank-1 add."""
+    import numpy as np
+
+    return -2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
+
+
 def _cell_assign(df: DataFrame, bc, n_assign: int) -> DataFrame:
     """Arrow-batched spilled assignment: each (vec_id, emb) row lands in its
     ``n_assign`` nearest codebook cells (broadcast centroid matrix ``bc``).
-    Narrow map stage — one distance matrix per Arrow batch, no shuffle."""
+    Narrow map stage — one gemm per Arrow batch; the input is fanned OUT to
+    its bytes-proportional task count first (a 550 MB single-file corpus
+    otherwise funnels the whole kernel through 2-4 parquet splits — the 2M
+    index build measured 22 min on 2 effective tasks; fanout never
+    coalesces, so a many-split 100 TB source is untouched)."""
     import numpy as np
+
+    from symat_hbase_tools_spark.plans.partitioning import fanout as _fanout
+
+    df = _fanout(df.sparkSession, df.select("vec_id", "emb"))
 
     def gen(batches):
         import pandas as pd
@@ -652,7 +673,7 @@ def _cell_assign(df: DataFrame, bc, n_assign: int) -> DataFrame:
             if pdf.empty:
                 continue
             E = np.array(pdf["emb"].tolist(), dtype=np.float64)
-            d = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            d = _sqdist_to_centers(E, C)
             cells = np.argsort(d, axis=1, kind="stable")[:, :n_assign]
             yield pd.DataFrame(
                 {
@@ -662,7 +683,7 @@ def _cell_assign(df: DataFrame, bc, n_assign: int) -> DataFrame:
                 }
             )
 
-    return df.select("vec_id", "emb").mapInPandas(
+    return df.mapInPandas(
         gen, schema="vec_id long, emb array<double>, cell int"
     )
 
@@ -734,7 +755,7 @@ def ann_ivf_topk(
             if pdf.empty:
                 continue
             Q = np.array(pdf["emb"].tolist(), dtype=np.float64)
-            d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            d = _sqdist_to_centers(Q, C)
             probes = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
             yield pd.DataFrame(
                 {
@@ -1218,7 +1239,7 @@ def ann_ivf_query(
             if pdf.empty:
                 continue
             Q = np.array(pdf["qe"].tolist(), dtype=np.float64)
-            d = ((Q[:, None, :] - cmat[None, :, :]) ** 2).sum(-1)
+            d = _sqdist_to_centers(Q, cmat)
             probes = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
             yield pd.DataFrame(
                 {
