@@ -54,7 +54,7 @@ def make_clustered(outdir: str, copies: int) -> None:
             "embedding": pa.array(pts.tolist(), type=pa.list_(pa.float32())),
         }
     )
-    pq.write_table(tbl, f"{outdir}/embeddings.parquet")
+    pq.write_table(tbl, f"{outdir}/embeddings.parquet", row_group_size=65536)
     print(f"embeddings: {n} clustered ({n_clusters} gaussians) at {outdir}")
 
 
@@ -88,7 +88,7 @@ def main() -> None:
             t = t.set_column(t.column_names.index("vec_id"), "vec_id", vid)
         parts.append(t)
     out = pa.concat_tables(parts)
-    pq.write_table(out, f"{outdir}/embeddings.parquet")
+    pq.write_table(out, f"{outdir}/embeddings.parquet", row_group_size=65536)
     print(f"embeddings: {n} -> {out.num_rows} at {outdir}")
 
 

@@ -107,7 +107,7 @@ def main() -> None:
 
     for name in PASSTHROUGH:
         t = pq.read_table(f"{SRC}/{name}.parquet")
-        pq.write_table(t, f"{outdir}/{name}.parquet")
+        pq.write_table(t, f"{outdir}/{name}.parquet", row_group_size=65536)
         print(f"{name}: passthrough {t.num_rows}")
 
     tables = {n: pq.read_table(f"{SRC}/{n}.parquet") for n in KEYED_TABLES}
@@ -131,7 +131,7 @@ def main() -> None:
                     t = transform_embeddings(t, k, rng)
             parts.append(t)
         out = pa.concat_tables(parts)
-        pq.write_table(out, f"{outdir}/{name}.parquet")
+        pq.write_table(out, f"{outdir}/{name}.parquet", row_group_size=65536)
         info = {c: strides[(name, c)] for c in cols}
         print(f"{name}: {base.num_rows} -> {out.num_rows} (strides {info})")
 
