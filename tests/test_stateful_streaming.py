@@ -209,3 +209,41 @@ def test_micro_profiles_batch_boundary_invariance(spark):
     five = converged(1)    # one file per micro-batch
     assert one == five
     assert len(one) == 3 and all(r[1] == 17 for r in one)
+
+
+def test_compat_shim_rejects_multiple_value_states(spark):
+    """The shim round-trips ONE ValueState through the legacy state tuple;
+    a processor registering two must fail loudly, not silently drop one."""
+    import pandas as pd
+    import pytest
+
+    from symat_hbase_tools_spark.streaming.stateful import (
+        StatefulProcessor,
+        run_stateful_processor_compat,
+    )
+
+    class TwoStates(StatefulProcessor):
+        def init(self, handle):
+            self._a = handle.getValueState("a", "n bigint")
+            self._b = handle.getValueState("b", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            yield pd.DataFrame({"user_id": [key[0]], "n": [0]})
+
+        def close(self):
+            pass
+
+    import tempfile
+
+    src = spark.createDataFrame([(1, 1)], "user_id long, seq long")
+    with tempfile.TemporaryDirectory() as d:
+        src.write.mode("overwrite").parquet(f"{d}/in")
+        stream = spark.readStream.schema("user_id long, seq long").parquet(f"{d}/in")
+        out = run_stateful_processor_compat(
+            stream.groupBy("user_id"), TwoStates, "user_id long, n bigint", "n bigint"
+        )
+        q = (out.writeStream.format("memory").queryName("t_two_states")
+             .outputMode("update").trigger(availableNow=True).start())
+        with pytest.raises(Exception, match="exactly ONE ValueState"):
+            q.awaitTermination(120)
+        q.stop()
