@@ -1149,6 +1149,8 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(f"{index_dir}/assignments")
     )
+    # a rebuild replaces the on-disk layout: drop any cached relations
+    _invalidate_ivf_relations(index_dir)
 
 
 def ivf_index_append(
@@ -1175,7 +1177,7 @@ def ivf_index_append(
     """
     import numpy as np
 
-    cent = spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+    cent = _ivf_relation(spark, index_dir, "centroids").orderBy("cell").collect()
     C = np.array([r["centroid"] for r in cent], dtype=np.float64)
     bc = spark.sparkContext.broadcast(C)
     vecs = new_vectors.select(
@@ -1190,11 +1192,42 @@ def ivf_index_append(
         .partitionBy("cell")
         .parquet(f"{index_dir}/assignments")
     )
+    # new files on disk: cached relations would miss them
+    _invalidate_ivf_relations(index_dir)
 
 
 #: probe-table caches outstanding from ann_ivf_query calls; each new call
 #: releases the previous call's cache (bounded at one call's worth)
 _IVF_PROBE_CACHES: list = []
+
+#: per-process memo of the index relations (the DataFrame handle, NOT the
+#: data): re-issuing spark.read.parquet per query re-runs the parallel
+#: leaf-file LISTING job — at 1414 cell directories that is a 1414-task
+#: metadata job per serve call (measured at the 2M probe). Holding the
+#: relation reuses its InMemoryFileIndex; per-query partition pruning is a
+#: plan-time filter and still applies. Invalidated by build/append IN THIS
+#: process; an external writer requires a fresh session or a manual
+#: _invalidate_ivf_relations — the standard Spark REFRESH TABLE contract.
+_IVF_RELATION_CACHE: dict[str, DataFrame] = {}
+
+
+def _ivf_relation(spark: SparkSession, index_dir: str, part: str) -> DataFrame:
+    import os
+
+    key = os.path.abspath(os.path.join(index_dir, part))
+    df = _IVF_RELATION_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(key)
+        _IVF_RELATION_CACHE[key] = df
+    return df
+
+
+def _invalidate_ivf_relations(index_dir: str) -> None:
+    import os
+
+    base = os.path.abspath(index_dir)
+    for key in [k for k in _IVF_RELATION_CACHE if k.startswith(base)]:
+        _IVF_RELATION_CACHE.pop(key, None)
 
 
 def ann_ivf_query(
@@ -1226,7 +1259,7 @@ def ann_ivf_query(
     import numpy as np
 
     cent = (
-        spark.read.parquet(f"{index_dir}/centroids").orderBy("cell").collect()
+        _ivf_relation(spark, index_dir, "centroids").orderBy("cell").collect()
     )
     C = np.array([r["centroid"] for r in cent], dtype=np.float64)
     bc = spark.sparkContext.broadcast(C)
@@ -1279,7 +1312,7 @@ def ann_ivf_query(
     # trigger DPP the way the old join could, so prune explicitly)
     probed = [r["cell"] for r in q.select("cell").distinct().collect()]
     assigned = (
-        spark.read.parquet(f"{index_dir}/assignments")
+        _ivf_relation(spark, index_dir, "assignments")
         .filter(F.col("cell").isin(probed))
         .select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ce"), "cell")
     )
