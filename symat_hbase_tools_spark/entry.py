@@ -48,6 +48,7 @@ from symat_hbase_tools_spark.sources.cells import (
     customer_cells_versioned,
     customer_cells_with_deletes,
 )
+from symat_hbase_tools_spark.operators.sampling import _md5_cut
 from symat_hbase_tools_spark.sources.tables import load_table
 
 POINT_GET_CUSTKEY = 42
@@ -555,6 +556,18 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_contamination(spark, sf_dir)
 
 
+def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/valid/test split keyed on the near-dup CLUSTER representative,
+    so near-duplicate pairs cannot straddle splits (eval contamination by
+    construction is impossible). Census per split + the hash-verified
+    zero-leak invariant. See clustering.leakage_safe_split."""
+    from symat_hbase_tools_spark.operators.clustering import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(spark, sf_dir)
+    return leakage_safe_split(docs, pairs)
+
+
 ZORDER_BITS = 8
 
 
@@ -1005,6 +1018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # training-pipeline assembly
     "doc_pack_sequences": doc_pack_sequences,
     "doc_dedup_clusters": doc_dedup_clusters,
+    "doc_leakage_safe_split": doc_leakage_safe_split,
     "doc_contamination": doc_contamination,
     "doc_contamination_overlap": contamination.contamination_overlap_census,
     "bpe_pair_stats": text_analysis.bpe_pair_stats,
@@ -2825,6 +2839,36 @@ ORACLE_SQL: dict[str, str] = {
         SELECT cluster, COUNT(*) AS n_members,
                CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
         FROM labels GROUP BY cluster
+    """,
+    # doc_leakage_safe_split: the same recursive-CTE cluster labels as
+    # doc_dedup_clusters, then the portable md5 split on
+    # coalesce(cluster, doc_id) — the zero-leak boolean is TRUE by
+    # construction (split is cluster-keyed), stated, not assumed
+    "doc_leakage_safe_split": f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        prs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+        edges AS (SELECT d1 AS a, d2 AS b FROM prs
+                  UNION SELECT d2, d1 FROM prs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION
+                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (SELECT a AS node, least(a, MIN(b)) AS cluster
+                   FROM reach GROUP BY a),
+        assigned AS (
+            SELECT d.doc_id, l.cluster,
+                   substr(md5(concat_ws(chr(31), '42',
+                       CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR))), 1, 8) AS hx
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+        ),
+        s AS (SELECT doc_id, cluster,
+                     CASE WHEN hx < '{_md5_cut(0.8)}' THEN 'train'
+                          WHEN hx < '{_md5_cut(0.9)}' THEN 'valid'
+                          ELSE 'test' END AS split
+              FROM assigned)
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(COUNT(cluster) AS BIGINT) AS n_clustered_docs,
+               TRUE AS no_cross_split_pairs
+        FROM s GROUP BY split
     """,
     "bpe_pair_stats": """
         WITH t AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])

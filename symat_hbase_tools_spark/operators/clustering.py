@@ -328,3 +328,79 @@ def dedup_keep_best(
         .filter(F.col("rk") == 1)
         .select(id_col, "cluster", "n_members", quality_col)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    fractions: tuple[float, float] = (0.8, 0.9),
+    seed: int = 42,
+) -> DataFrame:
+    """Train/valid/test split that near-duplicates cannot straddle.
+
+    Hash-splitting documents independently leaks: if A~B are near-dups and
+    A lands in train while B lands in test, the eval set is contaminated
+    by construction. The standard fix (this operator) keys the split hash
+    on the near-dup CLUSTER representative instead of the document — every
+    member of a cluster shares a split key, so cross-split near-dup pairs
+    are structurally impossible; singletons (almost all of a real corpus)
+    key on their own id.
+
+    Split membership is the portable md5 scheme of operators/sampling.py:
+    first 8 hex of md5(seed \\x1f key) against fixed hex cutoffs, so any
+    md5-capable engine re-derives the identical assignment.
+
+    Scale shape: the node->cluster map is dup-cluster-sized (orders of
+    magnitude smaller than the corpus) and broadcast; the corpus-side work
+    is one narrow projection. The leakage audit joins the (small) pair
+    list against the assignment twice and counts cross-split pairs — zero
+    by construction, emitted as a per-row boolean so the invariant is
+    hash-verified rather than assumed.
+
+    Output: one row per split — split, n_docs, n_clustered_docs,
+    no_cross_split_pairs.
+    """
+    from symat_hbase_tools_spark.operators.sampling import _HEX_WIDTH, _md5_cut
+
+    cc = connected_components(pairs)
+    labeled = docs.select(id_col).join(
+        F.broadcast(cc.withColumnRenamed("node", id_col)), id_col, "left"
+    )
+    split_key = F.coalesce(F.col("cluster"), F.col(id_col))
+    hexval = F.substring(
+        F.md5(F.concat_ws("\x1f", F.lit(str(seed)), split_key)), 1, _HEX_WIDTH
+    )
+    lo, hi = fractions
+    split = (
+        F.when(hexval < F.lit(_md5_cut(lo)), F.lit("train"))
+        .when(hexval < F.lit(_md5_cut(hi)), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = labeled.select(
+        F.col(id_col), F.col("cluster"), split.alias("split")
+    )
+    census = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("cluster").alias("n_clustered_docs"),
+    )
+    a1 = assigned.select(F.col(id_col).alias("d1"), F.col("split").alias("s1"))
+    a2 = assigned.select(F.col(id_col).alias("d2"), F.col("split").alias("s2"))
+    leaks = (
+        pairs.join(a1, "d1")
+        .join(a2, "d2")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("s1") != F.col("s2"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_leaks")
+        )
+    )
+    return (
+        census.crossJoin(F.broadcast(leaks))
+        .select(
+            "split",
+            "n_docs",
+            "n_clustered_docs",
+            (F.col("n_leaks") == 0).alias("no_cross_split_pairs"),
+        )
+    )

@@ -287,3 +287,44 @@ def test_contamination_overlap_census_properties(spark):
     flagged = {r["doc_id"] for r in benchmark_contamination(spark, SF_DIR).collect()}
     heavy = {r["doc_id"] for r in census if r["n_overlap"] >= 5}
     assert flagged == heavy
+
+
+def test_leakage_safe_split_property_and_negative_control(spark, documents):
+    """(1) Every near-dup pair lands in ONE split (the operator's whole
+    point); (2) negative control: the naive per-doc hash split DOES leak
+    on the same corpus — proving the invariant is earned by cluster
+    keying, not vacuous."""
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.operators import dedup
+    from symat_hbase_tools_spark.operators.clustering import leakage_safe_split
+    from symat_hbase_tools_spark.operators.sampling import _HEX_WIDTH, _md5_cut
+    from tests.conftest import SF_DIR
+
+    pairs = dedup.ngram_jaccard_pairs(spark, SF_DIR).persist()
+    assert pairs.count() > 0, "corpus must have near-dup pairs for this test"
+
+    out = leakage_safe_split(documents, pairs).collect()
+    assert {r["split"] for r in out} <= {"train", "valid", "test"}
+    assert all(r["no_cross_split_pairs"] for r in out)
+    assert sum(r["n_docs"] for r in out) == documents.count()
+
+    # negative control: naive independent per-doc hashing
+    hexval = F.substring(
+        F.md5(F.concat_ws("\x1f", F.lit("42"), F.col("doc_id"))), 1, _HEX_WIDTH
+    )
+    naive = documents.select(
+        "doc_id",
+        F.when(hexval < F.lit(_md5_cut(0.5)), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    n1 = naive.select(F.col("doc_id").alias("d1"), F.col("split").alias("s1"))
+    n2 = naive.select(F.col("doc_id").alias("d2"), F.col("split").alias("s2"))
+    leaks = (
+        pairs.join(n1, "d1").join(n2, "d2")
+        .filter(F.col("s1") != F.col("s2"))
+        .count()
+    )
+    pairs.unpersist()
+    assert leaks > 0, "naive split should leak on a corpus with near-dups"
