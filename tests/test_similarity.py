@@ -495,3 +495,24 @@ def test_build_ivf_index_small_corpus_degrades_to_fewer_cells(spark, tmp_path):
     queries = load_table(spark, SF_DIR, "embeddings").orderBy("vec_id").limit(7)
     got = similarity.ann_ivf_query(spark, idx, queries, k=3, n_probe=2).collect()
     assert len(got) > 0
+
+
+def test_sqdist_gemm_identity_argsort_parity():
+    """_sqdist_to_centers drops the per-row |x|^2 constant and uses one
+    gemm — per-row argsort over cells must match the naive full squared
+    distance exactly (ties included, stable sort both sides)."""
+    import numpy as np
+
+    from symat_hbase_tools_spark.operators.similarity import _sqdist_to_centers
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        X = rng.standard_normal((50, 8))
+        C = rng.standard_normal((13, 8))
+        if trial % 5 == 0:
+            C[3] = C[7]  # exact duplicate centroids -> distance ties
+        naive = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        fast = _sqdist_to_centers(X, C)
+        assert (
+            naive.argsort(1, kind="stable") == fast.argsort(1, kind="stable")
+        ).all()
