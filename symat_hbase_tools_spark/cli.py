@@ -125,6 +125,31 @@ def main(argv: list[str] | None = None) -> int:
     )
     dd.add_argument("--output", required=True, help="parquet path for survivors")
 
+    dc = sub.add_parser(
+        "decontaminate",
+        help="drop benchmark-contaminated docs and write the clean corpus",
+    )
+    dc.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    dc.add_argument(
+        "--minOverlap",
+        type=int,
+        default=5,
+        help="min shared shingles with the benchmark set to drop a doc",
+    )
+    dc.add_argument(
+        "--benchmarkMod",
+        type=int,
+        default=50,
+        help="benchmark subset = doc_id %% mod == 0 (stand-in for an eval list)",
+    )
+    dc.add_argument(
+        "--method",
+        choices=["exact", "bloom"],
+        default="exact",
+        help="exact shingle join, or bloom bitmap screen + exact verify",
+    )
+    dc.add_argument("--output", required=True, help="parquet path for the clean corpus")
+
     bt = sub.add_parser(
         "bpe-train", help="learn a BPE merge table over the documents corpus"
     )
@@ -286,6 +311,37 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"DOCS_BEFORE={n_before} DOCS_AFTER={n_after} "
                 f"DROPPED={n_before - n_after}"
+            )
+            return 0
+        if args.tool == "decontaminate":
+            from pyspark.sql import functions as F
+
+            from symat_hbase_tools_spark.operators import contamination as ct
+            from symat_hbase_tools_spark.sources.tables import load_table
+
+            docs = load_table(spark, args.sfDir, "documents")
+            n_before = docs.count()
+            fn = (
+                ct.benchmark_contamination
+                if args.method == "exact"
+                else ct.benchmark_contamination_bloom
+            )
+            hits = fn(
+                spark,
+                args.sfDir,
+                min_overlap=args.minOverlap,
+                benchmark_mod=args.benchmarkMod,
+            ).select("doc_id")
+            # the benchmark set itself stays out of the TRAINING corpus too
+            is_bench = F.col("doc_id") % args.benchmarkMod == 0
+            clean = docs.filter(~is_bench).join(hits, "doc_id", "left_anti")
+            clean.write.mode("overwrite").parquet(args.output)
+            n_after = spark.read.parquet(args.output).count()
+            n_bench = docs.filter(is_bench).count()
+            print(
+                f"DOCS_BEFORE={n_before} BENCHMARK_DOCS={n_bench} "
+                f"CONTAMINATED_DROPPED={n_before - n_bench - n_after} "
+                f"DOCS_AFTER={n_after}"
             )
             return 0
         if args.tool == "bpe-train":

@@ -117,3 +117,40 @@ def test_cli_ann_index_build_append_query(spark, tmp_path, capsys):
     for qid, (nid, _) in top.items():
         assert nid == qid - 100000
     assert len(top) == 40
+
+
+def test_cli_decontaminate_writes_clean_corpus(spark, tmp_path, capsys):
+    """decontaminate drops the benchmark subset AND every training doc
+    sharing >= minOverlap shingles with it; the clean corpus must contain
+    no benchmark doc and none of the operator's reported hits, and the
+    bloom screen must produce the identical corpus (no false negatives,
+    exact verify on survivors)."""
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.cli import main
+    from symat_hbase_tools_spark.operators.contamination import (
+        benchmark_contamination,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "clean")
+    rc = main(["decontaminate", "--sfDir", sf, "--output", out])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "DOCS_BEFORE=500" in stdout and "DOCS_AFTER=" in stdout
+
+    clean = spark.read.parquet(out)
+    assert clean.filter(F.col("doc_id") % 50 == 0).count() == 0
+    hits = {r["doc_id"] for r in benchmark_contamination(spark, sf).collect()}
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert not (hits & kept)
+
+    out_bloom = str(tmp_path / "clean_bloom")
+    rc = main(["decontaminate", "--sfDir", sf, "--method", "bloom",
+               "--output", out_bloom])
+    assert rc == 0
+    kept_bloom = {
+        r["doc_id"]
+        for r in spark.read.parquet(out_bloom).select("doc_id").collect()
+    }
+    assert kept_bloom == kept
