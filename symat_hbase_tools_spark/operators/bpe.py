@@ -174,6 +174,14 @@ def learn_check(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataFram
     iterative tail is covered by structural invariants the engine asserts
     as booleans:
 
+    * n_merges_ok — at most ``n_merges`` merges were learned, and at
+      least one was learned exactly when the corpus has a mergeable pair
+      (some word of length >= 2). A short corpus that exhausts its
+      learnable merges early DEGRADES this check instead of failing it —
+      the round-7 form hardcoded the requested count on the oracle side,
+      which falsely failed any corpus with fewer than ``n_merges``
+      learnable merges (and emitted zero oracle rows on an empty corpus
+      against the engine's always-one row);
     * ranks_ok — merge_rank values are exactly 0..n-1;
     * counts_positive — every merge's pair_count > 0;
     * parts_consistent — every multi-character merge operand equals the
@@ -187,6 +195,17 @@ def learn_check(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataFram
         learn_merges(spark, sf_dir, n_merges=n_merges).collect(),
         key=lambda r: r["merge_rank"],
     )
+    # independent of the merge loop: does the corpus contain ANY
+    # mergeable adjacent pair? (limit-1 probe, stops at the first hit)
+    docs = load_table(spark, sf_dir, "documents")
+    has_pair = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .limit(1)
+        .count()
+        > 0
+    )
+    n_merges_ok = len(rows) <= n_merges and (len(rows) >= 1) == has_pair
     ranks_ok = [r["merge_rank"] for r in rows] == list(range(len(rows)))
     counts_positive = all(r["pair_count"] > 0 for r in rows)
     produced: set[str] = set()
@@ -203,14 +222,14 @@ def learn_check(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataFram
                 first["left"] if first else None,
                 first["right"] if first else None,
                 int(first["pair_count"]) if first else 0,
-                len(rows),
+                bool(n_merges_ok),
                 bool(ranks_ok),
                 bool(counts_positive),
                 bool(parts_consistent),
             )
         ],
         "first_left string, first_right string, first_count long, "
-        "n_merges int, ranks_ok boolean, counts_positive boolean, "
+        "n_merges_ok boolean, ranks_ok boolean, counts_positive boolean, "
         "parts_consistent boolean",
     )
 

@@ -1555,7 +1555,14 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
             "n_events",
             F.when(F.col("n_events") <= bound, F.lit(True))
             .otherwise(
-                F.coalesce((est - F.col("n_events")) <= bound, F.lit(False))
+                # both error directions: a Misra-Gries-style lower-bound
+                # count can UNDERestimate, and an arbitrarily low estimate
+                # of a tracked heavy item is just as much a bound breach
+                # as an overestimate — (est - exact) <= bound alone would
+                # pass it
+                F.coalesce(
+                    F.abs(est - F.col("n_events")) <= bound, F.lit(False)
+                )
             )
             .alias("sketch_within_bound"),
         )

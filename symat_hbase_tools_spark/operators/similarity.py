@@ -599,6 +599,13 @@ _CODEBOOK_CACHE: dict[tuple, object] = {}
 _CODEBOOK_CACHE_MAX = 8
 
 
+def _clear_codebook_cache() -> None:
+    """Explicit invalidation hook — tests that rebind ``_emb`` (or any
+    caller that changes the fit input out-of-band) call this instead of
+    relying on the key to notice."""
+    _CODEBOOK_CACHE.clear()
+
+
 def _codebook_cached(spark: SparkSession, sf_dir: str, n_cells: int, seed: int):
     """Memoized ``_fit_codebook`` over the sf_dir embeddings: returns
     (centers, base). Serve-many sessions, recall checks, and bench repeats
@@ -609,13 +616,28 @@ def _codebook_cached(spark: SparkSession, sf_dir: str, n_cells: int, seed: int):
     base = _emb(spark, sf_dir)
     try:
         p = os.path.join(sf_dir, "embeddings.parquet")
-        n = base.count()
+        # CONTENT fingerprint of the fit input, not just its cardinality:
+        # two same-cardinality subsets (a monkeypatched _emb, a future
+        # filter change) must not collide — count alone would serve a
+        # stale codebook silently. One cheap aggregate job; the fit it
+        # saves is minutes of driver BLAS.
+        fp = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold, not sum: order-independent AND overflow-free under
+            # ANSI mode (sum(xxhash64) throws ARITHMETIC_OVERFLOW)
+            F.expr("bit_xor(xxhash64(vec_id))").alias("id_hashsum"),
+            F.min("vec_id").alias("id_min"),
+            F.max("vec_id").alias("id_max"),
+        ).collect()[0]
         # MAX_KMEANS_TRAIN_ROWS is in the key because it changes the fit
         # input (tests patch it; a config change must not serve stale fits)
         key = (
             os.path.abspath(p),
             os.path.getmtime(p),
-            n,
+            fp["n"],
+            fp["id_hashsum"],
+            fp["id_min"],
+            fp["id_max"],
             n_cells,
             seed,
             MAX_KMEANS_TRAIN_ROWS,
@@ -1208,16 +1230,26 @@ _IVF_PROBE_CACHES: list = []
 #: plan-time filter and still applies. Invalidated by build/append IN THIS
 #: process; an external writer requires a fresh session or a manual
 #: _invalidate_ivf_relations — the standard Spark REFRESH TABLE contract.
-_IVF_RELATION_CACHE: dict[str, DataFrame] = {}
+#: Keyed by (applicationId, path): a DataFrame is bound to the session
+#: that created it, so after a stop()/restart (the documented remedy for
+#: an externally rewritten index) a path-only key would keep serving a
+#: dead-session relation and break every query until process restart.
+_IVF_RELATION_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _ivf_relation(spark: SparkSession, index_dir: str, part: str) -> DataFrame:
     import os
 
-    key = os.path.abspath(os.path.join(index_dir, part))
+    path = os.path.abspath(os.path.join(index_dir, part))
+    app = spark.sparkContext.applicationId
+    # a new session means every same-path entry from the old one is dead
+    # weight — drop them so the cache stays bounded across restarts
+    for k in [k for k in _IVF_RELATION_CACHE if k[1] == path and k[0] != app]:
+        _IVF_RELATION_CACHE.pop(k, None)
+    key = (app, path)
     df = _IVF_RELATION_CACHE.get(key)
     if df is None:
-        df = spark.read.parquet(key)
+        df = spark.read.parquet(path)
         _IVF_RELATION_CACHE[key] = df
     return df
 
@@ -1226,7 +1258,7 @@ def _invalidate_ivf_relations(index_dir: str) -> None:
     import os
 
     base = os.path.abspath(index_dir)
-    for key in [k for k in _IVF_RELATION_CACHE if k.startswith(base)]:
+    for key in [k for k in _IVF_RELATION_CACHE if k[1].startswith(base)]:
         _IVF_RELATION_CACHE.pop(key, None)
 
 
@@ -1291,7 +1323,14 @@ def ann_ivf_query(
     # the next query (the CLI / entry paths do), so the released cache is
     # no longer referenced by a live plan.
     while _IVF_PROBE_CACHES:
-        _IVF_PROBE_CACHES.pop().unpersist(blocking=False)
+        prev = _IVF_PROBE_CACHES.pop()
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            # the session that persisted it was stopped — its cached
+            # blocks died with the context; a throw here would wedge
+            # ann_ivf_query in the NEW session until process restart
+            pass
 
     # persist: the probe table is referenced TWICE (the probed-cell
     # collect below and the cogroup) — without it the query scan + probe

@@ -31,6 +31,25 @@ import os
 
 #: env var naming a JSON catalog file mapping logical names to paths
 CATALOG_ENV = "SYMAT_TABLE_CATALOG"
+#: age gate for deleting .inflight-/.replaced- siblings whose owner pid
+#: cannot be liveness-checked (non-local filesystems): generous because
+#: an .inflight- dir legitimately lives for a full table write (hours at
+#: warehouse scale) — a crashed run's leftovers are cleaned on the first
+#: overwrite a day later, which is cheap; deleting a live writer's
+#: in-flight state is data loss
+STALE_SIBLING_AGE_MS = 24 * 3600 * 1000
+
+
+def _pid_alive(pid: int) -> bool:
+    """Is ``pid`` a running process on THIS host? (signal-0 probe; a
+    permission error means it exists, just not ours)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True
+    return True
 #: env var naming the warehouse root for convention-resolved tables
 WAREHOUSE_ENV = "SYMAT_WAREHOUSE"
 DEFAULT_NAMESPACE = "default"
@@ -99,18 +118,45 @@ def overwrite_table_in_place(df, path: str) -> None:
     fs = dest.getFileSystem(hconf)
     tmp = _jp(f"{path}.inflight-{os.getpid()}")
     old = _jp(f"{path}.replaced-{os.getpid()}")
-    # clear STALE siblings from a previous hard-killed run first — for
-    # ANY pid, not just ours: a crashed run under a different pid would
-    # otherwise strand its .replaced- copy of the whole table forever
-    # (doubling storage per crash). These suffixed dirs are only ever
-    # transient artifacts of this function, so deleting them is safe.
-    # Also guards PID recycling: Hadoop rename into an EXISTING directory
-    # nests the source inside it instead of failing — a stale .replaced-
-    # dir would swallow the table and the failure-restore below would
-    # then "restore" the stale wrapper.
+    # clear STALE siblings from a previous hard-killed run first — a
+    # crashed run would otherwise strand its .replaced- copy of the whole
+    # table forever (doubling storage per crash), and a stale dir under a
+    # recycled pid would make Hadoop's rename-into-existing-dir NEST the
+    # table inside it. But "stale" must mean PROVABLY not another live
+    # writer's state: the round-7 any-pid glob-delete could remove a
+    # concurrent overwrite's in-flight temp mid-write, or its .replaced-
+    # backup before its failure-restore rename — data loss. A sibling is
+    # deleted only when
+    #   * its pid suffix is our own pid (no other live process shares it;
+    #     concurrent same-table writes within one process are out of
+    #     contract — they would collide on the same temp path anyway), or
+    #   * the destination is on the LOCAL filesystem and the pid is not a
+    #     running process on this host, or
+    #   * it is older than STALE_SIBLING_AGE_MS (remote filesystems,
+    #     where a pid number proves nothing about a writer on another
+    #     host; a live writer's dirs are minutes old, not a day).
+    import time
+
+    now_ms = int(time.time() * 1000)
+    local_fs = str(fs.getUri().getScheme() or "file") == "file"
     for pattern in (f"{path}.inflight-*", f"{path}.replaced-*"):
         for st in fs.globStatus(_jp(pattern)) or []:
-            fs.delete(st.getPath(), True)
+            name = st.getPath().getName()
+            try:
+                owner_pid: int | None = int(name.rsplit("-", 1)[1])
+            except (IndexError, ValueError):
+                owner_pid = None
+            stale = (
+                owner_pid == os.getpid()
+                or (
+                    owner_pid is not None
+                    and local_fs
+                    and not _pid_alive(owner_pid)
+                )
+                or now_ms - st.getModificationTime() > STALE_SIBLING_AGE_MS
+            )
+            if stale:
+                fs.delete(st.getPath(), True)
     df.write.mode("overwrite").parquet(tmp.toString())
     dest_existed = fs.exists(dest)
     if dest_existed and not fs.rename(dest, old):

@@ -151,9 +151,9 @@ def test_in_place_overwrite_survives_stale_siblings(spark, warehouse):
     df = spark.read.parquet(path)
     n = df.count()
     # simulate the stranded siblings of previous runs — BOTH under this
-    # pid (recycling) and under a different pid (round-6 advisory: a
+    # pid (recycling) and under a different DEAD pid (round-6 advisory: a
     # crashed run under another pid stranded its .replaced- copy forever,
-    # doubling storage per crash; pre-clean must glob ANY pid)
+    # doubling storage per crash; pre-clean must cover any dead pid)
     os.makedirs(f"{path}.replaced-{os.getpid()}/junk", exist_ok=True)
     os.makedirs(f"{path}.inflight-{os.getpid()}", exist_ok=True)
     os.makedirs(f"{path}.replaced-999999/junk", exist_ok=True)
@@ -171,3 +171,52 @@ def test_in_place_overwrite_survives_stale_siblings(spark, warehouse):
     # no leftover siblings
     parent = os.path.dirname(path)
     assert not any(".replaced-" in e or ".inflight-" in e for e in os.listdir(parent))
+
+
+def test_in_place_overwrite_preserves_live_writers_siblings(spark, warehouse):
+    """Round-7 advisory: the stale-sibling pre-clean must NOT delete a
+    LIVE concurrent writer's state — removing its `.inflight-` temp
+    mid-write or its `.replaced-` backup before a failure-restore rename
+    is data loss. A recent sibling owned by a running pid survives the
+    overwrite; an ancient one (past the age gate) is cleaned even when
+    its pid cannot be parsed."""
+    import os
+    import subprocess
+    import time
+
+    from symat_hbase_tools_spark.sources.catalog import (
+        STALE_SIBLING_AGE_MS,
+        overwrite_table_in_place,
+    )
+
+    path = str(warehouse / "prod" / "accounts")
+    df = spark.read.parquet(path)
+    n = df.count()
+    live = subprocess.Popen(["sleep", "60"])
+    live_dir = f"{path}.inflight-{live.pid}"
+    live_backup = f"{path}.replaced-{live.pid}/junk"
+    # unparseable suffix forces the age gate; backdate it past the gate
+    ancient = f"{path}.inflight-unknownhost"
+    try:
+        os.makedirs(live_dir, exist_ok=True)
+        os.makedirs(live_backup, exist_ok=True)
+        os.makedirs(ancient, exist_ok=True)
+        old = time.time() - (STALE_SIBLING_AGE_MS / 1000 + 3600)
+        os.utime(ancient, (old, old))
+
+        overwrite_table_in_place(df.filter(F.col("row").isNotNull()), path)
+
+        assert spark.read.parquet(path).count() == n
+        # the live writer's in-flight temp and backup are untouched
+        assert os.path.isdir(live_dir)
+        assert os.path.isdir(live_backup)
+        # the over-age unparseable sibling was cleaned
+        assert not os.path.exists(ancient)
+    finally:
+        live.kill()
+        live.wait()
+        for d in (live_dir, os.path.dirname(live_backup)):
+            if os.path.exists(d):
+                import shutil
+
+                shutil.rmtree(d)

@@ -516,3 +516,63 @@ def test_sqdist_gemm_identity_argsort_parity():
         assert (
             naive.argsort(1, kind="stable") == fast.argsort(1, kind="stable")
         ).all()
+
+
+def test_ivf_caches_survive_session_identity_changes(spark, tmp_path):
+    """Round-7 advisory: the process-global IVF caches are keyed by path
+    only and hold session-bound objects. A probe cache persisted by a
+    stopped session must not wedge the next ann_ivf_query (unpersist on a
+    dead context throws), and a relation memoized under a previous
+    session's applicationId must be evicted, never served."""
+    import os
+
+    import symat_hbase_tools_spark.operators.similarity as S
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "idx")
+    S.build_ivf_index(spark, SF_DIR, idx, n_cells=4)
+    queries = load_table(spark, SF_DIR, "embeddings").orderBy("vec_id").limit(5)
+
+    class DeadProbeCache:
+        def unpersist(self, blocking=False):
+            raise RuntimeError("Cannot call methods on a stopped SparkContext")
+
+    S._IVF_PROBE_CACHES.append(DeadProbeCache())
+    cent_path = os.path.abspath(os.path.join(idx, "centroids"))
+    dead_key = ("application_from_a_stopped_session", cent_path)
+    S._IVF_RELATION_CACHE[dead_key] = object()  # not a usable DataFrame
+
+    got = S.ann_ivf_query(spark, idx, queries, k=3, n_probe=2).collect()
+
+    assert len(got) > 0
+    assert not S._IVF_PROBE_CACHES or all(
+        not isinstance(c, DeadProbeCache) for c in S._IVF_PROBE_CACHES
+    )
+    assert dead_key not in S._IVF_RELATION_CACHE
+    live_key = (spark.sparkContext.applicationId, cent_path)
+    assert live_key in S._IVF_RELATION_CACHE
+
+
+def test_codebook_cache_distinguishes_same_cardinality_subsets(spark):
+    """Round-7 advisory: the codebook memo keyed on (path, mtime, count)
+    served a stale fit to any same-cardinality subset of the corpus. The
+    content fingerprint (vec_id hashsum/min/max) must split those keys."""
+    import symat_hbase_tools_spark.operators.similarity as S
+
+    from pyspark.sql import functions as F
+
+    full = S._emb(spark, SF_DIR)
+    low = full.orderBy("vec_id").limit(16)
+    high = full.orderBy(F.desc("vec_id")).limit(16)
+
+    real = S._emb
+    try:
+        S._emb = lambda sp, sd: low
+        c_low, _ = S._codebook_cached(spark, SF_DIR, n_cells=4, seed=7)
+        S._emb = lambda sp, sd: high
+        c_high, _ = S._codebook_cached(spark, SF_DIR, n_cells=4, seed=7)
+    finally:
+        S._emb = real
+        S._clear_codebook_cache()
+
+    assert not np.array_equal(np.asarray(c_low), np.asarray(c_high))
