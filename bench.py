@@ -98,6 +98,9 @@ HEADLINE = [
     # round-5: robust-stats + drift data-quality gates
     "orders_price_mad",
     "events_value_drift",
+    # round-8: token-budgeted corpus selection + hard-negative mining
+    "doc_token_budget_select",
+    "embedding_hard_negatives",
 ]
 
 

@@ -1026,6 +1026,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_classifier": text_analysis.quality_classifier,
     "doc_unimax_resample": doc_unimax_resample,
     "doc_dedup_keep_best": doc_dedup_keep_best,
+    # round-8 additions: token-budgeted corpus selection (distributed
+    # ordered prefix sum) and contrastive hard-negative mining (label-
+    # masked exact broadcast-BLAS top-k)
+    "doc_token_budget_select": text_analysis.token_budget_select,
+    "embedding_hard_negatives": similarity.embedding_hard_negatives,
     # ------------------------------------------------------------------
     # entries 51+ — remainder of the surface (driver-verified as budget
     # allows; always covered by tests/test_oracle.py locally)
@@ -1230,9 +1235,13 @@ _DRIVER_WINDOW = [
     # round-5 hash-mismatch fixes (uncast HUGEINT oracles): re-verify green
     "embedding_quantize_int8",
     "docs_jsonl_roundtrip",
-    # relational tail (first-time)
-    "q4_order_priority",
-    "q6_forecast_revenue",
+    # NEW round 8 (seated immediately so they don't end the round
+    # driver-unverified): token-budgeted corpus selection + hard-negative
+    # mining. q4_order_priority / q6_forecast_revenue rotate out as their
+    # family's r6+r7 double-green representatives.
+    "doc_token_budget_select",
+    "embedding_hard_negatives",
+    # relational tail (first-time r6)
     "q7_volume_shipping",
     "q10_returned_items",
     "q12_late_shipment_priorities",
@@ -2341,6 +2350,22 @@ ORACLE_SQL: dict[str, str] = {
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
     """,
+    # hard negatives: the knn oracle shape with the positive mask in the
+    # join condition (q.label <> c.label also drops NULL labels on both
+    # sides, matching the engine's isNotNull filter)
+    "embedding_hard_negatives": """
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) emb
+                   FROM embeddings WHERE label IS NOT NULL)
+        SELECT query_id, negative_id, sim FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+                   round(list_cosine_similarity(q.emb, c.emb), 6) AS sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id
+                   ) AS rk
+            FROM e q JOIN e c ON q.label <> c.label
+        ) WHERE rk <= 5
+    """,
     "pipeline_curated_search": f"""
         WITH kept AS (SELECT doc_id FROM documents WHERE {_NTOK} >= 40),
              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings
@@ -2947,6 +2972,42 @@ ORACLE_SQL: dict[str, str] = {
                wsum / (256.0 * n_tokens) AS score,
                wsum / (256.0 * n_tokens) > 0 AS keep
         FROM agg
+    """,
+    # token-budgeted selection: the quality_classifier score feeds a
+    # greedy prefix under budget = total_tokens div 2 (exact integer —
+    # the running sum and the comparison never touch floats; the score
+    # ORDER is a double but both engines derive it from identical bigint
+    # (wsum, n_tokens) pairs, so the division is bit-identical)
+    "doc_token_budget_select": f"""
+        WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term
+                       FROM documents WHERE trim(text) <> ''),
+        b AS (SELECT doc_id,
+                     CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                          + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 - 128
+                          AS BIGINT) AS wgt
+              FROM (SELECT doc_id,
+                           md5(concat_ws(chr(31), 'cls7', term)) AS h
+                    FROM words)),
+        agg AS (SELECT doc_id, CAST(SUM(wgt) AS BIGINT) AS wsum,
+                       CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM b GROUP BY doc_id),
+        scored AS (SELECT doc_id, n_tokens, wsum,
+                          wsum / (256.0 * n_tokens) AS score
+                   FROM agg),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget
+                FROM scored),
+        ranked AS (SELECT *,
+                          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                              AS sel_rank,
+                          CAST(SUM(n_tokens) OVER (
+                              ORDER BY score DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+                              AS cum_tokens
+                   FROM scored)
+        SELECT doc_id, n_tokens, wsum, score,
+               CAST(sel_rank AS BIGINT) AS sel_rank, cum_tokens
+        FROM ranked CROSS JOIN tot WHERE cum_tokens <= budget
     """,
     "doc_unimax_resample": f"""
         WITH d AS (SELECT source, CAST({_NTOK} AS BIGINT) AS wgt,

@@ -215,6 +215,118 @@ def _brute_topk_one_chunk(
     )
 
 
+def embedding_hard_negatives(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every vector, the ``k`` MOST
+    similar vectors carrying a DIFFERENT label — the standard
+    hard-negative selection step when building contrastive /
+    retrieval-training pairs from a labeled (or pseudo-labeled) corpus
+    (harder negatives = higher training signal than random negatives).
+
+    Exact and deterministic: same broadcast-chunk BLAS shape as
+    ``brute_topk`` (query side broadcast as a normalized float64 matrix,
+    candidates stream through mapInPandas, one matmul per Arrow batch,
+    per-batch top-k, global window merge), with the positive mask applied
+    IN the kernel: same-label pairs get -inf similarity before the
+    top-k, so the per-batch pruning never wastes its k slots on
+    positives. Self-pairs are same-label by definition and fall under the
+    same mask. Rows with a NULL label are excluded on both sides (no
+    label = no positive/negative contract), matching the SQL oracle's
+    ``q.label <> c.label`` null semantics.
+
+    Scale: candidate scan is embarrassingly parallel; above
+    ``MAX_BROADCAST_QUERIES`` the query side splits into deterministic
+    hash chunks exactly like ``brute_topk`` (chunks partition query ids,
+    so per-chunk exact top-k rows union without a cross-chunk merge).
+    """
+    from functools import reduce
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "embedding", "label")
+    )
+    n = e.count()
+    if n > MAX_BROADCAST_QUERIES:
+        n_chunks = -(-n // MAX_BROADCAST_QUERIES)  # ceil
+        chunks = [
+            _hard_neg_one_chunk(
+                spark,
+                e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_chunks)) == i),
+                e,
+                k=k,
+                n_cand=n,
+            )
+            for i in range(n_chunks)
+        ]
+        return reduce(lambda a, b: a.unionByName(b), chunks)
+    return _hard_neg_one_chunk(spark, e, e, k=k, n_cand=n)
+
+
+def _hard_neg_one_chunk(
+    spark: SparkSession,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_cand: int,
+) -> DataFrame:
+    """One exact broadcast-matmul hard-negative pass (same shape as
+    ``_brute_topk_one_chunk`` with the same-label positive mask)."""
+    import numpy as np
+    import pandas as pd
+
+    q_pdf = queries.toPandas().sort_values("vec_id")
+    q_ids = q_pdf["vec_id"].to_numpy()
+    q_labels = q_pdf["label"].to_numpy()
+    q_mat = np.array(q_pdf["embedding"].tolist(), dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_labels, q_mat))
+
+    def topk_per_batch(batches):
+        ids, labels, qm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy()
+            c_labels = pdf["label"].to_numpy()
+            c_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            # query-axis slicing bounds the sims allocation (see
+            # _brute_topk_one_chunk); slices partition the query ids
+            q_step = max(1, (1 << 25) // max(1, len(c_ids)))
+            for lo in range(0, len(ids), q_step):
+                ids_s = ids[lo : lo + q_step]
+                lab_s = labels[lo : lo + q_step]
+                sims = qm[lo : lo + q_step] @ c_mat.T
+                # positives (and self, which shares its own label) out
+                sims[lab_s[:, None] == c_labels[None, :]] = -np.inf
+                kk = min(k, sims.shape[1])
+                top, nbr = _topk_rows(sims, c_ids, kk)
+                keep = np.isfinite(top).ravel()
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids_s, kk)[keep],
+                        "negative_id": nbr.ravel()[keep],
+                        "sim_raw": top.ravel()[keep],
+                    }
+                )
+
+    q_rows = len(q_ids)
+    flops = 2.0 * q_rows * n_cand * DIM
+    dp = spark.sparkContext.defaultParallelism
+    parts = max(2, min(dp, int(flops // 2e9) + 1))
+    sims = candidates.repartition(parts).mapInPandas(
+        topk_per_batch, schema="query_id long, negative_id long, sim_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "negative_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "negative_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
 #: expected vectors per LSH bucket the plane count targets. Bucket work per
 #: probe is O(bucket_size); candidate volume per query ~ probes x bucket
 #: size. 512 (raised from 32, round-5 crossover study): fewer planes =

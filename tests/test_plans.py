@@ -429,3 +429,25 @@ def test_orders_stats_pushdown_is_footer_only(spark):
     # elsewhere depend on it)
     later = relational.q1_pricing_summary(spark, SF_DIR)
     assert "Scan parquet" in plan_string(later, "simple")
+
+
+def test_token_budget_select_no_global_sort_window(spark):
+    from symat_hbase_tools_spark.operators import text_analysis
+
+    plan = _no_single_partition_window(
+        text_analysis.token_budget_select(spark, SF_DIR)
+    )
+    # the ordered prefix sum is range-partitioned; the budget and the
+    # per-partition offsets join back as broadcasts
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_hard_negatives_has_no_cartesian_product(spark):
+    from symat_hbase_tools_spark.operators import similarity
+
+    plan = plan_string(
+        similarity.embedding_hard_negatives(spark, SF_DIR, k=3), "simple"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

