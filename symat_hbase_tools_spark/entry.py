@@ -978,6 +978,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
         spark, sf, threshold=0.4
     ),
+    # round-8: ANN-backed hard negatives (the >1M scale path; rows-only —
+    # plane-seed buckets) with its oracle-paired recall check
+    "embedding_hard_negatives_ann": similarity.embedding_hard_negatives_ann,
+    "hard_negatives_ann_recall_check": similarity.hard_negatives_ann_recall_check,
     "pipeline_curated_search": pipeline.curated_similarity_search,
     # LLM-pipeline surface: text analysis
     "text_lang_id": text_analysis.lang_id,
@@ -2792,6 +2796,11 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_recall_check": """
         SELECT 'lsh' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
         FROM embeddings
+    """,
+    "hard_negatives_ann_recall_check": """
+        SELECT 'lsh+labelmask' AS method, COUNT(*) AS n_queries,
+               TRUE AS recall_ok
+        FROM embeddings WHERE label IS NOT NULL
     """,
     "ann_ivf_recall_check": """
         SELECT 'ivf' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok

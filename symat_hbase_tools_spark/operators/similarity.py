@@ -327,6 +327,94 @@ def _hard_neg_one_chunk(
     )
 
 
+def embedding_hard_negatives_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    overfetch: int = 8,
+) -> DataFrame:
+    """ANN-backed hard negatives — the >1M-vector scale path for
+    ``embedding_hard_negatives`` (whose exact broadcast-BLAS form is the
+    right plan only up to ~1M broadcast queries per pass).
+
+    Pure composition, no new kernel: the LSH top-``k*overfetch``
+    candidate list (bucket-local matmul, one shuffle per side) is
+    label-joined and the same-label rows — the positives — dropped; the
+    ``k`` best survivors per query remain. Overfetch exists because LSH
+    ranks by similarity regardless of label: a query whose nearest
+    overall neighbors are same-label near-dups needs the candidate list
+    deep enough to reach its best different-label rows. Recall vs the
+    exact form is measured and floor-asserted by
+    ``hard_negatives_ann_recall_check``.
+
+    Scale: the label join is a narrow (vec_id, label) projection joined
+    onto candidate rows — a 16-byte-pair shuffle join (or broadcast when
+    the label table fits); candidate volume is n * k * overfetch rows,
+    never n^2.
+    """
+    lab = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "label")
+    )
+    ann = ann_lsh_topk(spark, sf_dir, k=k * overfetch, auto_route=False)
+    q_lab = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    )
+    n_lab = lab.select(
+        F.col("vec_id").alias("negative_id"), F.col("label").alias("_nl")
+    )
+    cand = (
+        ann.withColumnRenamed("neighbor_id", "negative_id")
+        .join(q_lab, "query_id")
+        .join(n_lab, "negative_id")
+        .filter(F.col("_ql") != F.col("_nl"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "negative_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "negative_id", "sim")
+    )
+
+
+#: recall@5 floor hard_negatives_ann_recall_check asserts vs the exact
+#: hard-negative set. Lower than the plain LSH floor by design: hard
+#: negatives sit DEEPER in each query's similarity ranking than the
+#: global top-k (every same-label nearer neighbor pushes them down), and
+#: LSH probe recall decays with rank depth. Measured recall@5 with
+#: overfetch=8: see SCALING.md round 8.
+HARD_NEG_ANN_RECALL_FLOOR = 0.8
+
+
+def hard_negatives_ann_recall_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row bounded-quality check of the ANN hard-negative path vs the
+    exact broadcast-BLAS form (same tolerance-oracle pattern as the
+    ann_*_recall_check family)."""
+    exact = embedding_hard_negatives(spark, sf_dir, k=5)
+    ann = embedding_hard_negatives_ann(spark, sf_dir, k=5)
+    hits = ann.join(exact, ["query_id", "negative_id"], "left_semi")
+    stats = (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_true")))
+        .crossJoin(
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("label").isNotNull())
+            .agg(F.count(F.lit(1)).alias("n_queries"))
+        )
+    )
+    return stats.select(
+        F.lit("lsh+labelmask").alias("method"),
+        F.col("n_queries"),
+        (
+            F.col("n_hits")
+            >= F.lit(HARD_NEG_ANN_RECALL_FLOOR) * F.col("n_true")
+        ).alias("recall_ok"),
+    )
+
+
 #: expected vectors per LSH bucket the plane count targets. Bucket work per
 #: probe is O(bucket_size); candidate volume per query ~ probes x bucket
 #: size. 512 (raised from 32, round-5 crossover study): fewer planes =

@@ -605,3 +605,17 @@ def test_hard_negatives_match_numpy_and_exclude_positives(spark, embeddings):
     assert exact >= 0.99 * len(want)
     for q in want:
         assert set(got[q]) == set(want[q]) or exact
+
+
+def test_hard_negatives_ann_recall_and_label_mask(spark, embeddings):
+    """The ANN hard-negative path must only emit different-label pairs and
+    hold the asserted recall floor vs the exact form (measured 1.0 at
+    sf0.001-0.1 with the default overfetch; floor 0.8)."""
+    pdf = embeddings.toPandas()
+    label_of = dict(zip(pdf["vec_id"].tolist(), pdf["label"].tolist()))
+    out = similarity.embedding_hard_negatives_ann(spark, SF_DIR, k=5).collect()
+    assert out
+    for r in out:
+        assert label_of[r["query_id"]] != label_of[r["negative_id"]]
+    chk = similarity.hard_negatives_ann_recall_check(spark, SF_DIR).collect()
+    assert len(chk) == 1 and chk[0]["recall_ok"]
