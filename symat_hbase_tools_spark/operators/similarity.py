@@ -331,59 +331,56 @@ def embedding_hard_negatives_ann(
     spark: SparkSession,
     sf_dir: str,
     k: int = 5,
-    overfetch: int = 8,
+    auto_route: bool = True,
 ) -> DataFrame:
     """ANN-backed hard negatives — the >1M-vector scale path for
     ``embedding_hard_negatives`` (whose exact broadcast-BLAS form is the
     right plan only up to ~1M broadcast queries per pass).
 
-    Pure composition, no new kernel: the LSH top-``k*overfetch``
-    candidate list (bucket-local matmul, one shuffle per side) is
-    label-joined and the same-label rows — the positives — dropped; the
-    ``k`` best survivors per query remain. Overfetch exists because LSH
-    ranks by similarity regardless of label: a query whose nearest
-    overall neighbors are same-label near-dups needs the candidate list
-    deep enough to reach its best different-label rows. Recall vs the
-    exact form is measured and floor-asserted by
+    The label mask runs INSIDE the LSH bucket kernel (``lsh_topk_df``
+    with ``label_col``): same-label pairs go to -inf before each
+    bucket's local top-k, so all k emitted slots hold usable negatives
+    and the merge volume is identical to a plain LSH top-k. The first
+    cut of this operator overfetched k*8 ANN rows and label-filtered
+    afterwards — 8x the merge rows, and recall still capped by however
+    deep the positives pushed the negatives; kernel masking removes
+    both. Recall vs the exact form is floor-asserted by
     ``hard_negatives_ann_recall_check``.
 
-    Scale: the label join is a narrow (vec_id, label) projection joined
-    onto candidate rows — a 16-byte-pair shuffle join (or broadcast when
-    the label table fits); candidate volume is n * k * overfetch rows,
-    never n^2.
+    auto_route: below ANN_BRUTE_CROSSOVER vectors this routes to the
+    exact broadcast-BLAS form — the same measured crossover logic as
+    ann_lsh_topk (approximate search under ~1M vectors is pure cost).
+    The LSH plan stays reachable via auto_route=False, which is what the
+    recall check exercises.
     """
-    lab = (
+    base = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("label").isNotNull())
-        .select("vec_id", "label")
+        .select(
+            "vec_id", as_double(F.col("embedding")).alias("emb"), "label"
+        )
     )
-    ann = ann_lsh_topk(spark, sf_dir, k=k * overfetch, auto_route=False)
-    q_lab = lab.select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("_ql")
+    n = base.count()
+    if auto_route and n <= ANN_BRUTE_CROSSOVER:
+        return embedding_hard_negatives(spark, sf_dir, k=k)
+    out = lsh_topk_df(
+        base,
+        k=k,
+        num_planes=_adaptive_planes(n),
+        num_tables=8,
+        multiprobe=True,
+        label_col="label",
     )
-    n_lab = lab.select(
-        F.col("vec_id").alias("negative_id"), F.col("label").alias("_nl")
-    )
-    cand = (
-        ann.withColumnRenamed("neighbor_id", "negative_id")
-        .join(q_lab, "query_id")
-        .join(n_lab, "negative_id")
-        .filter(F.col("_ql") != F.col("_nl"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "negative_id")
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "negative_id", "sim")
-    )
+    return out.withColumnRenamed("neighbor_id", "negative_id")
 
 
 #: recall@5 floor hard_negatives_ann_recall_check asserts vs the exact
 #: hard-negative set. Lower than the plain LSH floor by design: hard
 #: negatives sit DEEPER in each query's similarity ranking than the
 #: global top-k (every same-label nearer neighbor pushes them down), and
-#: LSH probe recall decays with rank depth. Measured recall@5 with
-#: overfetch=8: see SCALING.md round 8.
+#: LSH probe recall decays with rank depth. Measured recall@5 with the
+#: kernel label mask: 1.0 at sf0.001/0.01/0.1; see SCALING.md round 8 for
+#: the 200k probe.
 HARD_NEG_ANN_RECALL_FLOOR = 0.8
 
 
@@ -392,9 +389,11 @@ def hard_negatives_ann_recall_check(
 ) -> DataFrame:
     """One-row bounded-quality check of the ANN hard-negative path vs the
     exact broadcast-BLAS form (same tolerance-oracle pattern as the
-    ann_*_recall_check family)."""
+    ann_*_recall_check family). auto_route=False: the check certifies the
+    label-masked LSH plan itself — routed brute would self-compare at
+    recall 1.0 and prove nothing."""
     exact = embedding_hard_negatives(spark, sf_dir, k=5)
-    ann = embedding_hard_negatives_ann(spark, sf_dir, k=5)
+    ann = embedding_hard_negatives_ann(spark, sf_dir, k=5, auto_route=False)
     hits = ann.join(exact, ["query_id", "negative_id"], "left_semi")
     stats = (
         hits.agg(F.count(F.lit(1)).alias("n_hits"))
@@ -514,6 +513,7 @@ def lsh_topk_df(
     num_planes: int = 4,
     num_tables: int = 8,
     multiprobe: bool = True,
+    label_col: str | None = None,
 ) -> DataFrame:
     """LSH top-k over a (vec_id, emb: array<double>) DataFrame — the
     DataFrame-level core of ann_lsh_topk, also the fallback path for
@@ -535,11 +535,25 @@ def lsh_topk_df(
     B's local top-k for that query). The merge dedups/top-ks
     ~n x probes x k 24-byte rows instead of full-array pair rows.
     Candidate-pair FLOPs are unchanged — they were never the problem; the
-    shuffle bytes were."""
+    shuffle bytes were.
+
+    label_col (round 8): carry this column of ``base`` through the
+    bucket stage and mask same-label pairs to -inf INSIDE the kernel —
+    the hard-negative search shape. Every emitted row is already a
+    valid negative, so k stays k (an outer overfetch-then-filter
+    composition multiplied the merge volume by the overfetch factor and
+    still lost recall when a query's nearest m*k rows were all
+    same-label)."""
     import numpy as np
     import pandas as pd
 
-    base = _lsh_buckets_arrow(base, num_planes, num_tables, probes=multiprobe)
+    base = _lsh_buckets_arrow(
+        base,
+        num_planes,
+        num_tables,
+        probes=multiprobe,
+        extra_cols={label_col: "int"} if label_col else None,
+    )
 
     if multiprobe:
         # NB: the tag lambda must take exactly ONE parameter — F.transform
@@ -570,26 +584,38 @@ def lsh_topk_df(
         F.struct(F.lit(t).alias("t"), F.col(f"bucket_{t}").alias("b"))
         for t in range(num_tables)
     ]
+    q_extra = [F.col(label_col).alias("ql")] if label_col else []
+    c_extra = [F.col(label_col).alias("cl")] if label_col else []
     q = base.select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),
+        *q_extra,
         q_probe_col,
     ).select(
-        "query_id", "qe", F.col("bucket.t").alias("t"), F.col("bucket.b").alias("b")
+        "query_id",
+        "qe",
+        *(["ql"] if label_col else []),
+        F.col("bucket.t").alias("t"),
+        F.col("bucket.b").alias("b"),
     )
     c = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("ce"),
+        *c_extra,
         F.explode(F.array(*c_buckets)).alias("bucket"),
     ).select(
-        "neighbor_id", "ce", F.col("bucket.t").alias("t"), F.col("bucket.b").alias("b")
+        "neighbor_id",
+        "ce",
+        *(["cl"] if label_col else []),
+        F.col("bucket.t").alias("t"),
+        F.col("bucket.b").alias("b"),
     )
 
     local = (
         q.groupby("t", "b")
         .cogroup(c.groupby("t", "b"))
         .applyInPandas(
-            _cell_topk_kernel(k),
+            _cell_topk_kernel(k, label_mask=bool(label_col)),
             schema="query_id long, neighbor_id long, sim_raw double",
         )
     )
@@ -617,7 +643,11 @@ H2_DIRECTED_PLANES = 8
 
 
 def _lsh_buckets_arrow(
-    base: DataFrame, num_planes: int, num_tables: int, probes: bool = False
+    base: DataFrame,
+    num_planes: int,
+    num_tables: int,
+    probes: bool = False,
+    extra_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """All (table, bucket) sign-sketch ids in ONE Arrow kernel.
 
@@ -633,10 +663,15 @@ def _lsh_buckets_arrow(
     (Lv et al.'s query-directed multiprobe, rank order collapsed to a
     fixed flip set so the probe list stays a deterministic per-row array).
     Candidate rows never need probes — index one bucket, probe many.
+
+    extra_cols ({name: sql_type}) pass through the kernel untouched —
+    the label-masked hard-negative path carries its label column this
+    way instead of re-joining it onto candidate rows afterwards.
     """
     import numpy as np
     import pandas as pd
 
+    extra_cols = extra_cols or {}
     schema = "vec_id long, emb array<double>, " + ", ".join(
         f"bucket_{t} long" for t in range(num_tables)
     )
@@ -644,6 +679,8 @@ def _lsh_buckets_arrow(
         schema += ", " + ", ".join(
             f"probes_{t} array<long>" for t in range(num_tables)
         )
+    if extra_cols:
+        schema += ", " + ", ".join(f"{c} {t}" for c, t in extra_cols.items())
 
     def gen(batches):
         rng = np.random.default_rng(7)
@@ -676,6 +713,8 @@ def _lsh_buckets_arrow(
                             ^ (np.int64(1) << order[:, b])
                         )
                     out[f"probes_{t}"] = list(np.stack(cols, axis=1))
+            for c in extra_cols:
+                out[c] = pdf[c]
             yield pd.DataFrame(out)
 
     return base.mapInPandas(gen, schema=schema)
@@ -1016,11 +1055,20 @@ def ann_ivf_topk(
     )
 
 
-def _cell_topk_kernel(k: int):
+def _cell_topk_kernel(k: int, label_mask: bool = False):
     """Cogroup kernel: exact cosine of every query in the group against
     every member, per-query local top-k out. Shared by the IVF search and
     (structurally) the LSH bucket kernel — kept separate because the LSH
-    side closes over differently-named columns."""
+    side closes over differently-named columns.
+
+    label_mask=True (round 8, hard-negative mining): the group frames
+    carry ``ql``/``cl`` label columns and same-label pairs are masked to
+    -inf BEFORE the local top-k — so every one of the k slots holds a
+    usable negative. Masking after the fact (an overfetched top-k*m then
+    a label filter) multiplies the merge volume m-fold and still loses
+    recall whenever a query's m*k nearest are all same-label; masking
+    inside the kernel costs one numpy comparison per pair that the
+    matmul already paid for."""
     import numpy as np
     import pandas as pd
 
@@ -1039,6 +1087,10 @@ def _cell_topk_kernel(k: int):
         cm /= np.linalg.norm(cm, axis=1, keepdims=True)
         sims = qm @ cm.T
         sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
+        if label_mask:
+            q_lab = qpdf["ql"].to_numpy()
+            c_lab = cpdf["cl"].to_numpy()
+            sims[q_lab[:, None] == c_lab[None, :]] = -np.inf
         kk = min(k, sims.shape[1])
         # deterministic local truncation by (-sim, neighbor_id) — matches
         # the brute kernel; a boundary tie dropped HERE could never be

@@ -608,14 +608,31 @@ def test_hard_negatives_match_numpy_and_exclude_positives(spark, embeddings):
 
 
 def test_hard_negatives_ann_recall_and_label_mask(spark, embeddings):
-    """The ANN hard-negative path must only emit different-label pairs and
-    hold the asserted recall floor vs the exact form (measured 1.0 at
-    sf0.001-0.1 with the default overfetch; floor 0.8)."""
+    """The label-masked LSH hard-negative plan (auto_route=False — the
+    routed default is the exact form below the crossover) must only emit
+    different-label pairs and hold the asserted recall floor vs the exact
+    form (measured 1.0 at sf0.001-0.1; floor 0.8)."""
     pdf = embeddings.toPandas()
     label_of = dict(zip(pdf["vec_id"].tolist(), pdf["label"].tolist()))
-    out = similarity.embedding_hard_negatives_ann(spark, SF_DIR, k=5).collect()
+    out = similarity.embedding_hard_negatives_ann(
+        spark, SF_DIR, k=5, auto_route=False
+    ).collect()
     assert out
     for r in out:
         assert label_of[r["query_id"]] != label_of[r["negative_id"]]
     chk = similarity.hard_negatives_ann_recall_check(spark, SF_DIR).collect()
     assert len(chk) == 1 and chk[0]["recall_ok"]
+
+
+def test_hard_negatives_ann_routes_to_exact_below_crossover(spark):
+    """Below ANN_BRUTE_CROSSOVER the default plan IS the exact label-masked
+    brute force — result sets must be identical."""
+    routed = {
+        (r["query_id"], r["negative_id"], r["sim"])
+        for r in similarity.embedding_hard_negatives_ann(spark, SF_DIR, k=5).collect()
+    }
+    exact = {
+        (r["query_id"], r["negative_id"], r["sim"])
+        for r in similarity.embedding_hard_negatives(spark, SF_DIR, k=5).collect()
+    }
+    assert routed == exact
