@@ -174,6 +174,26 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--sfDir", default="/root/testdata/sf0.001")
     ch.add_argument("--output", required=True, help="parquet path for chunk census")
 
+    se = sub.add_parser(
+        "select",
+        help="write the token-budgeted training corpus (greedy quality "
+        "prefix under budget = total_tokens * num/den)",
+    )
+    se.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    se.add_argument("--budgetNum", type=int, default=1, help="budget numerator")
+    se.add_argument("--budgetDen", type=int, default=2, help="budget denominator")
+    se.add_argument("--output", required=True, help="parquet path for selected docs")
+
+    mn = sub.add_parser(
+        "mine-negatives",
+        help="write contrastive hard negatives: top-k most-similar "
+        "different-label vectors per query (exact below 1M vectors, "
+        "label-masked LSH above)",
+    )
+    mn.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    mn.add_argument("--k", type=int, default=5)
+    mn.add_argument("--output", required=True, help="parquet path for (query_id, negative_id, sim)")
+
     ai = sub.add_parser(
         "ann-index",
         help="build / append to / query a persisted IVF ANN index "
@@ -390,6 +410,44 @@ def main(argv: list[str] | None = None) -> int:
             n_chunks = out.count()
             n_docs = out.select("doc_id").distinct().count()
             print(f"DOCS={n_docs} CHUNKS={n_chunks}")
+            return 0
+        if args.tool == "select":
+            from pyspark.sql import functions as F
+
+            from symat_hbase_tools_spark.operators import text_analysis
+            from symat_hbase_tools_spark.sources.tables import load_table
+
+            sel = text_analysis.token_budget_select(
+                spark,
+                args.sfDir,
+                budget_num=args.budgetNum,
+                budget_den=args.budgetDen,
+            )
+            # write the selected DOCUMENTS (the training corpus), with the
+            # selection metadata alongside for provenance
+            docs = load_table(spark, args.sfDir, "documents")
+            kept = docs.join(
+                sel.select("doc_id", "score", "sel_rank", "cum_tokens"), "doc_id"
+            )
+            kept.write.mode("overwrite").parquet(args.output)
+            out = spark.read.parquet(args.output)
+            n_total = docs.count()
+            n_kept = out.count()
+            tok_kept = sel.agg(F.sum("n_tokens")).collect()[0][0] or 0
+            print(
+                f"DOCS_TOTAL={n_total} DOCS_SELECTED={n_kept} "
+                f"TOKENS_SELECTED={tok_kept}"
+            )
+            return 0
+        if args.tool == "mine-negatives":
+            from symat_hbase_tools_spark.operators import similarity as S
+
+            negs = S.embedding_hard_negatives_ann(spark, args.sfDir, k=args.k)
+            negs.write.mode("overwrite").parquet(args.output)
+            out = spark.read.parquet(args.output)
+            n_pairs = out.count()
+            n_queries = out.select("query_id").distinct().count()
+            print(f"QUERIES={n_queries} NEGATIVE_PAIRS={n_pairs}")
             return 0
         if args.tool == "ann-index":
             from symat_hbase_tools_spark.operators import similarity as S

@@ -1245,9 +1245,11 @@ _DRIVER_WINDOW = [
     # family's r6+r7 double-green representatives.
     "doc_token_budget_select",
     "embedding_hard_negatives",
+    # the ANN path's recall certificate (q10_returned_items rotates out,
+    # r6+r7 double-green)
+    "hard_negatives_ann_recall_check",
     # relational tail (first-time r6)
     "q7_volume_shipping",
-    "q10_returned_items",
     "q12_late_shipment_priorities",
     "q15_top_supplier",
     "q18_large_volume_customers",

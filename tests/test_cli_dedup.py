@@ -154,3 +154,41 @@ def test_cli_decontaminate_writes_clean_corpus(spark, tmp_path, capsys):
         for r in spark.read.parquet(out_bloom).select("doc_id").collect()
     }
     assert kept_bloom == kept
+
+
+def test_cli_select_writes_budgeted_corpus(spark, tmp_path, capsys):
+    """`select` writes exactly the token_budget_select survivors, joined
+    back to their document rows, with the provenance columns."""
+    from symat_hbase_tools_spark.operators.text_analysis import (
+        token_budget_select,
+    )
+
+    out = str(tmp_path / "selected")
+    rc = main(["select", "--sfDir", SF_DIR, "--output", out])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "DOCS_SELECTED=" in printed and "TOKENS_SELECTED=" in printed
+
+    want = {r["doc_id"] for r in token_budget_select(spark, SF_DIR).collect()}
+    got_df = spark.read.parquet(out)
+    got = {r["doc_id"] for r in got_df.select("doc_id").collect()}
+    assert got == want
+    assert {"text", "score", "sel_rank", "cum_tokens"} <= set(got_df.columns)
+
+
+def test_cli_mine_negatives_writes_pairs(spark, tmp_path, capsys):
+    """`mine-negatives` writes the hard-negative pairs (routed exact at
+    this scale) — k rows per labeled query, no same-label pair."""
+    out = str(tmp_path / "negs")
+    rc = main(["mine-negatives", "--sfDir", SF_DIR, "--k", "3", "--output", out])
+    assert rc == 0
+    assert "NEGATIVE_PAIRS=" in capsys.readouterr().out
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "label")
+    label_of = {r["vec_id"]: r["label"] for r in emb.collect()}
+    rows = spark.read.parquet(out).collect()
+    per_q: dict = {}
+    for r in rows:
+        assert label_of[r["query_id"]] != label_of[r["negative_id"]]
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert per_q and all(v <= 3 for v in per_q.values())
