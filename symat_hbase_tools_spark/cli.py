@@ -192,6 +192,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     mn.add_argument("--sfDir", default="/root/testdata/sf0.001")
     mn.add_argument("--k", type=int, default=5)
+    mn.add_argument(
+        "--indexDir",
+        default=None,
+        help="mine against a persisted label-bearing IVF index instead of "
+        "recomputing (the build-once/serve-many shape)",
+    )
+    mn.add_argument(
+        "--vectors",
+        default=None,
+        help="indexed mining: parquet (or ns:table) of query "
+        "(vec_id, embedding, label); default = the sfDir embeddings",
+    )
+    mn.add_argument(
+        "--nProbe", type=int, default=None,
+        help="indexed mining: cells probed per query (default cells/4)",
+    )
     mn.add_argument("--output", required=True, help="parquet path for (query_id, negative_id, sim)")
 
     ai = sub.add_parser(
@@ -440,9 +456,29 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
         if args.tool == "mine-negatives":
+            import os as _os
+
             from symat_hbase_tools_spark.operators import similarity as S
 
-            negs = S.embedding_hard_negatives_ann(spark, args.sfDir, k=args.k)
+            # NB: resolve_table is the MODULE-level import (line 36); a
+            # local re-import here would shadow it for the whole function
+            # and break the ann-index branch with UnboundLocalError
+            if args.indexDir:
+                if args.vectors:
+                    queries = spark.read.parquet(resolve_table(args.vectors))
+                else:
+                    queries = spark.read.parquet(
+                        _os.path.join(args.sfDir, "embeddings.parquet")
+                    )
+                n_cells = spark.read.parquet(
+                    f"{args.indexDir}/centroids"
+                ).count()
+                n_probe = args.nProbe or max(1, n_cells // 4)
+                negs = S.ann_ivf_query_negatives(
+                    spark, args.indexDir, queries, k=args.k, n_probe=n_probe
+                )
+            else:
+                negs = S.embedding_hard_negatives_ann(spark, args.sfDir, k=args.k)
             negs.write.mode("overwrite").parquet(args.output)
             out = spark.read.parquet(args.output)
             n_pairs = out.count()

@@ -912,19 +912,27 @@ def _sqdist_to_centers(X, C):
     return -2.0 * (X @ C.T) + (C**2).sum(1)[None, :]
 
 
-def _cell_assign(df: DataFrame, bc, n_assign: int) -> DataFrame:
+def _cell_assign(
+    df: DataFrame, bc, n_assign: int, extra_cols: dict[str, str] | None = None
+) -> DataFrame:
     """Arrow-batched spilled assignment: each (vec_id, emb) row lands in its
     ``n_assign`` nearest codebook cells (broadcast centroid matrix ``bc``).
     Narrow map stage — one gemm per Arrow batch; the input is fanned OUT to
     its bytes-proportional task count first (a 550 MB single-file corpus
     otherwise funnels the whole kernel through 2-4 parquet splits — the 2M
     index build measured 22 min on 2 effective tasks; fanout never
-    coalesces, so a many-split 100 TB source is untouched)."""
+    coalesces, so a many-split 100 TB source is untouched).
+
+    extra_cols ({name: sql_type}) ride through untouched (repeated per
+    spilled copy) — the label-bearing index carries its label this way."""
     import numpy as np
 
     from symat_hbase_tools_spark.plans.partitioning import fanout as _fanout
 
-    df = _fanout(df.sparkSession, df.select("vec_id", "emb"))
+    extra_cols = extra_cols or {}
+    df = _fanout(
+        df.sparkSession, df.select("vec_id", "emb", *extra_cols.keys())
+    )
 
     def gen(batches):
         import pandas as pd
@@ -936,17 +944,19 @@ def _cell_assign(df: DataFrame, bc, n_assign: int) -> DataFrame:
             E = np.array(pdf["emb"].tolist(), dtype=np.float64)
             d = _sqdist_to_centers(E, C)
             cells = np.argsort(d, axis=1, kind="stable")[:, :n_assign]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].repeat(n_assign),
-                    "emb": pdf["emb"].repeat(n_assign),
-                    "cell": cells.ravel(),
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"].repeat(n_assign),
+                "emb": pdf["emb"].repeat(n_assign),
+                "cell": cells.ravel(),
+            }
+            for c in extra_cols:
+                out[c] = pdf[c].repeat(n_assign)
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        gen, schema="vec_id long, emb array<double>, cell int"
-    )
+    schema = "vec_id long, emb array<double>, cell int"
+    if extra_cols:
+        schema += ", " + ", ".join(f"{c} {t}" for c, t in extra_cols.items())
+    return df.mapInPandas(gen, schema=schema)
 
 
 def ann_ivf_topk(
@@ -1398,6 +1408,12 @@ def build_ivf_index(
     round-6 numpy-Lloyd codebook).
     Disk-for-recall is usually the right trade for a SERVING index; the
     default stays 1 so append-path assignment parity (argmin) holds.
+
+    Round 8: when the source embeddings carry a ``label`` column it is
+    stored alongside each assignment row (4 bytes/row), which is what
+    lets ``ann_ivf_query_negatives`` serve label-masked hard-negative
+    mining straight off the index — no join back to the corpus at query
+    time. Label-less sources build the old schema unchanged.
     """
     import numpy as np
     import pandas as pd
@@ -1411,8 +1427,18 @@ def build_ivf_index(
         pd.DataFrame({"cell": range(len(centers)), "centroid": centers.tolist()})
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     bc = spark.sparkContext.broadcast(centers)
+    raw = load_table(spark, sf_dir, "embeddings")
+    extra = {"label": "int"} if "label" in raw.columns else None
+    if extra:
+        # _emb drops label (most callers never need it); rebuild the
+        # assignment input with it — tests that monkeypatch _emb to a
+        # subset keep working because with_vec IS the patched frame and
+        # the label rejoin is keyed on its vec_ids
+        with_vec = with_vec.join(
+            raw.select("vec_id", "label"), "vec_id", "left"
+        )
     (
-        _cell_assign(with_vec, bc, n_assign)
+        _cell_assign(with_vec, bc, n_assign, extra_cols=extra)
         # repartition on cell BEFORE the dynamic-partition write: a scan
         # with few input splits otherwise funnels the whole index through
         # one or two writer tasks routing rows across n_cells directories
@@ -1454,11 +1480,28 @@ def ivf_index_append(
     cent = _ivf_relation(spark, index_dir, "centroids").orderBy("cell").collect()
     C = np.array([r["centroid"] for r in cent], dtype=np.float64)
     bc = spark.sparkContext.broadcast(C)
-    vecs = new_vectors.select(
-        "vec_id", as_double(F.col("embedding")).alias("emb")
+    # align the label column with the EXISTING index schema: a
+    # label-bearing index appends labels (null when the batch lacks
+    # them — those rows serve plain queries but are invisible to
+    # label-masked mining); a label-less index drops any batch labels so
+    # every assignment file keeps one schema and reads need no merge
+    index_has_label = "label" in (
+        _ivf_relation(spark, index_dir, "assignments").columns
     )
+    sel = ["vec_id", as_double(F.col("embedding")).alias("emb")]
+    extra = None
+    if index_has_label:
+        extra = {"label": "int"}
+        sel.append(
+            (
+                F.col("label") if "label" in new_vectors.columns else F.lit(None)
+            )
+            .cast("int")
+            .alias("label")
+        )
+    vecs = new_vectors.select(*sel)
     (
-        _cell_assign(vecs, bc, n_assign)
+        _cell_assign(vecs, bc, n_assign, extra_cols=extra)
         # same pre-write cell repartition as build_ivf_index (parallel
         # writers, whole files per directory)
         .repartition("cell")
@@ -1620,6 +1663,120 @@ def ann_ivf_query(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+def ann_ivf_query_negatives(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Hard-negative mining against a PERSISTED label-bearing IVF index —
+    the build-once/serve-many shape of ``embedding_hard_negatives``: for
+    each (vec_id, embedding, label) query row, the top-k most-similar
+    indexed vectors with a DIFFERENT label, reading only the probed
+    ``cell=N/`` directories.
+
+    Same plan as ``ann_ivf_query`` (broadcast centroids → per-query probe
+    list → static partition pruning → cell-local matmul), with the query
+    label riding the probe table and the index label riding the
+    assignment rows, so the same-label mask runs INSIDE the cell kernel
+    (see _cell_topk_kernel / the round-8 LSH lesson: post-hoc label
+    filtering overfetches and still loses recall). Null-label index rows
+    (e.g. appended from a label-less batch) are excluded from the
+    candidate side, mirroring the exact form's labeled-only contract.
+
+    Requires an index built (or appended) from a label-bearing source —
+    raises ValueError on a label-less index rather than silently mining
+    positives.
+    """
+    import numpy as np
+
+    assigned_rel = _ivf_relation(spark, index_dir, "assignments")
+    if "label" not in assigned_rel.columns:
+        raise ValueError(
+            f"index at {index_dir} carries no label column; rebuild from a "
+            "label-bearing embeddings source to mine hard negatives"
+        )
+    cent = (
+        _ivf_relation(spark, index_dir, "centroids").orderBy("cell").collect()
+    )
+    C = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(C)
+
+    def probes_for(batches):
+        import pandas as pd
+
+        cmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["qe"].tolist(), dtype=np.float64)
+            d = _sqdist_to_centers(Q, cmat)
+            probes = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].repeat(n_probe),
+                    "qe": pdf["qe"].repeat(n_probe),
+                    "ql": pdf["ql"].repeat(n_probe),
+                    "cell": probes.ravel(),
+                }
+            )
+
+    from pyspark import StorageLevel
+
+    while _IVF_PROBE_CACHES:
+        prev = _IVF_PROBE_CACHES.pop()
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass
+
+    q = (
+        queries.filter(F.col("label").isNotNull())
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double(F.col("embedding")).alias("qe"),
+            F.col("label").cast("int").alias("ql"),
+        )
+        .mapInPandas(
+            probes_for,
+            schema="query_id long, qe array<double>, ql int, cell int",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _IVF_PROBE_CACHES.append(q)
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    assigned = (
+        assigned_rel.filter(F.col("cell").isin(probed))
+        .filter(F.col("label").isNotNull())
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("emb").alias("ce"),
+            F.col("label").cast("int").alias("cl"),
+            "cell",
+        )
+    )
+    local = (
+        q.groupby("cell")
+        .cogroup(assigned.groupby("cell"))
+        .applyInPandas(
+            _cell_topk_kernel(k, label_mask=True),
+            schema="query_id long, neighbor_id long, sim_raw double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        local.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("negative_id"),
+            F.round("sim_raw", 6).alias("sim"),
+        )
     )
 
 

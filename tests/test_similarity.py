@@ -636,3 +636,71 @@ def test_hard_negatives_ann_routes_to_exact_below_crossover(spark):
         for r in similarity.embedding_hard_negatives(spark, SF_DIR, k=5).collect()
     }
     assert routed == exact
+
+
+def test_indexed_hard_negatives_full_probe_equals_exact(spark, tmp_path):
+    """A label-bearing IVF index probed EXHAUSTIVELY (n_probe = n_cells)
+    must reproduce the exact hard-negative set bit-for-bit — partition
+    pruning and the in-kernel mask change cost, never answers. A
+    label-less appended batch serves plain queries but stays invisible
+    to mining (null labels are excluded candidates)."""
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "lbl_idx")
+    similarity.build_ivf_index(spark, SF_DIR, idx, n_cells=8)
+    assigned = spark.read.parquet(f"{idx}/assignments")
+    assert "label" in assigned.columns
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = {
+        (r["query_id"], r["negative_id"], r["sim"])
+        for r in similarity.ann_ivf_query_negatives(
+            spark, idx, emb, k=5, n_probe=8
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["negative_id"], r["sim"])
+        for r in similarity.embedding_hard_negatives(spark, SF_DIR, k=5).collect()
+    }
+    assert got == exact
+
+    # label-less append: rows land in the index with a NULL label …
+    batch = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    ).limit(20)
+    similarity.ivf_index_append(spark, idx, batch)
+    appended = spark.read.parquet(f"{idx}/assignments").filter(
+        F.col("vec_id") >= 1_000_000
+    )
+    assert appended.count() == 20
+    assert appended.filter(F.col("label").isNotNull()).count() == 0
+    # … and mining still returns exactly the labeled-only answer
+    again = {
+        (r["query_id"], r["negative_id"], r["sim"])
+        for r in similarity.ann_ivf_query_negatives(
+            spark, idx, emb, k=5, n_probe=8
+        ).collect()
+    }
+    assert again == exact
+
+
+def test_indexed_hard_negatives_requires_label_column(spark, tmp_path):
+    """Mining against a label-less index must refuse loudly, not silently
+    return positives."""
+    import pytest as _pytest
+
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "nolbl_idx")
+    similarity.build_ivf_index(spark, SF_DIR, idx, n_cells=4)
+    # strip the label column to simulate a label-less index
+    a = spark.read.parquet(f"{idx}/assignments").select("vec_id", "emb", "cell")
+    a.write.mode("overwrite").parquet(f"{idx}2/assignments")
+    spark.read.parquet(f"{idx}/centroids").write.mode("overwrite").parquet(
+        f"{idx}2/centroids"
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with _pytest.raises(ValueError, match="no label column"):
+        similarity.ann_ivf_query_negatives(spark, f"{idx}2", emb, k=3, n_probe=2)
