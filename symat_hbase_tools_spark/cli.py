@@ -463,6 +463,16 @@ def main(argv: list[str] | None = None) -> int:
             # NB: resolve_table is the MODULE-level import (line 36); a
             # local re-import here would shadow it for the whole function
             # and break the ann-index branch with UnboundLocalError
+            if not args.indexDir and (args.vectors or args.nProbe):
+                # corpus-wide mining has no query file / probe knob —
+                # silently mining the default corpus for the wrong
+                # vectors would "succeed" with the wrong answer
+                print(
+                    "error: --vectors/--nProbe require --indexDir "
+                    "(indexed mining)",
+                    file=sys.stderr,
+                )
+                return 1
             if args.indexDir:
                 if args.vectors:
                     queries = spark.read.parquet(resolve_table(args.vectors))

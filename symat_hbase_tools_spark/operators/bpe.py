@@ -205,7 +205,13 @@ def learn_check(spark: SparkSession, sf_dir: str, n_merges: int = 8) -> DataFram
         .count()
         > 0
     )
-    n_merges_ok = len(rows) <= n_merges and (len(rows) >= 1) == has_pair
+    # >=1 merge is expected iff the corpus has a pair AND at least one
+    # merge was requested — n_merges=0 on a pair-bearing corpus is a
+    # caller choice, not an engine failure
+    n_merges_ok = (
+        len(rows) <= n_merges
+        and (len(rows) >= 1) == (has_pair and n_merges > 0)
+    )
     ranks_ok = [r["merge_rank"] for r in rows] == list(range(len(rows)))
     counts_positive = all(r["pair_count"] > 0 for r in rows)
     produced: set[str] = set()

@@ -31,6 +31,23 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
 
 
+def _require_integral_label(df: DataFrame, who: str) -> None:
+    """The label-masked ANN/IVF paths carry labels through Arrow kernels
+    typed ``int``; silently ``cast("int")``-ing a string label would turn
+    every label NULL and disable the positive mask — the masked search
+    would then quietly return positives. Refuse loudly instead."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    t = df.schema["label"].dataType
+    if not isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{who} requires an integral label column, got "
+            f"{t.simpleString()}: integer-encode labels first (a non-int "
+            "label would cast to NULL and silently disable the same-label "
+            "mask)"
+        )
+
+
 # Hard ceiling on the number of query vectors brute_topk will collect and
 # broadcast. 1M x 64 dims x 8 bytes = ~0.5 GiB broadcast — the upper edge of
 # sane. Above it the query side is NOT "a handful of items to look up", it's
@@ -87,6 +104,7 @@ def brute_topk(
     k: int = 5,
     max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
     n_queries: int | None = None,
+    label_mask: bool = False,
 ) -> DataFrame:
     """Exact brute-force cosine top-k over a (vec_id, embedding) DataFrame.
 
@@ -131,11 +149,14 @@ def brute_topk(
                 e,
                 k=k,
                 n_cand=n_queries,
+                label_mask=label_mask,
             )
             for i in range(n_chunks)
         ]
         return reduce(lambda a, b: a.unionByName(b), chunks)
-    return _brute_topk_one_chunk(spark, e, e, k=k, n_cand=n_queries)
+    return _brute_topk_one_chunk(
+        spark, e, e, k=k, n_cand=n_queries, label_mask=label_mask
+    )
 
 
 def _brute_topk_one_chunk(
@@ -144,26 +165,34 @@ def _brute_topk_one_chunk(
     candidates: DataFrame,
     k: int,
     n_cand: int | None = None,
+    label_mask: bool = False,
 ) -> DataFrame:
     """One exact broadcast-matmul pass: ``queries`` (bounded, collected and
     broadcast as a normalized float64 matrix) against every ``candidates``
-    row. See ``brute_topk`` for the full pattern description."""
+    row. See ``brute_topk`` for the full pattern description.
+
+    label_mask=True (hard-negative mining): both frames carry ``label``
+    and same-label pairs go to -inf before the per-batch top-k — one
+    kernel for both searches so memory-bound/tie-break fixes can never
+    drift between them."""
     import numpy as np
     import pandas as pd
 
     e = candidates
     q_pdf = queries.toPandas().sort_values("vec_id")
     q_ids = q_pdf["vec_id"].to_numpy()
+    q_labels = q_pdf["label"].to_numpy() if label_mask else None
     q_mat = np.array(q_pdf["embedding"].tolist(), dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+    bc = spark.sparkContext.broadcast((q_ids, q_labels, q_mat))
 
     def topk_per_batch(batches):
-        ids, qm = bc.value
+        ids, labels, qm = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
             c_ids = pdf["vec_id"].to_numpy()
+            c_labels = pdf["label"].to_numpy() if label_mask else None
             c_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
             # the sims matrix is (n_queries x batch) — at 200k broadcast
@@ -177,6 +206,10 @@ def _brute_topk_one_chunk(
                 sims = qm[lo : lo + q_step] @ c_mat.T  # (slice, batch)
                 # self-matches out
                 sims[ids_s[:, None] == c_ids[None, :]] = -np.inf
+                if label_mask:
+                    # positives out (self shares its own label anyway)
+                    lab_s = labels[lo : lo + q_step]
+                    sims[lab_s[:, None] == c_labels[None, :]] = -np.inf
                 kk = min(k, sims.shape[1])
                 # fully vectorized top-k (no per-query Python loop — at 10^6
                 # broadcast queries the loop itself would dominate); the
@@ -224,106 +257,23 @@ def embedding_hard_negatives(
     retrieval-training pairs from a labeled (or pseudo-labeled) corpus
     (harder negatives = higher training signal than random negatives).
 
-    Exact and deterministic: same broadcast-chunk BLAS shape as
-    ``brute_topk`` (query side broadcast as a normalized float64 matrix,
-    candidates stream through mapInPandas, one matmul per Arrow batch,
-    per-batch top-k, global window merge), with the positive mask applied
-    IN the kernel: same-label pairs get -inf similarity before the
-    top-k, so the per-batch pruning never wastes its k slots on
-    positives. Self-pairs are same-label by definition and fall under the
-    same mask. Rows with a NULL label are excluded on both sides (no
-    label = no positive/negative contract), matching the SQL oracle's
-    ``q.label <> c.label`` null semantics.
-
-    Scale: candidate scan is embarrassingly parallel; above
-    ``MAX_BROADCAST_QUERIES`` the query side splits into deterministic
-    hash chunks exactly like ``brute_topk`` (chunks partition query ids,
-    so per-chunk exact top-k rows union without a cross-chunk merge).
+    Exact and deterministic: this IS ``brute_topk`` (broadcast-chunk
+    BLAS, query-axis slicing, FLOP-sized task count, hash-chunking above
+    the 1M broadcast gate) with ``label_mask=True`` — the same-label
+    positive mask runs inside the shared kernel, so the per-batch
+    pruning never wastes its k slots on positives and any future fix to
+    the brute kernel applies to both searches. Rows with a NULL label
+    are excluded on both sides (no label = no positive/negative
+    contract), matching the SQL oracle's ``q.label <> c.label`` null
+    semantics.
     """
-    from functools import reduce
-
     e = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("label").isNotNull())
         .select("vec_id", "embedding", "label")
     )
-    n = e.count()
-    if n > MAX_BROADCAST_QUERIES:
-        n_chunks = -(-n // MAX_BROADCAST_QUERIES)  # ceil
-        chunks = [
-            _hard_neg_one_chunk(
-                spark,
-                e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_chunks)) == i),
-                e,
-                k=k,
-                n_cand=n,
-            )
-            for i in range(n_chunks)
-        ]
-        return reduce(lambda a, b: a.unionByName(b), chunks)
-    return _hard_neg_one_chunk(spark, e, e, k=k, n_cand=n)
-
-
-def _hard_neg_one_chunk(
-    spark: SparkSession,
-    queries: DataFrame,
-    candidates: DataFrame,
-    k: int,
-    n_cand: int,
-) -> DataFrame:
-    """One exact broadcast-matmul hard-negative pass (same shape as
-    ``_brute_topk_one_chunk`` with the same-label positive mask)."""
-    import numpy as np
-    import pandas as pd
-
-    q_pdf = queries.toPandas().sort_values("vec_id")
-    q_ids = q_pdf["vec_id"].to_numpy()
-    q_labels = q_pdf["label"].to_numpy()
-    q_mat = np.array(q_pdf["embedding"].tolist(), dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((q_ids, q_labels, q_mat))
-
-    def topk_per_batch(batches):
-        ids, labels, qm = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            c_ids = pdf["vec_id"].to_numpy()
-            c_labels = pdf["label"].to_numpy()
-            c_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-            # query-axis slicing bounds the sims allocation (see
-            # _brute_topk_one_chunk); slices partition the query ids
-            q_step = max(1, (1 << 25) // max(1, len(c_ids)))
-            for lo in range(0, len(ids), q_step):
-                ids_s = ids[lo : lo + q_step]
-                lab_s = labels[lo : lo + q_step]
-                sims = qm[lo : lo + q_step] @ c_mat.T
-                # positives (and self, which shares its own label) out
-                sims[lab_s[:, None] == c_labels[None, :]] = -np.inf
-                kk = min(k, sims.shape[1])
-                top, nbr = _topk_rows(sims, c_ids, kk)
-                keep = np.isfinite(top).ravel()
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(ids_s, kk)[keep],
-                        "negative_id": nbr.ravel()[keep],
-                        "sim_raw": top.ravel()[keep],
-                    }
-                )
-
-    q_rows = len(q_ids)
-    flops = 2.0 * q_rows * n_cand * DIM
-    dp = spark.sparkContext.defaultParallelism
-    parts = max(2, min(dp, int(flops // 2e9) + 1))
-    sims = candidates.repartition(parts).mapInPandas(
-        topk_per_batch, schema="query_id long, negative_id long, sim_raw double"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "negative_id")
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "negative_id", F.round("sim_raw", 6).alias("sim"))
+    return brute_topk(spark, e, k=k, label_mask=True).withColumnRenamed(
+        "neighbor_id", "negative_id"
     )
 
 
@@ -363,6 +313,7 @@ def embedding_hard_negatives_ann(
     n = base.count()
     if auto_route and n <= ANN_BRUTE_CROSSOVER:
         return embedding_hard_negatives(spark, sf_dir, k=k)
+    _require_integral_label(base, "embedding_hard_negatives_ann (LSH path)")
     out = lsh_topk_df(
         base,
         k=k,
@@ -1430,6 +1381,7 @@ def build_ivf_index(
     raw = load_table(spark, sf_dir, "embeddings")
     extra = {"label": "int"} if "label" in raw.columns else None
     if extra:
+        _require_integral_label(raw, "build_ivf_index (label-bearing index)")
         # _emb drops label (most callers never need it); rebuild the
         # assignment input with it — tests that monkeypatch _emb to a
         # subset keep working because with_vec IS the patched frame and
@@ -1492,13 +1444,12 @@ def ivf_index_append(
     extra = None
     if index_has_label:
         extra = {"label": "int"}
-        sel.append(
-            (
-                F.col("label") if "label" in new_vectors.columns else F.lit(None)
-            )
-            .cast("int")
-            .alias("label")
-        )
+        if "label" in new_vectors.columns:
+            _require_integral_label(new_vectors, "ivf_index_append")
+            lab_col = F.col("label")
+        else:
+            lab_col = F.lit(None)
+        sel.append(lab_col.cast("int").alias("label"))
     vecs = new_vectors.select(*sel)
     (
         _cell_assign(vecs, bc, n_assign, extra_cols=extra)
@@ -1557,6 +1508,124 @@ def _invalidate_ivf_relations(index_dir: str) -> None:
         _IVF_RELATION_CACHE.pop(key, None)
 
 
+def _ivf_query_impl(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    label_mask: bool,
+) -> DataFrame:
+    """Shared persisted-IVF search plan (see ann_ivf_query for the full
+    shape description). label_mask=True is the hard-negative variant:
+    the query label rides the probe table as ``ql``, the index label
+    rides the assignment rows as ``cl`` (null-label rows excluded —
+    the labeled-only mining contract), and _cell_topk_kernel masks
+    same-label pairs before each cell's local top-k. One implementation
+    so cache-hygiene/pruning fixes can never drift between the two
+    entry points (the round-8 session-identity fix had to be applied
+    twice before this unification)."""
+    import numpy as np
+
+    cent = (
+        _ivf_relation(spark, index_dir, "centroids").orderBy("cell").collect()
+    )
+    C = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(C)
+
+    def probes_for(batches):
+        import pandas as pd
+
+        cmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["qe"].tolist(), dtype=np.float64)
+            d = _sqdist_to_centers(Q, cmat)
+            probes = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+            out = {
+                "query_id": pdf["query_id"].repeat(n_probe),
+                "qe": pdf["qe"].repeat(n_probe),
+                "cell": probes.ravel(),
+            }
+            if label_mask:
+                out["ql"] = pdf["ql"].repeat(n_probe)
+            yield pd.DataFrame(out)
+
+    from pyspark import StorageLevel
+
+    # serve-many hygiene: release the PREVIOUS call's probe cache before
+    # persisting a new one — without this, cached probe blocks accumulate
+    # across calls in a long-lived session until the context cleaner
+    # happens to GC them. Callers materialize each result before issuing
+    # the next query (the CLI / entry paths do), so the released cache is
+    # no longer referenced by a live plan.
+    while _IVF_PROBE_CACHES:
+        prev = _IVF_PROBE_CACHES.pop()
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            # the session that persisted it was stopped — its cached
+            # blocks died with the context; a throw here would wedge
+            # the next query in the NEW session until process restart
+            pass
+
+    # persist: the probe table is referenced TWICE (the probed-cell
+    # collect below and the cogroup) — without it the query scan + probe
+    # kernel run twice per call, and a NONDETERMINISTIC queries plan
+    # (.limit/.sample) could probe one set of cells and then cogroup a
+    # different set of query rows whose cells were pruned away
+    q_cols = [
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qe"),
+    ]
+    q_src = queries
+    probe_schema = "query_id long, qe array<double>, cell int"
+    if label_mask:
+        q_src = queries.filter(F.col("label").isNotNull())
+        q_cols.append(F.col("label").cast("int").alias("ql"))
+        probe_schema = (
+            "query_id long, qe array<double>, cell int, ql int"
+        )
+    q = (
+        q_src.select(*q_cols)
+        .mapInPandas(probes_for, schema=probe_schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _IVF_PROBE_CACHES.append(q)
+    # O(n_cells) driver state — the probed-cell list prunes index
+    # directories at scan time (static partition pruning; cogroup cannot
+    # trigger DPP the way the old join could, so prune explicitly)
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    assigned = _ivf_relation(spark, index_dir, "assignments").filter(
+        F.col("cell").isin(probed)
+    )
+    a_cols = [
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ce"),
+        F.col("cell"),
+    ]
+    if label_mask:
+        assigned = assigned.filter(F.col("label").isNotNull())
+        a_cols.append(F.col("label").cast("int").alias("cl"))
+    assigned = assigned.select(*a_cols)
+    local = (
+        q.groupby("cell")
+        .cogroup(assigned.groupby("cell"))
+        .applyInPandas(
+            _cell_topk_kernel(k, label_mask=label_mask),
+            schema="query_id long, neighbor_id long, sim_raw double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        local.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
 def ann_ivf_query(
     spark: SparkSession,
     index_dir: str,
@@ -1583,86 +1652,8 @@ def ann_ivf_query(
     the deterministic (-sim, neighbor_id) tie-break, and the global merge
     handles ~n_queries x n_probe x k 24-byte rows.
     """
-    import numpy as np
-
-    cent = (
-        _ivf_relation(spark, index_dir, "centroids").orderBy("cell").collect()
-    )
-    C = np.array([r["centroid"] for r in cent], dtype=np.float64)
-    bc = spark.sparkContext.broadcast(C)
-
-    def probes_for(batches):
-        import pandas as pd
-
-        cmat = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            Q = np.array(pdf["qe"].tolist(), dtype=np.float64)
-            d = _sqdist_to_centers(Q, cmat)
-            probes = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].repeat(n_probe),
-                    "qe": pdf["qe"].repeat(n_probe),
-                    "cell": probes.ravel(),
-                }
-            )
-
-    from pyspark import StorageLevel
-
-    # serve-many hygiene: release the PREVIOUS call's probe cache before
-    # persisting a new one — without this, cached probe blocks accumulate
-    # across calls in a long-lived session until the context cleaner
-    # happens to GC them. Callers materialize each result before issuing
-    # the next query (the CLI / entry paths do), so the released cache is
-    # no longer referenced by a live plan.
-    while _IVF_PROBE_CACHES:
-        prev = _IVF_PROBE_CACHES.pop()
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            # the session that persisted it was stopped — its cached
-            # blocks died with the context; a throw here would wedge
-            # ann_ivf_query in the NEW session until process restart
-            pass
-
-    # persist: the probe table is referenced TWICE (the probed-cell
-    # collect below and the cogroup) — without it the query scan + probe
-    # kernel run twice per call, and a NONDETERMINISTIC queries plan
-    # (.limit/.sample) could probe one set of cells and then cogroup a
-    # different set of query rows whose cells were pruned away
-    q = (
-        queries.select(
-            F.col("vec_id").alias("query_id"),
-            as_double(F.col("embedding")).alias("qe"),
-        )
-        .mapInPandas(probes_for, schema="query_id long, qe array<double>, cell int")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    _IVF_PROBE_CACHES.append(q)
-    # O(n_cells) driver state — the probed-cell list prunes index
-    # directories at scan time (static partition pruning; cogroup cannot
-    # trigger DPP the way the old join could, so prune explicitly)
-    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
-    assigned = (
-        _ivf_relation(spark, index_dir, "assignments")
-        .filter(F.col("cell").isin(probed))
-        .select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ce"), "cell")
-    )
-    local = (
-        q.groupby("cell")
-        .cogroup(assigned.groupby("cell"))
-        .applyInPandas(
-            _cell_topk_kernel(k), schema="query_id long, neighbor_id long, sim_raw double"
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
-    return (
-        local.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    return _ivf_query_impl(
+        spark, index_dir, queries, k=k, n_probe=n_probe, label_mask=False
     )
 
 
@@ -1679,9 +1670,8 @@ def ann_ivf_query_negatives(
     indexed vectors with a DIFFERENT label, reading only the probed
     ``cell=N/`` directories.
 
-    Same plan as ``ann_ivf_query`` (broadcast centroids → per-query probe
-    list → static partition pruning → cell-local matmul), with the query
-    label riding the probe table and the index label riding the
+    Same plan as ``ann_ivf_query`` (one shared implementation), with the
+    query label riding the probe table and the index label riding the
     assignment rows, so the same-label mask runs INSIDE the cell kernel
     (see _cell_topk_kernel / the round-8 LSH lesson: post-hoc label
     filtering overfetches and still loses recall). Null-label index rows
@@ -1692,92 +1682,16 @@ def ann_ivf_query_negatives(
     raises ValueError on a label-less index rather than silently mining
     positives.
     """
-    import numpy as np
-
     assigned_rel = _ivf_relation(spark, index_dir, "assignments")
     if "label" not in assigned_rel.columns:
         raise ValueError(
             f"index at {index_dir} carries no label column; rebuild from a "
             "label-bearing embeddings source to mine hard negatives"
         )
-    cent = (
-        _ivf_relation(spark, index_dir, "centroids").orderBy("cell").collect()
-    )
-    C = np.array([r["centroid"] for r in cent], dtype=np.float64)
-    bc = spark.sparkContext.broadcast(C)
-
-    def probes_for(batches):
-        import pandas as pd
-
-        cmat = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            Q = np.array(pdf["qe"].tolist(), dtype=np.float64)
-            d = _sqdist_to_centers(Q, cmat)
-            probes = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].repeat(n_probe),
-                    "qe": pdf["qe"].repeat(n_probe),
-                    "ql": pdf["ql"].repeat(n_probe),
-                    "cell": probes.ravel(),
-                }
-            )
-
-    from pyspark import StorageLevel
-
-    while _IVF_PROBE_CACHES:
-        prev = _IVF_PROBE_CACHES.pop()
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass
-
-    q = (
-        queries.filter(F.col("label").isNotNull())
-        .select(
-            F.col("vec_id").alias("query_id"),
-            as_double(F.col("embedding")).alias("qe"),
-            F.col("label").cast("int").alias("ql"),
-        )
-        .mapInPandas(
-            probes_for,
-            schema="query_id long, qe array<double>, ql int, cell int",
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    _IVF_PROBE_CACHES.append(q)
-    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
-    assigned = (
-        assigned_rel.filter(F.col("cell").isin(probed))
-        .filter(F.col("label").isNotNull())
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("emb").alias("ce"),
-            F.col("label").cast("int").alias("cl"),
-            "cell",
-        )
-    )
-    local = (
-        q.groupby("cell")
-        .cogroup(assigned.groupby("cell"))
-        .applyInPandas(
-            _cell_topk_kernel(k, label_mask=True),
-            schema="query_id long, neighbor_id long, sim_raw double",
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
-    return (
-        local.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            "query_id",
-            F.col("neighbor_id").alias("negative_id"),
-            F.round("sim_raw", 6).alias("sim"),
-        )
-    )
+    _require_integral_label(queries, "ann_ivf_query_negatives")
+    return _ivf_query_impl(
+        spark, index_dir, queries, k=k, n_probe=n_probe, label_mask=True
+    ).withColumnRenamed("neighbor_id", "negative_id")
 
 
 #: recall floors the ANN check queries assert — per method, since the

@@ -131,10 +131,14 @@ def overwrite_table_in_place(df, path: str) -> None:
     #     concurrent same-table writes within one process are out of
     #     contract — they would collide on the same temp path anyway), or
     #   * the destination is on the LOCAL filesystem and the pid is not a
-    #     running process on this host, or
-    #   * it is older than STALE_SIBLING_AGE_MS (remote filesystems,
-    #     where a pid number proves nothing about a writer on another
-    #     host; a live writer's dirs are minutes old, not a day).
+    #     running process on this host (liveness is PROOF either way:
+    #     a live local pid is never deleted, however old its dir — a
+    #     parquet write stages under _temporary/ so the top-level mtime
+    #     stays at job start for the whole multi-hour write), or
+    #   * liveness CANNOT be proven (remote filesystem, or an
+    #     unparseable suffix) and the dir is older than
+    #     STALE_SIBLING_AGE_MS (a live writer's dirs are minutes old,
+    #     not a day).
     import time
 
     now_ms = int(time.time() * 1000)
@@ -146,14 +150,15 @@ def overwrite_table_in_place(df, path: str) -> None:
                 owner_pid: int | None = int(name.rsplit("-", 1)[1])
             except (IndexError, ValueError):
                 owner_pid = None
+            liveness_provable = local_fs and owner_pid is not None
             stale = (
                 owner_pid == os.getpid()
+                or (liveness_provable and not _pid_alive(owner_pid))
                 or (
-                    owner_pid is not None
-                    and local_fs
-                    and not _pid_alive(owner_pid)
+                    not liveness_provable
+                    and now_ms - st.getModificationTime()
+                    > STALE_SIBLING_AGE_MS
                 )
-                or now_ms - st.getModificationTime() > STALE_SIBLING_AGE_MS
             )
             if stale:
                 fs.delete(st.getPath(), True)

@@ -203,6 +203,11 @@ def test_in_place_overwrite_preserves_live_writers_siblings(spark, warehouse):
         os.makedirs(ancient, exist_ok=True)
         old = time.time() - (STALE_SIBLING_AGE_MS / 1000 + 3600)
         os.utime(ancient, (old, old))
+        # a LIVE local pid is proof of a writer even past the age gate —
+        # a parquet write stages under _temporary/, so the top-level
+        # mtime stays at job start for the whole multi-hour write; the
+        # age disjunct must not override provable liveness
+        os.utime(live_dir, (old, old))
 
         overwrite_table_in_place(df.filter(F.col("row").isNotNull()), path)
 
