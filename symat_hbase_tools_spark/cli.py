@@ -463,7 +463,9 @@ def main(argv: list[str] | None = None) -> int:
             # NB: resolve_table is the MODULE-level import (line 36); a
             # local re-import here would shadow it for the whole function
             # and break the ann-index branch with UnboundLocalError
-            if not args.indexDir and (args.vectors or args.nProbe):
+            if not args.indexDir and (
+                args.vectors or args.nProbe is not None
+            ):
                 # corpus-wide mining has no query file / probe knob —
                 # silently mining the default corpus for the wrong
                 # vectors would "succeed" with the wrong answer
@@ -483,7 +485,18 @@ def main(argv: list[str] | None = None) -> int:
                 n_cells = spark.read.parquet(
                     f"{args.indexDir}/centroids"
                 ).count()
-                n_probe = args.nProbe or max(1, n_cells // 4)
+                if args.nProbe is not None and args.nProbe < 1:
+                    # `or`-defaulting treated an explicit --nProbe 0 as
+                    # "use the default" — reject instead (round-9 advisory)
+                    print(
+                        "error: --nProbe must be >= 1", file=sys.stderr
+                    )
+                    return 1
+                n_probe = (
+                    args.nProbe
+                    if args.nProbe is not None
+                    else max(1, n_cells // 4)
+                )
                 negs = S.ann_ivf_query_negatives(
                     spark, args.indexDir, queries, k=args.k, n_probe=n_probe
                 )
@@ -520,7 +533,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"appended {vecs.count()} vectors into {args.indexDir}")
                 return 0
             n_cells = spark.read.parquet(f"{args.indexDir}/centroids").count()
-            n_probe = args.nProbe or max(3, n_cells // 4)
+            if args.nProbe is not None and args.nProbe < 1:
+                print("error: --nProbe must be >= 1", file=sys.stderr)
+                return 1
+            n_probe = (
+                args.nProbe if args.nProbe is not None else max(3, n_cells // 4)
+            )
             out = S.ann_ivf_query(spark, args.indexDir, vecs, k=args.k, n_probe=n_probe)
             out.show(20, truncate=False)
             if args.output:

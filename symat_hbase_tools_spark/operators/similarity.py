@@ -31,15 +31,34 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
 
 
-def _require_integral_label(df: DataFrame, who: str) -> None:
-    """The label-masked ANN/IVF paths carry labels through Arrow kernels
-    typed ``int``; silently ``cast("int")``-ing a string label would turn
-    every label NULL and disable the positive mask — the masked search
-    would then quietly return positives. Refuse loudly instead."""
+def _label_is_integral(df: DataFrame) -> bool:
+    """True when ``df`` has an integral ``label`` column (byte through
+    long — labels ride the Arrow kernels as int64, so the full long range
+    is representable without narrowing)."""
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    t = df.schema["label"].dataType
-    if not isinstance(t, (ByteType, ShortType, IntegerType, LongType)):
+    if "label" not in df.columns:
+        return False
+    return isinstance(
+        df.schema["label"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+
+
+def _require_integral_label(df: DataFrame, who: str) -> None:
+    """The label-masked ANN/IVF paths carry labels through Arrow kernels
+    typed ``long``; silently casting a string label would turn every
+    label NULL and disable the positive mask — the masked search would
+    then quietly return positives. Refuse loudly instead. Missing-column
+    gets the same descriptive error, not a raw KeyError (round-9
+    advisory)."""
+    if "label" not in df.columns:
+        raise ValueError(
+            f"{who} requires a 'label' column and the input has none: "
+            f"columns are {df.columns}"
+        )
+    if not _label_is_integral(df):
+        t = df.schema["label"].dataType
         raise ValueError(
             f"{who} requires an integral label column, got "
             f"{t.simpleString()}: integer-encode labels first (a non-int "
@@ -503,7 +522,7 @@ def lsh_topk_df(
         num_planes,
         num_tables,
         probes=multiprobe,
-        extra_cols={label_col: "int"} if label_col else None,
+        extra_cols={label_col: "long"} if label_col else None,
     )
 
     if multiprobe:
@@ -1379,9 +1398,30 @@ def build_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
     bc = spark.sparkContext.broadcast(centers)
     raw = load_table(spark, sf_dir, "embeddings")
-    extra = {"label": "int"} if "label" in raw.columns else None
+    # Store the label alongside each assignment row ONLY when it is
+    # integral (the type the masked kernels carry). A non-integral label —
+    # e.g. a string category on a source never used for mining — must not
+    # block a PLAIN index build (round-9 advisory: the previous hard raise
+    # here regressed label-less use cases); it is skipped with a warning,
+    # and the hard _require_integral_label guard stays on the MINING entry
+    # points (ann_ivf_query_negatives / masked append) where correctness
+    # actually depends on it.
+    extra = None
+    if "label" in raw.columns:
+        if _label_is_integral(raw):
+            extra = {"label": "long"}
+        else:
+            import warnings
+
+            warnings.warn(
+                "build_ivf_index: 'label' column is "
+                f"{raw.schema['label'].dataType.simpleString()}, not "
+                "integral — building a LABEL-LESS index (plain ANN serving "
+                "works; hard-negative mining off this index will refuse). "
+                "Integer-encode labels and rebuild to enable mining.",
+                stacklevel=2,
+            )
     if extra:
-        _require_integral_label(raw, "build_ivf_index (label-bearing index)")
         # _emb drops label (most callers never need it); rebuild the
         # assignment input with it — tests that monkeypatch _emb to a
         # subset keep working because with_vec IS the patched frame and
@@ -1437,19 +1477,25 @@ def ivf_index_append(
     # them — those rows serve plain queries but are invisible to
     # label-masked mining); a label-less index drops any batch labels so
     # every assignment file keeps one schema and reads need no merge
-    index_has_label = "label" in (
-        _ivf_relation(spark, index_dir, "assignments").columns
-    )
+    assignments_rel = _ivf_relation(spark, index_dir, "assignments")
+    index_has_label = "label" in assignments_rel.columns
     sel = ["vec_id", as_double(F.col("embedding")).alias("emb")]
     extra = None
     if index_has_label:
-        extra = {"label": "int"}
+        # match the INDEX's on-disk label type (new builds write long so
+        # >int32 labels can neither throw under ANSI nor wrap into a
+        # colliding value that silently masks a valid negative — round-9
+        # advisory): one physical type per assignments directory, and
+        # against a legacy int-labeled index an out-of-range batch label
+        # fails the ANSI cast loudly instead of wrapping
+        idx_label_t = assignments_rel.schema["label"].dataType.simpleString()
+        extra = {"label": idx_label_t}
         if "label" in new_vectors.columns:
             _require_integral_label(new_vectors, "ivf_index_append")
             lab_col = F.col("label")
         else:
             lab_col = F.lit(None)
-        sel.append(lab_col.cast("int").alias("label"))
+        sel.append(lab_col.cast(idx_label_t).alias("label"))
     vecs = new_vectors.select(*sel)
     (
         _cell_assign(vecs, bc, n_assign, extra_cols=extra)
@@ -1583,9 +1629,11 @@ def _ivf_query_impl(
     probe_schema = "query_id long, qe array<double>, cell int"
     if label_mask:
         q_src = queries.filter(F.col("label").isNotNull())
-        q_cols.append(F.col("label").cast("int").alias("ql"))
+        # long end-to-end: int32 narrowing could throw (ANSI) or wrap —
+        # and wrapped labels collide, silently masking valid negatives
+        q_cols.append(F.col("label").cast("long").alias("ql"))
         probe_schema = (
-            "query_id long, qe array<double>, cell int, ql int"
+            "query_id long, qe array<double>, cell int, ql long"
         )
     q = (
         q_src.select(*q_cols)
@@ -1607,7 +1655,7 @@ def _ivf_query_impl(
     ]
     if label_mask:
         assigned = assigned.filter(F.col("label").isNotNull())
-        a_cols.append(F.col("label").cast("int").alias("cl"))
+        a_cols.append(F.col("label").cast("long").alias("cl"))
     assigned = assigned.select(*a_cols)
     local = (
         q.groupby("cell")

@@ -141,6 +141,29 @@ def overwrite_table_in_place(df, path: str) -> None:
     #     not a day).
     import time
 
+    def _newest_mtime_ms(jpath, top_ms: int) -> int:
+        # The age gate must key on the NEWEST mtime anywhere in the
+        # sibling tree, not the top-level directory's: a parquet write
+        # stages files under _temporary/ and the sibling's top-level
+        # mtime stays at job start, so a legitimate multi-hour write
+        # that began >age ago would look stale by the top-level clock
+        # while its leaf files are seconds old (round-9 advisory — the
+        # same data-loss class the liveness fix targets, longer fuse).
+        # Cost is one recursive listing, only on the unprovable-liveness
+        # path, and only for dirs already past the top-level age gate —
+        # cheap next to deleting a whole table copy wrongly.
+        newest = top_ms
+        try:
+            it = fs.listFiles(jpath, True)
+            while it.hasNext():
+                newest = max(newest, it.next().getModificationTime())
+        except Exception:
+            # listing race with a concurrent cleanup/rename: keep the
+            # best bound we have (worst case we KEEP a dir, never a
+            # wrong delete)
+            pass
+        return newest
+
     now_ms = int(time.time() * 1000)
     local_fs = str(fs.getUri().getScheme() or "file") == "file"
     for pattern in (f"{path}.inflight-*", f"{path}.replaced-*"):
@@ -151,15 +174,19 @@ def overwrite_table_in_place(df, path: str) -> None:
             except (IndexError, ValueError):
                 owner_pid = None
             liveness_provable = local_fs and owner_pid is not None
-            stale = (
-                owner_pid == os.getpid()
-                or (liveness_provable and not _pid_alive(owner_pid))
-                or (
-                    not liveness_provable
-                    and now_ms - st.getModificationTime()
+            stale = owner_pid == os.getpid() or (
+                liveness_provable and not _pid_alive(owner_pid)
+            )
+            if not stale and not liveness_provable:
+                # age gate, two stages: cheap top-level mtime first; only
+                # if that says stale, pay the recursive listing to see
+                # whether anything INSIDE is fresh (an active writer)
+                top_ms = st.getModificationTime()
+                stale = (
+                    now_ms - top_ms > STALE_SIBLING_AGE_MS
+                    and now_ms - _newest_mtime_ms(st.getPath(), top_ms)
                     > STALE_SIBLING_AGE_MS
                 )
-            )
             if stale:
                 fs.delete(st.getPath(), True)
     df.write.mode("overwrite").parquet(tmp.toString())

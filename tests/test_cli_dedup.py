@@ -192,3 +192,45 @@ def test_cli_mine_negatives_writes_pairs(spark, tmp_path, capsys):
         assert label_of[r["query_id"]] != label_of[r["negative_id"]]
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert per_q and all(v <= 3 for v in per_q.values())
+
+
+def test_cli_mine_negatives_rejects_nprobe_zero(spark, tmp_path, capsys):
+    """`--nProbe 0` must be rejected, not silently replaced with the
+    default (round-9 advisory: `or`-defaulting treated 0 as unset)."""
+    from symat_hbase_tools_spark.operators.similarity import build_ivf_index
+
+    idx = str(tmp_path / "np0_idx")
+    build_ivf_index(spark, SF_DIR, idx, n_cells=4)
+    rc = main(
+        [
+            "mine-negatives", "--sfDir", SF_DIR, "--indexDir", idx,
+            "--nProbe", "0", "--output", str(tmp_path / "out"),
+        ]
+    )
+    assert rc == 1
+    assert "--nProbe must be >= 1" in capsys.readouterr().err
+
+
+def test_cli_ann_index_query_rejects_nprobe_zero(spark, tmp_path, capsys):
+    """Same falsy-zero guard on the `ann-index query` action."""
+    import os
+
+    from symat_hbase_tools_spark.operators.similarity import build_ivf_index
+
+    idx = str(tmp_path / "np0q_idx")
+    build_ivf_index(spark, SF_DIR, idx, n_cells=4)
+    vecs = str(tmp_path / "qvecs")
+    (
+        spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        .limit(3)
+        .write.mode("overwrite")
+        .parquet(vecs)
+    )
+    rc = main(
+        [
+            "ann-index", "--action", "query", "--indexDir", idx,
+            "--vectors", vecs, "--nProbe", "0",
+        ]
+    )
+    assert rc == 1
+    assert "--nProbe must be >= 1" in capsys.readouterr().err

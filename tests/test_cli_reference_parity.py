@@ -225,3 +225,57 @@ def test_in_place_overwrite_preserves_live_writers_siblings(spark, warehouse):
                 import shutil
 
                 shutil.rmtree(d)
+
+
+def test_inflight_sibling_with_fresh_inner_write_survives(spark, warehouse):
+    """Age-gated staleness must key on the NEWEST mtime in the sibling
+    TREE, not the top-level dir (round-9 advisory): a parquet job stages
+    under _temporary/ and the top-level mtime stays at job start, so a
+    legitimate multi-hour remote write that began before the age gate
+    would look stale by the top-level clock while its leaf files are
+    seconds old. An unparseable-pid sibling (forces the age path) with an
+    ancient top-level mtime but a fresh inner file must survive; its twin
+    with ancient mtimes all the way down is cleaned."""
+    import os
+    import shutil
+    import time
+
+    from symat_hbase_tools_spark.sources.catalog import (
+        STALE_SIBLING_AGE_MS,
+        overwrite_table_in_place,
+    )
+
+    path = str(warehouse / "prod" / "accounts")
+    df = spark.read.parquet(path)
+    n = df.count()
+    old = time.time() - (STALE_SIBLING_AGE_MS / 1000 + 3600)
+
+    active = f"{path}.inflight-remotehost"  # unparseable pid -> age gate
+    staging = os.path.join(active, "_temporary", "0")
+    dead = f"{path}.replaced-otherhost"
+    try:
+        os.makedirs(staging, exist_ok=True)
+        with open(os.path.join(staging, "part-0"), "w") as f:
+            f.write("x")  # fresh leaf: the writer is still writing
+        os.utime(active, (old, old))  # top-level clock says job start
+
+        os.makedirs(dead, exist_ok=True)
+        with open(os.path.join(dead, "part-0"), "w") as f:
+            f.write("x")
+        for p in (
+            os.path.join(dead, "part-0"),
+            dead,
+        ):
+            os.utime(p, (old, old))
+
+        overwrite_table_in_place(df.filter(F.col("row").isNotNull()), path)
+
+        assert spark.read.parquet(path).count() == n
+        # the in-progress remote write survives (fresh inner mtime)
+        assert os.path.isdir(active)
+        # the genuinely abandoned sibling is cleaned
+        assert not os.path.exists(dead)
+    finally:
+        for d in (active, dead):
+            if os.path.exists(d):
+                shutil.rmtree(d)

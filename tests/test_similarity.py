@@ -722,3 +722,156 @@ def test_masked_paths_refuse_non_integral_labels(spark, tmp_path):
         similarity.ann_ivf_query_negatives(spark, idx, bad, k=3, n_probe=2)
     with pytest.raises(ValueError, match="integral label"):
         similarity.ivf_index_append(spark, idx, bad)
+
+
+def test_build_ivf_index_string_label_builds_labelless_index(spark, tmp_path):
+    """A NON-integral label on the source must not block a PLAIN index
+    build (round-9 advisory — the hard raise here regressed every source
+    with string categories): the label is skipped with a warning, plain
+    serving works, and mining against the resulting label-less index
+    refuses with the descriptive error."""
+    import os
+    import warnings as _warnings
+
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    base_dir = str(tmp_path / "strlbl")
+    os.makedirs(base_dir, exist_ok=True)
+    (
+        load_table(spark, SF_DIR, "embeddings")
+        .withColumn("label", F.concat(F.lit("cls-"), F.col("label")))
+        .write.mode("overwrite")
+        .parquet(os.path.join(base_dir, "embeddings.parquet"))
+    )
+    idx = str(tmp_path / "strlbl_idx")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        similarity.build_ivf_index(spark, base_dir, idx, n_cells=4)
+    assert any("not integral" in str(w.message) for w in caught)
+    assert "label" not in spark.read.parquet(f"{idx}/assignments").columns
+    # plain ANN serving off the label-less index works
+    q = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").limit(5)
+    assert similarity.ann_ivf_query(spark, idx, q, k=3, n_probe=4).count() > 0
+    # mining refuses with the label-less-index error, not a crash
+    labeled = load_table(spark, SF_DIR, "embeddings").limit(5)
+    with pytest.raises(ValueError, match="no label column"):
+        similarity.ann_ivf_query_negatives(spark, idx, labeled, k=3, n_probe=2)
+
+
+def test_masked_paths_missing_label_column_descriptive_error(spark, tmp_path):
+    """A query frame with NO label column must surface the descriptive
+    ValueError, not a raw KeyError from df.schema['label'] (round-9
+    advisory)."""
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "idx_misslbl")
+    similarity.build_ivf_index(spark, SF_DIR, idx, n_cells=4)
+    unlabeled = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(5)
+    )
+    with pytest.raises(ValueError, match="requires a 'label' column"):
+        similarity.ann_ivf_query_negatives(spark, idx, unlabeled, k=3, n_probe=2)
+
+
+def test_long_labels_beyond_int32_mask_correctly(spark, tmp_path):
+    """Labels above int32 range must ride the masked kernels as int64
+    end-to-end (round-9 advisory): the old int32 narrowing either threw
+    under ANSI or wrapped — and wrapped labels collide, silently masking
+    valid negatives. Two labels that COLLIDE mod 2^32 prove the point: a
+    wrap would mask the cross-label pairs and return nothing."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    rng = np.random.default_rng(7)
+    n, dim = 40, similarity.DIM
+    # labels 2^31+5 and that plus 2^32: distinct as int64, equal mod 2^32
+    la, lb = (1 << 31) + 5, (1 << 31) + 5 + (1 << 32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [
+                rng.standard_normal(dim).tolist() for _ in range(n)
+            ],
+            "label": [la if i % 2 == 0 else lb for i in range(n)],
+        }
+    )
+    base_dir = str(tmp_path / "longlbl")
+    os.makedirs(base_dir, exist_ok=True)
+    sdf = spark.createDataFrame(pdf).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.col("label").cast("long").alias("label"),
+    )
+    sdf.write.mode("overwrite").parquet(
+        os.path.join(base_dir, "embedding" + "s.parquet")
+    )
+
+    # exact broadcast-BLAS path
+    exact = similarity.embedding_hard_negatives(spark, base_dir, k=3).collect()
+    lbl = {int(r["vec_id"]): int(r["label"]) for r in sdf.collect()}
+    assert exact, "long labels must not throw or mask everything"
+    for r in exact:
+        assert lbl[r["query_id"]] != lbl[r["negative_id"]]
+
+    # LSH bucket-kernel path (label rides extra_cols as long)
+    base = sdf.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    ann = similarity.lsh_topk_df(
+        base, k=3, num_planes=2, num_tables=4, label_col="label"
+    ).collect()
+    assert ann
+    for r in ann:
+        assert lbl[r["query_id"]] != lbl[r["neighbor_id"]]
+
+    # persisted-index path: build keeps long labels, full-probe mining
+    # respects them
+    idx = str(tmp_path / "longlbl_idx")
+    similarity.build_ivf_index(spark, base_dir, idx, n_cells=2)
+    a_schema = spark.read.parquet(f"{idx}/assignments").schema
+    assert a_schema["label"].dataType.simpleString() == "bigint"
+    qdf = load_table(spark, base_dir, "embeddings")
+    mined = similarity.ann_ivf_query_negatives(
+        spark, idx, qdf, k=3, n_probe=2
+    ).collect()
+    assert mined
+    for r in mined:
+        assert lbl[r["query_id"]] != lbl[r["negative_id"]]
+
+
+def test_ivf_index_append_matches_index_label_type(spark, tmp_path):
+    """Appends must write the INDEX's on-disk label type so one
+    assignments directory never mixes int32/int64 parquet columns (the
+    vectorized reader refuses mixed physical types)."""
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "append_t_idx")
+    similarity.build_ivf_index(spark, SF_DIR, idx, n_cells=4)
+    built_t = (
+        spark.read.parquet(f"{idx}/assignments")
+        .schema["label"]
+        .dataType.simpleString()
+    )
+    batch = (
+        load_table(spark, SF_DIR, "embeddings")
+        .limit(7)
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+        .withColumn("label", F.col("label").cast("int"))
+    )
+    similarity.ivf_index_append(spark, idx, batch)
+    merged = spark.read.parquet(f"{idx}/assignments")
+    assert merged.schema["label"].dataType.simpleString() == built_t
+    # and the merged index still reads end-to-end
+    assert merged.filter(F.col("vec_id") >= 1_000_000).count() == 7
