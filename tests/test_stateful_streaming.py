@@ -141,12 +141,20 @@ def test_compat_shim_state_clear_removes_state(spark):
         def close(self):
             pass
 
-    # 5 single-row micro-batches for one key -> flush at 3, rebuild to 2
-    src = spark.createDataFrame([(1, i) for i in range(5)], "user_id long, seq long")
+    # 5 single-row micro-batches for one key -> flush at 3, rebuild to 2.
+    # Each row goes in its OWN parquet write: the old
+    # `repartition(5, "seq")` HASH-partitioned 5 rows into 5 files, and
+    # hash collisions left some files with 2 rows and some empty — with
+    # maxFilesPerTrigger=1 the file-listing order then decided whether
+    # the counter hit exactly 3 or jumped 2 -> 4 (the round-8 full-suite
+    # flake). Five appends guarantee one row per file in any order.
     import tempfile
 
     with tempfile.TemporaryDirectory() as d:
-        src.repartition(5, "seq").write.mode("overwrite").parquet(f"{d}/in")
+        for i in range(5):
+            spark.createDataFrame(
+                [(1, i)], "user_id long, seq long"
+            ).coalesce(1).write.mode("append").parquet(f"{d}/in")
         stream = (
             spark.readStream.schema("user_id long, seq long")
             .option("maxFilesPerTrigger", 1)
