@@ -143,19 +143,85 @@ def group_mad(
     outliers they should catch; MAD is the data-quality alternative every
     serious profiling pass ships.
 
-    Two exact passes, both distributed:
+    ONE shuffle, one kernel (round-9 rewrite): values shuffle once on the
+    group key into a cogrouped Arrow kernel that sorts each group's
+    vector a single time and reads BOTH percentiles off it — the median
+    directly, the deviation median after one |x - m| pass over the
+    already-sorted array. The previous composition ran two sort-based
+    ``percentile`` aggregates with a broadcast join between them: two
+    scans, two shuffles, and each percentile buffer carried the full
+    value list anyway (exact percentile has no map-side reduction), so
+    the fused kernel moves the SAME bytes through half the stages. It
+    remains the parity witness in ``group_mad_twopass``.
 
-      1. per-group exact median via ``percentile(0.5)`` (sort-based
-         aggregate with map-side partial buffers, shuffled on the group
-         key only);
-      2. broadcast the per-group medians back (group cardinality is
-         dimension-sized), compute |x - median| map-side, and aggregate
-         the second percentile the same way.
+    Interpolation is the ``lower + (upper - lower) * frac`` form that
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` both use, in
+    float64 — bit-identical output to the two-pass form (tested).
 
-    At unbounded group cardinality pass 2's join downgrades to a shuffle
-    join on the group key — same key as the aggregate, so AQE reuses the
-    partitioning. Output: group, n, median, mad (scaled), mad_raw.
+    Scale posture: identical to the sort-aggregate form — exact per-group
+    medians fundamentally gather each group's values at one reducer
+    (percentile's partial buffers did too); group count drives
+    parallelism. For data-scale group cardinality or groups too big for
+    one task, the honest alternative is the equi-depth
+    percentile-histogram pattern, not this statistic.
+    Output: group, n, median, mad (scaled), mad_raw.
     """
+    import numpy as np
+    import pandas as pd
+
+    def _interp_median(sorted_vals: "np.ndarray") -> float:
+        n = len(sorted_vals)
+        pos = (n - 1) * 0.5
+        lo = int(pos)
+        frac = pos - lo
+        lower = float(sorted_vals[lo])
+        if frac == 0.0:
+            return lower
+        return lower + (float(sorted_vals[lo + 1]) - lower) * frac
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["_v"].to_numpy(dtype=np.float64)
+        v.sort()
+        med = _interp_median(v)
+        dev = np.abs(v - med)
+        dev.sort()
+        mad_raw = _interp_median(dev)
+        return pd.DataFrame(
+            {
+                "_g": [pdf["_g"].iloc[0]],
+                "n": [len(v)],
+                "median": [med],
+                "mad": [mad_raw * scale],
+                "mad_raw": [mad_raw],
+            }
+        )
+
+    g_type = df.schema[group_col].dataType.simpleString()
+    return (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .groupBy("_g")
+        .applyInPandas(
+            kernel,
+            schema=(
+                f"_g {g_type}, n long, median double, "
+                "mad double, mad_raw double"
+            ),
+        )
+        .withColumnRenamed("_g", group_col)
+    )
+
+
+def group_mad_twopass(
+    df: DataFrame, group_col: str, value_col: str, scale: float = 1.4826
+) -> DataFrame:
+    """The pre-round-9 two-pass composition of :func:`group_mad`, kept as
+    the bit-parity witness for the fused kernel: per-group exact median
+    via ``percentile(0.5)``, broadcast the medians back, aggregate the
+    deviation percentile the same way. Two scans + two sort-aggregate
+    shuffles — same bytes moved, twice the stages."""
     med = df.groupBy(group_col).agg(
         F.percentile(value_col, F.lit(0.5)).alias("_med"),
         F.count(F.lit(1)).alias("n"),

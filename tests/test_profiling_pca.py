@@ -349,3 +349,29 @@ def test_probe_gram_is_single_pass_no_shuffle_of_rows(spark):
     )
     assert n_exchanges == 1, plan
     assert "SinglePartition" in plan, plan
+
+
+def test_group_mad_fused_kernel_bit_matches_twopass(spark):
+    """The round-9 one-shuffle Arrow kernel must reproduce the two-pass
+    percentile composition BIT-FOR-BIT (same `lower + (upper-lower)*frac`
+    interpolation in float64) — the two-pass form is the oracle-matched
+    reference shape."""
+    from symat_hbase_tools_spark.operators.profiling import (
+        group_mad,
+        group_mad_twopass,
+    )
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    fused = {
+        tuple(sorted(r.asDict().items()))
+        for r in group_mad(orders, "o_orderpriority", "price").collect()
+    }
+    twopass = {
+        tuple(sorted(r.asDict().items()))
+        for r in group_mad_twopass(orders, "o_orderpriority", "price").collect()
+    }
+    assert fused == twopass
