@@ -289,11 +289,18 @@ def minhash_lsh_pairs(
     # keeps the cached unit ~8 bytes/shingle instead of the shingle text,
     # so the fair-warm re-materialization (clearCache per bench repeat)
     # costs one map-only scan+hash pass
+    # filter AFTER the persist boundary, on the computed hs column: a
+    # deterministic size-filter placed before (or after) the projection
+    # gets pushed below it by Catalyst, re-inlining the interpreted
+    # shingle expression into the Filter — the whole shingle pass then
+    # runs TWICE per row (measured 0.3 -> 5.4 s at sf0.1, round 9). The
+    # InMemoryRelation is a pushdown barrier, so the filter is one cheap
+    # size() over cached arrays.
     hashed = (
         _doc_shingles(spark, sf_dir, n)
-        .filter(F.size("sh") > 0)
         .select("doc_id", shingle_hashes(F.col("sh")).alias("hs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+        .filter(F.size("hs") > 0)
     )
     sig = _minhash_sig_from_hashed(hashed, num_hashes)
     bands = F.array(
@@ -340,7 +347,11 @@ def simhash_pairs(
     is exact — not an approximation — while the join only shuffles on the
     16-bit band keys.
     """
-    docs = _doc_shingles(spark, sf_dir, n).filter(F.size("sh") > 0)
+    # no size-filter: explode() drops empty-shingle docs anyway, and a
+    # deterministic filter would be pushed below the projection,
+    # re-inlining the interpreted shingle expression (2x the whole pass —
+    # see the minhash_lsh_pairs note)
+    docs = _doc_shingles(spark, sf_dir, n)
     # bit votes via explode -> codegen'd hash aggregate (see minhash note)
     fps = (
         docs.select("doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("h"))
@@ -455,7 +466,10 @@ def simhash_portable_pairs(
     vs md5's ~3x cost; THIS variant is the verification twin that makes the
     simhash family oracle-checkable end-to-end. Output: (d1, d2, hamming).
     """
-    docs = _doc_shingles(spark, sf_dir, n).filter(F.size("sh") > 0)
+    # no size-filter: fp_kernel skips len(sh)==0 rows itself, and the
+    # pushed-down filter would double-evaluate the interpreted shingle
+    # expression (see the minhash_lsh_pairs note)
+    docs = _doc_shingles(spark, sf_dir, n)
 
     # Fingerprints via an Arrow kernel: the expression-tree formulation (64
     # vote aggregates + 2x32-term assembly) costs ~7 s of WHOLE-STAGE
