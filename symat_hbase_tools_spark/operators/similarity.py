@@ -1035,6 +1035,16 @@ def ann_ivf_topk(
     )
 
 
+#: ceiling on the elements of any one (queries-slice x candidates) sims
+#: matrix inside _cell_topk_kernel: 2^25 float64 = 256 MB of matmul output
+#: (plus same-shape boolean mask temporaries). An adversarially hot LSH
+#: bucket or IVF cell — the round-8 200k GCLocker observation taken to its
+#: limit — would otherwise allocate n_q x n_c in one piece and kill the
+#: worker. Module-level so the adversarial-width test can shrink it and
+#: prove sliced == unsliced.
+KERNEL_SLICE_ELEMS = 1 << 25
+
+
 def _cell_topk_kernel(k: int, label_mask: bool = False):
     """Cogroup kernel: exact cosine of every query in the group against
     every member, per-query local top-k out. Shared by the IVF search and
@@ -1048,7 +1058,14 @@ def _cell_topk_kernel(k: int, label_mask: bool = False):
     a label filter) multiplies the merge volume m-fold and still loses
     recall whenever a query's m*k nearest are all same-label; masking
     inside the kernel costs one numpy comparison per pair that the
-    matmul already paid for."""
+    matmul already paid for.
+
+    Round 9: the QUERY axis is sliced so no sims/mask allocation exceeds
+    KERNEL_SLICE_ELEMS — the same bounded-memory discipline as the brute
+    kernel's q_step (round-5 lesson: a 16 GB sims alloc killed workers at
+    200k). Slices partition the query ids, so per-slice top-k rows just
+    concatenate; results are bit-identical to the unsliced form (tested
+    at a forced slice width)."""
     import numpy as np
     import pandas as pd
 
@@ -1065,25 +1082,35 @@ def _cell_topk_kernel(k: int, label_mask: bool = False):
         cm = np.array(cpdf["ce"].tolist(), dtype=np.float64)
         qm /= np.linalg.norm(qm, axis=1, keepdims=True)
         cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-        sims = qm @ cm.T
-        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
         if label_mask:
             q_lab = qpdf["ql"].to_numpy()
             c_lab = cpdf["cl"].to_numpy()
-            sims[q_lab[:, None] == c_lab[None, :]] = -np.inf
-        kk = min(k, sims.shape[1])
-        # deterministic local truncation by (-sim, neighbor_id) — matches
-        # the brute kernel; a boundary tie dropped HERE could never be
-        # recovered by the global window tie-break (round-5 advisory).
-        top, nbr = _topk_rows(sims, c_ids, kk)
-        keep = np.isfinite(top).ravel()
-        return pd.DataFrame(
-            {
-                "query_id": np.repeat(q_ids, kk)[keep],
-                "neighbor_id": nbr.ravel()[keep],
-                "sim_raw": top.ravel()[keep],
-            }
-        )
+        q_step = max(1, KERNEL_SLICE_ELEMS // max(1, len(c_ids)))
+        outs = []
+        for lo in range(0, len(q_ids), q_step):
+            hi = lo + q_step
+            ids_s = q_ids[lo:hi]
+            sims = qm[lo:hi] @ cm.T
+            sims[ids_s[:, None] == c_ids[None, :]] = -np.inf
+            if label_mask:
+                sims[q_lab[lo:hi, None] == c_lab[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            # deterministic local truncation by (-sim, neighbor_id) —
+            # matches the brute kernel; a boundary tie dropped HERE could
+            # never be recovered by the global window tie-break (round-5
+            # advisory).
+            top, nbr = _topk_rows(sims, c_ids, kk)
+            keep = np.isfinite(top).ravel()
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids_s, kk)[keep],
+                        "neighbor_id": nbr.ravel()[keep],
+                        "sim_raw": top.ravel()[keep],
+                    }
+                )
+            )
+        return outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
     return kernel
 

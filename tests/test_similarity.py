@@ -875,3 +875,47 @@ def test_ivf_index_append_matches_index_label_type(spark, tmp_path):
     assert merged.schema["label"].dataType.simpleString() == built_t
     # and the merged index still reads end-to-end
     assert merged.filter(F.col("vec_id") >= 1_000_000).count() == 7
+
+
+def test_cell_topk_kernel_sliced_matches_unsliced_adversarial_width(monkeypatch):
+    """An adversarially wide bucket (many queries x many candidates) must
+    produce BIT-IDENTICAL output whether the kernel slices its query axis
+    or not — slicing partitions the query ids, so per-slice top-k rows
+    concatenate without a merge. Forces a tiny KERNEL_SLICE_ELEMS so a
+    400x300 group runs in many slices."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n_q, n_c, dim = 400, 300, 16
+    qpdf = pd.DataFrame(
+        {
+            "query_id": np.arange(n_q, dtype=np.int64),
+            "qe": [rng.standard_normal(dim).tolist() for _ in range(n_q)],
+            "ql": (np.arange(n_q, dtype=np.int64) % 7),
+        }
+    )
+    cpdf = pd.DataFrame(
+        {
+            "neighbor_id": np.arange(100, 100 + n_c, dtype=np.int64),
+            "ce": [rng.standard_normal(dim).tolist() for _ in range(n_c)],
+            "cl": (np.arange(n_c, dtype=np.int64) % 7),
+        }
+    )
+    # overlap some ids so the self-match mask fires too
+    cpdf.loc[:49, "neighbor_id"] = np.arange(50, dtype=np.int64)
+
+    def run(label_mask):
+        return (
+            similarity._cell_topk_kernel(5, label_mask=label_mask)(qpdf, cpdf)
+            .sort_values(["query_id", "neighbor_id"])
+            .reset_index(drop=True)
+        )
+
+    full = {m: run(m) for m in (False, True)}
+    monkeypatch.setattr(similarity, "KERNEL_SLICE_ELEMS", 1024)  # ~3-row slices
+    sliced = {m: run(m) for m in (False, True)}
+    for m in (False, True):
+        pd.testing.assert_frame_equal(full[m], sliced[m])
+    # and the mask actually did something
+    assert len(full[True]) < len(full[False]) or not full[True].empty
