@@ -340,6 +340,7 @@ def embedding_hard_negatives_ann(
         num_tables=8,
         multiprobe=True,
         label_col="label",
+        n_rows=n,
     )
     return out.withColumnRenamed("neighbor_id", "negative_id")
 
@@ -474,7 +475,34 @@ def ann_lsh_topk(
         num_planes=num_planes,
         num_tables=num_tables,
         multiprobe=multiprobe,
+        n_rows=n,
     )
+
+
+#: target on-disk bytes per (table, bucket) cogroup shuffle partition. The
+#: probe explosion is n x tables x probes rows EACH CARRYING the 64-dim
+#: vector — at 200k vectors with adaptive planes that is ~38 GB into the
+#: default 32 shuffle partitions: >1 GB per task of group buffers + sort +
+#: Arrow pinned memory across 32 concurrent tasks was the round-8 GCLocker
+#: pressure and, re-probed in round 9, a stage OOM. AQE can only COALESCE
+#: partitions, never split them, so the fan-out must be explicit.
+TARGET_COGROUP_PARTITION_BYTES = 128 << 20
+
+
+def _cogroup_shards(
+    n_rows: int, num_tables: int, num_planes: int, multiprobe: bool
+) -> int:
+    """Estimated (table, bucket) shuffle partition count that keeps each
+    cogroup partition near TARGET_COGROUP_PARTITION_BYTES. Row estimate =
+    query probes (1 home + hamming-1 + directed hamming-2 per table) plus
+    candidate home buckets; bytes/row ~ vector + ids + overhead."""
+    probes = 1
+    if multiprobe:
+        h2 = min(H2_DIRECTED_PLANES, num_planes)
+        probes = 1 + num_planes + (h2 * (h2 - 1)) // 2
+    est_rows = n_rows * num_tables * (probes + 1)
+    est_bytes = est_rows * (DIM * 8 + 48)
+    return int(est_bytes // TARGET_COGROUP_PARTITION_BYTES) + 1
 
 
 def lsh_topk_df(
@@ -484,6 +512,7 @@ def lsh_topk_df(
     num_tables: int = 8,
     multiprobe: bool = True,
     label_col: str | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """LSH top-k over a (vec_id, emb: array<double>) DataFrame — the
     DataFrame-level core of ann_lsh_topk, also the fallback path for
@@ -581,6 +610,29 @@ def lsh_topk_df(
         F.col("bucket.b").alias("b"),
     )
 
+    # Adaptive cogroup sharding (round 9): explicitly hash-repartition both
+    # sides on (t, b) to a partition count sized to the ESTIMATED probe
+    # volume — HashPartitioning(t, b) satisfies the cogroup's required
+    # distribution, so this replaces (not adds to) the default exchange.
+    # Left at the session's 32 shuffle partitions, the 200k probe put
+    # >1 GB of group/sort/Arrow buffers on every one of 32 concurrent
+    # tasks (GCLocker retries in round 8; an outright executor OOM on the
+    # round-9 re-probe). defaultParallelism floors it so small corpora
+    # keep their current plans; 4096 caps runaway estimates.
+    if n_rows is None:
+        n_rows = base.count()
+    spark = base.sparkSession
+    shards = int(
+        min(
+            4096,
+            max(
+                spark.sparkContext.defaultParallelism,
+                _cogroup_shards(n_rows, num_tables, num_planes, multiprobe),
+            ),
+        )
+    )
+    q = q.repartition(shards, "t", "b")
+    c = c.repartition(shards, "t", "b")
     local = (
         q.groupby("t", "b")
         .cogroup(c.groupby("t", "b"))

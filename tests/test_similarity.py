@@ -919,3 +919,21 @@ def test_cell_topk_kernel_sliced_matches_unsliced_adversarial_width(monkeypatch)
         pd.testing.assert_frame_equal(full[m], sliced[m])
     # and the mask actually did something
     assert len(full[True]) < len(full[False]) or not full[True].empty
+
+
+def test_cogroup_shards_scales_with_probe_volume():
+    """The adaptive (t,b) shard count must grow with estimated probe
+    volume and stay put for small corpora: at 5k vectors the estimate is
+    below one target partition; at 200k with adaptive planes it demands
+    hundreds (the round-9 OOM regime)."""
+    small = similarity._cogroup_shards(
+        5_000, 8, similarity._adaptive_planes(5_000), True
+    )
+    big = similarity._cogroup_shards(
+        200_000, 8, similarity._adaptive_planes(200_000), True
+    )
+    assert small <= 8
+    assert big >= 100
+    # monotone in n and in probe count
+    assert similarity._cogroup_shards(400_000, 8, 13, True) > big * 1.5
+    assert similarity._cogroup_shards(200_000, 8, 13, False) < big
