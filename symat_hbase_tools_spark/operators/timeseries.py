@@ -522,28 +522,9 @@ def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM (recency / frequency / monetary) quintile segmentation over
-    purchase events — the classic customer-value scoring.
-
-    One per-user aggregate (recency = last purchase time, frequency =
-    count, monetary = exact money sum), then three quintile assignments
-    with a unique tie-break (user_id) so bucketing is total-ordered and
-    cross-engine identical. Quintiles come from the DISTRIBUTED global
-    rank (plans/ranking.py: range repartition + per-partition offsets),
-    not ``ntile().over(Window.orderBy(...))`` — the partition-less window
-    is a single-task sort over O(users) rows, which at 100 TB of events
-    is billions of users through one executor thread. ntile semantics are
-    reproduced exactly from (rank, n) so the output is bit-identical to
-    the window form (parity-tested).
-    """
-    from symat_hbase_tools_spark.plans.ranking import (
-        global_order_rank,
-        ntile_from_rank,
-    )
-
+def _rfm_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    per_user = (
+    return (
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(
@@ -552,6 +533,107 @@ def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(F.col("value"), "monetary"),
         )
     )
+
+
+def _rfm_segment_col() -> F.Column:
+    return F.format_string(
+        "R%dF%dM%d",
+        F.col("r_quintile"),
+        F.col("f_quintile"),
+        F.col("m_quintile"),
+    )
+
+
+def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation over
+    purchase events — the classic customer-value scoring.
+
+    One per-user aggregate, then quintile assignments with a unique
+    tie-break (user_id) so bucketing is total-ordered and cross-engine
+    identical. Quintiles come from the DISTRIBUTED global rank
+    (plans/ranking.py: range repartition + per-partition offsets), not
+    ``ntile().over(Window.orderBy(...))`` — the partition-less window is
+    a single-task sort over O(users) rows, which at 100 TB of events is
+    billions of users through one executor thread.
+
+    Round-9 (the round-7 lead, finally measured worth it at 4.4 s cold):
+    ONE ranking pass instead of three chained ones. The three metrics
+    MELT into (metric_idx, order_value, user_id) rows — order values
+    negated longs so every metric is "desc, then user_id" under one
+    ascending total order (monetary is micros-exact in double, so its
+    long micros preserve its exact order) — and one global rank over
+    (metric_idx, order_value, user_id) ranks the three metric blocks
+    contiguously: rank within metric = global_rank - metric_idx x
+    n_users, with n_users = n/3 exactly (every user carries all three
+    metrics). A groupBy(user_id) pivot reassembles one row per user.
+    Plan: one range shuffle + one hash shuffle, vs three chained
+    range-repartition rank passes (each with its own persist + offsets
+    subplan). Output is bit-identical to the three-pass form
+    (``users_rfm_segments_threepass``, parity-tested).
+    """
+    from symat_hbase_tools_spark.plans.ranking import (
+        global_order_rank,
+        ntile_from_rank,
+    )
+
+    per_user = _rfm_per_user(spark, sf_dir)
+    melted = per_user.select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("mi"), (-F.col("last_us")).alias("ov")
+                ),
+                F.struct(
+                    F.lit(1).alias("mi"), (-F.col("frequency")).alias("ov")
+                ),
+                F.struct(
+                    F.lit(2).alias("mi"),
+                    (
+                        -F.round(F.col("monetary") * F.lit(1_000_000.0)).cast(
+                            "long"
+                        )
+                    ).alias("ov"),
+                ),
+            )
+        ).alias("m"),
+    ).select(
+        "user_id",
+        "frequency",
+        "monetary",
+        F.col("m.mi").alias("mi"),
+        F.col("m.ov").alias("ov"),
+    )
+    ranked, n = global_order_rank(
+        melted, [F.col("mi"), F.col("ov"), F.col("user_id")], "g_rank"
+    )
+    n_users = (n / F.lit(3)).cast("long")
+    metric_rank = F.col("g_rank") - F.col("mi").cast("long") * n_users
+    q = ntile_from_rank(metric_rank, n_users, 5)
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.first("frequency").alias("frequency"),
+            F.first("monetary").alias("monetary"),
+            F.max(F.when(F.col("mi") == 0, q)).alias("r_quintile"),
+            F.max(F.when(F.col("mi") == 1, q)).alias("f_quintile"),
+            F.max(F.when(F.col("mi") == 2, q)).alias("m_quintile"),
+        )
+        .withColumn("segment", _rfm_segment_col())
+    )
+
+
+def users_rfm_segments_threepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-round-9 three-chained-rank form of
+    :func:`users_rfm_segments`, kept as its bit-parity witness."""
+    from symat_hbase_tools_spark.plans.ranking import (
+        global_order_rank,
+        ntile_from_rank,
+    )
+
+    per_user = _rfm_per_user(spark, sf_dir)
     ranked, n = global_order_rank(
         per_user, [F.col("last_us").desc(), F.col("user_id")], "r_rank"
     )
@@ -568,15 +650,7 @@ def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntile_from_rank(F.col("r_rank"), n, 5).alias("r_quintile"),
         ntile_from_rank(F.col("f_rank"), n, 5).alias("f_quintile"),
         ntile_from_rank(F.col("m_rank"), n, 5).alias("m_quintile"),
-    ).withColumn(
-        "segment",
-        F.format_string(
-            "R%dF%dM%d",
-            F.col("r_quintile"),
-            F.col("f_quintile"),
-            F.col("m_quintile"),
-        ),
-    )
+    ).withColumn("segment", _rfm_segment_col())
 
 
 def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:

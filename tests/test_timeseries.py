@@ -224,3 +224,19 @@ def test_markov_transitions_rows_are_distributions(spark):
     events = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
     expected = (events.groupby("user_id").size() - 1).clip(lower=0).sum()
     assert n_pairs == expected
+
+
+def test_rfm_single_pass_bit_matches_threepass(spark):
+    """The round-9 melted single-rank form must reproduce the three
+    chained ranking passes bit-for-bit — every metric block is contiguous
+    under the (metric, order_value, user_id) total order, so rank within
+    metric = global rank - metric_index x n_users exactly."""
+    new = {
+        tuple(sorted(r.asDict().items()))
+        for r in timeseries.users_rfm_segments(spark, SF_DIR).collect()
+    }
+    old = {
+        tuple(sorted(r.asDict().items()))
+        for r in timeseries.users_rfm_segments_threepass(spark, SF_DIR).collect()
+    }
+    assert new == old
