@@ -1231,6 +1231,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-4: bloom-screened contamination (scale notch of
     # doc_contamination: bitmap broadcast + Arrow probe, exact verify)
     "doc_contamination_bloom": doc_contamination_bloom,
+    # round-9: reward-model / DPO preference-pair construction
+    "doc_preference_pairs": text_analysis.preference_pairs,
     # round-4: Z-order layout census (Morton interleave, oracle-checked)
     "orders_zorder_census": orders_zorder_census,
 }
@@ -3061,6 +3063,43 @@ ORACLE_SQL: dict[str, str] = {
                wsum / (256.0 * n_tokens) AS score,
                wsum / (256.0 * n_tokens) > 0 AS keep
         FROM agg
+    """,
+    # preference pairs: per (lang, source) domain, argmax-vs-argmin of the
+    # exact-bigint classifier score with doc_id tie-breaks; margin is a
+    # difference of bit-identical doubles so it hash-matches. Zero-margin
+    # (all-tied) domains are dropped on both sides.
+    "doc_preference_pairs": f"""
+        WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term
+                       FROM documents WHERE trim(text) <> ''),
+        b AS (SELECT doc_id,
+                     CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                          + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 - 128
+                          AS BIGINT) AS wgt
+              FROM (SELECT doc_id,
+                           md5(concat_ws(chr(31), 'cls7', term)) AS h
+                    FROM words)),
+        agg AS (SELECT doc_id, CAST(SUM(wgt) AS BIGINT) AS wsum,
+                       CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM b GROUP BY doc_id),
+        s AS (SELECT a.doc_id, d.lang, d.source,
+                     a.wsum / (256.0 * a.n_tokens) AS score
+              FROM agg a JOIN documents d USING (doc_id)),
+        ranked AS (SELECT *,
+                     row_number() OVER (PARTITION BY lang, source
+                                        ORDER BY score DESC, doc_id) AS rk_hi,
+                     row_number() OVER (PARTITION BY lang, source
+                                        ORDER BY score ASC, doc_id) AS rk_lo,
+                     CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT)
+                        AS n_docs
+                   FROM s),
+        ch AS (SELECT lang, source, doc_id AS chosen_id, score AS cs, n_docs
+               FROM ranked WHERE rk_hi = 1),
+        rj AS (SELECT lang, source, doc_id AS rejected_id, score AS rs
+               FROM ranked WHERE rk_lo = 1)
+        SELECT ch.lang, ch.source, chosen_id, rejected_id,
+               cs - rs AS margin, n_docs
+        FROM ch JOIN rj USING (lang, source)
+        WHERE cs - rs > 0
     """,
     # token-budgeted selection: the quality_classifier score feeds a
     # greedy prefix under budget = total_tokens div 2 (exact integer —

@@ -624,6 +624,57 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain (chosen, rejected) preference-pair construction — the
+    reward-model / DPO data-prep step: within every (lang, source) domain,
+    pair the highest-quality document against the lowest-quality one, with
+    the quality margin as the pair's training weight.
+
+    Quality is the exact-bigint hashed-feature ``quality_classifier``
+    score, so the ordering is bit-identical cross-engine (both engines
+    derive the same double from the same (wsum, n_tokens) bigints). Ties
+    break on doc_id: chosen = (score desc, doc_id asc), rejected =
+    (score asc, doc_id asc) — a group whose docs all tie collapses to
+    chosen == rejected and is dropped (margin must be strictly positive:
+    a zero-margin pair carries no preference signal).
+
+    Scale shape: classifier (one doc_id-keyed partial-agg shuffle) ->
+    broadcast-or-shuffle join back to (lang, source) -> ONE partial
+    aggregation on the domain key using struct-ordered max/min (argmax
+    with tie-break inside the aggregate — no window, no per-domain
+    sort). Domains are dimension-cardinality, so the reduce side is
+    trivial at any corpus size.
+    """
+    scores = quality_classifier(spark, sf_dir).select("doc_id", "score")
+    dims = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    s = scores.join(dims, "doc_id")
+    # struct ordering is lexicographic: (score, -doc_id) max = highest
+    # score then LOWEST doc_id; (score, doc_id) min = lowest score then
+    # lowest doc_id
+    agg = s.groupBy("lang", "source").agg(
+        F.max(
+            F.struct(F.col("score"), (-F.col("doc_id")).alias("nid"))
+        ).alias("ch"),
+        F.min(F.struct(F.col("score"), F.col("doc_id").alias("id"))).alias(
+            "rj"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        agg.select(
+            "lang",
+            "source",
+            (-F.col("ch.nid")).alias("chosen_id"),
+            F.col("rj.id").alias("rejected_id"),
+            (F.col("ch.score") - F.col("rj.score")).alias("margin"),
+            "n_docs",
+        )
+        .filter(F.col("margin") > 0)
+    )
+
+
 #: persisted ranged tables outstanding from token_budget_select calls;
 #: each new call releases the previous call's cache (bounded at one)
 _TBS_PERSIST_CACHE: list = []

@@ -515,3 +515,38 @@ def test_token_budget_select_is_greedy_quality_prefix(spark):
     if m < len(all_docs):
         overshoot = int(running.iloc[-1]) + int(all_docs["n_tokens"][m])
         assert overshoot > budget
+
+
+def test_preference_pairs_semantics(spark):
+    """chosen is the strict-best-scoring doc of its domain and rejected the
+    strict-worst (doc_id tie-breaks), margin is their score gap, and every
+    all-tied or singleton domain is absent (no zero-margin pairs)."""
+    from symat_hbase_tools_spark.operators.text_analysis import (
+        preference_pairs,
+        quality_classifier,
+    )
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    pairs = {
+        (r["lang"], r["source"]): r
+        for r in preference_pairs(spark, SF_DIR).collect()
+    }
+    scores = quality_classifier(spark, SF_DIR).select("doc_id", "score")
+    dims = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    pdf = scores.join(dims, "doc_id").toPandas()
+    for (lang, source), sub in pdf.groupby(["lang", "source"]):
+        sub = sub.sort_values(["score", "doc_id"], ascending=[False, True])
+        lo = sub.sort_values(["score", "doc_id"], ascending=[True, True])
+        chosen, rejected = sub.iloc[0], lo.iloc[0]
+        key = (lang, source)
+        if chosen["score"] - rejected["score"] <= 0:
+            assert key not in pairs
+            continue
+        got = pairs[key]
+        assert got["chosen_id"] == chosen["doc_id"]
+        assert got["rejected_id"] == rejected["doc_id"]
+        assert abs(got["margin"] - (chosen["score"] - rejected["score"])) == 0.0
+        assert got["n_docs"] == len(sub)
+        assert got["margin"] > 0
