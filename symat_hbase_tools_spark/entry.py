@@ -1233,6 +1233,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_contamination_bloom": doc_contamination_bloom,
     # round-9: reward-model / DPO preference-pair construction
     "doc_preference_pairs": text_analysis.preference_pairs,
+    # round-9: curriculum ordering with cross-language interleave
+    "doc_curriculum_order": text_analysis.curriculum_order,
     # round-4: Z-order layout census (Morton interleave, oracle-checked)
     "orders_zorder_census": orders_zorder_census,
 }
@@ -3100,6 +3102,22 @@ ORACLE_SQL: dict[str, str] = {
                cs - rs AS margin, n_docs
         FROM ch JOIN rj USING (lang, source)
         WHERE cs - rs > 0
+    """,
+    # curriculum ordering: per-language easy-to-hard rank (token count,
+    # doc_id tie-break) and a language-interleaved global position —
+    # pure integer ranks under total orders, bit-identical cross-engine
+    "doc_curriculum_order": f"""
+        WITH d AS (SELECT doc_id, lang, CAST({_NTOK} AS BIGINT) AS n_tokens
+                   FROM documents),
+        lr AS (SELECT *,
+                 CAST(row_number() OVER (PARTITION BY lang
+                                         ORDER BY n_tokens, doc_id)
+                      AS BIGINT) AS lang_rank
+               FROM d)
+        SELECT doc_id, lang, n_tokens, lang_rank,
+               CAST(row_number() OVER (ORDER BY lang_rank, lang)
+                    AS BIGINT) AS curriculum_rank
+        FROM lr
     """,
     # token-budgeted selection: the quality_classifier score feeds a
     # greedy prefix under budget = total_tokens div 2 (exact integer —

@@ -675,6 +675,52 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy-to-hard curriculum ordering with cross-domain interleave — the
+    data-ordering step of curriculum training: within every language,
+    documents order by ascending difficulty (token count, doc_id
+    tie-break), and the global schedule interleaves languages so early
+    training never sees one domain exclusively (position ordered by
+    (within-language rank, lang): the k-th easiest doc of EVERY language
+    precedes any (k+1)-th).
+
+    Both ranks come from the distributed ranking machinery
+    (plans/ranking.py) — a ``row_number() OVER (PARTITION BY lang ...)``
+    window would funnel each language through ONE task, and language
+    cardinality is tiny, so at corpus scale that is a handful of tasks
+    sorting billions of rows each. Instead: one global rank over
+    (lang, difficulty, doc_id) makes language blocks contiguous, the
+    per-language rank is the global rank minus the language's broadcast
+    min-rank offset (dimension-sized aggregate), and a second global
+    rank over (lang_rank, lang) yields the interleaved schedule.
+    """
+    from symat_hbase_tools_spark.plans.ranking import global_order_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    ranked, _n = global_order_rank(
+        docs, [F.col("lang"), F.col("n_tokens"), F.col("doc_id")], "g_rank"
+    )
+    offsets = ranked.groupBy("lang").agg(F.min("g_rank").alias("rk0"))
+    with_lang_rank = (
+        ranked.join(F.broadcast(offsets), "lang")
+        .withColumn(
+            "lang_rank",
+            (F.col("g_rank") - F.col("rk0") + F.lit(1)).cast("bigint"),
+        )
+        .select("doc_id", "lang", "n_tokens", "lang_rank")
+    )
+    final, _n2 = global_order_rank(
+        with_lang_rank,
+        [F.col("lang_rank"), F.col("lang")],
+        "curriculum_rank",
+    )
+    return final.select(
+        "doc_id", "lang", "n_tokens", "lang_rank", "curriculum_rank"
+    )
+
+
 #: persisted ranged tables outstanding from token_budget_select calls;
 #: each new call releases the previous call's cache (bounded at one)
 _TBS_PERSIST_CACHE: list = []

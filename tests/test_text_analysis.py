@@ -550,3 +550,25 @@ def test_preference_pairs_semantics(spark):
         assert abs(got["margin"] - (chosen["score"] - rejected["score"])) == 0.0
         assert got["n_docs"] == len(sub)
         assert got["margin"] > 0
+
+
+def test_curriculum_order_interleaves_languages(spark):
+    """Within a language, curriculum order is ascending difficulty
+    (n_tokens, doc_id); globally, every language's k-th easiest doc
+    precedes any language's (k+1)-th — the interleave property."""
+    from symat_hbase_tools_spark.operators.text_analysis import curriculum_order
+
+    rows = curriculum_order(spark, SF_DIR).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["lang_rank"])
+        assert [r["lang_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        diffs = [(r["n_tokens"], r["doc_id"]) for r in rs]
+        assert diffs == sorted(diffs)
+    # interleave: curriculum position sorts by (lang_rank, lang)
+    sched = sorted(rows, key=lambda r: r["curriculum_rank"])
+    keys = [(r["lang_rank"], r["lang"]) for r in sched]
+    assert keys == sorted(keys)
+    assert [r["curriculum_rank"] for r in sched] == list(range(1, len(rows) + 1))
