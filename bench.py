@@ -101,6 +101,10 @@ HEADLINE = [
     # round-8: token-budgeted corpus selection + hard-negative mining
     "doc_token_budget_select",
     "embedding_hard_negatives",
+    # round-9 operators, seated round 10 (verdict ask #1): preference-pair
+    # construction + curriculum ordering get paired bench timings
+    "doc_preference_pairs",
+    "doc_curriculum_order",
 ]
 
 

@@ -629,7 +629,10 @@ def orders_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
     )
-    return group_mad(orders, "o_orderpriority", "price")
+    # o_orderpriority has exactly 5 values (TPC-H spec): the tiny-group
+    # hint routes to the pure-JVM two-pass form — no Python worker on a
+    # kilobyte reduce side (round-9 verdict ask #3; bit-parity tested)
+    return group_mad(orders, "o_orderpriority", "price", expected_groups=5)
 
 
 #: fixed calendar boundary splitting the events table into baseline /
@@ -1284,9 +1287,13 @@ _DRIVER_WINDOW = [
     "text_quality_score",
     "doc_pack_sequences",
     "multimodal_features",
-    # round-5 hash-mismatch fixes (uncast HUGEINT oracles): re-verify green
-    "embedding_quantize_int8",
-    "docs_jsonl_roundtrip",
+    # Round-10 rotation: the two round-9 additions seated (they were the
+    # only registered queries with no driver CORRECTNESS row ever —
+    # round-9 verdict ask #1). The round-5 hash-mismatch re-seats
+    # (embedding_quantize_int8, docs_jsonl_roundtrip) rotate out after
+    # four consecutive green rounds (r6-r9); both stay sweep-covered.
+    "doc_preference_pairs",
+    "doc_curriculum_order",
     # NEW round 8 (seated immediately so they don't end the round
     # driver-unverified): token-budgeted corpus selection + hard-negative
     # mining. q4_order_priority / q6_forecast_revenue rotate out as their

@@ -486,7 +486,9 @@ def simhash_portable_pairs(
         for pdf in batches:
             ids, lows, highs = [], [], []
             for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
-                if len(sh) == 0:
+                # NULL text -> NULL shingle array arrives as None (the
+                # removed size() pre-filter used to drop it: size(NULL)=-1)
+                if sh is None or len(sh) == 0:
                     continue
                 dig = [hashlib.md5(s.encode("utf-8")).digest() for s in sh]
                 hi = np.array(
@@ -673,24 +675,44 @@ def incremental_dedup_indexed(
     from pyspark.sql import Window
 
     words = new_docs.withColumn("words", F.split(F.col("text"), " "))
-    batch_sh = words.select(
+    # pre-filter on the WORDS array, not the shingle array: a doc shorter
+    # than n words has no n-shingles, and size(split(...)) is a cheap
+    # codegen'd predicate Catalyst may push freely — filtering on
+    # size(sh) instead re-inlines the interpreted shingle HOF into the
+    # pushed Filter and runs the whole shingle pass twice per row (the
+    # round-9 minhash double-eval class; also NULL-text safe: the
+    # comparison is NULL -> row dropped)
+    batch_sh = words.filter(F.size("words") >= n).select(
         "doc_id", shingles_from_words(F.col("words"), n=n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    batch_ex = batch_sh.select(
-        "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
     )
-    batch_sizes = batch_sh.select("doc_id", F.size("sh").alias("n1"))
+    # carry n1 through the explode so the batch side is referenced ONCE —
+    # the old separate batch_sizes projection re-ran the shingle pass
+    # (no persist here, unlike minhash) and cost an extra join shuffle
+    # coalesce makes n1 NON-NULLABLE (sh is never null past the words
+    # filter, so the -1 arm is unreachable): without it, the jaccard
+    # arithmetic filter downstream makes InferFiltersFromConstraints add
+    # isnotnull(n1), which pushes to the scan and re-inlines the shingle
+    # HOF into the Filter — the same double-eval class, arriving via
+    # constraint inference instead of a hand-written filter (caught by
+    # the assert_no_hof_in_filters gate)
+    batch_ex = batch_sh.select(
+        "doc_id",
+        F.coalesce(F.size("sh"), F.lit(-1)).alias("n1"),
+        F.explode(shingle_hashes(F.col("sh"))).alias("s"),
+    )
     idx = spark.table(index_table).select(
         F.col("doc_id").alias("c_doc"), "s", F.col("n_sh").alias("n2")
     )
+    # n1 is functionally dependent on doc_id — grouping on it adds no
+    # groups, and folding it into the aggregate key removes the
+    # batch_sizes re-join entirely
     inter = (
         batch_ex.join(idx, "s")
-        .groupBy("doc_id", "c_doc", "n2")
+        .groupBy("doc_id", "c_doc", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = (
-        inter.join(batch_sizes, "doc_id")
-        .select(
+        inter.select(
             "doc_id",
             "c_doc",
             (F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))).alias("jaccard"),

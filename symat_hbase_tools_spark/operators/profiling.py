@@ -134,8 +134,21 @@ def referential_integrity(load, edges=FK_EDGES) -> DataFrame:
     return out
 
 
+#: group-cardinality threshold below which :func:`group_mad` routes to the
+#: pure-JVM two-pass form: with a handful of groups, the whole reduce side
+#: is a few kilobytes and the fused kernel's cost is ENTIRELY the Python
+#: worker round-trip (Arrow serialization + worker dispatch, a ~0.2 s
+#: constant) — the two extra JVM stages are microseconds at that size.
+#: Above the threshold the fused kernel's halved stage count wins.
+MAD_JVM_DISPATCH_MAX_GROUPS = 64
+
+
 def group_mad(
-    df: DataFrame, group_col: str, value_col: str, scale: float = 1.4826
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: float = 1.4826,
+    expected_groups: int | None = None,
 ) -> DataFrame:
     """Median absolute deviation per group — the robust spread statistic
     (MAD; scale 1.4826 makes it a consistent sigma estimator under
@@ -156,7 +169,24 @@ def group_mad(
 
     Interpolation is the ``lower + (upper - lower) * frac`` form that
     Spark's ``percentile`` and DuckDB's ``quantile_cont`` both use, in
-    float64 — bit-identical output to the two-pass form (tested).
+    float64 — bit-identical output to the two-pass form (tested),
+    INCLUDING null semantics: NULL values are excluded from both
+    percentiles (``percentile`` / ``quantile_cont`` ignore NULLs) but
+    still counted in ``n`` (``count(lit(1))`` counts every row); an
+    all-NULL group yields NULL median/mad with its row count intact.
+    Caveat (documented, not fixable at the Arrow boundary): a genuine
+    float NaN in the input is indistinguishable from NULL once the batch
+    lands in a float64 pandas column, so NaN inputs are treated as NULL
+    here, whereas Spark's percentile sorts NaN greatest — callers with
+    NaN-bearing columns should pre-filter ``isnan``.
+
+    ``expected_groups``: callers that KNOW the group cardinality is tiny
+    (e.g. TPC-H order priority: 5 values) pass it; at or below
+    :data:`MAD_JVM_DISPATCH_MAX_GROUPS` the call routes to the pure-JVM
+    :func:`group_mad_twopass` — no Python worker at all, which beats the
+    fused kernel's Arrow/worker constant when the reduce side is
+    kilobytes. The hint is advisory (wrong values change performance,
+    never results — the two forms are bit-parity tested).
 
     Scale posture: identical to the sort-aggregate form — exact per-group
     medians fundamentally gather each group's values at one reducer
@@ -166,6 +196,12 @@ def group_mad(
     percentile-histogram pattern, not this statistic.
     Output: group, n, median, mad (scaled), mad_raw.
     """
+    if (
+        expected_groups is not None
+        and expected_groups <= MAD_JVM_DISPATCH_MAX_GROUPS
+    ):
+        return group_mad_twopass(df, group_col, value_col, scale)
+
     import numpy as np
     import pandas as pd
 
@@ -180,7 +216,20 @@ def group_mad(
         return lower + (float(sorted_vals[lo + 1]) - lower) * frac
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["_v"].to_numpy(dtype=np.float64)
+        raw = pdf["_v"].to_numpy(dtype=np.float64)  # NULL arrives as NaN
+        n_all = len(raw)  # count(lit(1)) semantics: NULLs count in n
+        v = raw[~np.isnan(raw)]  # percentile semantics: NULLs excluded
+        if v.size == 0:
+            # all-NULL group: percentile/quantile_cont return NULL
+            return pd.DataFrame(
+                {
+                    "_g": [pdf["_g"].iloc[0]],
+                    "n": [n_all],
+                    "median": [None],
+                    "mad": [None],
+                    "mad_raw": [None],
+                }
+            )
         v.sort()
         med = _interp_median(v)
         dev = np.abs(v - med)
@@ -189,7 +238,7 @@ def group_mad(
         return pd.DataFrame(
             {
                 "_g": [pdf["_g"].iloc[0]],
-                "n": [len(v)],
+                "n": [n_all],
                 "median": [med],
                 "mad": [mad_raw * scale],
                 "mad_raw": [mad_raw],

@@ -542,7 +542,13 @@ def lsh_topk_df(
     valid negative, so k stays k (an outer overfetch-then-filter
     composition multiplied the merge volume by the overfetch factor and
     still lost recall when a query's nearest m*k rows were all
-    same-label)."""
+    same-label).
+
+    n_rows sizes the adaptive cogroup sharding (round 9). NOTE: when
+    n_rows is None this builder runs an EAGER ``base.count()`` job at
+    plan-construction time to estimate probe volume — it is not fully
+    lazy in that case. Callers that know the corpus size (all in-repo
+    callers) should pass n_rows to keep construction lazy."""
     import numpy as np
     import pandas as pd
 
@@ -1564,9 +1570,12 @@ def ivf_index_append(
         # match the INDEX's on-disk label type (new builds write long so
         # >int32 labels can neither throw under ANSI nor wrap into a
         # colliding value that silently masks a valid negative — round-9
-        # advisory): one physical type per assignments directory, and
-        # against a legacy int-labeled index an out-of-range batch label
-        # fails the ANSI cast loudly instead of wrapping
+        # advisory): one physical type per assignments directory. The
+        # lossless-ness of the narrowing cast is asserted EXPLICITLY
+        # (round-back equality + assert_true) rather than relying on the
+        # session's ANSI setting — with ANSI off, a bare cast would wrap
+        # silently and reintroduce the label-collision masking bug for
+        # legacy int-labeled indexes (round-10 advisory).
         idx_label_t = assignments_rel.schema["label"].dataType.simpleString()
         extra = {"label": idx_label_t}
         if "label" in new_vectors.columns:
@@ -1574,7 +1583,25 @@ def ivf_index_append(
             lab_col = F.col("label")
         else:
             lab_col = F.lit(None)
-        sel.append(lab_col.cast(idx_label_t).alias("label"))
+        casted = lab_col.cast(idx_label_t)
+        lossless = lab_col.isNull() | (
+            casted.cast("long") == lab_col.cast("long")
+        )
+        sel.append(
+            F.when(
+                F.assert_true(
+                    lossless,
+                    F.concat(
+                        F.lit(
+                            "ivf_index_append: batch label out of range for "
+                            f"the index's on-disk label type {idx_label_t}: "
+                        ),
+                        lab_col.cast("string"),
+                    ),
+                ).isNull(),
+                casted,
+            ).alias("label")
+        )
     vecs = new_vectors.select(*sel)
     (
         _cell_assign(vecs, bc, n_assign, extra_cols=extra)

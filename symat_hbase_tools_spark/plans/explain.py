@@ -42,3 +42,30 @@ def assert_broadcast_join(df: DataFrame) -> None:
 def count_exchanges(df: DataFrame) -> int:
     plan = plan_string(df, mode="simple")
     return plan.count("Exchange")
+
+
+def assert_no_hof_in_filters(df: DataFrame) -> None:
+    """Fail if any Filter node evaluates an interpreted higher-order
+    function (``lambdafunction`` in its plan line).
+
+    The round-9 lesson, turned into a gate: Catalyst pushes deterministic
+    filters below projections and RE-INLINES the projected expression into
+    the Filter — for an interpreted HOF (transform/filter/aggregate with a
+    lambda, e.g. the shingle expression) that re-runs the whole per-row
+    pass twice (measured 0.3 -> 5.4 s on minhash at sf0.1). The cure at
+    each site is one of: filter on a pushable pre-condition of the source
+    column instead (size(words) >= n), filter above a persist boundary, or
+    drop a redundant filter the downstream op already implies. A Filter
+    that HAS to evaluate a lambda wholesale is a plan bug under this
+    engine's conventions; no current operator needs one.
+    """
+    plan = plan_string(df, mode="simple")
+    offenders = [
+        line
+        for line in plan.splitlines()
+        if "Filter" in line.split("(", 1)[0] and "lambdafunction" in line
+    ]
+    assert not offenders, (
+        "interpreted HOF re-inlined into a Filter (double-eval class):\n"
+        + "\n".join(offenders)
+    )

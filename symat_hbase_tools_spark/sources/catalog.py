@@ -152,11 +152,23 @@ def overwrite_table_in_place(df, path: str) -> None:
         # Cost is one recursive listing, only on the unprovable-liveness
         # path, and only for dirs already past the top-level age gate —
         # cheap next to deleting a whole table copy wrongly.
+        #
+        # listStatus walk, NOT fs.listFiles(recursive): listFiles
+        # enumerates only FILES, so a writer that has so far created
+        # only staging directories (task attempt dirs under _temporary/,
+        # no leaf files yet) would keep newest == top_ms and still be
+        # wrongly deleted past the age gate (round-10 advisory — same
+        # data-loss class, narrower window). Directory mtimes update on
+        # child creation, so folding them into the bound covers the
+        # directories-only phase of a live write.
         newest = top_ms
+        stack = [jpath]
         try:
-            it = fs.listFiles(jpath, True)
-            while it.hasNext():
-                newest = max(newest, it.next().getModificationTime())
+            while stack:
+                for st in fs.listStatus(stack.pop()):
+                    newest = max(newest, st.getModificationTime())
+                    if st.isDirectory():
+                        stack.append(st.getPath())
         except Exception:
             # listing race with a concurrent cleanup/rename: keep the
             # best bound we have (worst case we KEEP a dir, never a

@@ -279,3 +279,42 @@ def test_inflight_sibling_with_fresh_inner_write_survives(spark, warehouse):
         for d in (active, dead):
             if os.path.exists(d):
                 shutil.rmtree(d)
+
+
+def test_inflight_sibling_with_only_staging_dirs_survives(spark, warehouse):
+    """Round-10 advisory: the recursive freshness bound must fold in
+    DIRECTORY mtimes, not just files — fs.listFiles(recursive) enumerates
+    only files, so a live writer that has so far created only staging
+    directories under _temporary/ (task-attempt dirs, no leaf files yet)
+    kept newest == top-level mtime and could still be wrongly deleted
+    past the age gate. A fresh EMPTY staging dir inside an ancient
+    top-level sibling is proof of life."""
+    import os
+    import shutil
+    import time
+
+    from symat_hbase_tools_spark.sources.catalog import (
+        STALE_SIBLING_AGE_MS,
+        overwrite_table_in_place,
+    )
+
+    path = str(warehouse / "prod" / "accounts")
+    df = spark.read.parquet(path)
+    n = df.count()
+    old = time.time() - (STALE_SIBLING_AGE_MS / 1000 + 3600)
+
+    active = f"{path}.inflight-remotehost2"  # unparseable pid -> age gate
+    staging = os.path.join(active, "_temporary", "0")  # dirs ONLY, no files
+    try:
+        os.makedirs(staging, exist_ok=True)
+        os.utime(active, (old, old))  # top-level clock says job start
+        # inner dirs keep their fresh creation mtimes — the only liveness
+        # signal a directories-only staging phase leaves behind
+
+        overwrite_table_in_place(df.filter(F.col("row").isNotNull()), path)
+
+        assert spark.read.parquet(path).count() == n
+        assert os.path.isdir(active)  # the in-progress write survived
+    finally:
+        if os.path.exists(active):
+            shutil.rmtree(active)

@@ -318,3 +318,28 @@ def test_prefix_filter_nonrepresentable_thresholds(spark):
         b = ngram_jaccard_pairs(spark, SF_DIR, threshold=th).select("d1", "d2")
         assert a.exceptAll(b).count() == 0
         assert b.exceptAll(a).count() == 0
+
+
+def test_simhash_portable_skips_null_text_docs(spark, tmp_path):
+    """Round-10 advisory: a NULL document text makes split/shingles return
+    NULL, arriving in the Arrow fingerprint kernel as None — the removed
+    F.size pre-filter used to drop it (size(NULL) = -1), so the kernel's
+    own guard must treat None like the empty array instead of raising
+    TypeError on len(None)."""
+    import pyspark.sql.functions as F
+
+    from symat_hbase_tools_spark.operators.dedup import simhash_portable_pairs
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    sf = str(tmp_path / "sf_nulltext")
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    null_row = docs.limit(1).withColumn(
+        "doc_id", F.lit(999_999).cast("long")
+    ).withColumn("text", F.lit(None).cast("string"))
+    docs.unionByName(null_row).write.parquet(f"{sf}/documents.parquet")
+
+    out = simhash_portable_pairs(spark, sf).collect()  # must not raise
+    assert all(
+        999_999 not in (r["d1"], r["d2"]) for r in out
+    )  # the NULL doc emits no fingerprint, hence no pairs

@@ -451,3 +451,70 @@ def test_hard_negatives_has_no_cartesian_product(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_no_interpreted_hof_reinlined_into_filters(spark):
+    """Round-9's hand-found bug class, turned into a mechanical gate:
+    Catalyst pushes deterministic filters below projections and re-inlines
+    the projected expression into the Filter — for an interpreted HOF
+    (the shingle/token lambda expressions) that re-runs the whole per-row
+    pass twice (minhash cold 19.3 -> 4.3 s once fixed). Every HOF-bearing
+    document/dedup/contamination plan must keep lambdas OUT of Filter
+    nodes (and out of scan DataFilters)."""
+    from symat_hbase_tools_spark.entry import QUERIES
+    from symat_hbase_tools_spark.plans.explain import assert_no_hof_in_filters
+
+    hof_queries = [
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_simhash_portable",
+        "dedup_incremental",
+        "dedup_prefix_filter",
+        "doc_dup_spans",
+        "doc_dedup_clusters",
+        "doc_contamination",
+        "doc_contamination_overlap",
+        "doc_contamination_bloom",
+        "text_token_stats",
+        "boilerplate_shingles",
+        "doc_token_budget_select",
+        "bpe_tokenize_census",
+        "knn_cosine_topk",
+        "embedding_quantize_int8",
+    ]
+    for name in hof_queries:
+        assert_no_hof_in_filters(QUERIES[name](spark, SF_DIR))
+
+
+def test_indexed_incremental_dedup_no_hof_filter_single_batch_pass(spark, tmp_path):
+    """incremental_dedup_indexed (round-10 restructure): the batch side's
+    empty-shingle guard must be a pushable size(words) predicate — not a
+    size(sh) filter that re-inlines the shingle HOF — and the shingle
+    projection must appear ONCE in the plan (n1 rides the explode instead
+    of a second batch_sizes projection + join)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.operators import dedup
+    from symat_hbase_tools_spark.plans.explain import (
+        assert_no_hof_in_filters,
+        plan_string,
+    )
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus_dir = str(tmp_path / "csf")
+    os.makedirs(corpus_dir, exist_ok=True)
+    docs.filter(F.col("doc_id") % 10 != 0).write.mode("overwrite").parquet(
+        os.path.join(corpus_dir, "documents.parquet")
+    )
+    dedup.build_shingle_index(spark, corpus_dir, str(tmp_path / "idx3"))
+    out = dedup.incremental_dedup_indexed(
+        spark, docs.filter(F.col("doc_id") % 10 == 0)
+    )
+    assert_no_hof_in_filters(out)
+    # one shingle materialization for the whole batch side
+    plan = plan_string(out, mode="simple")
+    assert plan.count("array_distinct(transform(") == 1, plan

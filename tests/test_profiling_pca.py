@@ -375,3 +375,74 @@ def test_group_mad_fused_kernel_bit_matches_twopass(spark):
         for r in group_mad_twopass(orders, "o_orderpriority", "price").collect()
     }
     assert fused == twopass
+
+
+def test_group_mad_null_semantics_match_twopass(spark):
+    """Round-10 advisory: NULL values must be EXCLUDED from both
+    percentiles (percentile/quantile_cont ignore NULLs) but COUNTED in n
+    (count(lit(1)) counts every row); an all-NULL group yields NULL
+    median/mad with its row count intact. The fused Arrow kernel's
+    to_numpy(float64) turns NULLs into NaNs which sort to the end and
+    previously poisoned the median — this pins the fix against the
+    pure-JVM two-pass form."""
+    from symat_hbase_tools_spark.operators.profiling import (
+        group_mad,
+        group_mad_twopass,
+    )
+
+    rows = (
+        [("a", float(i)) for i in range(1, 8)]
+        + [("a", None)] * 3  # nulls interleaved into a real group
+        + [("b", None)] * 4  # all-NULL group
+        + [("c", 42.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    def key(recs):
+        return {r["g"]: (r["n"], r["median"], r["mad_raw"]) for r in recs}
+
+    fused = key(group_mad(df, "g", "v").collect())
+    twopass = key(group_mad_twopass(df, "g", "v").collect())
+    assert fused == twopass
+    # explicit expectations, not just parity: n counts NULL rows,
+    # percentiles ignore them, all-NULL group -> NULL stats
+    assert fused["a"] == (10, 4.0, 2.0)
+    assert fused["b"] == (4, None, None)
+    assert fused["c"] == (1, 42.0, 0.0)
+
+
+def test_group_mad_tiny_group_hint_routes_to_jvm(spark):
+    """expected_groups at or below MAD_JVM_DISPATCH_MAX_GROUPS must route
+    to the pure-JVM two-pass plan — no Python worker (round-9 verdict ask
+    #3: the fused kernel's Arrow/worker constant dominates on kilobyte
+    reduce sides). Above the threshold the fused kernel is kept."""
+    from symat_hbase_tools_spark.operators.profiling import (
+        MAD_JVM_DISPATCH_MAX_GROUPS,
+        group_mad,
+    )
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    jvm_plan = group_mad(
+        orders, "o_orderpriority", "price", expected_groups=5
+    )
+    assert "FlatMapGroupsInPandas" not in str(
+        jvm_plan._jdf.queryExecution().optimizedPlan()
+    )
+    fused_plan = group_mad(
+        orders,
+        "o_orderpriority",
+        "price",
+        expected_groups=MAD_JVM_DISPATCH_MAX_GROUPS + 1,
+    )
+    assert "FlatMapGroupsInPandas" in str(
+        fused_plan._jdf.queryExecution().optimizedPlan()
+    )
+    # and the two routes agree (bit-parity is separately tested; this is
+    # the dispatch wiring check)
+    a = {tuple(sorted(r.asDict().items())) for r in jvm_plan.collect()}
+    b = {tuple(sorted(r.asDict().items())) for r in fused_plan.collect()}
+    assert a == b

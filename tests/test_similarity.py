@@ -937,3 +937,57 @@ def test_cogroup_shards_scales_with_probe_volume():
     # monotone in n and in probe count
     assert similarity._cogroup_shards(400_000, 8, 13, True) > big * 1.5
     assert similarity._cogroup_shards(200_000, 8, 13, False) < big
+
+
+def test_ivf_index_append_lossy_label_cast_fails_without_ansi(spark, tmp_path):
+    """Round-10 advisory: the append's narrowing label cast must assert
+    losslessness EXPLICITLY — with ANSI off, a bare cast to a legacy
+    int-labeled index silently WRAPS an out-of-range int64 label into a
+    colliding int32 value, reintroducing the masking bug the round-9 fix
+    targeted. The guard (round-back equality + assert_true) must fail
+    loudly regardless of the session's ANSI setting."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "legacy_int_idx")
+    similarity.build_ivf_index(spark, SF_DIR, idx, n_cells=4)
+    # forge a LEGACY index whose on-disk label type is int32
+    a = spark.read.parquet(f"{idx}/assignments").withColumn(
+        "label", F.col("label").cast("int")
+    )
+    a.write.partitionBy("cell").parquet(f"{idx}/assignments_int")
+    shutil.rmtree(f"{idx}/assignments")
+    shutil.move(f"{idx}/assignments_int", f"{idx}/assignments")
+    similarity._invalidate_ivf_relations(idx)
+
+    batch = (
+        load_table(spark, SF_DIR, "embeddings")
+        .limit(3)
+        .withColumn("vec_id", F.col("vec_id") + 2_000_000)
+        # wraps to a small colliding int32 under a bare non-ANSI cast
+        .withColumn("label", F.lit((1 << 32) + 7).cast("long"))
+    )
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="out of range"):
+            similarity.ivf_index_append(spark, idx, batch)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_before)
+    # nothing was appended past the failed guard
+    similarity._invalidate_ivf_relations(idx)
+    merged = spark.read.parquet(f"{idx}/assignments")
+    assert merged.filter(F.col("vec_id") >= 2_000_000).count() == 0
+    # and an IN-RANGE append against the same legacy index still lands
+    ok = (
+        load_table(spark, SF_DIR, "embeddings")
+        .limit(3)
+        .withColumn("vec_id", F.col("vec_id") + 3_000_000)
+        .withColumn("label", F.lit(11).cast("long"))
+    )
+    similarity.ivf_index_append(spark, idx, ok)
+    merged = spark.read.parquet(f"{idx}/assignments")
+    assert merged.filter(F.col("vec_id") >= 3_000_000).count() == 3
