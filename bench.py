@@ -105,6 +105,10 @@ HEADLINE = [
     # construction + curriculum ordering get paired bench timings
     "doc_preference_pairs",
     "doc_curriculum_order",
+    # round-10 operators: DSIR importance selection + CCNet perplexity
+    # buckets
+    "doc_dsir_select",
+    "doc_ccnet_buckets",
 ]
 
 

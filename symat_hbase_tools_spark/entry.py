@@ -1238,6 +1238,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_preference_pairs": text_analysis.preference_pairs,
     # round-9: curriculum ordering with cross-language interleave
     "doc_curriculum_order": text_analysis.curriculum_order,
+    # round-10: DSIR importance-weighted data selection (hashed-unigram
+    # target/source log ratio, exact-micros weights)
+    "doc_dsir_select": text_analysis.dsir_select,
+    # round-10: CCNet-style per-language perplexity terciles over the
+    # corpus bigram LM (rank-cut buckets, never value-interpolated)
+    "doc_ccnet_buckets": text_analysis.ccnet_buckets,
     # round-4: Z-order layout census (Morton interleave, oracle-checked)
     "orders_zorder_census": orders_zorder_census,
 }
@@ -1294,6 +1300,13 @@ _DRIVER_WINDOW = [
     # four consecutive green rounds (r6-r9); both stay sweep-covered.
     "doc_preference_pairs",
     "doc_curriculum_order",
+    # Round-10 additions seated immediately (the standing discipline: no
+    # registered query ends its birth round driver-unverified). Two
+    # r6-seated quadruple-green relational vets rotate out
+    # (q18_large_volume_customers, price_quantity_stats) — both stay in
+    # the bench headline and the sweeps.
+    "doc_dsir_select",
+    "doc_ccnet_buckets",
     # NEW round 8 (seated immediately so they don't end the round
     # driver-unverified): token-budgeted corpus selection + hard-negative
     # mining. q4_order_priority / q6_forecast_revenue rotate out as their
@@ -1315,9 +1328,8 @@ _DRIVER_WINDOW = [
     "multimodal_resize_census",
     "embedding_hard_negatives_ann",
     "hard_negatives_indexed_check",
-    # relational tail (first-time r6)
-    "q18_large_volume_customers",
-    "price_quantity_stats",
+    # relational tail (first-time r6; q18/price_quantity_stats rotated
+    # out r10 after four green rounds)
     "price_percentiles_exact_rank",
     "orders_stats_pushdown",
     "orders_zorder_census",
@@ -3125,6 +3137,76 @@ ORACLE_SQL: dict[str, str] = {
                CAST(row_number() OVER (ORDER BY lang_rank, lang)
                     AS BIGINT) AS curriculum_rank
         FROM lr
+    """,
+    # DSIR selection: per-bucket ln importance ratio fixed to integer
+    # micros at the 256-row weight table, so every per-doc score is an
+    # exact bigint SUM (no float accumulation order anywhere) and the
+    # top-n_docs//5 boundary is exact cross-engine
+    "doc_dsir_select": f"""
+        WITH tok AS (SELECT doc_id, lang, unnest({_TOKENS}) AS term
+                     FROM documents WHERE trim(text) <> ''),
+        tb AS (SELECT doc_id, lang,
+                      CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                           + strpos('0123456789abcdef', substr(h, 2, 1)) - 1
+                           AS INTEGER) AS bucket
+               FROM (SELECT doc_id, lang,
+                            md5(concat_ws(chr(31), 'dsir1', term)) AS h
+                     FROM tok)),
+        cnt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_s,
+                       CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT)
+                           AS c_t
+                FROM tb GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c_s) AS BIGINT) AS n_s,
+                       CAST(SUM(c_t) AS BIGINT) AS n_t FROM cnt),
+        w AS (SELECT bucket,
+                     CAST(round((ln((c_t + 1.0) / (n_t + 256))
+                                 - ln((c_s + 1.0) / (n_s + 256))) * 1e6)
+                          AS BIGINT) AS lw
+              FROM cnt CROSS JOIN tot),
+        doc AS (SELECT doc_id, any_value(lang) AS lang,
+                       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                       CAST(SUM(lw) AS BIGINT) AS logw_micros
+                FROM tb JOIN w USING (bucket) GROUP BY doc_id),
+        d2 AS (SELECT *, CAST(logw_micros AS DOUBLE) / n_tokens
+                             AS lw_per_token
+               FROM doc),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d2)
+        SELECT doc_id, lang, n_tokens, logw_micros, lw_per_token,
+               row_number() OVER (ORDER BY lw_per_token DESC, doc_id)
+                   <= n_docs // 5 AS selected
+        FROM d2 CROSS JOIN n
+    """,
+    # CCNet buckets: the proven bigram-LM oracle feeds per-language
+    # ntile(3) on (round-6 score in micros, doc_id) — a RANK cut, exact
+    # integer end-to-end; a percentile VALUE cut would interpolate floats
+    # and go boundary-unstable cross-engine
+    "doc_ccnet_buckets": f"""
+        WITH t AS (SELECT doc_id, {_TOKENS} AS w FROM documents
+                   WHERE trim(text) <> ''),
+        pos AS (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+                FROM t WHERE len(w) >= 2),
+        bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM pos),
+        bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+               FROM bg GROUP BY 1, 2),
+        cc AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+        vv AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v
+               FROM (SELECT unnest(w) AS s FROM t)),
+        sc AS (SELECT doc_id, c12, c1, v
+               FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN vv),
+        per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                       round(avg(-ln((c12 + 1) / (c1 + v))), 6) AS avg_surprisal
+                FROM sc GROUP BY 1),
+        sm AS (SELECT p.doc_id, p.n_bigrams, p.avg_surprisal, d.lang,
+                      CAST(round(p.avg_surprisal * 1e6) AS BIGINT)
+                          AS score_micros
+               FROM per p JOIN documents d USING (doc_id)),
+        r AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY score_micros, doc_id) AS t3
+              FROM sm)
+        SELECT doc_id, lang, n_bigrams, avg_surprisal,
+               CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS ppl_bucket
+        FROM r
     """,
     # token-budgeted selection: the quality_classifier score feeds a
     # greedy prefix under budget = total_tokens div 2 (exact integer —

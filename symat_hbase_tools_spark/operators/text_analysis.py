@@ -1031,3 +1031,181 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+#: DSIR hashed-feature space: 2 md5 nibbles = 256 buckets, same idiom as
+#: the quality classifier (portable: DuckDB md5 is bit-identical), with a
+#: distinct salt so the two feature spaces never alias
+DSIR_SALT = "dsir1"
+DSIR_BUCKETS = 256
+
+#: DSIR selection rate: keep the top 1/5 of documents by importance weight
+DSIR_KEEP_DEN = 5
+
+
+def dsir_select(
+    spark: SparkSession, sf_dir: str, target_lang: str = "en"
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log importance ratio of a TARGET-domain hashed-unigram model over
+    the SOURCE (whole-corpus) model, then keep the top fraction — the
+    standard cheap "select pretraining data that looks like the target
+    domain" pass.
+
+    Model: tokens hash into ``DSIR_BUCKETS`` md5 buckets; both models are
+    add-1-smoothed bucket unigram distributions (target = documents with
+    ``lang = target_lang``, source = all documents). Per-bucket log ratio
+    ln(p_t[b]) - ln(p_s[b]) is fixed to integer MICROS at the 256-row
+    weight table (the mixture_temperature discipline), so every per-doc
+    score is an EXACT bigint sum — no float accumulation order anywhere.
+    Selection ranks on the PER-TOKEN mean log ratio (logw_micros /
+    n_tokens): the raw sum carries the smoothing's negative per-token
+    bias times length, so it degenerates into shortest-doc selection
+    (measured: en share of the top fifth 0.48 raw vs 0.50 normalized at
+    sf0.001); the mean is the per-token cross-entropy difference, the
+    length-debiased quantity. The division is a double over two
+    identical bigints — IEEE division is correctly rounded, so the order
+    is still bit-stable cross-engine (the token_budget_select argument).
+    Deterministic greedy top-k with doc_id tie-break stands in for the
+    paper's Gumbel-noised sampling (noise would un-oracle the op; the
+    ranking is the engine-relevant part).
+
+    Scale shape: one exploded token scan feeds ONE 256-row aggregate
+    (count + conditional count per bucket — partial-agg'd map-side); the
+    weight table and its totals are broadcast; per-doc scores are one
+    doc-keyed shuffle with map-side combine; selection rank comes from
+    the distributed ranking machinery (plans/ranking.py), never a
+    single-partition window. At 100 TB: two data-scale shuffles (explode
+    is map-only), both uniformly keyed.
+
+    Output: (doc_id, lang, n_tokens, logw_micros, lw_per_token,
+    selected) for every document with >= 1 token; selected = rank <=
+    floor(n_docs / 5) under (lw_per_token DESC, doc_id) order.
+    """
+    from symat_hbase_tools_spark.plans.partitioning import fanout
+    from symat_hbase_tools_spark.plans.ranking import global_order_rank
+
+    docs = fanout(spark, load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    toks = toks.withColumn(
+        "h", F.md5(F.concat_ws("\x1f", F.lit(DSIR_SALT), F.col("term")))
+    )
+    nib1 = F.expr(f"instr('{_HEX16}', substr(h, 1, 1)) - 1")
+    nib2 = F.expr(f"instr('{_HEX16}', substr(h, 2, 1)) - 1")
+    tok_b = toks.select(
+        "doc_id",
+        "lang",
+        (nib1 * 16 + nib2).cast("int").alias("bucket"),
+    )
+
+    # 256-row model table in ONE pass: source count + target count per
+    # bucket (count_if keeps it a single aggregate, no second scan)
+    cnt = tok_b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_s"),
+        F.count_if(F.col("lang") == target_lang).alias("c_t"),
+    )
+    tot = cnt.agg(
+        F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t")
+    )
+    b = F.lit(DSIR_BUCKETS)
+    lw = (
+        F.log((F.col("c_t") + 1) / (F.col("n_t") + b))
+        - F.log((F.col("c_s") + 1) / (F.col("n_s") + b))
+    )
+    weights = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket", F.round(lw * 1e6).cast("bigint").alias("lw_micros")
+    )
+
+    per_doc = (
+        tok_b.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lw_micros").alias("logw_micros"),
+        )
+    )
+    per_doc = per_doc.withColumn(
+        "lw_per_token",
+        F.col("logw_micros").cast("double") / F.col("n_tokens"),
+    )
+    ranked, n_docs = global_order_rank(
+        per_doc,
+        [(-F.col("lw_per_token")).alias("_negw"), F.col("doc_id")],
+        "_dsir_rank",
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "logw_micros",
+        "lw_per_token",
+        (F.col("_dsir_rank") <= F.floor(n_docs / DSIR_KEEP_DEN)).alias(
+            "selected"
+        ),
+    )
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus bigram LM (``bigram_surprisal`` — the cheap
+    n-gram stand-in for CCNet's KenLM pass), then split EACH LANGUAGE
+    into equal head/middle/tail thirds by ascending surprisal — the
+    classic "train on head+middle, drop tail" quality gate, language-
+    stratified so low-resource languages are never filtered against the
+    dominant language's fluency scale.
+
+    Determinism: buckets cut by per-language RANK (ntile semantics), not
+    by percentile VALUES — a value cut interpolates floats and goes
+    boundary-unstable cross-engine; a rank cut over the total order
+    (score_micros, doc_id) is exact integer arithmetic end-to-end
+    (score_micros = round-6 surprisal in micros, the module's established
+    float fixpoint).
+
+    Scale shape: the LM's shuffles (bigram_surprisal), one doc-keyed join
+    to re-attach lang, ONE distributed global rank over
+    (lang, score_micros, doc_id) with broadcast per-language offsets and
+    counts (curriculum_order's idiom — never a PARTITION BY lang window,
+    which would funnel each language through one task).
+
+    Output: (doc_id, lang, n_bigrams, avg_surprisal, ppl_bucket) for
+    every document with >= 1 bigram; ppl_bucket in head/middle/tail.
+    """
+    from symat_hbase_tools_spark.plans.ranking import (
+        global_order_rank,
+        ntile_from_rank,
+    )
+
+    scores = bigram_surprisal(spark, sf_dir).withColumn(
+        "score_micros", F.round(F.col("avg_surprisal") * 1e6).cast("bigint")
+    )
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = scores.join(langs, "doc_id")
+
+    ranked, _n = global_order_rank(
+        scored,
+        [F.col("lang"), F.col("score_micros"), F.col("doc_id")],
+        "g_rank",
+    )
+    per_lang = ranked.groupBy("lang").agg(
+        F.min("g_rank").alias("rk0"), F.count(F.lit(1)).alias("n_lang")
+    )
+    with_rank = ranked.join(F.broadcast(per_lang), "lang").withColumn(
+        "lang_rank", (F.col("g_rank") - F.col("rk0") + F.lit(1)).cast("bigint")
+    )
+    tercile = ntile_from_rank(F.col("lang_rank"), F.col("n_lang"), 3)
+    bucket = (
+        F.when(tercile == 1, "head")
+        .when(tercile == 2, "middle")
+        .otherwise("tail")
+    )
+    return with_rank.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "avg_surprisal",
+        bucket.alias("ppl_bucket"),
+    )

@@ -518,3 +518,37 @@ def test_indexed_incremental_dedup_no_hof_filter_single_batch_pass(spark, tmp_pa
     # one shingle materialization for the whole batch side
     plan = plan_string(out, mode="simple")
     assert plan.count("array_distinct(transform(") == 1, plan
+
+
+def test_dsir_select_distributed_rank_broadcast_model(spark):
+    """DSIR plan shape: the 256-row weight model joins back as a
+    BROADCAST; the selection rank is range-partitioned (plans/ranking.py),
+    never a single-partition window; no interpreted HOF lands in any
+    Filter."""
+    from symat_hbase_tools_spark.operators import text_analysis
+    from symat_hbase_tools_spark.plans.explain import assert_no_hof_in_filters
+
+    df = text_analysis.dsir_select(spark, SF_DIR)
+    plan = _no_single_partition_window(df)
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "BroadcastExchange" in plan, plan
+    assert_no_hof_in_filters(df)
+
+
+def test_ccnet_buckets_distributed_rank_no_lang_window(spark):
+    """CCNet buckets: the per-language rank must come from ONE global
+    range-partitioned rank + broadcast per-language offsets — a
+    PARTITION BY lang window would funnel each language through a single
+    task at corpus scale (language cardinality is tiny)."""
+    from symat_hbase_tools_spark.operators import text_analysis
+    from symat_hbase_tools_spark.plans.explain import (
+        assert_no_hof_in_filters,
+        plan_string,
+    )
+
+    df = text_analysis.ccnet_buckets(spark, SF_DIR)
+    plan = _no_single_partition_window(df)
+    assert "rangepartitioning" in plan.lower(), plan
+    # no window partitioned on the raw lang column anywhere
+    assert "partitionBy=[lang" not in plan_string(df, "formatted"), plan
+    assert_no_hof_in_filters(df)

@@ -572,3 +572,61 @@ def test_curriculum_order_interleaves_languages(spark):
     keys = [(r["lang_rank"], r["lang"]) for r in sched]
     assert keys == sorted(keys)
     assert [r["curriculum_rank"] for r in sched] == list(range(1, len(rows) + 1))
+
+
+def test_dsir_select_prefers_target_language(spark):
+    """DSIR importance weights must rank target-language (en) documents
+    above the corpus at large: the mean PER-TOKEN log-ratio of en docs
+    exceeds the non-en mean (the absolute level is negative for all —
+    add-1 smoothing penalizes the smaller target model; only the
+    relative order is meaningful), and the selected top-fifth is
+    en-enriched relative to the corpus share. Selection count is exactly
+    floor(n_docs / 5) with the deterministic (per-token weight, doc_id)
+    order."""
+    from symat_hbase_tools_spark.operators.text_analysis import dsir_select
+
+    rows = dsir_select(spark, SF_DIR).collect()
+    n = len(rows)
+    sel = [r for r in rows if r["selected"]]
+    assert len(sel) == n // 5
+    en = [r["lw_per_token"] for r in rows if r["lang"] == "en"]
+    other = [r["lw_per_token"] for r in rows if r["lang"] != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
+    en_share_sel = sum(1 for r in sel if r["lang"] == "en") / len(sel)
+    en_share_all = len(en) / n
+    assert en_share_sel > en_share_all
+    # the selected set IS the top-m by (per-token weight desc, doc_id);
+    # the division is double-over-identical-bigints, so no boundary
+    # ambiguity
+    ordered = sorted(rows, key=lambda r: (-r["lw_per_token"], r["doc_id"]))
+    assert {r["doc_id"] for r in sel} == {
+        r["doc_id"] for r in ordered[: n // 5]
+    }
+    for r in rows:
+        assert r["lw_per_token"] == r["logw_micros"] / r["n_tokens"]
+
+
+def test_ccnet_buckets_are_rank_terciles_per_language(spark):
+    """Per language: bucket sizes differ by at most 1 (ntile semantics,
+    head gets the remainder first), every head score <= every middle
+    score <= every tail score (with doc_id tie-break consistency), and
+    all scored docs are bucketed."""
+    from symat_hbase_tools_spark.operators.text_analysis import ccnet_buckets
+
+    rows = ccnet_buckets(spark, SF_DIR).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) == 5
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for lang, rs in by_lang.items():
+        sizes = [
+            sum(1 for r in rs if r["ppl_bucket"] == b)
+            for b in ("head", "middle", "tail")
+        ]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert sorted(sizes, reverse=True) == sizes, (lang, sizes)
+        # bucket order agrees with the (score, doc_id) total order
+        rs.sort(key=lambda r: (round(r["avg_surprisal"] * 1e6), r["doc_id"]))
+        buckets = [order[r["ppl_bucket"]] for r in rs]
+        assert buckets == sorted(buckets), lang
