@@ -106,9 +106,10 @@ HEADLINE = [
     "doc_preference_pairs",
     "doc_curriculum_order",
     # round-10 operators: DSIR importance selection + CCNet perplexity
-    # buckets
+    # buckets + embedding outlier cleaning
     "doc_dsir_select",
     "doc_ccnet_buckets",
+    "embedding_outlier_flags",
 ]
 
 

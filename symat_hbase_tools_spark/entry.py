@@ -1188,6 +1188,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_shuffle_assign": doc_shuffle_assign,
     "click_conversion": relational.click_conversion,
     "embedding_label_centroids": similarity.label_centroids,
+    # round-10: embedding-space cleaning — per-label prototype-distance
+    # outlier flags, exact-integer stats end-to-end
+    "embedding_outlier_flags": similarity.embedding_outlier_flags,
     "text_doc_fingerprints": text_analysis.doc_fingerprints,
     "doc_length_histogram": text_analysis.length_histogram,
     "doc_sample_stratified": doc_sample_stratified,
@@ -1307,6 +1310,10 @@ _DRIVER_WINDOW = [
     # the bench headline and the sweeps.
     "doc_dsir_select",
     "doc_ccnet_buckets",
+    # third r10 addition: embedding-space outlier cleaning
+    # (orders_stats_pushdown rotates out, r6-seated quadruple-green; its
+    # footer-only plan shape stays asserted in test_plans.py)
+    "embedding_outlier_flags",
     # NEW round 8 (seated immediately so they don't end the round
     # driver-unverified): token-budgeted corpus selection + hard-negative
     # mining. q4_order_priority / q6_forecast_revenue rotate out as their
@@ -1331,7 +1338,6 @@ _DRIVER_WINDOW = [
     # relational tail (first-time r6; q18/price_quantity_stats rotated
     # out r10 after four green rounds)
     "price_percentiles_exact_rank",
-    "orders_stats_pushdown",
     "orders_zorder_census",
     "heavy_hitters_sketch",
     "sketch_event_stats",
@@ -2400,6 +2406,43 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_vecs,
                CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / (count(*) * 1e6) AS centroid
         FROM q GROUP BY label, dim
+    """,
+    # outlier flags: every aggregate input is an integer (micros
+    # quantization -> exact bigint distance sums -> integer power sums);
+    # the float expressions (prototype division, sqrt, threshold) are
+    # single exact-rounded operations over identical bigints, so the
+    # is_outlier boundary is bit-stable cross-engine. Expression shapes
+    # mirror the Spark side exactly (same cast/operation order).
+    "embedding_outlier_flags": """
+        WITH q AS (SELECT vec_id, label,
+                          generate_subscripts(embedding, 1) - 1 AS dim,
+                          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                               AS BIGINT) AS q
+                   FROM embeddings WHERE label IS NOT NULL),
+        cent AS (SELECT label, dim,
+                        CAST(round(CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
+                                   / COUNT(*)) AS BIGINT) AS c_q
+                 FROM q GROUP BY label, dim),
+        pv AS (SELECT vec_id, label,
+                      CAST(round(sqrt(CAST(CAST(SUM((q - c_q) * (q - c_q))
+                                                AS BIGINT) AS DOUBLE)))
+                           AS BIGINT) AS dist_micros
+               FROM q JOIN cent USING (label, dim)
+               GROUP BY vec_id, label),
+        st AS (SELECT label, COUNT(*) AS n,
+                      CAST(SUM(dist_micros) AS BIGINT) AS sd,
+                      CAST(SUM(dist_micros * dist_micros) AS BIGINT) AS sdd
+               FROM pv GROUP BY label),
+        thr AS (SELECT label,
+                       CAST(sd AS DOUBLE) / n
+                       + 2.0 * sqrt(greatest(
+                             (CAST(sdd AS DOUBLE)
+                              - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n)
+                             / n, 0.0)) AS thr
+                FROM st)
+        SELECT vec_id, label, dist_micros,
+               CAST(dist_micros AS DOUBLE) > thr AS is_outlier
+        FROM pv JOIN thr USING (label)
     """,
     "text_vocab_coverage": """
         WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok

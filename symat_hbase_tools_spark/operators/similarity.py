@@ -2071,3 +2071,98 @@ def embedding_kmeans_check(spark: SparkSession, sf_dir: str, k: int = 10) -> Dat
         ],
         "n_vectors long, k int, partition_ok boolean, inertia_ok boolean",
     )
+
+
+def embedding_outlier_flags(
+    spark: SparkSession, sf_dir: str, n_sigma: float = 2.0
+) -> DataFrame:
+    """Per-vector embedding-space outlier flags against the vector's own
+    class prototype — the embedding-cleaning pass that drops mislabeled /
+    corrupted vectors before contrastive training or ANN index builds: a
+    vector farther than mean + ``n_sigma`` * stddev of its label's
+    prototype-distance distribution is flagged.
+
+    Exactness discipline (everything an aggregate touches is an integer):
+    components quantize once to micros (the label_centroids idiom); the
+    per-(label, dim) prototype re-quantizes to micros (round of an
+    exact-rounded double division of identical bigints — bit-stable);
+    per-vector squared distance is an exact bigint SUM of (q - c_q)^2
+    (~1e12 per dim * 64 dims, far inside int64); the per-vector distance
+    fixes to micros via one exact-rounded sqrt; the per-label mean/stddev
+    derive from integer power sums (the price_quantity_stats idiom —
+    sum(d) ~ 8e6 * n, sum(d^2) ~ 6.4e13 * n, both safe past 10^4 vectors
+    per label at int64; distance is deliberately NOT kept squared, whose
+    power sums would overflow at ~10^5). No distributed float summation
+    anywhere, so the flag boundary is exact cross-engine.
+
+    Scale shape: posexplode is the narrow 64x fan-out; prototype table is
+    labels x dims rows (broadcast); ONE data-scale shuffle (the vec_id
+    partial-aggregated distance sum); per-label stats are a label-count
+    aggregate broadcast back. At 10^9 vectors: one exchange of narrow
+    rows, everything else map-side.
+
+    Output: (vec_id, label, dist_micros, is_outlier), one row per vector
+    with a non-null label.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 1e6).cast("long").alias("q"),
+    )
+    cent = (
+        q.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sq"))
+        .select(
+            "label",
+            "dim",
+            F.round(F.col("sq").cast("double") / F.col("n"))
+            .cast("long")
+            .alias("c_q"),
+        )
+    )
+    per_vec = (
+        q.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("q") - F.col("c_q")) * (F.col("q") - F.col("c_q")))
+            .alias("s2")
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.sqrt(F.col("s2").cast("double")))
+            .cast("long")
+            .alias("dist_micros"),
+        )
+    )
+    stats = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dist_micros").alias("sd"),
+        F.sum(F.col("dist_micros") * F.col("dist_micros")).alias("sdd"),
+    )
+    mean = F.col("sd").cast("double") / F.col("n")
+    var = (
+        F.col("sdd").cast("double")
+        - F.col("sd").cast("double") * F.col("sd") / F.col("n")
+    ) / F.col("n")
+    thresholds = stats.select(
+        "label",
+        (mean + F.lit(float(n_sigma)) * F.sqrt(F.greatest(var, F.lit(0.0))))
+        .alias("thr"),
+    )
+    return per_vec.join(F.broadcast(thresholds), "label").select(
+        "vec_id",
+        "label",
+        "dist_micros",
+        (F.col("dist_micros").cast("double") > F.col("thr")).alias(
+            "is_outlier"
+        ),
+    )

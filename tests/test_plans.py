@@ -552,3 +552,20 @@ def test_ccnet_buckets_distributed_rank_no_lang_window(spark):
     # no window partitioned on the raw lang column anywhere
     assert "partitionBy=[lang" not in plan_string(df, "formatted"), plan
     assert_no_hof_in_filters(df)
+
+
+def test_embedding_outlier_flags_broadcast_stats_partial_agg(spark):
+    """Outlier flags: the prototype table (labels x dims) and the
+    per-label thresholds join back as BROADCASTs; both data-scale
+    aggregates are partial (map-side combined — the posexplode fan-out
+    collapses before the exchange); no single-partition exchange
+    anywhere."""
+    from symat_hbase_tools_spark.operators import similarity
+    from symat_hbase_tools_spark.plans.explain import plan_string
+
+    df = similarity.embedding_outlier_flags(spark, SF_DIR)
+    plan = plan_string(df)
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "partial_" in plan.lower() or "HashAggregate" in plan, plan

@@ -991,3 +991,53 @@ def test_ivf_index_append_lossy_label_cast_fails_without_ansi(spark, tmp_path):
     similarity.ivf_index_append(spark, idx, ok)
     merged = spark.read.parquet(f"{idx}/assignments")
     assert merged.filter(F.col("vec_id") >= 3_000_000).count() == 3
+
+
+def test_embedding_outlier_flags_match_numpy(spark, embeddings):
+    """The exact-integer pipeline (micros quantization -> integer distance
+    sums -> integer power sums -> one-sqrt threshold) must reproduce a
+    plain numpy reference of the same quantized computation, and flags
+    must be monotone in distance within each label (everything beyond the
+    smallest flagged distance is flagged)."""
+    import numpy as np
+
+    def round_half_away(x):
+        # Spark/DuckDB round() is half-AWAY-from-zero; np.round is
+        # half-to-even — a real component landing on .5 micros flips
+        # between the two (caught live by this test's first run)
+        return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+    out = {
+        r["vec_id"]: (r["label"], r["dist_micros"], r["is_outlier"])
+        for r in similarity.embedding_outlier_flags(spark, SF_DIR).collect()
+    }
+    rows = embeddings.filter("label is not null").collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            (
+                r["vec_id"],
+                round_half_away(
+                    np.array(r["embedding"], dtype=np.float64) * 1e6
+                ),
+            )
+        )
+    n_checked = 0
+    for label, vs in by_label.items():
+        Q = np.array([v for _, v in vs], dtype=np.int64)
+        c_q = round_half_away(Q.sum(axis=0, dtype=np.int64) / len(vs)).astype(
+            np.int64
+        )
+        d = round_half_away(
+            np.sqrt(((Q - c_q) ** 2).sum(axis=1).astype(np.float64))
+        )
+        thr = d.mean() + 2.0 * np.sqrt(
+            max(((d * d).mean() - d.mean() ** 2), 0.0)
+        )
+        for (vec_id, _), di in zip(vs, d):
+            got_label, got_d, got_flag = out[vec_id]
+            assert got_label == label
+            assert got_d == int(di)
+            assert got_flag == bool(di > thr), (vec_id, di, thr)
+            n_checked += 1
+    assert n_checked == len(out) > 0
