@@ -110,6 +110,7 @@ HEADLINE = [
     "doc_dsir_select",
     "doc_ccnet_buckets",
     "embedding_outlier_flags",
+    "text_tokenizer_fertility",
 ]
 
 

@@ -1247,6 +1247,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10: CCNet-style per-language perplexity terciles over the
     # corpus bigram LM (rank-cut buckets, never value-interpolated)
     "doc_ccnet_buckets": text_analysis.ccnet_buckets,
+    # round-10: per-language tokenizer fertility census (subwords/word,
+    # bytes/subword — the vocabulary-rebalancing diagnostic)
+    "text_tokenizer_fertility": text_analysis.tokenizer_fertility,
     # round-4: Z-order layout census (Morton interleave, oracle-checked)
     "orders_zorder_census": orders_zorder_census,
 }
@@ -1314,6 +1317,9 @@ _DRIVER_WINDOW = [
     # (orders_stats_pushdown rotates out, r6-seated quadruple-green; its
     # footer-only plan shape stays asserted in test_plans.py)
     "embedding_outlier_flags",
+    # fourth r10 addition: tokenizer fertility census
+    # (sketch_event_stats rotates out, r6-seated quadruple-green)
+    "text_tokenizer_fertility",
     # NEW round 8 (seated immediately so they don't end the round
     # driver-unverified): token-budgeted corpus selection + hard-negative
     # mining. q4_order_priority / q6_forecast_revenue rotate out as their
@@ -1340,7 +1346,6 @@ _DRIVER_WINDOW = [
     "price_percentiles_exact_rank",
     "orders_zorder_census",
     "heavy_hitters_sketch",
-    "sketch_event_stats",
     # event-time analytics (first-time)
     "events_mean_shift",
     "events_type_correlation",
@@ -3250,6 +3255,29 @@ ORACLE_SQL: dict[str, str] = {
                CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                        ELSE 'tail' END AS ppl_bucket
         FROM r
+    """,
+    # fertility census: three bigint sums per language; the two ratios
+    # are double divisions of identical bigints (bit-stable). DuckDB
+    # list_sum of a BIGINT list returns HUGEINT -> cast per doc AND after
+    # the outer SUM (the round-5 mismatch class). strlen = UTF-8 bytes
+    # (DuckDB length() is characters; Spark octet_length is bytes).
+    "text_tokenizer_fertility": f"""
+        WITH d AS (SELECT lang,
+                          CAST(len({_TOKENS}) AS BIGINT) AS n_w,
+                          CAST(list_sum(list_transform({_TOKENS},
+                               w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+                               AS BIGINT) AS n_s,
+                          CAST(strlen(text) AS BIGINT) AS n_b
+                   FROM documents WHERE trim(text) <> ''),
+        agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(n_w) AS BIGINT) AS n_words,
+                       CAST(SUM(n_s) AS BIGINT) AS n_subtokens,
+                       CAST(SUM(n_b) AS BIGINT) AS n_bytes
+                FROM d GROUP BY lang)
+        SELECT lang, n_docs, n_words, n_subtokens, n_bytes,
+               CAST(n_subtokens AS DOUBLE) / n_words AS fertility,
+               CAST(n_bytes AS DOUBLE) / n_subtokens AS bytes_per_subtoken
+        FROM agg
     """,
     # token-budgeted selection: the quality_classifier score feeds a
     # greedy prefix under budget = total_tokens div 2 (exact integer —

@@ -1209,3 +1209,49 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_surprisal",
         bucket.alias("ppl_bucket"),
     )
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility census — the multilingual-tokenizer
+    diagnostic (fertility = subword tokens per word; bytes per subword
+    token): a language whose fertility is far above the corpus norm is
+    poorly served by the tokenizer and burns context length, the standard
+    argument for vocabulary rebalancing (e.g. the XLM-R / NLLB analyses).
+    Subword counts use the repo's BPE stand-in (``bpe_ish_token_count``).
+
+    Exactness: all three sums (words, subword tokens, UTF-8 bytes) are
+    bigint aggregates of per-doc bigints; the two ratios are double
+    divisions of identical bigints — bit-stable cross-engine. Shape: one
+    map-only projection (the HOF stays in a Project, never a Filter) +
+    one language-keyed partial aggregate; at 100 TB the exchange carries
+    languages x tasks rows.
+
+    Output: (lang, n_docs, n_words, n_subtokens, n_bytes, fertility,
+    bytes_per_subtoken) for documents with >= 1 word.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("n_w"),
+        bpe_ish_token_count(F.col("text")).alias("n_s"),
+        F.octet_length(F.col("text")).cast("bigint").alias("n_b"),
+    ).filter(F.col("n_w") >= 1)
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_w").alias("n_words"),
+        F.sum("n_s").alias("n_subtokens"),
+        F.sum("n_b").alias("n_bytes"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_subtokens",
+        "n_bytes",
+        (F.col("n_subtokens").cast("double") / F.col("n_words")).alias(
+            "fertility"
+        ),
+        (F.col("n_bytes").cast("double") / F.col("n_subtokens")).alias(
+            "bytes_per_subtoken"
+        ),
+    )

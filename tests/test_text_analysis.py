@@ -630,3 +630,38 @@ def test_ccnet_buckets_are_rank_terciles_per_language(spark):
         rs.sort(key=lambda r: (round(r["avg_surprisal"] * 1e6), r["doc_id"]))
         buckets = [order[r["ppl_bucket"]] for r in rs]
         assert buckets == sorted(buckets), lang
+
+
+def test_tokenizer_fertility_matches_python(spark, documents):
+    """Fertility census vs a plain-python recomputation on the collected
+    corpus: exact integer sums, ratio identities, and the fertility >= 1
+    invariant (every word is at least one subword token)."""
+    import math
+
+    got = {
+        r["lang"]: r
+        for r in text_analysis.tokenizer_fertility(spark, SF_DIR).collect()
+    }
+    by_lang: dict = {}
+    for r in documents.collect():
+        t = (r["text"] or "").strip()
+        if not t:
+            continue
+        words = [w for w in t.split() if w]
+        n_s = sum(math.ceil(len(w) / 4) for w in words)
+        d = by_lang.setdefault(r["lang"], [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += len(words)
+        d[2] += n_s
+        d[3] += len(r["text"].encode("utf-8"))
+    assert set(got) == set(by_lang)
+    for lang, (n_docs, n_w, n_s, n_b) in by_lang.items():
+        g = got[lang]
+        assert (g["n_docs"], g["n_words"], g["n_subtokens"], g["n_bytes"]) == (
+            n_docs,
+            n_w,
+            n_s,
+            n_b,
+        ), lang
+        assert g["fertility"] == n_s / n_w >= 1.0
+        assert g["bytes_per_subtoken"] == n_b / n_s
