@@ -111,6 +111,7 @@ HEADLINE = [
     "doc_ccnet_buckets",
     "embedding_outlier_flags",
     "text_tokenizer_fertility",
+    "doc_contamination_fuzzy",
 ]
 
 

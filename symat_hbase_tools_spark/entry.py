@@ -1071,6 +1071,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_leakage_safe_split": doc_leakage_safe_split,
     "doc_contamination": doc_contamination,
+    # round-10: fuzzy (near-duplicate) contamination — MinHash-LSH
+    # candidates against the benchmark set, exact-Jaccard verified
+    "doc_contamination_fuzzy": contamination.benchmark_contamination_fuzzy,
     "doc_contamination_overlap": contamination.contamination_overlap_census,
     "bpe_pair_stats": text_analysis.bpe_pair_stats,
     "text_tfidf_topk": text_analysis.tfidf_topk,
@@ -1320,6 +1323,9 @@ _DRIVER_WINDOW = [
     # fourth r10 addition: tokenizer fertility census
     # (sketch_event_stats rotates out, r6-seated quadruple-green)
     "text_tokenizer_fertility",
+    # fifth r10 addition: fuzzy (near-dup) benchmark contamination
+    # (heavy_hitters_sketch rotates out, r6-seated quadruple-green)
+    "doc_contamination_fuzzy",
     # NEW round 8 (seated immediately so they don't end the round
     # driver-unverified): token-budgeted corpus selection + hard-negative
     # mining. q4_order_priority / q6_forecast_revenue rotate out as their
@@ -1345,7 +1351,6 @@ _DRIVER_WINDOW = [
     # out r10 after four green rounds)
     "price_percentiles_exact_rank",
     "orders_zorder_census",
-    "heavy_hitters_sketch",
     # event-time analytics (first-time)
     "events_mean_shift",
     "events_type_correlation",
@@ -2338,6 +2343,27 @@ ORACLE_SQL: dict[str, str] = {
     # the exact-jaccard SQL is its oracle too. dedup_simhash / ann_lsh_topk
     # have no cross-engine twin (xxhash64 family) -> rows-only checks.
     "dedup_minhash_lsh": _JACCARD_SQL,
+    # fuzzy contamination: the SAME exact-jaccard oracle restricted to
+    # (train x benchmark) pairs, best benchmark match per contaminated
+    # train doc (max jaccard, bench_doc tie-break). Completeness of the
+    # engine's LSH banding at threshold 0.5 is the dedup_minhash_lsh
+    # evidence, of which these pairs are a subset.
+    "doc_contamination_fuzzy": f"""
+        WITH {_SHINGLE_CTE},
+        cj AS (SELECT tr.doc_id AS doc_id, be.doc_id AS bench_doc, COUNT(*) i
+               FROM sh tr JOIN sh be USING (s)
+               WHERE tr.doc_id % 50 <> 0 AND be.doc_id % 50 = 0
+               GROUP BY 1, 2),
+        cjac AS (SELECT cj.doc_id AS doc_id, cj.bench_doc AS bench_doc,
+                        i / (s1.n + s2.n - i) AS jaccard
+                 FROM cj JOIN sizes s1 ON cj.doc_id = s1.doc_id
+                         JOIN sizes s2 ON cj.bench_doc = s2.doc_id)
+        SELECT doc_id, bench_doc, jaccard
+        FROM cjac
+        WHERE jaccard >= 0.5
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY jaccard DESC, bench_doc) = 1
+    """,
     # simhash over a PORTABLE md5-derived hash — the full cross-engine
     # verification twin of the (xxhash64, rows-only) dedup_simhash
     "dedup_simhash_portable": _simhash_portable_sql(),

@@ -202,3 +202,107 @@ def contamination_overlap_census(
         .otherwise("clean")
         .alias("severity"),
     )
+
+
+def benchmark_contamination_fuzzy(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    benchmark_mod: int = 50,
+) -> DataFrame:
+    """FUZZY train/eval contamination: training documents that are a
+    NEAR-DUPLICATE of some benchmark document (MinHash-LSH candidates,
+    exact-Jaccard verified) — the fuzzy decontamination pass of the
+    GPT-3/Llama lineage, catching paraphrased or lightly-edited benchmark
+    leaks the exact n-gram overlap sweep (``benchmark_contamination``)
+    underweights.
+
+    Same banding parameters as ``dedup.minhash_lsh_pairs``, whose output
+    is oracle-proven EXACT (every true pair >= threshold survives the
+    bands) at sf0.001/0.01/0.1 — contamination pairs are a subset of
+    those pairs, so the completeness evidence transfers verbatim.
+
+    Scale shape: the benchmark side is tiny (MBs vs 100 TB), so its
+    banded buckets BROADCAST — the train side's buckets never shuffle for
+    the candidate join; the verify join ships only candidate rows plus
+    the two shingle-set lookups (bench side broadcast again). One
+    doc-keyed aggregate picks the best match.
+
+    Output: (doc_id, bench_doc, jaccard) — one row per CONTAMINATED
+    training doc with its best-matching benchmark doc (max jaccard,
+    bench_doc tie-break), jaccard >= threshold.
+    """
+    from pyspark import StorageLevel
+
+    from symat_hbase_tools_spark.operators.dedup import (
+        NUM_BANDS,
+        NUM_HASHES,
+        _minhash_sig_from_hashed,
+    )
+
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    # persist + filter-above-the-boundary: the minhash_lsh_pairs idiom
+    # (the pushed-down size filter would re-inline the shingle HOF)
+    hashed = (
+        _doc_shingles(spark, sf_dir, n)
+        .select("doc_id", shingle_hashes(F.col("sh")).alias("hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .filter(F.size("hs") > 0)
+    )
+    sig = _minhash_sig_from_hashed(hashed, NUM_HASHES)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                ).alias("bh"),
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    is_bench = F.col("doc_id") % benchmark_mod == 0
+    bench_b = buckets.filter(is_bench).select(
+        "band", "bh", F.col("doc_id").alias("bench_doc")
+    )
+    cand = (
+        buckets.filter(~is_bench)
+        .join(F.broadcast(bench_b), ["band", "bh"])
+        .select("doc_id", "bench_doc")
+        .distinct()
+    )
+    tr = hashed.select("doc_id", F.col("hs").alias("sh_t"))
+    be = hashed.select(
+        F.col("doc_id").alias("bench_doc"), F.col("hs").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_t", "sh_b"))
+    union = F.size("sh_t") + F.size("sh_b") - inter
+    scored = (
+        cand.join(tr, "doc_id")
+        .join(F.broadcast(be), "bench_doc")
+        .select("doc_id", "bench_doc", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # best benchmark match per contaminated doc: max jaccard, then the
+    # SMALLEST bench_doc (negating the id inside the ordering struct
+    # makes struct-max deliver exactly that tie-break)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard"), (-F.col("bench_doc")).alias("nb")
+                )
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            (-F.col("m.nb")).cast("long").alias("bench_doc"),
+            F.col("m.jaccard").alias("jaccard"),
+        )
+    )

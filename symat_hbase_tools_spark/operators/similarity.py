@@ -486,7 +486,19 @@ def ann_lsh_topk(
 #: Arrow pinned memory across 32 concurrent tasks was the round-8 GCLocker
 #: pressure and, re-probed in round 9, a stage OOM. AQE can only COALESCE
 #: partitions, never split them, so the fan-out must be explicit.
-TARGET_COGROUP_PARTITION_BYTES = 128 << 20
+#:
+#: 512 MB (round-10 retune, from 128 MB): the same-day 200k A/B
+#: (tools/ab_masked_lsh.py, SCALING.md round-10 table) measured 128 MB /
+#: 261 shards at 1460 s, the unsharded 32-way at 929 s (the OOM-edge
+#: regime), and 512 MB / 66 shards at 758 s — the per-task fixed costs
+#: (python worker round-trips, sort/group setup, under-filled BLAS
+#: batches) dominate below ~0.5 GB/partition. Peak KERNEL memory is
+#: bucket-bound (Arrow cogroup ships whole (t, b) groups; group size is
+#: LSH_TARGET_BUCKET-bound and the kernel slices at KERNEL_SLICE_ELEMS),
+#: and the shuffle-sort side spills — so the target trades disk/task
+#: overhead, not the OOM property, which the 2x headroom vs the measured
+#: 1.2 GB/task OOM regime preserves.
+TARGET_COGROUP_PARTITION_BYTES = 512 << 20
 
 
 def _cogroup_shards(

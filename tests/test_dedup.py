@@ -343,3 +343,40 @@ def test_simhash_portable_skips_null_text_docs(spark, tmp_path):
     assert all(
         999_999 not in (r["d1"], r["d2"]) for r in out
     )  # the NULL doc emits no fingerprint, hence no pairs
+
+
+def test_fuzzy_contamination_subset_of_minhash_pairs(spark):
+    """Fuzzy contamination rows must be exactly the (train, bench) pairs
+    of minhash_lsh_pairs' verified output, reduced to the best benchmark
+    match per train doc — the completeness-transfer argument the oracle
+    rests on. Exact n-gram contamination (doc_contamination) flags a
+    SUPERSET of docs (5 shared shingles is far weaker than jaccard 0.5)."""
+    from symat_hbase_tools_spark.operators.contamination import (
+        benchmark_contamination_fuzzy,
+    )
+
+    fuzzy = {
+        r["doc_id"]: (r["bench_doc"], r["jaccard"])
+        for r in benchmark_contamination_fuzzy(spark, SF_DIR).collect()
+    }
+    assert len(fuzzy) > 0
+    pairs = dedup.minhash_lsh_pairs(spark, SF_DIR).collect()
+    # (train, bench) pairs >= 0.5 from the all-pairs dedup output
+    best: dict = {}
+    for r in pairs:
+        for t, b in ((r["d1"], r["d2"]), (r["d2"], r["d1"])):
+            if t % 50 != 0 and b % 50 == 0:
+                cur = best.get(t)
+                cand = (-r["jaccard"], b)
+                if cur is None or cand < cur:
+                    best[t] = cand
+    want = {t: (b, -negj) for t, (negj, b) in best.items()}
+    assert fuzzy == want
+    # every fuzzily-contaminated doc also has exact n-gram overlap
+    exact = {
+        r["doc_id"]
+        for r in __import__(
+            "symat_hbase_tools_spark.entry", fromlist=["doc_contamination"]
+        ).doc_contamination(spark, SF_DIR).collect()
+    }
+    assert set(fuzzy) <= exact

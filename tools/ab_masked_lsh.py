@@ -39,6 +39,9 @@ def main() -> None:
         # pre-fix shape: the cogroup exchange lands on the session's 32
         # shuffle partitions regardless of probe volume
         similarity._cogroup_shards = lambda *a, **k: 1  # floor wins: max(defaultParallelism, 1)
+    elif mode.startswith("target="):
+        # tune TARGET_COGROUP_PARTITION_BYTES (e.g. target=512 for 512 MB)
+        similarity.TARGET_COGROUP_PARTITION_BYTES = int(mode.split("=")[1]) << 20
 
     spark = get_spark("ab-masked-lsh", cpus="32")
     base = spark.read.parquet(probe).select(
