@@ -925,7 +925,8 @@ def test_cogroup_shards_scales_with_probe_volume():
     """The adaptive (t,b) shard count must grow with estimated probe
     volume and stay put for small corpora: at 5k vectors the estimate is
     below one target partition; at 200k with adaptive planes it demands
-    hundreds (the round-9 OOM regime)."""
+    dozens (the round-9 OOM regime put ~38 GB on 32 partitions; the
+    round-10 A/B-tuned 512 MB target yields ~66)."""
     small = similarity._cogroup_shards(
         5_000, 8, similarity._adaptive_planes(5_000), True
     )
@@ -933,7 +934,8 @@ def test_cogroup_shards_scales_with_probe_volume():
         200_000, 8, similarity._adaptive_planes(200_000), True
     )
     assert small <= 8
-    assert big >= 100
+    # 2x the 32-way concurrency floor of the OOM regime, target-relative
+    assert big >= (32 << 30) // similarity.TARGET_COGROUP_PARTITION_BYTES
     # monotone in n and in probe count
     assert similarity._cogroup_shards(400_000, 8, 13, True) > big * 1.5
     assert similarity._cogroup_shards(200_000, 8, 13, False) < big
