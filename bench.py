@@ -112,6 +112,7 @@ HEADLINE = [
     "embedding_outlier_flags",
     "text_tokenizer_fertility",
     "doc_contamination_fuzzy",
+    "doc_ngram_novelty",
 ]
 
 

@@ -1253,6 +1253,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10: per-language tokenizer fertility census (subwords/word,
     # bytes/subword — the vocabulary-rebalancing diagnostic)
     "text_tokenizer_fertility": text_analysis.tokenizer_fertility,
+    # round-10: first-occurrence n-gram novelty (corpus-diversity /
+    # memorization diagnostic)
+    "doc_ngram_novelty": text_analysis.ngram_novelty,
     # round-4: Z-order layout census (Morton interleave, oracle-checked)
     "orders_zorder_census": orders_zorder_census,
 }
@@ -1326,6 +1329,9 @@ _DRIVER_WINDOW = [
     # fifth r10 addition: fuzzy (near-dup) benchmark contamination
     # (heavy_hitters_sketch rotates out, r6-seated quadruple-green)
     "doc_contamination_fuzzy",
+    # sixth r10 addition: first-occurrence n-gram novelty
+    # (events_type_correlation rotates out, r6-seated quadruple-green)
+    "doc_ngram_novelty",
     # NEW round 8 (seated immediately so they don't end the round
     # driver-unverified): token-budgeted corpus selection + hard-negative
     # mining. q4_order_priority / q6_forecast_revenue rotate out as their
@@ -1353,7 +1359,6 @@ _DRIVER_WINDOW = [
     "orders_zorder_census",
     # event-time analytics (first-time)
     "events_mean_shift",
-    "events_type_correlation",
     "events_active_users_approx",
     "events_salted_agg",
     "events_exactly_once",
@@ -3281,6 +3286,23 @@ ORACLE_SQL: dict[str, str] = {
                CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                        ELSE 'tail' END AS ppl_bucket
         FROM r
+    """,
+    # novelty: first-occurrence attribution over the SAME shingle CTE the
+    # jaccard oracles use (unreferenced CTE members are not evaluated);
+    # counts/min-owner are hash-independent given the dedup family's
+    # collision-free xxhash64 argument; the ratio divides identical
+    # bigints
+    "doc_ngram_novelty": f"""
+        WITH {_SHINGLE_CTE},
+        owner AS (SELECT s, MIN(doc_id) AS owner_doc FROM sh GROUP BY s)
+        SELECT sh.doc_id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(*) FILTER (WHERE owner_doc = sh.doc_id)
+                    AS BIGINT) AS n_owned,
+               CAST(COUNT(*) FILTER (WHERE owner_doc = sh.doc_id)
+                    AS DOUBLE) / COUNT(*) AS novelty
+        FROM sh JOIN owner USING (s)
+        GROUP BY sh.doc_id
     """,
     # fertility census: three bigint sums per language; the two ratios
     # are double divisions of identical bigints (bit-stable). DuckDB

@@ -1255,3 +1255,55 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_per_subtoken"
         ),
     )
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Per-document n-gram NOVELTY under first-occurrence attribution —
+    the corpus-diversity / memorization-risk diagnostic: every distinct
+    shingle is attributed to the document where it first appears (min
+    doc_id — the standard "first writer owns it" convention of streaming
+    dedup ledgers), and a document's novelty is the share of its
+    distinct shingles it owns. Boilerplate-heavy or near-duplicate
+    documents score near 0; the corpus's genuinely new text scores near
+    1. The aggregate novelty curve is what "we are running out of new
+    tokens" analyses plot over crawl snapshots.
+
+    Exactness: counts and first-owner ids are integers; the ratio is one
+    double division of identical bigints (bit-stable cross-engine).
+
+    Scale shape: one (shingle-key) aggregate finds each shingle's owner
+    (partial map-side combine on xxhash64 longs; its output exchange is
+    reused as the join's build-side distribution), the probe side pays
+    one shuffle on the same uniformly-distributed long key, then one
+    doc-keyed count aggregate. No skew pressure: the owner table has
+    exactly one row per distinct shingle however hot the shingle is.
+
+    Output: (doc_id, n_shingles, n_owned, novelty) for documents with
+    >= 1 shingle.
+    """
+    from symat_hbase_tools_spark.operators.dedup import _doc_shingles
+
+    from symat_hbase_tools_spark.functions.text import shingle_hashes
+
+    sh = _doc_shingles(spark, sf_dir, n).select(
+        "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
+    )
+    owner = sh.groupBy("s").agg(F.min("doc_id").alias("owner_doc"))
+    per_doc = (
+        sh.join(owner, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(F.col("owner_doc") == F.col("doc_id")).alias(
+                "n_owned"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_owned",
+        (F.col("n_owned").cast("double") / F.col("n_shingles")).alias(
+            "novelty"
+        ),
+    )

@@ -665,3 +665,35 @@ def test_tokenizer_fertility_matches_python(spark, documents):
         ), lang
         assert g["fertility"] == n_s / n_w >= 1.0
         assert g["bytes_per_subtoken"] == n_b / n_s
+
+
+def test_ngram_novelty_matches_python(spark, documents):
+    """First-occurrence attribution vs a python recomputation: owners are
+    min-doc_id per distinct trigram shingle, novelty ratios divide the
+    exact counts, and the corpus-level identity holds (sum of owned =
+    number of distinct shingles in the corpus)."""
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_owned"], r["novelty"])
+        for r in text_analysis.ngram_novelty(spark, SF_DIR).collect()
+    }
+    owner: dict = {}
+    per_doc: dict = {}
+    for r in sorted(documents.collect(), key=lambda r: r["doc_id"]):
+        words = (r["text"] or "").strip().split()
+        shingles = {
+            "|".join(words[i : i + 3]) for i in range(len(words) - 2)
+        }
+        if not shingles:
+            continue
+        per_doc[r["doc_id"]] = shingles
+        for s in shingles:
+            owner.setdefault(s, r["doc_id"])
+    assert set(got) == set(per_doc)
+    total_owned = 0
+    for doc_id, shingles in per_doc.items():
+        n_owned = sum(1 for s in shingles if owner[s] == doc_id)
+        ns, no, nov = got[doc_id]
+        assert (ns, no) == (len(shingles), n_owned), doc_id
+        assert nov == n_owned / len(shingles)
+        total_owned += n_owned
+    assert total_owned == len(owner)
