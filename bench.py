@@ -113,6 +113,7 @@ HEADLINE = [
     "text_tokenizer_fertility",
     "doc_contamination_fuzzy",
     "doc_ngram_novelty",
+    "embedding_matryoshka_census",
 ]
 
 

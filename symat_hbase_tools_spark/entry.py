@@ -1194,6 +1194,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10: embedding-space cleaning — per-label prototype-distance
     # outlier flags, exact-integer stats end-to-end
     "embedding_outlier_flags": similarity.embedding_outlier_flags,
+    # round-10: matryoshka truncation census — prefix-dim energy
+    # retention, exact-integer pipeline
+    "embedding_matryoshka_census": similarity.matryoshka_census,
     "text_doc_fingerprints": text_analysis.doc_fingerprints,
     "doc_length_histogram": text_analysis.length_histogram,
     "doc_sample_stratified": doc_sample_stratified,
@@ -1332,6 +1335,9 @@ _DRIVER_WINDOW = [
     # sixth r10 addition: first-occurrence n-gram novelty
     # (events_type_correlation rotates out, r6-seated quadruple-green)
     "doc_ngram_novelty",
+    # seventh r10 addition: matryoshka truncation census
+    # (events_salted_agg rotates out, r6-seated quadruple-green)
+    "embedding_matryoshka_census",
     # NEW round 8 (seated immediately so they don't end the round
     # driver-unverified): token-budgeted corpus selection + hard-negative
     # mining. q4_order_priority / q6_forecast_revenue rotate out as their
@@ -1360,7 +1366,6 @@ _DRIVER_WINDOW = [
     # event-time analytics (first-time)
     "events_mean_shift",
     "events_active_users_approx",
-    "events_salted_agg",
     "events_exactly_once",
     "events_value_drift",
     # data quality / robust stats (first-time, new in r5)
@@ -2479,6 +2484,40 @@ ORACLE_SQL: dict[str, str] = {
         SELECT vec_id, label, dist_micros,
                CAST(dist_micros AS DOUBLE) > thr AS is_outlier
         FROM pv JOIN thr USING (label)
+    """,
+    # matryoshka census: exact bigint energy sums; retention and the mean
+    # are divisions/rounds of identical bigints (expression shapes mirror
+    # the Spark side exactly, incl. the /full*1e6 association order)
+    "embedding_matryoshka_census": """
+        WITH q AS (SELECT vec_id,
+                          generate_subscripts(embedding, 1) - 1 AS dim,
+                          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                               AS BIGINT) AS q
+                   FROM embeddings),
+        pv AS (SELECT vec_id,
+                      CAST(SUM(CASE WHEN dim < 8 THEN q * q ELSE 0 END)
+                           AS BIGINT) AS e8,
+                      CAST(SUM(CASE WHEN dim < 16 THEN q * q ELSE 0 END)
+                           AS BIGINT) AS e16,
+                      CAST(SUM(CASE WHEN dim < 32 THEN q * q ELSE 0 END)
+                           AS BIGINT) AS e32,
+                      CAST(SUM(CASE WHEN dim < 64 THEN q * q ELSE 0 END)
+                           AS BIGINT) AS e64
+               FROM q GROUP BY vec_id),
+        r AS (SELECT vec_id, k,
+                     CAST(round(CAST(e AS DOUBLE) / e64 * 1e6) AS BIGINT)
+                         AS ret
+              FROM (SELECT * FROM pv WHERE e64 > 0)
+              CROSS JOIN LATERAL (VALUES (8, e8), (16, e16), (32, e32),
+                                         (64, e64)) AS t(k, e))
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(CAST(SUM(ret) AS BIGINT) AS DOUBLE) / COUNT(*) / 1e6
+                   AS mean_retention,
+               CAST(MIN(ret) AS BIGINT) AS min_retention_micros,
+               CAST(MAX(ret) AS BIGINT) AS max_retention_micros,
+               CAST(COUNT(*) FILTER (WHERE ret >= 900000) AS BIGINT)
+                   AS n_ge_90pct
+        FROM r GROUP BY k
     """,
     "text_vocab_coverage": """
         WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok

@@ -2178,3 +2178,89 @@ def embedding_outlier_flags(
             "is_outlier"
         ),
     )
+
+
+#: prefix lengths the matryoshka census evaluates (full dim last so the
+#: retention-1.0 row doubles as a self-check)
+MATRYOSHKA_PREFIXES = (8, 16, 32, 64)
+
+
+def matryoshka_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-embedding quality census: how much of each
+    vector's energy (squared L2 norm) survives truncation to the first k
+    dimensions — the go/no-go diagnostic for MRL-style dimension cuts
+    (serve 16 of 64 dims at 1/4 the index cost IF retention holds).
+    For randomly-oriented embeddings retention concentrates near k/64;
+    MRL-trained embeddings front-load energy — this census is how you
+    tell which corpus you have before cutting.
+
+    Exactness: components quantize once to micros; full and prefix
+    energies are exact bigint sums of q^2 (6.4e13 max, far inside
+    int64); per-vector retention fixes to micros via one exact-rounded
+    division+round of identical bigints; the per-k aggregate then sums
+    only bigints (mean = sum/count, another identical-bigint division).
+    No distributed float accumulation anywhere.
+
+    Scale shape: posexplode (narrow 64x fan-out) -> ONE vec-keyed
+    partial aggregate computing all prefix sums as conditional sums in a
+    single pass -> a len(MATRYOSHKA_PREFIXES)-group aggregate (explode
+    of a 4-struct array, map-side combined). One data-scale shuffle.
+
+    Output per k: (k, n_vectors, mean_retention, min_retention_micros,
+    max_retention_micros, n_ge_90pct).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("v").cast("double") * 1e6).cast("long").alias("q"),
+    )
+    qq = F.col("q") * F.col("q")
+    prefix_sums = [
+        F.sum(F.when(F.col("dim") < k, qq).otherwise(F.lit(0))).alias(
+            f"e{k}"
+        )
+        for k in MATRYOSHKA_PREFIXES
+    ]
+    per_vec = q.groupBy("vec_id").agg(*prefix_sums).filter(
+        F.col(f"e{MATRYOSHKA_PREFIXES[-1]}") > 0
+    )
+    full = F.col(f"e{MATRYOSHKA_PREFIXES[-1]}")
+    rets = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.round(
+                    F.col(f"e{k}").cast("double") / full * 1e6
+                )
+                .cast("long")
+                .alias("ret"),
+            )
+            for k in MATRYOSHKA_PREFIXES
+        ]
+    )
+    per_k = per_vec.select(F.explode(rets).alias("r")).select(
+        F.col("r.k").alias("k"), F.col("r.ret").alias("ret")
+    )
+    return (
+        per_k.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("ret").alias("_s"),
+            F.min("ret").alias("min_retention_micros"),
+            F.max("ret").alias("max_retention_micros"),
+            F.count_if(F.col("ret") >= 900_000).alias("n_ge_90pct"),
+        )
+        .select(
+            "k",
+            "n_vectors",
+            (F.col("_s").cast("double") / F.col("n_vectors") / 1e6).alias(
+                "mean_retention"
+            ),
+            "min_retention_micros",
+            "max_retention_micros",
+            "n_ge_90pct",
+        )
+    )

@@ -1043,3 +1043,41 @@ def test_embedding_outlier_flags_match_numpy(spark, embeddings):
             assert got_flag == bool(di > thr), (vec_id, di, thr)
             n_checked += 1
     assert n_checked == len(out) > 0
+
+
+def test_matryoshka_census_matches_numpy_and_invariants(spark, embeddings):
+    """Prefix-energy retention vs a numpy recomputation of the same
+    quantized-micros math (half-away rounding, like the outlier test);
+    invariants: k=64 retention is exactly 1.0 for every vector (min ==
+    max == 1e6, n_ge_90pct == n), and mean retention is monotone in k."""
+    import numpy as np
+
+    def round_half_away(x):
+        return np.copysign(np.floor(np.abs(x) + 0.5), x)
+
+    rows = {r["k"]: r for r in similarity.matryoshka_census(spark, SF_DIR).collect()}
+    assert set(rows) == {8, 16, 32, 64}
+    full = rows[64]
+    assert full["min_retention_micros"] == full["max_retention_micros"] == 1_000_000
+    assert full["n_ge_90pct"] == full["n_vectors"]
+    means = [rows[k]["mean_retention"] for k in (8, 16, 32, 64)]
+    assert means == sorted(means)
+
+    Q = np.array(
+        [
+            round_half_away(np.array(r["embedding"], dtype=np.float64) * 1e6)
+            for r in embeddings.collect()
+        ],
+        dtype=np.int64,
+    )
+    e_full = (Q * Q).sum(axis=1)
+    keep = e_full > 0
+    for k in (8, 16, 32):
+        ek = (Q[:, :k] * Q[:, :k]).sum(axis=1)
+        ret = round_half_away(ek[keep] / e_full[keep] * 1e6)
+        r = rows[k]
+        assert r["n_vectors"] == int(keep.sum())
+        assert r["min_retention_micros"] == int(ret.min())
+        assert r["max_retention_micros"] == int(ret.max())
+        assert r["mean_retention"] == ret.sum() / len(ret) / 1e6
+        assert r["n_ge_90pct"] == int((ret >= 900_000).sum())
