@@ -184,6 +184,24 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--budgetDen", type=int, default=2, help="budget denominator")
     se.add_argument("--output", required=True, help="parquet path for selected docs")
 
+    cu = sub.add_parser(
+        "curate",
+        help="write a quality-curated documents corpus (ccnet = per-"
+        "language perplexity buckets, keep head/middle by default; "
+        "dsir = importance selection toward a target language)",
+    )
+    cu.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    cu.add_argument("--method", choices=["ccnet", "dsir"], default="ccnet")
+    cu.add_argument(
+        "--keepBuckets",
+        default="head,middle",
+        help="ccnet: comma-separated subset of head,middle,tail to keep",
+    )
+    cu.add_argument(
+        "--targetLang", default="en", help="dsir: target-domain language"
+    )
+    cu.add_argument("--output", required=True, help="parquet path for kept docs")
+
     mn = sub.add_parser(
         "mine-negatives",
         help="write contrastive hard negatives: top-k most-similar "
@@ -453,6 +471,48 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"DOCS_TOTAL={n_total} DOCS_SELECTED={n_kept} "
                 f"TOKENS_SELECTED={tok_kept}"
+            )
+            return 0
+        if args.tool == "curate":
+            from pyspark.sql import functions as F
+
+            from symat_hbase_tools_spark.operators import text_analysis
+            from symat_hbase_tools_spark.sources.tables import load_table
+
+            docs = load_table(spark, args.sfDir, "documents")
+            if args.method == "ccnet":
+                keep = [b.strip() for b in args.keepBuckets.split(",") if b.strip()]
+                bad = set(keep) - {"head", "middle", "tail"}
+                if bad or not keep:
+                    print(
+                        "error: --keepBuckets must be a non-empty subset of "
+                        f"head,middle,tail (got {args.keepBuckets!r})",
+                        file=sys.stderr,
+                    )
+                    return 1
+                scored = text_analysis.ccnet_buckets(spark, args.sfDir)
+                kept = docs.join(
+                    scored.filter(F.col("ppl_bucket").isin(keep)).select(
+                        "doc_id", "avg_surprisal", "ppl_bucket"
+                    ),
+                    "doc_id",
+                )
+            else:
+                sel = text_analysis.dsir_select(
+                    spark, args.sfDir, target_lang=args.targetLang
+                )
+                kept = docs.join(
+                    sel.filter("selected").select(
+                        "doc_id", "logw_micros", "lw_per_token"
+                    ),
+                    "doc_id",
+                )
+            kept.write.mode("overwrite").parquet(args.output)
+            n_total = docs.count()
+            n_kept = spark.read.parquet(args.output).count()
+            print(
+                f"DOCS_TOTAL={n_total} DOCS_KEPT={n_kept} "
+                f"DROPPED={n_total - n_kept} METHOD={args.method}"
             )
             return 0
         if args.tool == "mine-negatives":

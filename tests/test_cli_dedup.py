@@ -234,3 +234,42 @@ def test_cli_ann_index_query_rejects_nprobe_zero(spark, tmp_path, capsys):
     )
     assert rc == 1
     assert "--nProbe must be >= 1" in capsys.readouterr().err
+
+
+def test_cli_curate_ccnet_and_dsir(spark, tmp_path, capsys):
+    """curate writes the kept corpus with provenance columns: ccnet drops
+    exactly the per-language tail tercile; dsir keeps exactly the
+    selected top-fifth."""
+    from symat_hbase_tools_spark.operators import text_analysis
+
+    out1 = str(tmp_path / "ccnet_kept")
+    rc = main(["curate", "--sfDir", SF_DIR, "--method", "ccnet", "--output", out1])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "DOCS_KEPT=" in printed and "METHOD=ccnet" in printed
+    kept = {r["doc_id"] for r in spark.read.parquet(out1).collect()}
+    want = {
+        r["doc_id"]
+        for r in text_analysis.ccnet_buckets(spark, SF_DIR).collect()
+        if r["ppl_bucket"] in ("head", "middle")
+    }
+    assert kept == want
+    assert "ppl_bucket" in spark.read.parquet(out1).columns
+
+    out2 = str(tmp_path / "dsir_kept")
+    rc = main(["curate", "--sfDir", SF_DIR, "--method", "dsir", "--output", out2])
+    assert rc == 0
+    sel = {
+        r["doc_id"]
+        for r in text_analysis.dsir_select(spark, SF_DIR).collect()
+        if r["selected"]
+    }
+    assert {r["doc_id"] for r in spark.read.parquet(out2).collect()} == sel
+
+    # invalid bucket -> descriptive exit 1
+    rc = main(
+        ["curate", "--sfDir", SF_DIR, "--keepBuckets", "head,bogus",
+         "--output", str(tmp_path / "x")]
+    )
+    assert rc == 1
+    assert "keepBuckets" in capsys.readouterr().err
