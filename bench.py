@@ -114,6 +114,7 @@ HEADLINE = [
     "doc_contamination_fuzzy",
     "doc_ngram_novelty",
     "embedding_matryoshka_census",
+    "events_ewma",
 ]
 
 

@@ -1043,6 +1043,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": timeseries.events_funnel,
     "events_gap_fill": timeseries.events_gap_fill,
     "events_hourly_incremental": timeseries.events_hourly_incremental,
+    # round-10: exact-dyadic EWMA smoothing (alpha = 1/2, 16-hour kernel)
+    "events_ewma": timeseries.events_ewma,
     # data-quality surface (round 3)
     "orders_profile": orders_profile,
     "referential_integrity_census": referential_integrity_census,
@@ -1338,6 +1340,9 @@ _DRIVER_WINDOW = [
     # seventh r10 addition: matryoshka truncation census
     # (events_salted_agg rotates out, r6-seated quadruple-green)
     "embedding_matryoshka_census",
+    # eighth r10 addition: exact-dyadic EWMA
+    # (events_exactly_once rotates out, r6-seated quadruple-green)
+    "events_ewma",
     # NEW round 8 (seated immediately so they don't end the round
     # driver-unverified): token-budgeted corpus selection + hard-negative
     # mining. q4_order_priority / q6_forecast_revenue rotate out as their
@@ -1366,7 +1371,6 @@ _DRIVER_WINDOW = [
     # event-time analytics (first-time)
     "events_mean_shift",
     "events_active_users_approx",
-    "events_exactly_once",
     "events_value_drift",
     # data quality / robust stats (first-time, new in r5)
     "orders_price_mad",
@@ -3509,6 +3513,30 @@ ORACLE_SQL: dict[str, str] = {
                CAST(CAST(SUM(s3.prev_us - s2.prev_us) AS BIGINT) AS DOUBLE)
                    / COUNT(*) / 1e6
         FROM s3 JOIN s2 USING (user_id)
+    """,
+    # exact-dyadic EWMA: identical 16-lag power-of-two kernel; num/den
+    # are exact bigint sums, ewma divides identical bigints
+    "events_ewma": """
+        WITH hourly AS (
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2),
+        bounds AS (SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM hourly),
+        spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
+                  FROM bounds),
+        grid AS (SELECT s.hour_epoch, t.event_type,
+                        COALESCE(h.n, 0) AS n, COALESCE(h.v, 0) AS v
+                 FROM spine s
+                 CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
+                 LEFT JOIN hourly h
+                   ON h.hour_epoch = s.hour_epoch
+                  AND h.event_type = t.event_type)
+        SELECT hour_epoch, event_type, n AS n_events, v AS v_micros,
+               CAST((COALESCE(v * 32768, 0) + COALESCE(lag(v, 1) OVER w * 16384, 0) + COALESCE(lag(v, 2) OVER w * 8192, 0) + COALESCE(lag(v, 3) OVER w * 4096, 0) + COALESCE(lag(v, 4) OVER w * 2048, 0) + COALESCE(lag(v, 5) OVER w * 1024, 0) + COALESCE(lag(v, 6) OVER w * 512, 0) + COALESCE(lag(v, 7) OVER w * 256, 0) + COALESCE(lag(v, 8) OVER w * 128, 0) + COALESCE(lag(v, 9) OVER w * 64, 0) + COALESCE(lag(v, 10) OVER w * 32, 0) + COALESCE(lag(v, 11) OVER w * 16, 0) + COALESCE(lag(v, 12) OVER w * 8, 0) + COALESCE(lag(v, 13) OVER w * 4, 0) + COALESCE(lag(v, 14) OVER w * 2, 0) + COALESCE(lag(v, 15) OVER w * 1, 0)) AS DOUBLE)
+                   / (CASE WHEN v IS NOT NULL THEN 32768 ELSE 0 END + CASE WHEN lag(v, 1) OVER w IS NOT NULL THEN 16384 ELSE 0 END + CASE WHEN lag(v, 2) OVER w IS NOT NULL THEN 8192 ELSE 0 END + CASE WHEN lag(v, 3) OVER w IS NOT NULL THEN 4096 ELSE 0 END + CASE WHEN lag(v, 4) OVER w IS NOT NULL THEN 2048 ELSE 0 END + CASE WHEN lag(v, 5) OVER w IS NOT NULL THEN 1024 ELSE 0 END + CASE WHEN lag(v, 6) OVER w IS NOT NULL THEN 512 ELSE 0 END + CASE WHEN lag(v, 7) OVER w IS NOT NULL THEN 256 ELSE 0 END + CASE WHEN lag(v, 8) OVER w IS NOT NULL THEN 128 ELSE 0 END + CASE WHEN lag(v, 9) OVER w IS NOT NULL THEN 64 ELSE 0 END + CASE WHEN lag(v, 10) OVER w IS NOT NULL THEN 32 ELSE 0 END + CASE WHEN lag(v, 11) OVER w IS NOT NULL THEN 16 ELSE 0 END + CASE WHEN lag(v, 12) OVER w IS NOT NULL THEN 8 ELSE 0 END + CASE WHEN lag(v, 13) OVER w IS NOT NULL THEN 4 ELSE 0 END + CASE WHEN lag(v, 14) OVER w IS NOT NULL THEN 2 ELSE 0 END + CASE WHEN lag(v, 15) OVER w IS NOT NULL THEN 1 ELSE 0 END) / 1e6 AS ewma
+        FROM grid
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch)
     """,
     "events_gap_fill": """
         WITH hourly AS (

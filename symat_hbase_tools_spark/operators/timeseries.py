@@ -927,3 +927,73 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("n_from")).alias("p"),
     )
+
+
+#: EWMA window depth: weights 2^-(j+1) for lag j — the alpha = 1/2
+#: exponential kernel truncated at 16 hours (weight < 1e-5 past it)
+EWMA_LAGS = 16
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly EWMA of event value per type — exponential smoothing, the
+    baseline every drift/alerting pipeline draws under the raw series.
+
+    EXACT-DYADIC formulation (no float accumulation anywhere): alpha is
+    fixed at 1/2, so the truncated kernel's weights are powers of two —
+    numerator = sum over the last ``EWMA_LAGS`` zero-filled hours of
+    v_micros[t-j] * 2^(LAGS-1-j) and denominator = the sum of the
+    weights present (series starts see fewer) are both EXACT bigint
+    sums; the smoothed value is one division of identical bigints.
+    A float pow()-kernel EWMA would accumulate in engine-specific order
+    and drift in the last ulp; this one hash-matches bit-for-bit.
+    Headroom: the largest weight is 2^15, so hourly value sums up to
+    ~2.8e14 micros fit int64 — rescale the quantization unit past that.
+
+    Scale shape: ONE partial-aggregated pass over events (exact micros
+    sum per hour x type); the spine/zero-fill and the 16-lag window run
+    over the O(hours x types) hourly table — driver-scale after the
+    aggregate, the events_gap_fill argument. The 16 lags share one
+    window spec (single pass).
+
+    Output: (hour_epoch, event_type, n_events, v_micros, ewma).
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+    vm = F.round(F.col("value") * 1e6).cast("long")
+    hourly = events.groupBy(hour.alias("hour_epoch"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(vm).alias("v")
+    )
+    bounds = hourly.agg(
+        F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi")
+    )
+    types = hourly.select("event_type").distinct()
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_epoch")
+    ).crossJoin(F.broadcast(types))
+    grid = (
+        spine.join(hourly, ["hour_epoch", "event_type"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn("v", F.coalesce("v", F.lit(0)))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_epoch")
+    num = None
+    den = None
+    for j in range(EWMA_LAGS):
+        lv = F.lag("v", j).over(w) if j else F.col("v")
+        weight = 1 << (EWMA_LAGS - 1 - j)
+        t_num = F.coalesce(lv * F.lit(weight), F.lit(0))
+        t_den = F.when(
+            (F.lag("v", j).over(w) if j else F.col("v")).isNotNull(),
+            F.lit(weight),
+        ).otherwise(F.lit(0))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return grid.select(
+        "hour_epoch",
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("v").alias("v_micros"),
+        (num.cast("double") / den / 1e6).alias("ewma"),
+    )

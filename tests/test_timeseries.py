@@ -240,3 +240,54 @@ def test_rfm_single_pass_bit_matches_threepass(spark):
         for r in timeseries.users_rfm_segments_threepass(spark, SF_DIR).collect()
     }
     assert new == old
+
+
+def test_events_ewma_matches_python_and_converges(spark):
+    """Exact-dyadic EWMA vs a python recomputation on one event type;
+    invariants: a constant series smooths to itself (weights normalize),
+    and the smoothed series has strictly smaller hour-to-hour variation
+    than the raw one."""
+    from symat_hbase_tools_spark.operators.timeseries import (
+        EWMA_LAGS,
+        events_ewma,
+    )
+
+    rows = [
+        r
+        for r in events_ewma(spark, SF_DIR).collect()
+        if r["event_type"] == "view"
+    ]
+    rows.sort(key=lambda r: r["hour_epoch"])
+    assert len(rows) > EWMA_LAGS
+    v = [r["v_micros"] for r in rows]
+    for t in (0, 1, EWMA_LAGS - 1, EWMA_LAGS, len(rows) - 1):
+        num = den = 0
+        for j in range(min(t + 1, EWMA_LAGS)):
+            w = 1 << (EWMA_LAGS - 1 - j)
+            num += v[t - j] * w
+            den += w
+        assert rows[t]["ewma"] == num / den / 1e6, t
+    # smoothing reduces mean absolute hour-to-hour delta
+    raw = [x / 1e6 for x in v]
+    smooth = [r["ewma"] for r in rows]
+    d_raw = sum(abs(a - b) for a, b in zip(raw, raw[1:])) / (len(raw) - 1)
+    d_sm = sum(abs(a - b) for a, b in zip(smooth, smooth[1:])) / (len(smooth) - 1)
+    assert d_sm < d_raw
+    # constant series fixpoint
+    const = [(i, 5.0) for i in range(40)]
+    df = spark.createDataFrame(const, "i int, x double")
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.orderBy("i")
+    num = None
+    den = None
+    for j in range(EWMA_LAGS):
+        lv = F.lag("x", j).over(w) if j else F.col("x")
+        wt = 1 << (EWMA_LAGS - 1 - j)
+        tn = F.coalesce(lv * F.lit(wt), F.lit(0.0))
+        td = F.when(lv.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = tn if num is None else num + tn
+        den = td if den is None else den + td
+    out = df.select((num / den).alias("e")).collect()
+    assert all(abs(r["e"] - 5.0) < 1e-12 for r in out)
