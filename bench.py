@@ -115,6 +115,8 @@ HEADLINE = [
     "doc_ngram_novelty",
     "embedding_matryoshka_census",
     "events_ewma",
+    "orders_benford",
+    "users_cohort_matrix",
 ]
 
 

@@ -1045,11 +1045,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_incremental": timeseries.events_hourly_incremental,
     # round-10: exact-dyadic EWMA smoothing (alpha = 1/2, 16-hour kernel)
     "events_ewma": timeseries.events_ewma,
+    # round-10: full weekly cohort-retention triangle
+    "users_cohort_matrix": timeseries.users_cohort_matrix,
     # data-quality surface (round 3)
     "orders_profile": orders_profile,
     "referential_integrity_census": referential_integrity_census,
     # round-5 data-quality additions
     "orders_price_mad": orders_price_mad,
+    # round-10: Benford first-digit census (fraud / synthetic-data gate)
+    "orders_benford": lambda spark, sf: profiling.benford_census(
+        load_table(spark, sf, "orders"), "o_totalprice"
+    ),
     "events_value_drift": events_value_drift,
     # round-5: closed-form linear-probe training (normal equations from
     # one distributed pass; exact-integer Gram => hash-exact oracle)
@@ -1343,6 +1349,11 @@ _DRIVER_WINDOW = [
     # eighth r10 addition: exact-dyadic EWMA
     # (events_exactly_once rotates out, r6-seated quadruple-green)
     "events_ewma",
+    # ninth/tenth r10 additions: Benford census + cohort triangle
+    # (events_value_drift and doc_probe_gram rotate out — r5-seated,
+    # driver-green r6-r9)
+    "orders_benford",
+    "users_cohort_matrix",
     # NEW round 8 (seated immediately so they don't end the round
     # driver-unverified): token-budgeted corpus selection + hard-negative
     # mining. q4_order_priority / q6_forecast_revenue rotate out as their
@@ -1371,13 +1382,11 @@ _DRIVER_WINDOW = [
     # event-time analytics (first-time)
     "events_mean_shift",
     "events_active_users_approx",
-    "events_value_drift",
     # data quality / robust stats (first-time, new in r5)
     "orders_price_mad",
     # linear-probe training (first-time, new in r5); the rows-only raw
     # ridge output rotated out in r7 — doc_probe_ridge_check (oracle-
     # paired, exercises the same fit) is its driver-verified form
-    "doc_probe_gram",
     "doc_probe_ridge_check",
     # r7 re-seats: kv_latest_version re-verifies green after the packed
     # fast-path swap; knn_cosine_topk returns as the exact-ANN baseline
@@ -3538,6 +3547,32 @@ ORACLE_SQL: dict[str, str] = {
         FROM grid
         WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch)
     """,
+    # cohort triangle: Monday epochs from date_trunc('week') in BOTH
+    # engines (ISO weeks), offsets are exact integer divisions; rates
+    # divide exact count-distincts
+    "users_cohort_matrix": """
+        WITH s AS (SELECT user_id,
+                          CAST(MIN(epoch(date_trunc('week', ts))) AS BIGINT)
+                              AS cohort_wk
+                   FROM events WHERE event_type = 'signup'
+                   GROUP BY user_id),
+        cs AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_cohort
+               FROM s GROUP BY 1),
+        a AS (SELECT DISTINCT user_id,
+                     CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS act_wk
+              FROM events),
+        cells AS (SELECT cohort_wk,
+                         CAST((act_wk - cohort_wk) / 604800 AS BIGINT)
+                             AS week_no,
+                         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+                  FROM s JOIN a USING (user_id)
+                  WHERE act_wk >= cohort_wk
+                  GROUP BY 1, 2)
+        SELECT strftime(to_timestamp(cohort_wk), '%Y-%m-%d') AS cohort_week,
+               week_no, n_cohort, n_active,
+               CAST(n_active AS DOUBLE) / n_cohort AS retention_rate
+        FROM cells JOIN cs USING (cohort_wk)
+    """,
     "events_gap_fill": """
         WITH hourly AS (
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
@@ -3674,6 +3709,28 @@ ORACLE_SQL: dict[str, str] = {
                quantile_cont(abs(o.price - med.m), 0.5) AS mad_raw
         FROM o JOIN med USING (o_orderpriority)
         GROUP BY o.o_orderpriority
+    """,
+    # Benford census: leading digit from the CENTS bigint's decimal
+    # string (canonical cross-engine, unlike double repr); stats combine
+    # identical bigints with identical log10 constants
+    "orders_benford": """
+        WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                        AS BIGINT) AS VARCHAR), 1, 1)
+                              AS INTEGER) AS digit
+                   FROM orders
+                   WHERE o_totalprice > 0
+                     AND CAST(round(o_totalprice * 100) AS BIGINT) >= 1),
+        c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / n_total AS share,
+               log10(1.0 + 1.0 / digit) AS benford_p,
+               CAST(n AS DOUBLE) / n_total - log10(1.0 + 1.0 / digit)
+                   AS deviation,
+               (n - n_total * log10(1.0 + 1.0 / digit))
+                   * (n - n_total * log10(1.0 + 1.0 / digit))
+                   / (n_total * log10(1.0 + 1.0 / digit)) AS chi2_term
+        FROM c CROSS JOIN t
     """,
     "events_value_drift": """
         WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v, ts FROM events),

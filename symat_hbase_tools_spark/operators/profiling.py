@@ -357,3 +357,56 @@ def psi_drift(
             F.count(F.lit(1)).alias("n_buckets_used"),
         )
     )
+
+
+#: Benford expected first-digit probabilities: log10(1 + 1/d). Stored as
+#: exact rational strings of the double values both engines compute from
+#: the same log10 calls — the oracle recomputes them identically.
+def benford_census(df: DataFrame, value_col: str) -> DataFrame:
+    """First-digit (Benford's law) census of a positive money/metric
+    column — the classic fraud / synthetic-data / unit-mixup detector: a
+    column of organically-grown magnitudes follows P(d) = log10(1+1/d);
+    a flat or spiked distribution flags fabricated or clipped data.
+
+    Exactness: the value fixes to integer CENTS first (round(x*100) — one
+    exact-rounded float op), and the leading digit is the first character
+    of the bigint's decimal string — integer-to-string is canonical in
+    both engines, where double-to-string repr is not, and no float log
+    touches the digit path (log10 at exact power-of-ten boundaries is
+    implementation-ulp territory). Counts are exact bigints; deviation
+    and chi2 combine identical bigints with the same log10(1+1/d)
+    constants both engines evaluate — bit-stable.
+
+    Scale shape: one map-only digit projection + one 9-group partial
+    aggregate; a broadcast one-row total joins back. At any scale: one
+    tiny exchange.
+
+    Output per digit 1-9: (digit, n, share, benford_p, deviation) plus
+    the chi2 contribution; callers sum chi2 across digits against the
+    15.5 (alpha=0.05, 8 dof) threshold.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    digits = (
+        df.filter(F.col(value_col) > 0)
+        .select(cents.alias("c"))
+        .filter(F.col("c") >= 1)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("n_total"))
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    share = F.col("n").cast("double") / F.col("n_total")
+    expected = F.col("n_total") * p
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            share.alias("share"),
+            p.alias("benford_p"),
+            (share - p).alias("deviation"),
+            (
+                (F.col("n") - expected) * (F.col("n") - expected) / expected
+            ).alias("chi2_term"),
+        )
+    )

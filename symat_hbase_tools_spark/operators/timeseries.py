@@ -997,3 +997,55 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("v_micros"),
         (num.cast("double") / den / 1e6).alias("ewma"),
     )
+
+
+def users_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full weekly cohort-retention TRIANGLE — signup week x weeks
+    since signup -> active-user counts and rates — the matrix behind
+    every retention heatmap (``users_dn_retention`` reports the D1/D7/D30
+    slices of the same construction at day grain).
+
+    Scale shape: signups reduce to one row per user (min-aggregate),
+    activity to DISTINCT (user, week) — both partial-aggregated to
+    user-scale BEFORE the single equi-join on user_id; the matrix is one
+    (cohort_week, week_no) aggregate over the joined frame. Rates divide
+    exact integers (count_distinct of user ids), mirrored bit-for-bit.
+
+    Output: (cohort_week, week_no, n_cohort, n_active, retention_rate)
+    for week_no >= 0 — one row per realized (cohort, offset) cell.
+    """
+    events = load_table(spark, sf_dir, "events")
+    # the Monday's epoch seconds — week offsets are then exact integer
+    # divisions by 604800 (Monday-to-Monday distances are exact weeks)
+    wk = F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(wk).alias("cohort_wk"))
+    )
+    cohort_sizes = signups.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    activity = events.select("user_id", wk.alias("act_wk")).distinct()
+    cells = (
+        signups.join(activity, "user_id")
+        .filter(F.col("act_wk") >= F.col("cohort_wk"))
+        .groupBy(
+            "cohort_wk",
+            ((F.col("act_wk") - F.col("cohort_wk")) / 604800)
+            .cast("long")
+            .alias("week_no"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return cells.join(F.broadcast(cohort_sizes), "cohort_wk").select(
+        F.date_format(F.to_timestamp("cohort_wk"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        "week_no",
+        "n_cohort",
+        "n_active",
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias(
+            "retention_rate"
+        ),
+    )

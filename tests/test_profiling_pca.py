@@ -446,3 +446,45 @@ def test_group_mad_tiny_group_hint_routes_to_jvm(spark):
     a = {tuple(sorted(r.asDict().items())) for r in jvm_plan.collect()}
     b = {tuple(sorted(r.asDict().items())) for r in fused_plan.collect()}
     assert a == b
+
+
+def test_benford_census_matches_python_and_flags_uniform(spark):
+    """Digit shares vs a python recomputation on orders; a synthetic
+    log-uniform (Benford-conforming) column passes the chi2 gate while a
+    uniform column fails it."""
+    import math
+
+    from symat_hbase_tools_spark.operators.profiling import benford_census
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    got = {r["digit"]: r for r in benford_census(orders, "o_totalprice").collect()}
+    counts: dict = {}
+    for r in orders.select("o_totalprice").collect():
+        v = r["o_totalprice"]
+        if v is None or v <= 0:
+            continue
+        cents = int(v * 100 + (0.5 if v >= 0 else -0.5))
+        if cents >= 1:
+            d = int(str(cents)[0])
+            counts[d] = counts.get(d, 0) + 1
+    n_total = sum(counts.values())
+    assert {d: r["n"] for d, r in got.items()} == counts
+    for d, r in got.items():
+        assert r["share"] == counts[d] / n_total
+        assert r["benford_p"] == math.log10(1 + 1 / d)
+
+    # synthetic gates: log-uniform passes, uniform fails (8 dof, a=0.05)
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    logu = spark.createDataFrame(
+        [(float(x),) for x in 10 ** rng.uniform(0, 4, 20000)], "v double"
+    )
+    uni = spark.createDataFrame(
+        [(float(x),) for x in rng.uniform(1, 10000, 20000)], "v double"
+    )
+    chi_logu = sum(r["chi2_term"] for r in benford_census(logu, "v").collect())
+    chi_uni = sum(r["chi2_term"] for r in benford_census(uni, "v").collect())
+    assert chi_logu < 15.5 < chi_uni

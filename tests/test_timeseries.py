@@ -291,3 +291,48 @@ def test_events_ewma_matches_python_and_converges(spark):
         den = td if den is None else den + td
     out = df.select((num / den).alias("e")).collect()
     assert all(abs(r["e"] - 5.0) < 1e-12 for r in out)
+
+
+def test_cohort_matrix_matches_python_and_dn_consistency(spark, events):
+    """Cohort triangle vs a python recomputation; week_no=0 cells cover
+    every signup cohort (a signup event IS activity in its own week)."""
+    from symat_hbase_tools_spark.operators.timeseries import users_cohort_matrix
+
+    got = {
+        (r["cohort_week"], r["week_no"]): (r["n_cohort"], r["n_active"], r["retention_rate"])
+        for r in users_cohort_matrix(spark, SF_DIR).collect()
+    }
+    import datetime as dt
+
+    def monday(ts):
+        d = ts.date() - dt.timedelta(days=ts.weekday())
+        return d
+
+    sign: dict = {}
+    act: dict = {}
+    for r in events.collect():
+        w = monday(r["ts"])
+        act.setdefault(r["user_id"], set()).add(w)
+        if r["event_type"] == "signup":
+            u = r["user_id"]
+            sign[u] = min(sign.get(u, w), w)
+    cohorts: dict = {}
+    for u, cw in sign.items():
+        cohorts.setdefault(cw, set()).add(u)
+    want = {}
+    for cw, users in cohorts.items():
+        for u in users:
+            for w in act[u]:
+                if w >= cw:
+                    k = (cw.isoformat(), (w - cw).days // 7)
+                    want.setdefault(k, set()).add(u)
+    want = {
+        k: (len(cohorts[dt.date.fromisoformat(k[0])]), len(us),
+            len(us) / len(cohorts[dt.date.fromisoformat(k[0])]))
+        for k, us in want.items()
+    }
+    assert got == want
+    # every cohort has a week-0 row with full retention of its signups
+    for cw, users in cohorts.items():
+        n_c, n_a, rate = got[(cw.isoformat(), 0)]
+        assert n_c == len(users) and n_a == len(users) and rate == 1.0
