@@ -482,6 +482,12 @@ def test_no_interpreted_hof_reinlined_into_filters(spark):
         "bpe_tokenize_census",
         "knn_cosine_topk",
         "embedding_quantize_int8",
+        # round-10 HOF-bearing additions
+        "doc_dsir_select",
+        "doc_ccnet_buckets",
+        "doc_contamination_fuzzy",
+        "doc_ngram_novelty",
+        "text_tokenizer_fertility",
     ]
     for name in hof_queries:
         assert_no_hof_in_filters(QUERIES[name](spark, SF_DIR))
@@ -569,3 +575,22 @@ def test_embedding_outlier_flags_broadcast_stats_partial_agg(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "partial_" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_fuzzy_contamination_bench_side_broadcasts(spark):
+    """doc_contamination_fuzzy: the benchmark side (banded buckets AND
+    shingle sets) must BROADCAST — the train side never shuffles for the
+    candidate join at 100 TB; and no interpreted HOF lands in a Filter."""
+    from symat_hbase_tools_spark.operators.contamination import (
+        benchmark_contamination_fuzzy,
+    )
+    from symat_hbase_tools_spark.plans.explain import (
+        assert_no_hof_in_filters,
+        plan_string,
+    )
+
+    df = benchmark_contamination_fuzzy(spark, SF_DIR)
+    plan = plan_string(df)
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert_no_hof_in_filters(df)
