@@ -117,6 +117,7 @@ HEADLINE = [
     "events_ewma",
     "orders_benford",
     "users_cohort_matrix",
+    "kv_region_stats",
 ]
 
 

@@ -1113,6 +1113,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_retain_versions": kv_retain_versions,
     "kv_expire_ttl": kv_expire_ttl,
     "kv_table_diff": kv_table_diff,
+    # round-10: key-prefix region census (hotspot / pre-split / fat-row
+    # diagnostic — the hbck/RegionSizeCalculator troubleshooting family)
+    "kv_region_stats": lambda spark, sf: kv.region_stats(
+        customer_cells(load_table(spark, sf, "customer"))
+    ),
     # relational surface
     "q5_local_supplier_volume": relational.q5_local_supplier_volume,
     "q7_volume_shipping": relational.q7_volume_shipping,
@@ -1354,6 +1359,9 @@ _DRIVER_WINDOW = [
     # driver-green r6-r9)
     "orders_benford",
     "users_cohort_matrix",
+    # eleventh r10 addition: key-prefix region census
+    # (events_active_users_approx rotates out, r6-seated quadruple-green)
+    "kv_region_stats",
     # NEW round 8 (seated immediately so they don't end the round
     # driver-unverified): token-budgeted corpus selection + hard-negative
     # mining. q4_order_priority / q6_forecast_revenue rotate out as their
@@ -1381,7 +1389,6 @@ _DRIVER_WINDOW = [
     "orders_zorder_census",
     # event-time analytics (first-time)
     "events_mean_shift",
-    "events_active_users_approx",
     # data quality / robust stats (first-time, new in r5)
     "orders_price_mad",
     # linear-probe training (first-time, new in r5); the rows-only raw
@@ -1617,6 +1624,27 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "kv_copy_row_bump": _unpivot_sql(
         where=f"c_custkey = {POINT_GET_CUSTKEY}", ts=BUMP_TS
+    ),
+    # region census: byte math over the SAME rendered cell strings the
+    # kv oracles hash-match; per-row grain first (fat-row max), then
+    # prefix grain; byte_share divides identical bigints
+    "kv_region_stats": (
+        "WITH cells AS (" + _unpivot_sql() + "), "
+        "pr AS (SELECT substr(row_key, 1, 10) AS prefix, row_key, "
+        "              CAST(COUNT(*) AS BIGINT) AS n_cells, "
+        "              CAST(SUM(strlen(row_key) + strlen(family) "
+        "                       + strlen(qualifier) + strlen(value) + 8) "
+        "                   AS BIGINT) AS row_bytes "
+        "       FROM cells GROUP BY 1, 2), "
+        "pp AS (SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "              CAST(SUM(n_cells) AS BIGINT) AS n_cells, "
+        "              CAST(SUM(row_bytes) AS BIGINT) AS total_bytes, "
+        "              CAST(MAX(row_bytes) AS BIGINT) AS max_row_bytes "
+        "       FROM pr GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(total_bytes) AS BIGINT) AS grand FROM pp) "
+        "SELECT prefix, n_rows, n_cells, total_bytes, max_row_bytes, "
+        "       CAST(total_bytes AS DOUBLE) / grand AS byte_share "
+        "FROM pp CROSS JOIN t"
     ),
     "kv_latest_version": (
         "SELECT row_key, qualifier, CAST(ts + 2000 AS BIGINT) AS ts, value FROM ("

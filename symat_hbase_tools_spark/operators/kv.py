@@ -154,3 +154,62 @@ def latest_cells_packed(cells: DataFrame) -> DataFrame:
         ctype.alias("type"),
         value.alias("value"),
     )
+
+
+def region_stats(cells: DataFrame, prefix_len: int = 10) -> DataFrame:
+    """Key-prefix region census over a cells table — the HBase operator's
+    hotspot / pre-split / fat-row diagnostic (the `hbck`/RegionSizeCalculator
+    troubleshooting family the reference tools belong to): per row-key
+    prefix, how many rows and cells land there and how many bytes they
+    carry. A monotonically-written key schema shows up as one hot prefix
+    holding the whole write load — THE classic HBase anti-pattern this
+    census exposes before a table is pre-split on the wrong boundaries.
+
+    Cell bytes = key + family + qualifier + value + 8 (the timestamp
+    long) — the on-wire KeyValue proportions, exact integers end-to-end;
+    byte_share divides identical bigints.
+
+    Scale shape: one map-only byte projection, a per-row partial
+    aggregate (fat-row max needs row grain first), then the
+    prefix-grained aggregate; the corpus-total joins back as a broadcast
+    one-row cross join. Prefixes are byte-range truncations, so the
+    census maps 1:1 onto region-boundary candidates.
+
+    Output per prefix: (prefix, n_rows, n_cells, total_bytes,
+    max_row_bytes, byte_share).
+    """
+    cell_bytes = (
+        F.octet_length("row")
+        + F.octet_length(F.encode(F.col("family"), "UTF-8"))
+        + F.octet_length("qualifier")
+        + F.octet_length("value")
+        + F.lit(8)
+    ).cast("long")
+    per_row = (
+        cells.select(
+            F.substring(F.decode(F.col("row"), "UTF-8"), 1, prefix_len).alias(
+                "prefix"
+            ),
+            F.col("row"),
+            cell_bytes.alias("b"),
+        )
+        .groupBy("prefix", "row")
+        .agg(F.count(F.lit(1)).alias("n_cells"), F.sum("b").alias("row_bytes"))
+    )
+    per_prefix = per_row.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_cells").alias("n_cells"),
+        F.sum("row_bytes").alias("total_bytes"),
+        F.max("row_bytes").alias("max_row_bytes"),
+    )
+    tot = per_prefix.agg(F.sum("total_bytes").alias("grand_bytes"))
+    return per_prefix.crossJoin(F.broadcast(tot)).select(
+        "prefix",
+        "n_rows",
+        "n_cells",
+        "total_bytes",
+        "max_row_bytes",
+        (F.col("total_bytes").cast("double") / F.col("grand_bytes")).alias(
+            "byte_share"
+        ),
+    )

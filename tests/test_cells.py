@@ -158,3 +158,43 @@ def test_snapshot_as_of_returns_historical_state(spark, customer):
     assert snap.count() == customer.count() * 4
     vals = snap.select(F.decode("value", "UTF-8").alias("v"))
     assert vals.filter(~F.col("v").endswith("@v1")).count() == 0
+
+
+def test_region_stats_census_identities(spark, customer):
+    """Region census invariants over the customer cells fixture: rows and
+    cells reconcile with the fixture's totals, byte shares sum to 1,
+    every max_row_bytes is attained by some row, and recomputing one
+    prefix's totals from the raw cells matches exactly."""
+    from symat_hbase_tools_spark.operators import kv
+    from symat_hbase_tools_spark.sources.cells import customer_cells
+
+    cells = customer_cells(customer)
+    out = kv.region_stats(cells).collect()
+    n_rows_total = sum(r["n_rows"] for r in out)
+    n_cells_total = sum(r["n_cells"] for r in out)
+    assert n_rows_total == cells.select("row").distinct().count()
+    assert n_cells_total == cells.count()
+    assert abs(sum(r["byte_share"] for r in out) - 1.0) < 1e-12
+    grand = sum(r["total_bytes"] for r in out)
+    for r in out:
+        assert r["byte_share"] == r["total_bytes"] / grand
+        assert r["max_row_bytes"] * r["n_rows"] >= r["total_bytes"]
+    # spot-recompute one prefix from raw cells
+    target = out[0]["prefix"]
+    rows = [
+        (
+            bytes(r["row"]).decode(),
+            len(bytes(r["row"])) + len(r["family"]) + len(bytes(r["qualifier"]))
+            + len(bytes(r["value"])) + 8,
+        )
+        for r in cells.collect()
+        if bytes(r["row"]).decode()[:10] == target
+    ]
+    per_row: dict = {}
+    for k, b in rows:
+        per_row[k] = per_row.get(k, 0) + b
+    want = next(r for r in out if r["prefix"] == target)
+    assert want["n_rows"] == len(per_row)
+    assert want["n_cells"] == len(rows)
+    assert want["total_bytes"] == sum(per_row.values())
+    assert want["max_row_bytes"] == max(per_row.values())
