@@ -118,6 +118,7 @@ HEADLINE = [
     "orders_benford",
     "users_cohort_matrix",
     "kv_region_stats",
+    "part_affinity_lift",
 ]
 
 

@@ -1164,6 +1164,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_customers": relational.q18_large_volume_customers,
     "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
     "q22_idle_customers": relational.q22_idle_customers,
+    # round-10: market-basket co-purchase lift (PMI-over-baskets shape)
+    "part_affinity_lift": relational.part_affinity_lift,
     "price_quantity_stats": relational.price_quantity_stats,
     # embedding-table maintenance (round 2)
     "embedding_quantize_int8": similarity.embedding_quantize_int8,
@@ -1362,6 +1364,9 @@ _DRIVER_WINDOW = [
     # eleventh r10 addition: key-prefix region census
     # (events_active_users_approx rotates out, r6-seated quadruple-green)
     "kv_region_stats",
+    # twelfth r10 addition: market-basket lift
+    # (orders_zorder_census rotates out, r6-seated quadruple-green)
+    "part_affinity_lift",
     # NEW round 8 (seated immediately so they don't end the round
     # driver-unverified): token-budgeted corpus selection + hard-negative
     # mining. q4_order_priority / q6_forecast_revenue rotate out as their
@@ -1386,7 +1391,6 @@ _DRIVER_WINDOW = [
     # relational tail (first-time r6; q18/price_quantity_stats rotated
     # out r10 after four green rounds)
     "price_percentiles_exact_rank",
-    "orders_zorder_census",
     # event-time analytics (first-time)
     "events_mean_shift",
     # data quality / robust stats (first-time, new in r5)
@@ -1739,6 +1743,30 @@ ORACLE_SQL: dict[str, str] = {
         "printf('%.2f', c_acctbal + 100) AS new_value "
         "FROM customer WHERE c_custkey % 97 <> 0 AND c_custkey % 10 = 0"
     ),
+    # basket affinity: exact bigint counts and PRODUCTS on both sides of
+    # each division (n_ab*n_orders vs n_a*n_b) — bit-stable
+    "part_affinity_lift": """
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                    AS n_orders FROM li),
+        pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                         CAST(COUNT(*) AS BIGINT) AS n_ab
+                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2
+                  HAVING COUNT(*) >= 2),
+        pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+               FROM li GROUP BY 1)
+        SELECT part_a, part_b, n_ab,
+               ca.n_part AS n_a, cb.n_part AS n_b,
+               CAST(n_ab AS DOUBLE) / n_orders AS support,
+               CAST(n_ab * n_orders AS DOUBLE) / (ca.n_part * cb.n_part)
+                   AS lift
+        FROM pairs
+        JOIN pc ca ON pairs.part_a = ca.l_partkey
+        JOIN pc cb ON pairs.part_b = cb.l_partkey
+        CROSS JOIN tot
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                SUM(l_quantity) AS sum_qty,

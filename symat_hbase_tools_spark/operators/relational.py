@@ -1609,3 +1609,73 @@ def orders_equidepth_histogram(
         F.max("o_totalprice").alias("hi"),
         money_sum(F.col("o_totalprice"), "sum_total"),
     )
+
+
+def part_affinity_lift(
+    spark: SparkSession, sf_dir: str, min_cooccur: int = 2
+) -> DataFrame:
+    """Market-basket affinity over order baskets: for every pair of parts
+    co-ordered at least ``min_cooccur`` times, the support and LIFT
+    (P(a,b) / (P(a) P(b))) — the co-purchase / cross-sell staple, and in
+    an LLM-data context the co-occurrence association mining shape
+    (PMI over baskets is ln(lift)).
+
+    Exactness: all counts are exact bigints; support and lift are single
+    divisions of exact bigint PRODUCTS (n_ab * n_orders vs n_a * n_b,
+    both far inside int64 at any per-basket-bounded workload) — both
+    engines divide identical integers, bit-stable.
+
+    Scale shape: baskets reduce to DISTINCT (order, part) first; the
+    pair generation is a SELF-JOIN ON THE ORDER KEY — candidate volume
+    is sum over orders of items^2, bounded by the basket-size cap (TPC-H
+    ~7), NOT corpus^2; the pair aggregate is partial map-side. Per-part
+    counts are a vocab-sized table broadcast back twice. One data-scale
+    shuffle on the pair key.
+
+    Output: (part_a, part_b, n_ab, n_a, n_b, support, lift), part_a <
+    part_b.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    # basket-count total as a LAZY broadcast one-row subplan (an eager
+    # .count() here would run a job at plan-construction time — the
+    # lsh_topk_df n_rows=None lesson)
+    tot = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_cooccur)
+    )
+    part_counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    ca = part_counts.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    cb = part_counts.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
