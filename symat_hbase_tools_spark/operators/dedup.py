@@ -216,11 +216,18 @@ def _minhash_signatures_arrow(docs: DataFrame, num_hashes: int) -> DataFrame:
     return _minhash_sig_from_hashed(hashed, num_hashes)
 
 
-def _minhash_sig_from_hashed(hashed: DataFrame, num_hashes: int) -> DataFrame:
+def _minhash_sig_from_hashed(
+    hashed: DataFrame, num_hashes: int, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Arrow/numpy MinHash kernel over a pre-hashed (doc_id, hs) table —
     split out so callers that already materialize the hashed shingle table
     (``minhash_lsh_pairs`` persists it for signature + both verify sides)
-    don't re-run the string xxhash64 pass inside the kernel's input plan."""
+    don't re-run the string xxhash64 pass inside the kernel's input plan.
+
+    ``passthrough`` names extra long-typed input columns copied verbatim to
+    the output (e.g. the exact-set group id ``gid``): riding the map-only
+    kernel is free, while re-attaching them downstream would cost a join
+    that shuffles the signature table (~520 B/doc at num_hashes=64)."""
     import numpy as np
     import pandas as pd
 
@@ -241,9 +248,14 @@ def _minhash_sig_from_hashed(hashed: DataFrame, num_hashes: int) -> DataFrame:
             offs = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=offs[1:])
             mins = np.minimum.reduceat(perms, offs, axis=1)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": list(mins.T)})
+            out = {"doc_id": pdf["doc_id"]}
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["sig"] = list(mins.T)
+            yield pd.DataFrame(out)
 
-    return hashed.mapInPandas(batches, schema="doc_id long, sig array<long>")
+    extra = "".join(f", {c} long" for c in passthrough)
+    return hashed.mapInPandas(batches, schema=f"doc_id long{extra}, sig array<long>")
 
 
 def minhash_signatures(
@@ -271,6 +283,86 @@ def minhash_signatures(
     )
 
 
+# Cap on the number of DISTINCT SHINGLE SETS allowed in one (band, band_hash)
+# LSH bucket. The guard runs AFTER the exact-set pre-group — exact/permuted
+# duplicates (the 10^5-10^7-copy hazard of a crawled corpus, where every band
+# collides) collapse to ONE group id before bucketing, so an over-cap bucket
+# means > max_bucket_size structurally-distinct documents agreeing on a whole
+# band: a boilerplate template family. Such buckets are DROPPED before any
+# collect, bounding the per-bucket pair expansion at cap^2/2 (~134 MB of id
+# pairs at 4096) and the bucket row itself at 8*cap bytes. Recall semantics:
+# a true near-dup pair loses only this band's vote and keeps its other
+# num_bands-1 chances (two docs at jaccard j still collide elsewhere with
+# p = 1-(1-j^r)^(b-1)); for exhaustive semantics on a bounded corpus raise
+# the cap or use ngram_jaccard_pairs.
+MAX_LSH_BUCKET = 4096
+
+
+def _lsh_group_candidates(
+    hashed: DataFrame,
+    num_hashes: int,
+    num_bands: int,
+    max_bucket_size: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """LSH candidate generation over exact-shingle-set GROUPS.
+
+    Input: the persisted (doc_id, hs) hashed-shingle table. Returns
+    (members, reps, candidates):
+
+      members    — (gid, doc_id), every doc keyed by its exact-set group
+      reps       — (gid, rep): min doc_id per group
+      candidates — (g1, g2) distinct group pairs sharing >= 1 LSH bucket,
+                   g1 < g2 by gid value
+
+    gid = xxhash64(array_sort(hs)) is computed ABOVE the persist barrier
+    (array_sort over cached long arrays — cheap), never below it: below,
+    projection collapse would re-inline the interpreted shingle-hash HOF
+    into the sort argument and run the shingle pass twice during cache fill.
+    """
+    rows_per_band = num_hashes // num_bands
+    gid = F.xxhash64(F.array_sort("hs")).alias("gid")
+    members = hashed.select(gid, "doc_id")  # (gid, doc_id) — 16 B/doc, narrow
+    reps = members.groupBy("gid").agg(F.min("doc_id").alias("rep"))
+    # signatures for ALL docs stay map-only (no pre-filter join); dedup to
+    # one row per gid happens in the bucket aggregate below, where
+    # collect_set's map-side partial agg collapses same-gid rows locally.
+    sig = _minhash_sig_from_hashed(
+        hashed.select("doc_id", gid, "hs"), num_hashes, passthrough=("gid",)
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                ).alias("bh"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    buckets = sig.select("gid", F.explode(bands).alias("bb")).select(
+        "gid", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("band", "bh")
+            .agg(F.count_distinct("gid").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+        )
+        buckets = buckets.join(
+            F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti"
+        )
+    candidates = (
+        buckets.groupBy("band", "bh")
+        .agg(F.array_sort(F.collect_set("gid")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
+        .select(F.col("p.d1").alias("g1"), F.col("p.d2").alias("g2"))
+        .distinct()
+    )
+    return members, reps, candidates
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -278,11 +370,35 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
+    max_bucket_size: int | None = MAX_LSH_BUCKET,
 ) -> DataFrame:
-    """MinHash-LSH candidates, exact-Jaccard verified. Output = (d1, d2, jaccard)."""
+    """MinHash-LSH candidates, exact-Jaccard verified. Output = (d1, d2, jaccard).
+
+    Scale shape (the duplicate-heavy-corpus path): documents are first
+    grouped by their exact shingle SET — gid = xxhash64(array_sort(hs)).
+    ``hs`` is already distinct (shingles_from_words applies array_distinct)
+    and both the MinHash signature and the exact-Jaccard verify are
+    order-insensitive, so every member of a group is interchangeable in
+    candidacy AND scoring: LSH runs on ONE representative per group, and
+    member pairs are re-attached afterwards by join (within-group pairs
+    score exactly 1.0; cross-group pairs inherit the representative pair's
+    jaccard). A crawled corpus where one page has 10^6 exact copies thus
+    contributes ONE bucket entry instead of a 10^6-id collect_list row and
+    a 5*10^11-pair single-task expansion. gid collision risk: two distinct
+    sets sharing an xxhash64 — p < n_docs^2 / 2^64, the same budget accepted
+    for the shingle-hash join key in _jaccard_pairs_from_shingles.
+
+    ``max_bucket_size`` (see MAX_LSH_BUCKET) then bounds the residual
+    hazard — many DISTINCT near-dup sets (a template family) agreeing on
+    one band. Over-cap buckets are detected with a count aggregate and
+    anti-joined away BEFORE collect_set, so no giant bucket row is ever
+    materialized (the max_shingle_df pattern from ngram_jaccard_pairs).
+    None = uncapped. The final pair output is inherently |pairs|-sized —
+    a corpus with a 10^7-copy group owes C(10^7,2) rows by contract; the
+    expansion here is a distributed self-join, not a per-task blowup.
+    """
     from pyspark import StorageLevel
 
-    rows_per_band = num_hashes // num_bands
     # persist the HASHED shingle table (long arrays, not strings): it feeds
     # the signature kernel AND both verification sides — three plan
     # references (see _doc_shingles docstring) — and caching post-hash
@@ -302,39 +418,51 @@ def minhash_lsh_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
         .filter(F.size("hs") > 0)
     )
-    sig = _minhash_sig_from_hashed(hashed, num_hashes)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                ).alias("bh"),
-            )
-            for b in range(num_bands)
-        ]
+    members, reps, candidates = _lsh_group_candidates(
+        hashed, num_hashes, num_bands, max_bucket_size
     )
-    buckets = sig.select("doc_id", F.explode(bands).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
-    candidates = (
-        buckets.groupBy("band", "bh")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(_pairs_from_sorted_ids("ids")).alias("p"))
-        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
-        .distinct()
-    )
+    # verify ONE representative pair per candidate group pair
+    rep_pairs = candidates.join(
+        reps.select(F.col("gid").alias("g1"), F.col("rep").alias("d1")), "g1"
+    ).join(reps.select(F.col("gid").alias("g2"), F.col("rep").alias("d2")), "g2")
     sh1 = hashed.select(F.col("doc_id").alias("d1"), F.col("hs").alias("sh1"))
     sh2 = hashed.select(F.col("doc_id").alias("d2"), F.col("hs").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
-    return (
-        candidates.join(sh1, "d1")
+    verified = (
+        rep_pairs.join(sh1, "d1")
         .join(sh2, "d2")
-        .select("d1", "d2", (inter / union).alias("jaccard"))
+        .select("g1", "g2", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    # re-attach members: cross-group pairs inherit the verified jaccard ...
+    m1 = members.select(F.col("gid").alias("g1"), F.col("doc_id").alias("x"))
+    m2 = members.select(F.col("gid").alias("g2"), F.col("doc_id").alias("y"))
+    cross = (
+        verified.join(m1, "g1")
+        .join(m2, "g2")
+        .select(
+            F.least("x", "y").alias("d1"),
+            F.greatest("x", "y").alias("d2"),
+            "jaccard",
+        )
+    )
+    # ... and within-group pairs are exact duplicates of the shingle set:
+    # intersect == union == |set|, so jaccard is exactly 1.0 in both this
+    # engine and the SQL oracle. Distributed self-join on gid (narrow rows).
+    a, b = members.alias("a"), members.hint("shuffle_hash").alias("b")
+    within = (
+        a.join(b, "gid")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if threshold > 1.0:  # degenerate: nothing can pass, incl. exact dups
+        within = within.filter(F.lit(False))
+    return cross.unionByName(within)
 
 
 def simhash_pairs(

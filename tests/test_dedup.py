@@ -380,3 +380,78 @@ def test_fuzzy_contamination_subset_of_minhash_pairs(spark):
         ).doc_contamination(spark, SF_DIR).collect()
     }
     assert set(fuzzy) <= exact
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_minhash_duplicate_heavy_corpus_bounded(spark, tmp_path):
+    """2000 byte-identical copies of one page (the crawled-corpus hazard:
+    every band collides) must collapse to ONE group id before bucketing —
+    the candidate stage sees a single gid pair, never a 2000-id bucket row
+    or a C(2000,2) candidate expansion. The pair OUTPUT is still complete
+    by contract: C(2000,2) within-group pairs at exactly 1.0 plus 2000
+    cross pairs to the planted near-dup."""
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " z1 z2"  # jaccard 36/40 = 0.9
+    unrelated = " ".join(f"u{i}" for i in range(40))
+    n_copies = 2000
+    rows = [(d, base) for d in range(n_copies)]
+    rows += [(5000, near), (5001, unrelated)]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+
+    # candidate stage: 2000 copies -> one gid; only (base-group, near-doc)
+    # can share a bucket (the unrelated doc's signature is disjoint)
+    hashed = (
+        dedup._doc_shingles(spark, sf_dir, 3)
+        .select("doc_id", dedup.shingle_hashes(F.col("sh")).alias("hs"))
+        .filter(F.size("hs") > 0)
+    )
+    members, reps, candidates = dedup._lsh_group_candidates(
+        hashed, dedup.NUM_HASHES, dedup.NUM_BANDS, dedup.MAX_LSH_BUCKET
+    )
+    assert reps.count() == 3  # three distinct shingle sets
+    assert candidates.count() == 1  # bounded: gid pairs, not doc pairs
+
+    out = dedup.minhash_lsh_pairs(spark, sf_dir, threshold=0.5)
+    within = n_copies * (n_copies - 1) // 2
+    assert out.filter(F.col("jaccard") == 1.0).count() == within
+    cross = out.filter(F.col("jaccard") < 1.0).collect()
+    assert len(cross) == n_copies  # every copy pairs with the near-dup
+    assert all(r["d2"] == 5000 and abs(r["jaccard"] - 0.9) < 1e-12 for r in cross)
+    assert out.count() == within + n_copies
+
+
+def test_minhash_bucket_cap_drops_template_family(spark, tmp_path):
+    """A template family of DISTINCT near-identical sets (the residual
+    hazard the exact-set pre-group can't collapse): with a small cap every
+    bucket the family shares is dropped pre-collect and no cross pairs
+    survive; uncapped, all C(n,2) pairs are found. Within-group exact-dup
+    pairs are unaffected by banding either way."""
+    n_fam = 30
+    rows = [
+        (d, " ".join(f"w{i}" for i in range(40)) + f" tail{d}")
+        for d in range(n_fam)
+    ]
+    rows += [(9000, "xx yy"), (9001, "xx yy")]  # exact-dup pair, 0 shingles? no: 2 words < n=3 -> filtered
+    rows += [(9100, " ".join(f"e{i}" for i in range(10))), (9101, " ".join(f"e{i}" for i in range(10)))]
+    sf_dir = _write_docs(spark, tmp_path, rows)
+
+    uncapped = dedup.minhash_lsh_pairs(spark, sf_dir, threshold=0.5, max_bucket_size=None)
+    # family pairs: 38 shared trigrams of 39 each -> jaccard 38/40 = 0.95
+    fam_pairs = n_fam * (n_fam - 1) // 2
+    assert uncapped.count() == fam_pairs + 1  # + the exact-dup pair 9100/9101
+
+    capped = dedup.minhash_lsh_pairs(spark, sf_dir, threshold=0.5, max_bucket_size=5)
+    got = capped.collect()
+    # every family bucket holds 30 > 5 gids -> dropped; the exact-dup pair
+    # rides the within-group path, immune to bucket drops
+    assert {(r["d1"], r["d2"], r["jaccard"]) for r in got} == {(9100, 9101, 1.0)}
