@@ -195,7 +195,11 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument(
         "--keepBuckets",
         default="head,middle",
-        help="ccnet: comma-separated subset of head,middle,tail to keep",
+        help="ccnet: comma-separated subset of head,middle,tail to keep. "
+        "Docs with no perplexity score (fewer than 2 words) have no "
+        "bucket: they are dropped unless ALL THREE buckets are "
+        "requested, in which case they are kept with NULL score "
+        "columns. dsir likewise drops 0-token docs (unscorable).",
     )
     cu.add_argument(
         "--targetLang", default="en", help="dsir: target-domain language"
@@ -491,11 +495,19 @@ def main(argv: list[str] | None = None) -> int:
                     )
                     return 1
                 scored = text_analysis.ccnet_buckets(spark, args.sfDir)
+                # docs with <2 words have no perplexity row: an inner join
+                # drops them silently even when every bucket is requested.
+                # With all three buckets kept, curation expresses "keep
+                # everything" — left-join so unscored docs survive with
+                # NULL score columns; any narrower subset is a real
+                # quality cut and unscorable docs stay excluded.
+                how = "left" if set(keep) == {"head", "middle", "tail"} else "inner"
                 kept = docs.join(
                     scored.filter(F.col("ppl_bucket").isin(keep)).select(
                         "doc_id", "avg_surprisal", "ppl_bucket"
                     ),
                     "doc_id",
+                    how,
                 )
             else:
                 sel = text_analysis.dsir_select(

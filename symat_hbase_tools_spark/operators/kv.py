@@ -167,7 +167,11 @@ def region_stats(cells: DataFrame, prefix_len: int = 10) -> DataFrame:
 
     Cell bytes = key + family + qualifier + value + 8 (the timestamp
     long) — the on-wire KeyValue proportions, exact integers end-to-end;
-    byte_share divides identical bigints.
+    byte_share divides identical bigints. A NULL value (delete-type
+    cells are legal per CELLS_SCHEMA) counts as 0 VALUE bytes but still
+    contributes its key/family/qualifier/timestamp overhead — without
+    the coalesce the whole sum would go NULL and a row of only delete
+    cells would report NULL row_bytes while still counting in n_cells.
 
     Scale shape: one map-only byte projection, a per-row partial
     aggregate (fat-row max needs row grain first), then the
@@ -182,7 +186,7 @@ def region_stats(cells: DataFrame, prefix_len: int = 10) -> DataFrame:
         F.octet_length("row")
         + F.octet_length(F.encode(F.col("family"), "UTF-8"))
         + F.octet_length("qualifier")
-        + F.octet_length("value")
+        + F.coalesce(F.octet_length("value"), F.lit(0))
         + F.lit(8)
     ).cast("long")
     per_row = (

@@ -946,8 +946,11 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums; the smoothed value is one division of identical bigints.
     A float pow()-kernel EWMA would accumulate in engine-specific order
     and drift in the last ulp; this one hash-matches bit-for-bit.
-    Headroom: the largest weight is 2^15, so hourly value sums up to
-    ~2.8e14 micros fit int64 — rescale the quantization unit past that.
+    Headroom: the 16-term numerator's weights sum to 2^16 - 1 = 65535,
+    so hourly value sums are safe up to int64_max / 65535 ~ 1.4e14
+    micros (~$140M/hour at micro-dollar quantization) — rescale the
+    quantization unit past that. ANSI mode throws loudly on overflow
+    rather than wrapping.
 
     Scale shape: ONE partial-aggregated pass over events (exact micros
     sum per hour x type); the spine/zero-fill and the 16-lag window run

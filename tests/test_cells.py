@@ -198,3 +198,26 @@ def test_region_stats_census_identities(spark, customer):
     assert want["n_cells"] == len(rows)
     assert want["total_bytes"] == sum(per_row.values())
     assert want["max_row_bytes"] == max(per_row.values())
+
+
+def test_region_stats_null_value_cells_keep_key_overhead(spark):
+    """Delete-type cells (NULL value, legal per CELLS_SCHEMA) must still
+    contribute their key/family/qualifier/timestamp overhead: a row made
+    ONLY of delete cells gets real row_bytes, not NULL (ADVICE r10)."""
+    from symat_hbase_tools_spark.operators import kv
+    from symat_hbase_tools_spark.sources.cells import CELLS_SCHEMA, CELL_TS
+
+    rows = [
+        (b"del#row-01", "f", b"q1", CELL_TS, "Delete", None),
+        (b"del#row-01", "f", b"q2", CELL_TS, "Delete", None),
+        (b"put#row-02", "f", b"q1", CELL_TS, "Put", b"hello"),
+    ]
+    cells = spark.createDataFrame(rows, CELLS_SCHEMA)
+    out = {r["prefix"]: r for r in kv.region_stats(cells).collect()}
+    # key(10) + family(1) + qualifier(2) + ts(8) = 21 per delete cell
+    assert out["del#row-01"]["total_bytes"] == 42
+    assert out["del#row-01"]["max_row_bytes"] == 42
+    assert out["del#row-01"]["n_cells"] == 2
+    assert out["put#row-02"]["total_bytes"] == 21 + 5
+    total = 42 + 26
+    assert abs(out["del#row-01"]["byte_share"] - 42 / total) < 1e-12

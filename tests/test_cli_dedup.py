@@ -273,3 +273,34 @@ def test_cli_curate_ccnet_and_dsir(spark, tmp_path, capsys):
     )
     assert rc == 1
     assert "keepBuckets" in capsys.readouterr().err
+
+
+def test_cli_curate_all_buckets_keeps_unscored_docs(spark, tmp_path):
+    """--keepBuckets head,middle,tail means "keep everything": docs with
+    no perplexity row (fewer than 2 words — unscorable) must survive with
+    NULL score columns instead of being silently inner-joined away
+    (ADVICE r10). A corpus with a 1-word doc exercises the gap."""
+    docs = spark.createDataFrame(
+        [(1, "single", "en", "src", 6),
+         (2, "the quick brown fox jumps over the dog", "en", "src", 38),
+         (3, "a slow green turtle crawls under a log", "en", "src", 38),
+         (4, "the quick brown fox jumps over the fox", "en", "src", 38)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "corpus")
+    docs.write.parquet(sf + "/documents.parquet")
+    out = str(tmp_path / "kept")
+    rc = main(["curate", "--sfDir", sf, "--keepBuckets", "head,middle,tail",
+               "--output", out])
+    assert rc == 0
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2, 3, 4}  # nothing dropped
+    assert got[1]["ppl_bucket"] is None  # unscored, kept with NULL score
+    assert all(got[d]["ppl_bucket"] is not None for d in (2, 3, 4))
+
+    # a narrower subset is a real quality cut: unscored docs stay excluded
+    out2 = str(tmp_path / "kept2")
+    rc = main(["curate", "--sfDir", sf, "--keepBuckets", "head,middle",
+               "--output", out2])
+    assert rc == 0
+    assert 1 not in {r["doc_id"] for r in spark.read.parquet(out2).collect()}

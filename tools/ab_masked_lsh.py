@@ -51,10 +51,13 @@ def main() -> None:
     )
     n_rows = base.count()
     planes = similarity._adaptive_planes(n_rows)
+    # target= overrides TARGET_COGROUP_PARTITION_BYTES above, so the
+    # estimate must be recomputed under the override — only the 'prefix'
+    # mode (the pre-sharding unsharded shape) pins the constant 32.
     shards = (
-        similarity._cogroup_shards(n_rows, 8, planes, True)
-        if mode == "sharded"
-        else 32
+        32
+        if mode == "prefix"
+        else similarity._cogroup_shards(n_rows, 8, planes, True)
     )
 
     # exactly the embedding_hard_negatives_ann LSH-path call (the r8/r9
