@@ -243,6 +243,37 @@ def main() -> None:
             "cold_queries": cold,
             "sf": SF_DIR,
         }
+        # SAME-SESSION DuckDB control (round-10 lesson: a hot host inflated
+        # the r10 artifact 1.5x and cost a regression investigation that
+        # adjudicated to noise). Carrying a flat control in the artifact
+        # itself makes every future reading self-adjudicating: if engine
+        # AND control moved together, it's the host; if only the engine
+        # moved, it's the code. Skippable via SPARK_GRAFT_NO_CONTROL=1.
+        if os.environ.get("SPARK_GRAFT_NO_CONTROL") != "1":
+            try:
+                control = run_duckdb_baseline()
+            except Exception as exc:  # control is diagnostic, never fatal
+                print(f"# duckdb control failed: {exc}", file=sys.stderr)
+                control = None
+            if control:
+                paired = [n for n in timings if n in control]
+                ctot = round(sum(control.values()), 3)
+                etot = round(sum(timings[n] for n in paired), 3)
+                detail["duckdb_control"] = {
+                    "total_sec": ctot,
+                    "n_paired": len(paired),
+                    "paired_engine_total_sec": etot,
+                    "engine_over_duckdb": round(etot / ctot, 3) if ctot else None,
+                    # watch list: >2x the control AND >=0.3 s absolute (the
+                    # r6-adjudicated threshold below which per-query constants
+                    # dominate and ratios are noise)
+                    "flagged": sorted(
+                        n
+                        for n in paired
+                        if timings[n] >= 0.3 and timings[n] > 2 * control[n]
+                    ),
+                    "queries": control,
+                }
         # The driver records only the LAST ~2000 chars of stdout and parses
         # the final JSON line (round-3 lesson: the one-line-with-everything
         # format outgrew that window and the official record lost the
@@ -250,6 +281,14 @@ def main() -> None:
         # to a file + a verbose first line; the LAST line is a compact
         # summary (no cold_queries) guarded to stay inside the window.
         summary = {k: v for k, v in detail.items() if k != "cold_queries"}
+        if "duckdb_control" in summary:
+            # compact control for the driver's 2000-char stdout window; the
+            # per-query control timings live in BENCH_DETAIL.json
+            summary["duckdb_control"] = {
+                k: v
+                for k, v in detail["duckdb_control"].items()
+                if k != "queries"
+            }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "BASELINE_DETAIL.json" if baseline else "BENCH_DETAIL.json",
