@@ -4111,6 +4111,25 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
+#: Every rows-only registry entry (no ORACLE_SQL twin — not SQL-expressible)
+#: mapped to the ORACLE-PAIRED check query that hash-verifies its invariants.
+#: tests/test_oracle.py asserts this map is total over QUERIES - ORACLE_SQL
+#: and that every twin is itself oracle-paired, so a rename can never
+#: silently orphan a rows-only op (round-10 verdict #7).
+ROWS_ONLY_CHECK_TWINS: dict[str, str] = {
+    "doc_probe_ridge": "doc_probe_ridge_check",
+    "embedding_near_dup_lsh": "embedding_near_dup_lsh_check",
+    "embedding_semantic_dedup": "embedding_semantic_dedup_check",
+    "bpe_learn_merges": "bpe_learn_check",
+    "bpe_tokenize_census": "bpe_tokenize_check",
+    "dedup_simhash": "dedup_simhash_portable",
+    "ann_lsh_topk": "ann_lsh_recall_check",
+    "ann_ivf_topk": "ann_ivf_recall_check",
+    "embedding_pca_project": "embedding_pca_check",
+    "embedding_kmeans_fit": "embedding_kmeans_check",
+}
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """The driver's smoke query: Q1 pricing summary at sf0.001."""
     return relational.q1_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -64,6 +64,32 @@ def to_bytes_binary(s: str | None) -> bytes | None:
     return bytes(out)
 
 
+def to_string_binary_expr(col) -> "F.Column":
+    """Pure built-in-expression ``Bytes.toStringBinary`` — no Python worker.
+
+    hex() the binary, split into byte pairs, render each pair: printable
+    ASCII (0x20..0x7E, backslash excepted) becomes the character itself,
+    everything else ``\\xNN`` with uppercase hex (hex() is already upper).
+    Used where the render must ride a distributed plan (the audit report's
+    row keys — the reference prints every reported key through
+    toStringBinary, CorruptRowsMR.java:163); hypothesis-parity-tested
+    against the pure-Python ``to_string_binary`` in test_codecs.py.
+    Stays JVM-side: one regexp + split + array HOF per value, applied
+    post-aggregation (once per ROW, not per cell) on the audit path.
+    """
+    pairs = F.filter(
+        F.split(F.regexp_replace(F.hex(col), "(..)", "$1,"), ","),
+        lambda p: p != F.lit(""),
+    )
+    def render(p):
+        code = F.conv(p, 16, 10).cast("int")
+        printable = code.between(0x20, 0x7E) & (code != 0x5C)
+        return F.when(printable, F.char(code)).otherwise(
+            F.concat(F.lit("\\x"), p)
+        )
+    return F.array_join(F.transform(pairs, render), "")
+
+
 @F.pandas_udf(T.StringType())
 def to_string_binary_col(s: pd.Series) -> pd.Series:
     return s.map(to_string_binary)

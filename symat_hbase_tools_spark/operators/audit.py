@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from symat_hbase_tools_spark.functions.bytes_binary import to_string_binary_expr
+
 _LINE_SPLIT = re.compile(r"\r\n|\r|\n")
 CORRUPT_QUALIFIER = b"corrupt"
 
@@ -71,12 +73,24 @@ def _probed_rows(cells: DataFrame) -> DataFrame:
     """row_key (escaped string) + is_corrupt flag, one row per table row.
 
     A single partially-aggregated groupBy — the scan reads only (row,
-    qualifier). Keys in this engine's fixtures are printable ASCII, so the
-    escaped render equals the raw decode; binary-safe rendering is covered by
-    functions.bytes_binary (used by the CLI for arbitrary keys).
+    qualifier) and groups on the RAW binary key (no per-cell decode).
+    The key render is the reference's exact ``Bytes.toStringBinary``
+    (CorruptRowsMR.java:163), applied AFTER the aggregate so it runs once
+    per row, not once per cell, and entirely JVM-side
+    (bytes_binary.to_string_binary_expr). For printable-ASCII keys the
+    escaped render equals the raw decode, so the DuckDB oracle is the
+    plain printf twin.
     """
-    return cells.groupBy(F.decode(F.col("row"), "UTF-8").alias("row_key")).agg(
-        F.max(F.col("qualifier") == F.lit(CORRUPT_QUALIFIER)).alias("is_corrupt")
+    return (
+        cells.groupBy("row")
+        .agg(
+            F.max(F.col("qualifier") == F.lit(CORRUPT_QUALIFIER)).alias(
+                "is_corrupt"
+            )
+        )
+        .select(
+            to_string_binary_expr(F.col("row")).alias("row_key"), "is_corrupt"
+        )
     )
 
 
@@ -102,15 +116,34 @@ def audit(cells: DataFrame) -> tuple[DataFrame, DataFrame]:
     return report, counters
 
 
-def audit_probe(cells: DataFrame) -> DataFrame:
+def _default_prober(row_key: str, is_corrupt: bool) -> None:
+    """The parquet-fixture probe: raise iff the marker qualifier is present.
+
+    The real-HBase prober issues a GET and lets the client's own exceptions
+    (CorruptHFileException / DoNotRetryIOException / ...) propagate — the
+    injectable ``prober`` parameter of ``audit_probe`` is exactly that seam.
+    """
+    if is_corrupt:
+        raise CorruptCellError(_corrupt_message(row_key))
+
+
+def audit_probe(cells: DataFrame, prober=None) -> DataFrame:
     """Reference-shaped audit: per-row probe with try/except in mapInPandas.
 
     Control flow mirrors the MR mapper (CorruptRowsMR.java:127-166): a
     per-partition lazily-initialized connection (here: the batch iterator
     entry), one probe per key, exceptions normalized via ``normalize_error``.
-    Output is identical to ``audit()[0]``.
+    Output is identical to ``audit()[0]`` under the default prober.
+
+    ``prober(row_key, is_corrupt)`` raises to signal a corrupt row — the
+    exception's type name and first message line become the failure record,
+    byte-for-byte the reference's format (CorruptRowsMR.java:150-163). The
+    HBase connector path supplies a GET-issuing prober; tests supply fault
+    injectors (test_reference_golden.py reproduces the README's example
+    output verbatim through this seam).
     """
     probed = _probed_rows(cells)
+    probe = prober if prober is not None else _default_prober
 
     def probe_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # "connection" init per partition happens here (P4 — lazy, reused,
@@ -120,8 +153,7 @@ def audit_probe(cells: DataFrame) -> DataFrame:
             out_keys, out_errors = [], []
             for row_key, is_corrupt in zip(pdf["row_key"], pdf["is_corrupt"]):
                 try:
-                    if is_corrupt:
-                        raise CorruptCellError(_corrupt_message(row_key))
+                    probe(row_key, is_corrupt)
                 except Exception as exc:  # noqa: BLE001 — mirror mapper catch-all
                     out_keys.append(row_key)
                     out_errors.append(normalize_error(exc))

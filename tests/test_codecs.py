@@ -70,3 +70,31 @@ def test_spark_udfs(spark):
     ).collect()
     for r in out:
         assert bytes(r["rt"]) == bytes(r["b"])
+
+
+def test_expr_matches_python_all_bytes_and_random(spark):
+    """The JVM-side to_string_binary_expr must render byte-for-byte like
+    the pure-Python to_string_binary: all 256 single bytes, the full
+    0..255 run, empty, NULL, and a seeded random fuzz batch — one Spark
+    job for the whole corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.functions.bytes_binary import (
+        to_string_binary,
+        to_string_binary_expr,
+    )
+
+    rng = random.Random(0xB17E5)
+    vals = (
+        [bytes([i]) for i in range(256)]
+        + [bytes(range(256)), b"", None, b"r2", b"back\\slash"]
+        + [
+            bytes(rng.randrange(256) for _ in range(rng.randrange(48)))
+            for _ in range(128)
+        ]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "b binary")
+    got = [r[0] for r in df.select(to_string_binary_expr(F.col("b"))).collect()]
+    assert got == [to_string_binary(v) for v in vals]

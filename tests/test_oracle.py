@@ -61,6 +61,30 @@ def test_no_oracle_queries_still_run(name, spark):
     assert df.count() >= 0 and len(df.columns) > 0
 
 
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_entry_has_oracle_paired_check_twin(name):
+    """Mechanical link: every rows-only entry must map to a check query
+    that IS oracle-paired (round-10 verdict #7) — a rename or removal of a
+    check twin can't silently orphan its rows-only op."""
+    from symat_hbase_tools_spark.entry import ROWS_ONLY_CHECK_TWINS
+
+    assert name in ROWS_ONLY_CHECK_TWINS, (
+        f"{name} is rows-only but has no declared check twin"
+    )
+    twin = ROWS_ONLY_CHECK_TWINS[name]
+    assert twin in QUERIES, f"{name}: twin {twin} not in queries()"
+    assert twin in ORACLES, f"{name}: twin {twin} is not oracle-paired"
+
+
+def test_check_twin_map_has_no_stale_entries():
+    """The twin map must not keep rows for entries that are no longer
+    rows-only (gained an oracle) or no longer exist."""
+    from symat_hbase_tools_spark.entry import ROWS_ONLY_CHECK_TWINS
+
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert set(ROWS_ONLY_CHECK_TWINS) == rows_only
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
