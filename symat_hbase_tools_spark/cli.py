@@ -252,6 +252,21 @@ def main(argv: list[str] | None = None) -> int:
     ai.add_argument("--k", type=int, default=5)
     ai.add_argument("--output", default=None, help="query: parquet output path")
 
+    sp = sub.add_parser(
+        "split-points",
+        help="suggest region split keys at a target bytes-per-region "
+        "(the actionable output of the region_stats hotspot census)",
+    )
+    sp.add_argument("--table", required=True, help="cells table (path or ns:table)")
+    sp.add_argument(
+        "--targetBytes",
+        type=int,
+        default=10 * 1024 * 1024 * 1024,
+        help="target bytes per region (default 10 GiB — HBase-realistic; "
+        "use small values on test fixtures)",
+    )
+    sp.add_argument("--output", help="optional parquet path for the full region report")
+
     q = sub.add_parser("query", help="run any inventory query against a test-data dir")
     q.add_argument("--name", required=True, help="queries() name, or 'list' to enumerate")
     q.add_argument("--sfDir", default="/root/testdata/sf0.001")
@@ -615,6 +630,26 @@ def main(argv: list[str] | None = None) -> int:
             out.show(20, truncate=False)
             if args.output:
                 out.write.mode("overwrite").parquet(args.output)
+                print(f"wrote {args.output}")
+            return 0
+        if args.tool == "split-points":
+            from symat_hbase_tools_spark.operators.kv import split_points
+
+            if args.targetBytes < 1:
+                print("error: --targetBytes must be >= 1", file=sys.stderr)
+                return 1
+            cells = _load_cells(spark, args.table)
+            report = split_points(cells, target_bytes=args.targetBytes).cache()
+            splits = sorted(
+                r["split_key"]
+                for r in report.filter("region_seq >= 1").collect()
+            )
+            n_regions = report.count()
+            print(f"REGIONS={n_regions} SPLITS={len(splits)} TARGET_BYTES={args.targetBytes}")
+            for k in splits:
+                print(f"SPLIT\t{k}")
+            if args.output:
+                report.write.mode("overwrite").parquet(args.output)
                 print(f"wrote {args.output}")
             return 0
         if args.tool == "query":

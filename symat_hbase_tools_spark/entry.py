@@ -53,6 +53,9 @@ from symat_hbase_tools_spark.sources.tables import load_table
 
 POINT_GET_CUSTKEY = 42
 BUMP_TS = 1_786_000_000_000
+#: kv_split_points target bytes-per-region — sized so every test scale
+#: yields a multi-region answer (sf0.001 ~2, sf0.01 ~12, sf0.1 ~120)
+SPLIT_TARGET_BYTES = 16_384
 PROJECTION_QUALIFIERS = ("c_acctbal", "c_name")
 
 # ---------------------------------------------------------------------------
@@ -1118,6 +1121,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_region_stats": lambda spark, sf: kv.region_stats(
         customer_cells(load_table(spark, sf, "customer"))
     ),
+    # round-11: the actionable half of the census — suggested region split
+    # keys at a target bytes-per-region (distributed byte-tape prefix sum,
+    # exact integers; split keys = region_seq >= 1)
+    "kv_split_points": lambda spark, sf: kv.split_points(
+        customer_cells(load_table(spark, sf, "customer")),
+        target_bytes=SPLIT_TARGET_BYTES,
+    ),
     # relational surface
     "q5_local_supplier_volume": relational.q5_local_supplier_volume,
     "q7_volume_shipping": relational.q7_volume_shipping,
@@ -1649,6 +1659,27 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT prefix, n_rows, n_cells, total_bytes, max_row_bytes, "
         "       CAST(total_bytes AS DOUBLE) / grand AS byte_share "
         "FROM pp CROSS JOIN t"
+    ),
+    # split-point advisor: the same on-wire byte math on a row-ordered tape;
+    # DuckDB's window cumsum is the oracle for the engine's DISTRIBUTED
+    # prefix sum (range partitions + lazy triangular offsets) — exact
+    # integers so the region assignment is hash-stable cross-engine
+    "kv_split_points": (
+        "WITH cells AS (" + _unpivot_sql() + "), "
+        "pr AS (SELECT row_key, "
+        "              CAST(SUM(strlen(row_key) + strlen(family) "
+        "                       + strlen(qualifier) + strlen(value) + 8) "
+        "                   AS BIGINT) AS row_bytes "
+        "       FROM cells GROUP BY 1), "
+        "tape AS (SELECT row_key, row_bytes, "
+        "                CAST(SUM(row_bytes) OVER (ORDER BY row_key "
+        "                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "                     - row_bytes AS BIGINT) AS s "
+        "         FROM pr) "
+        "SELECT s // 16384 AS region_seq, MIN(row_key) AS split_key, "
+        "       CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "       CAST(SUM(row_bytes) AS BIGINT) AS region_bytes "
+        "FROM tape GROUP BY 1"
     ),
     "kv_latest_version": (
         "SELECT row_key, qualifier, CAST(ts + 2000 AS BIGINT) AS ts, value FROM ("

@@ -221,3 +221,55 @@ def test_region_stats_null_value_cells_keep_key_overhead(spark):
     assert out["put#row-02"]["total_bytes"] == 21 + 5
     total = 42 + 26
     assert abs(out["del#row-01"]["byte_share"] - 42 / total) < 1e-12
+
+
+def test_split_points_tape_semantics(spark, customer):
+    """Byte-tape region assignment: regions partition the rows in key
+    order, every region starts where the tape crosses a target multiple,
+    and no region exceeds target + its last row's bytes (a row straddles
+    only the boundary it starts before)."""
+    from symat_hbase_tools_spark.operators import kv
+    from symat_hbase_tools_spark.sources.cells import customer_cells
+
+    target = 4096
+    cells = customer_cells(customer.limit(150))
+    out = sorted(
+        kv.split_points(cells, target_bytes=target).collect(),
+        key=lambda r: r["region_seq"],
+    )
+    assert out[0]["region_seq"] == 0
+    # regions are consecutive and non-empty
+    assert [r["region_seq"] for r in out] == list(range(len(out)))
+    assert all(r["n_rows"] >= 1 for r in out)
+    # totals conserve: sum of region bytes/rows == table bytes/rows
+    per_prefix = kv.region_stats(cells, prefix_len=100).collect()
+    assert sum(r["region_bytes"] for r in out) == sum(
+        p["total_bytes"] for p in per_prefix
+    )
+    assert sum(r["n_rows"] for r in out) == len(per_prefix)
+    # split keys ascend in key order and region 0 starts at the table start
+    keys = [r["split_key"] for r in out]
+    assert keys == sorted(keys)
+    assert keys[0] == min(p["prefix"] for p in per_prefix)
+    # start-based assignment: a region's bytes are < target + max_row_bytes
+    max_row = max(p["max_row_bytes"] for p in per_prefix)
+    assert all(r["region_bytes"] < target + max_row for r in out)
+
+
+def test_split_points_single_fat_row_gets_own_region(spark):
+    """A row bigger than the target cannot be split (HBase rows are
+    atomic): it owns its region alone and the tape advances past it."""
+    from symat_hbase_tools_spark.operators import kv
+    from symat_hbase_tools_spark.sources.cells import CELLS_SCHEMA, CELL_TS
+
+    rows = [(f"r{i}".encode(), "f", b"q", CELL_TS, "Put", b"x" * 10) for i in range(1, 5)]
+    rows.append((b"r2-fat", "f", b"q", CELL_TS, "Put", b"y" * 500))
+    cells = spark.createDataFrame(rows, CELLS_SCHEMA)
+    out = {r["region_seq"]: r for r in kv.split_points(cells, target_bytes=64).collect()}
+    # key order: r1, r2, r2-fat, r3, r4 — r1+r2 fill region 0 (2*(2+1+1+8+10)=44
+    # bytes then r2-fat starts at 44 < 64 in region 0... recompute: each small
+    # row = 2+1+1+10+8 = 22; fat = 6+1+1+500+8 = 516.
+    # tape: r1@0, r2@22, r2-fat@44 (region 0), r3@560 (region 8), r4@582 (region 9)
+    assert out[0]["n_rows"] == 3 and out[0]["region_bytes"] == 44 + 516
+    assert out[8]["n_rows"] == 1 and out[8]["split_key"] == "r3"
+    assert out[9]["n_rows"] == 1 and out[9]["split_key"] == "r4"
