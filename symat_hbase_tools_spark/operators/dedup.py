@@ -871,15 +871,37 @@ HOT_SAMPLE_DOCS = 200_000
 MAX_HOT_SHINGLES = 100_000
 
 
-def _hot_shingle_list(
+#: exact-route admission bound (round-11): the uncapped exploded self-join
+#: shuffles ~sum(df^2) rows; admit it only when the sampled estimate of
+#: that volume is at most this. This is a Catalyst-broadcast-style
+#: SMALL-INPUT fast path, not a scale path: ~8M exploded rows execute in
+#: well under a second on a 32-core host, below the prefix machinery's
+#: fixed pipeline floor (census join + candidate aggregate + verify join),
+#: while any corpus past it — and certainly 100 TB — takes the prefix
+#: route whose candidate pruning pays for itself. Measured: sf0.1
+#: estimates ~2.8M (exact 0.6 s vs prefix 0.9-1.8 s), the 10x probe ~28M
+#: (exact 9.1 s vs prefix 1.9 s) — the bound sits ~3x from both.
+EXACT_ROUTE_MAX_JOIN_ROWS = 8_000_000
+
+
+def _shingle_df_census(
     spark: SparkSession, sf_dir: str, n: int, cutoff: int = DEFAULT_HOT_DF
-) -> list:
-    """Hashes of boilerplate shingles (document frequency >= cutoff),
-    estimated from a deterministic hash-sample of at most HOT_SAMPLE_DOCS
-    documents. Sampling can only over- or under-estimate df; the filter
-    uses half the scaled cutoff so borderline-hot shingles are flagged
-    (flagging extra shingles is harmless — it just reorders tokens — while
-    missing one only costs candidate volume, never correctness)."""
+) -> tuple[list, float]:
+    """(hot-shingle hashes, estimated sum(df^2) join volume) from ONE
+    sampled aggregation over at most HOT_SAMPLE_DOCS documents.
+
+    Hot = document frequency >= cutoff; the filter uses half the scaled
+    cutoff so borderline-hot shingles are flagged (flagging extra shingles
+    is harmless — it just reorders tokens — while missing one only costs
+    candidate volume, never correctness).
+
+    The volume estimate drives the exact-vs-prefix ROUTE: sum(df^2) is the
+    exploded self-join's shuffle row count. Under sampling probability p, a
+    df-d shingle's sampled count c ~ Binomial(d, p), so
+    E[c^2] = p^2 d^2 + p(1-p) d and
+    sum(d^2) ~ (sum(c^2) - (1-p) sum(c)) / p^2.
+    The estimate only picks between two EXACT physical plans — a wrong
+    pick costs time, never pairs."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()  # parquet metadata count — no data scan
     p = min(1.0, HOT_SAMPLE_DOCS / max(n_docs, 1))
@@ -892,14 +914,26 @@ def _hot_shingle_list(
     sh = sample.withColumn("words", F.split(F.col("text"), " ")).select(
         F.explode(shingle_hashes(shingles_from_words(F.col("words"), n=n))).alias("s")
     )
+    per_shingle = sh.groupBy("s").agg(F.count(F.lit(1)).alias("c")).persist()
     hot = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= max(2.0, cutoff * p * 0.5))
+        per_shingle.filter(F.col("c") >= max(2.0, cutoff * p * 0.5))
         .limit(MAX_HOT_SHINGLES)
         .collect()
     )
-    return [r["s"] for r in hot]
+    m = per_shingle.agg(
+        F.sum("c").alias("sc"), F.sum(F.col("c") * F.col("c")).alias("sc2")
+    ).collect()[0]
+    per_shingle.unpersist()
+    sc, sc2 = (m["sc"] or 0), (m["sc2"] or 0)
+    volume = ((sc2 - (1.0 - p) * sc) / (p * p)) if sc else 0.0
+    return [r["s"] for r in hot], volume
+
+
+def _hot_shingle_list(
+    spark: SparkSession, sf_dir: str, n: int, cutoff: int = DEFAULT_HOT_DF
+) -> list:
+    """Hot-shingle hashes only (see _shingle_df_census)."""
+    return _shingle_df_census(spark, sf_dir, n, cutoff=cutoff)[0]
 
 
 def prefix_filter_pairs(
@@ -908,6 +942,7 @@ def prefix_filter_pairs(
     n: int = 3,
     threshold: float = 0.5,
     hot_df_cutoff: int = DEFAULT_HOT_DF,
+    route: str = "auto",
 ) -> DataFrame:
     """Exact shingle-Jaccard pairs via PREFIX FILTERING (the ppjoin-family
     candidate generator; Chaudhuri et al.'s SSJoin / Xiao et al.'s ppjoin):
@@ -918,6 +953,15 @@ def prefix_filter_pairs(
     MinHash-LSH there are no false negatives, and unlike the DF-capped
     shingle self-join (``ngram_jaccard_pairs``) no hot-shingle cap is
     needed.
+
+    ``route`` (round-11): ``"auto"`` picks the physical plan from the
+    sampled df census — ``"exact"`` (uncapped exploded self-join,
+    shuffle volume ~ sum(df^2)) only when no hot shingle is detected AND
+    the estimated volume is at most EXACT_ROUTE_MAX_JOIN_ROWS (a
+    broadcast-style small-input fast path — 100 TB always takes prefix);
+    ``"prefix"`` (this function's namesake machinery below) otherwise.
+    Both routes produce the identical exact pair set; forcing either is
+    safe for correctness and only moves cost.
 
     Canonical order (completeness holds under ANY consistent total order;
     the order only controls candidate volume): plain shingle-hash order —
@@ -972,10 +1016,40 @@ def prefix_filter_pairs(
     from pyspark import StorageLevel
 
     eps = 1e-9
-    hot = _hot_shingle_list(spark, sf_dir, n, cutoff=hot_df_cutoff)
+    hot, volume = _shingle_df_census(spark, sf_dir, n, cutoff=hot_df_cutoff)
+    if route == "auto":
+        route = (
+            "exact"
+            if not hot and volume <= EXACT_ROUTE_MAX_JOIN_ROWS
+            else "prefix"
+        )
+    if route == "exact":
+        # COST-BASED ROUTE (round-11): the sampled detection pass certifies
+        # a COLD df distribution (no shingle at df >= hot_df_cutoff), so the
+        # plain exploded self-join computes the intersection counts exactly
+        # with volume <= hot_df_cutoff * corpus-token-count — linear in the
+        # corpus with a bounded constant — and skips the candidate
+        # aggregate AND the array-shipping verify join entirely (measured at
+        # sf0.1: 208k candidate pairs for 256 real pairs made the verify
+        # join ~2/3 of the operator; the exact join matches
+        # dedup_ngram_jaccard's 3x-faster profile while staying UNCAPPED,
+        # hence textbook-exact). Both routes emit the identical pair set —
+        # the router is a physical-plan choice, never a semantics choice.
+        # The prefix+verify route remains the plan for corpora where
+        # detection finds boilerplate (df^2 pair blowup through a plain
+        # self-join). Sampling exposure is shared by both routes and is a
+        # volume risk only, never a correctness risk (a missed hot shingle
+        # adds join rows here exactly as it adds candidate rows there).
+        sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
+            "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
+        )
+        # orientation already canonical: the self-join keeps a.doc_id <
+        # b.doc_id, the same (d1 < d2) the prefix route's least/greatest emits
+        return _jaccard_pairs_from_shingles(sh, threshold, max_shingle_df=None)
     if not hot:
-        # flat df distribution: canonical order = hash order, built map-only
-        # per row — no exchange before the prefix join at all
+        # forced prefix route on a cold corpus (route="prefix" — tests pin
+        # this to keep the no-demotion canonical order covered): hash order,
+        # built map-only per row — no exchange before the prefix join
         per_doc = (
             _doc_shingles(spark, sf_dir, n)
             .select(

@@ -245,11 +245,20 @@ def test_prefix_filter_complete_under_hot_shingles(spark, tmp_path):
         if j >= 0.5:
             want.add((a, b, round(j, 9)))
 
+    # pin route="prefix": at the default cutoff this corpus has no hot
+    # shingles, so auto would route to the exact join and skip the prefix
+    # machinery this test exists to cover
     got = {
+        (r["d1"], r["d2"], round(r["jaccard"], 9))
+        for r in prefix_filter_pairs(spark, sf_dir, route="prefix").collect()
+    }
+    assert got == want and len(want) >= 1
+    # the auto route (exact join here) must emit the identical set
+    got_auto = {
         (r["d1"], r["d2"], round(r["jaccard"], 9))
         for r in prefix_filter_pairs(spark, sf_dir).collect()
     }
-    assert got == want and len(want) >= 1
+    assert got_auto == want
 
 
 def test_prefix_filter_hot_demotion_path(spark, tmp_path):
@@ -314,7 +323,12 @@ def test_prefix_filter_nonrepresentable_thresholds(spark):
     )
 
     for th in (0.1, 0.2, 0.7):
-        a = prefix_filter_pairs(spark, SF_DIR, threshold=th).select("d1", "d2")
+        # route="prefix" pins the epsilon-guarded prefix machinery under
+        # test; the auto route on this corpus is the exact join, which has
+        # no threshold-dependent prefix lengths at all
+        a = prefix_filter_pairs(spark, SF_DIR, threshold=th, route="prefix").select(
+            "d1", "d2"
+        )
         b = ngram_jaccard_pairs(spark, SF_DIR, threshold=th).select("d1", "d2")
         assert a.exceptAll(b).count() == 0
         assert b.exceptAll(a).count() == 0
@@ -455,3 +469,29 @@ def test_minhash_bucket_cap_drops_template_family(spark, tmp_path):
     # every family bucket holds 30 > 5 gids -> dropped; the exact-dup pair
     # rides the within-group path, immune to bucket drops
     assert {(r["d1"], r["d2"], r["jaccard"]) for r in got} == {(9100, 9101, 1.0)}
+
+
+def test_prefix_filter_route_is_volume_based(spark, tmp_path):
+    """The auto route is a cost-based physical-plan choice: a small
+    cold-df corpus admits the exact self-join; a corpus whose estimated
+    sum(df^2) exceeds EXACT_ROUTE_MAX_JOIN_ROWS — or any corpus with a
+    detected hot shingle — takes the prefix machinery. Both plans emit
+    the same pairs (asserted elsewhere); this pins the decision inputs."""
+    from symat_hbase_tools_spark.operators import dedup
+
+    hot, vol = dedup._shingle_df_census(spark, SF_DIR, 3)
+    assert hot == [] and 0 < vol <= dedup.EXACT_ROUTE_MAX_JOIN_ROWS
+
+    # a hot corpus (cutoff forced low) must never route exact
+    boiler = "terms of service apply to all users here"
+    rows = [
+        (i, f"{boiler} body word{i} filler{i} extra{i} pad{i}", "en", "s", 40)
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "hotroute")
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    hot2, _ = dedup._shingle_df_census(spark, sf_dir, 3, cutoff=2)
+    assert len(hot2) >= 1
