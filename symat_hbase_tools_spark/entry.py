@@ -1048,6 +1048,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_incremental": timeseries.events_hourly_incremental,
     # round-10: exact-dyadic EWMA smoothing (alpha = 1/2, 16-hour kernel)
     "events_ewma": timeseries.events_ewma,
+    # round-11: diurnal seasonal profile + the seasonal-naive forecast
+    # baseline every real predictor must beat
+    "events_seasonal_hourly": timeseries.events_seasonal_hourly,
+    "events_seasonal_naive_backtest": timeseries.events_seasonal_naive_backtest,
     # round-10: full weekly cohort-retention triangle
     "users_cohort_matrix": timeseries.users_cohort_matrix,
     # data-quality surface (round 3)
@@ -1056,6 +1060,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 data-quality additions
     "orders_price_mad": orders_price_mad,
     # round-10: Benford first-digit census (fraud / synthetic-data gate)
+    # round-11: functional-dependency violation census (within-table
+    # determinism check next to referential_integrity's between-table one)
+    "orders_fd_check": lambda spark, sf: profiling.fd_violations(
+        load_table(spark, sf, "orders")
+    ),
     "orders_benford": lambda spark, sf: profiling.benford_census(
         load_table(spark, sf, "orders"), "o_totalprice"
     ),
@@ -1258,6 +1267,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-3: HLL scale path of active-users + Zipf corpus diagnostic
     "events_active_users_approx": timeseries.events_active_users_approx,
     "text_zipf_fit": text_analysis.zipf_fit,
+    # round-11: phrase mining (PMI collocations) + per-doc word entropy
+    "text_pmi_collocations": lambda spark, sf: text_analysis.pmi_collocations(
+        spark, sf
+    ),
+    "text_word_entropy": text_analysis.word_entropy,
     # round-3: exact set-similarity join via prefix filtering (complete
     # candidates — no LSH recall loss, no DF cap; same oracle as
     # dedup_ngram_jaccard because the SPEC is identical)
@@ -4138,6 +4152,122 @@ ORACLE_SQL: dict[str, str] = {
                      / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                         * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
         FROM m
+    """,
+    # round-11: diurnal profile — hour-of-day from pure integer epoch
+    # arithmetic (no session timezone on either engine); exact counts and
+    # micro-quantized value sums; the two divisions mirrored verbatim
+    "events_seasonal_hourly": """
+        WITH cell AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sm
+            FROM events GROUP BY 1, 2),
+        tot AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tot
+                FROM cell GROUP BY 1)
+        SELECT event_type, CAST(hour_of_day AS BIGINT) AS hour_of_day, n_events,
+               CAST(n_events AS DOUBLE) / tot AS share,
+               round(CAST(sm AS DOUBLE) / n_events / 1000000.0, 6) AS avg_value
+        FROM cell JOIN tot USING (event_type)
+    """,
+    # round-11: seasonal-naive backtest — full outer on the reduced hourly
+    # table against itself shifted 24h; missing sides are 0; scored range
+    # [min_hour + 24h, max_hour]; exact integer error sums
+    "events_seasonal_naive_backtest": """
+        WITH hourly AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600 AS h,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        bounds AS (SELECT MIN(h) AS h_min, MAX(h) AS h_max FROM hourly),
+        fc AS (SELECT event_type, h + 86400 AS h, n AS n_fc FROM hourly),
+        scored AS (
+            SELECT COALESCE(a.event_type, f.event_type) AS event_type,
+                   COALESCE(a.h, f.h) AS h,
+                   COALESCE(a.n, 0) AS n_act,
+                   COALESCE(f.n_fc, 0) AS n_fc
+            FROM hourly a FULL JOIN fc f
+              ON a.event_type = f.event_type AND a.h = f.h),
+        rng AS (SELECT * FROM scored CROSS JOIN bounds
+                WHERE h >= h_min + 86400 AND h <= h_max)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(abs(n_act - n_fc)) AS BIGINT) AS total_abs_err,
+               round(CAST(SUM(abs(n_act - n_fc)) AS DOUBLE) / COUNT(*), 6) AS mae,
+               round(CAST(SUM(n_act - n_fc) AS DOUBLE) / COUNT(*), 6) AS bias
+        FROM rng GROUP BY 1
+    """,
+    # round-11: PMI collocations — bigram derivation is the
+    # text_bigram_surprisal CTE; counts exact, ln last, round BEFORE the
+    # (pmi desc, w1, w2) total-order cut so both engines cut identically
+    "text_pmi_collocations": """
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+                   FROM documents WHERE trim(text) <> ''),
+        pos AS (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+                FROM t WHERE len(w) >= 2),
+        bg AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM pos),
+        pairs AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                  FROM bg GROUP BY 1, 2),
+        cl AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS cl FROM pairs GROUP BY 1),
+        cr AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS cr FROM pairs GROUP BY 1),
+        nn AS (SELECT CAST(SUM(c12) AS BIGINT) AS nn FROM pairs)
+        SELECT w1, w2, c12,
+               round(ln(CAST(c12 AS DOUBLE) * CAST(nn AS DOUBLE)
+                        / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))), 6) AS pmi
+        FROM pairs JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nn
+        WHERE c12 >= 5
+        ORDER BY pmi DESC, w1, w2 LIMIT 200
+    """,
+    # round-11: per-doc word entropy — c*ln(c) terms frozen to the exact
+    # 1e-9 integer grid before summing (order-free), assembly mirrored
+    "text_word_entropy": """
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
+                   FROM documents WHERE trim(text) <> ''),
+        wc AS (SELECT doc_id, unnest(w) AS word FROM t),
+        cnt AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+                FROM wc GROUP BY 1, 2),
+        pd AS (SELECT doc_id,
+                      CAST(SUM(c) AS BIGINT) AS n_tokens,
+                      CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                      CAST(SUM(CAST(round(CAST(c AS DOUBLE)
+                                          * ln(CAST(c AS DOUBLE)) * 1e9)
+                               AS BIGINT)) AS BIGINT) AS clnc_1e9
+               FROM cnt GROUP BY 1),
+        e AS (SELECT doc_id, n_tokens, n_distinct,
+                     ln(CAST(n_tokens AS DOUBLE))
+                       - (CAST(clnc_1e9 AS DOUBLE) / 1e9)
+                         / CAST(n_tokens AS DOUBLE) AS raw
+              FROM pd)
+        SELECT doc_id, n_tokens, n_distinct, round(raw, 6) AS entropy,
+               round(CASE WHEN n_distinct > 1
+                          THEN raw / ln(CAST(n_distinct AS DOUBLE)) END,
+                     6) AS norm_entropy
+        FROM e
+    """,
+    # round-11: FD-violation census — one exact-distinct aggregate per
+    # candidate, unioned 1-row summaries
+    "orders_fd_check": """
+        SELECT 'o_orderkey -> o_custkey' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_lhs,
+               CAST(MAX(n_rhs) AS BIGINT) AS max_fanout,
+               MAX(n_rhs) = 1 AS holds
+        FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS n_rhs
+              FROM orders GROUP BY 1)
+        UNION ALL
+        SELECT 'o_custkey -> o_orderpriority',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(MAX(n_rhs) AS BIGINT), MAX(n_rhs) = 1
+        FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_rhs
+              FROM orders GROUP BY 1)
+        UNION ALL
+        SELECT 'o_orderdate -> o_orderstatus',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(MAX(n_rhs) AS BIGINT), MAX(n_rhs) = 1
+        FROM (SELECT o_orderdate, COUNT(DISTINCT o_orderstatus) AS n_rhs
+              FROM orders GROUP BY 1)
     """,
 }
 

@@ -410,3 +410,50 @@ def benford_census(df: DataFrame, value_col: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+#: candidate functional dependencies for the FD-violation census over the
+#: orders table: one that must HOLD (the key determines everything) and two
+#: plausible-but-false analyst assumptions worth disproving with numbers.
+ORDERS_FD_CANDIDATES = (
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderdate", "o_orderstatus"),
+)
+
+
+def fd_violations(df: DataFrame, candidates=ORDERS_FD_CANDIDATES) -> DataFrame:
+    """Functional-dependency violation census — the data-quality check that
+    answers "does X determine Y in this table?" with exact counts instead
+    of a belief (the Deequ/profiling-family companion to
+    ``referential_integrity``: that checks edges BETWEEN tables, this
+    checks determinism WITHIN one).
+
+    Per candidate FD X -> Y: distinct X values, X values mapping to more
+    than one Y (the violators), the worst fan-out max |Y per X|, and the
+    verdict. An FD holds iff n_violating_lhs = 0.
+
+    Scale shape: one partial-aggregated groupBy per candidate on (X) with
+    count_distinct(Y) — each is a single exact-distinct aggregate over two
+    columns only (column pruning reaches the scan), reduced to a 1-row
+    summary before the union; K candidates = K cheap passes, never a
+    cross-column Expand blowup. All counts exact integers.
+    """
+    outs = []
+    for lhs, rhs in candidates:
+        per_lhs = df.groupBy(lhs).agg(F.count_distinct(rhs).alias("n_rhs"))
+        outs.append(
+            per_lhs.agg(
+                F.lit(f"{lhs} -> {rhs}").alias("fd"),
+                F.count(F.lit(1)).alias("n_lhs"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0)).alias(
+                    "n_violating_lhs"
+                ),
+                F.max("n_rhs").alias("max_fanout"),
+                (F.max("n_rhs") == 1).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1307,3 +1307,124 @@ def ngram_novelty(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
             "novelty"
         ),
     )
+
+
+def pmi_collocations(
+    spark: SparkSession, sf_dir: str, min_count: int = 5, top_k: int = 200
+) -> DataFrame:
+    """Top adjacent-word collocations by pointwise mutual information —
+    the classic phrase-mining pass (Church & Hanks 1990; the same statistic
+    word2vec-phrases/Gensim use to merge "new york" into one token before
+    training). High-PMI pairs are candidates for tokenizer merges and for
+    template/boilerplate discovery.
+
+    PMI over the corpus bigram-event space: for an adjacent pair (w1, w2),
+    pmi = ln(c12 * N / (cl(w1) * cr(w2))) with c12 the pair count, N total
+    bigrams, cl/cr the left/right marginal counts (bigrams with w1 /
+    w2 in that slot). min_count prunes noise pairs; output is the top_k by
+    (rounded pmi desc, w1, w2) — a TOTAL order, so the cut is
+    deterministic cross-engine.
+
+    Scale shape: bigrams derive MAP-ONLY from the token array (the
+    ``bigram_surprisal`` zip idiom — no position window); pair counts are
+    one partial-aggregated shuffle on (w1, w2); marginals re-aggregate the
+    REDUCED pair table and join back broadcast (vocab-scale, never
+    corpus-scale). The final top-k is a TakeOrdered over the pruned
+    vocab^2-bounded table — a distributed heap, not a single-partition
+    sort. All counts exact integers; ln at the very end, round(6) before
+    ranking so a sub-ulp libm drift cannot flip the cut (the module's
+    established discipline).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    bg = (
+        docs.filter(n >= 2)
+        .select(F.explode(zipped).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    pairs = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = pairs.groupBy("w1").agg(F.sum("c12").alias("cl"))
+    right = pairs.groupBy("w2").agg(F.sum("c12").alias("cr"))
+    total = pairs.agg(F.sum("c12").alias("nn"))
+    scored = (
+        pairs.filter(F.col("c12") >= int(min_count))
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("nn").cast("double")
+                    / (F.col("cl").cast("double") * F.col("cr").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(int(top_k))
+
+
+def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution Shannon entropy — the repetitiveness
+    signal quality filters threshold on (a keyboard-mash or template-loop
+    document has low entropy for its length; Gopher-style pipelines cut
+    on exactly this family). Complements ``text_repetition_signals``
+    (top-n-gram share) with the full-distribution statistic.
+
+    entropy = -sum_w (c_w/n) ln(c_w/n) over the doc's token counts, in
+    nats; norm_entropy = entropy / ln(n_distinct) in [0, 1] (1 = all
+    distinct words equally frequent; NULL when n_distinct = 1 — a
+    one-word-vocabulary doc has no scale to normalize against).
+
+    Determinism: c_w and n are exact integers; entropy is assembled as
+    (ln(n) - sum(c ln c)/n) — ONE floating sum of per-word exact-integer
+    ln terms... but floating SUMS are order-sensitive cross-engine, so the
+    per-word terms are rounded to exact 1e-9 grid integers first and
+    summed as BIGINTs (the module's exact-integer-sum discipline for
+    order-free cross-engine totals); the final assembly mirrors the
+    oracle's expression order. round(6) output.
+
+    Scale shape: explode -> (doc_id, word) partial-aggregated count ->
+    (doc_id) aggregate. Two shuffles, both keyed on doc_id+word then
+    doc_id; no window, no array re-assembly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # per-word term c*ln(c) on the exact 1e-9 grid -> BIGINT (order-free sum)
+    term = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")) * 1e9
+    ).cast("long")
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(term).alias("clnc_1e9"),
+    )
+    entropy = F.log(F.col("n_tokens").cast("double")) - (
+        F.col("clnc_1e9").cast("double") / 1e9
+    ) / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(entropy, 6).alias("entropy"),
+        F.round(
+            F.when(
+                F.col("n_distinct") > 1,
+                entropy / F.log(F.col("n_distinct").cast("double")),
+            ),
+            6,
+        ).alias("norm_entropy"),
+    )

@@ -1052,3 +1052,102 @@ def users_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_rate"
         ),
     )
+
+
+def events_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type — the diurnal shape a
+    capacity planner or anomaly baseline needs (the companion to
+    ``events_anomaly_hours``: that scores hours against a FLAT mean, this
+    exposes the systematic 24h cycle that should be removed first).
+
+    Per (event_type, hour_of_day 0-23): event count, the type's share of
+    events landing in that hour, and the mean event value. Determinism:
+    counts and value sums are EXACT integers (micro-quantized values, the
+    module's money-state discipline); share and avg_value are single
+    divisions of exact integers, mirrored verbatim in the oracle.
+    hour_of_day is pure integer epoch arithmetic ((epoch_s // 3600) % 24)
+    — no session-timezone dependence on either engine.
+
+    Scale shape: ONE partial-aggregated pass over events to O(types x 24)
+    rows; the per-type totals aggregate those same rows and broadcast
+    back. Nothing data-scale after the first aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hod = F.pmod(F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000), 24).cast(
+        "long"
+    )
+    micros = F.round(F.col("value") * 1_000_000).cast("long")
+    cell = events.groupBy(F.col("event_type"), hod.alias("hour_of_day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(micros).alias("sm"),
+    )
+    totals = cell.groupBy("event_type").agg(F.sum("n_events").alias("tot"))
+    return cell.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        (F.col("n_events").cast("double") / F.col("tot")).alias("share"),
+        F.round(
+            F.col("sm").cast("double") / F.col("n_events") / 1_000_000.0, 6
+        ).alias("avg_value"),
+    )
+
+
+def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the SEASONAL-NAIVE hourly forecast (predict this hour's
+    event count with the count 24h earlier) — the baseline every real
+    forecasting model must beat, and the sanity number a pipeline owner
+    reads before trusting any fancier predictor.
+
+    Scored hours: every hour h in [first_hour + 24h, last_hour] (bounds
+    from the stream itself, broadcast as a one-row subplan) where the hour
+    OR its 24h-earlier partner had any events; a missing side counts as 0
+    events — a forecast that misses an outage hour is an error, not a
+    skipped row. (Hours empty on BOTH sides have zero error and are
+    excluded from the denominator — on a dense stream there are none.)
+    Per event_type: hours scored, total absolute error, MAE, and mean
+    signed bias. All error sums are EXACT integers; the two divisions are
+    mirrored in the oracle.
+
+    Scale shape: one partial-aggregated pass to O(hours x types); the
+    forecast join is a self-join of that REDUCED table on (type, hour-24h)
+    — never a data-scale shuffle; bounds ride along broadcast.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hour = (F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000) * 3600).cast(
+        "long"
+    )
+    hourly = events.groupBy(
+        F.col("event_type"), hour.alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = hourly.agg(
+        F.min("h").alias("h_min"), F.max("h").alias("h_max")
+    )
+    actual = hourly.select(
+        "event_type", "h", F.col("n").alias("n_act")
+    )
+    forecast = hourly.select(
+        "event_type", (F.col("h") + 86400).alias("h"), F.col("n").alias("n_fc")
+    )
+    scored = (
+        actual.join(forecast, ["event_type", "h"], "full_outer")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce("n_act", F.lit(0)).alias("n_act"),
+            F.coalesce("n_fc", F.lit(0)).alias("n_fc"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("h") >= F.col("h_min") + 86400) & (F.col("h") <= F.col("h_max"))
+        )
+    )
+    err = F.col("n_act") - F.col("n_fc")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.abs(err)).alias("total_abs_err"),
+        F.round(
+            F.sum(F.abs(err)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mae"),
+        F.round(F.sum(err).cast("double") / F.count(F.lit(1)), 6).alias("bias"),
+    )
