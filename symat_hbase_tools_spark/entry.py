@@ -1252,6 +1252,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sample_weighted": doc_sample_weighted,
     "embedding_kmeans_fit": similarity.embedding_kmeans_fit,
     "embedding_kmeans_check": similarity.embedding_kmeans_check,
+    # round-11: product quantization (the PQ half of IVF-PQ serving) —
+    # rows-only census + oracle-paired invariant twin
+    "embedding_pq_fit": lambda spark, sf: similarity.embedding_pq_fit(spark, sf),
+    "embedding_pq_check": lambda spark, sf: similarity.embedding_pq_check(
+        spark, sf
+    ),
     # round-3: engagement metrics + changepoint detection
     "events_active_users": timeseries.events_active_users,
     "events_mean_shift": timeseries.events_mean_shift,
@@ -4153,6 +4159,15 @@ ORACLE_SQL: dict[str, str] = {
                         * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
         FROM m
     """,
+    # round-11: PQ invariant twin — the census itself is rows-only (Lloyd
+    # iterations); the oracle pins corpus size and the always-true-by-
+    # construction invariant verdicts the Spark side actually computes
+    "embedding_pq_check": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, CAST(4 AS INTEGER) AS m,
+               CAST(16 AS INTEGER) AS k, TRUE AS partition_ok,
+               TRUE AS codes_ok, TRUE AS quantization_ok
+        FROM embeddings
+    """,
     # round-11: diurnal profile — hour-of-day from pure integer epoch
     # arithmetic (no session timezone on either engine); exact counts and
     # micro-quantized value sums; the two divisions mirrored verbatim
@@ -4287,6 +4302,7 @@ ROWS_ONLY_CHECK_TWINS: dict[str, str] = {
     "ann_lsh_topk": "ann_lsh_recall_check",
     "ann_ivf_topk": "ann_ivf_recall_check",
     "embedding_pca_project": "embedding_pca_check",
+    "embedding_pq_fit": "embedding_pq_check",
     "embedding_kmeans_fit": "embedding_kmeans_check",
 }
 

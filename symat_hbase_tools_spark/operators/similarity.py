@@ -2264,3 +2264,144 @@ def matryoshka_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ge_90pct",
         )
     )
+
+
+def embedding_pq_fit(
+    spark: SparkSession, sf_dir: str, m: int = 4, k: int = 16, seed: int = 42
+) -> DataFrame:
+    """Product-quantization codebook fit + encode census (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", PAMI 2011 — the PQ
+    half of the FAISS-style IVF-PQ serving stack; the engine's IVF coarse
+    quantizer is the other half). The D-dim space splits into ``m``
+    subspaces of D/m dims; each gets its own ``k``-centroid codebook, so a
+    vector compresses to m small codes (m=4, k=16 -> 2 BYTES per 64-dim
+    float64 vector, a 256x storage cut) while distances remain computable
+    per-subspace from lookup tables.
+
+    Rows-only census (Lloyd's iterations are not SQL-expressible; the
+    oracle-paired invariants live in ``embedding_pq_check``): one row per
+    (subspace, code) with member count and mean squared subspace
+    distance — the per-cell quantization-error contribution.
+
+    Scale shape: the fit is driver-side seeded numpy Lloyd's per subspace
+    on the SAME portable-hash-capped sample the IVF codebook uses
+    (layout-independent, <= MAX_KMEANS_TRAIN_ROWS rows collected once; m
+    independent fits over column slices of one matrix). Encoding is one
+    Arrow-batched map over the corpus with the m codebooks broadcast —
+    narrow, no shuffle — followed by a partial-aggregated (subspace, code)
+    census of m*k groups. Nothing data-scale after the map.
+    """
+    import numpy as np
+
+    base = _emb(spark, sf_dir)
+    d = len(base.select("emb").first()["emb"])
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible by m={m} subspaces")
+    ds = d // m
+
+    n = base.count()
+    train = base
+    if n > MAX_KMEANS_TRAIN_ROWS:
+        stride = -(-n // MAX_KMEANS_TRAIN_ROWS)
+        train = base.filter(
+            F.pmod(F.xxhash64(F.lit(seed), F.col("vec_id")), F.lit(stride)) == 0
+        )
+    pdf = train.select("vec_id", "emb").toPandas().sort_values("vec_id")
+    X = np.array(pdf["emb"].tolist(), dtype=np.float64)
+    codebooks = np.stack(
+        [
+            _kmeans_pp_lloyd(X[:, j * ds : (j + 1) * ds], k, seed + j)
+            for j in range(m)
+        ]
+    )  # (m, k, ds)
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def encode(batches):
+        import pandas as pd
+
+        C = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            E = np.array(b["emb"].tolist(), dtype=np.float64)
+            subs, codes, d2s = [], [], []
+            for j in range(m):
+                S = E[:, j * ds : (j + 1) * ds]
+                # (n, k) distances via the expansion trick — S and C[j] are
+                # small (<=16 dims x 16 codes), no 256 MB slicing needed
+                dist = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+                cj = dist.argmin(axis=1)
+                subs.append(np.full(len(S), j, dtype=np.int32))
+                codes.append(cj.astype(np.int32))
+                # freeze each squared distance to the exact 1e-9 integer
+                # grid: the census sum is then an order-free BIGINT sum —
+                # partitioning/batching cannot move the rounded mean by an
+                # ulp (the module's exact-integer-sum discipline)
+                d2s.append(
+                    np.round(dist[np.arange(len(S)), cj] * 1e9).astype(np.int64)
+                )
+            yield pd.DataFrame(
+                {
+                    "subspace": np.concatenate(subs),
+                    "code": np.concatenate(codes),
+                    "d2_1e9": np.concatenate(d2s),
+                }
+            )
+
+    enc = base.mapInPandas(encode, schema="subspace int, code int, d2_1e9 long")
+    return enc.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum("d2_1e9").cast("double") / F.count(F.lit(1)) / 1e9, 6
+        ).alias("mean_sq_dist"),
+    )
+
+
+def embedding_pq_check(
+    spark: SparkSession, sf_dir: str, m: int = 4, k: int = 16
+) -> DataFrame:
+    """Oracle-paired invariants for ``embedding_pq_fit``: every subspace's
+    code counts sum to the corpus size (each vector gets exactly one code
+    per subspace — a partition, m times over), no subspace uses more than
+    k codes, and total quantization error beats the trivial
+    one-code-per-subspace solution: sum over cells of n*mean_sq_dist <
+    total variance around the GLOBAL mean (the same distributed moment
+    pass PCA and the k-means check use — quantizing with k=16 codes per
+    subspace must do better than collapsing each subspace to its mean).
+    """
+    from symat_hbase_tools_spark.operators.pca import _moment_stats
+
+    census = embedding_pq_fit(spark, sf_dir, m=m, k=k)
+    base = _emb(spark, sf_dir)
+    d = len(base.select("emb").first()["emb"])
+    stats = _moment_stats(base.select(F.col("emb").alias("embedding")), d)
+    n, s = stats[0], stats[1 : 1 + d]
+    gram_diag_sum = stats[1 + d :].reshape(d, d).trace()
+    total_var = gram_diag_sum - (s @ s) / n
+
+    rows = census.collect()
+    per_sub: dict[int, int] = {}
+    max_codes: dict[int, int] = {}
+    err = 0.0
+    for r in rows:
+        per_sub[r["subspace"]] = per_sub.get(r["subspace"], 0) + r["n_members"]
+        max_codes[r["subspace"]] = max_codes.get(r["subspace"], 0) + 1
+        err += r["n_members"] * r["mean_sq_dist"]
+    partition_ok = len(per_sub) == m and all(
+        v == int(n) for v in per_sub.values()
+    )
+    codes_ok = all(v <= k for v in max_codes.values())
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(m),
+                int(k),
+                bool(partition_ok),
+                bool(codes_ok),
+                bool(err < total_var),
+            )
+        ],
+        "n_vectors long, m int, k int, partition_ok boolean, "
+        "codes_ok boolean, quantization_ok boolean",
+    )

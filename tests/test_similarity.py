@@ -1081,3 +1081,39 @@ def test_matryoshka_census_matches_numpy_and_invariants(spark, embeddings):
         assert r["max_retention_micros"] == int(ret.max())
         assert r["mean_retention"] == ret.sum() / len(ret) / 1e6
         assert r["n_ge_90pct"] == int((ret >= 900_000).sum())
+
+
+def test_pq_census_matches_pure_numpy(spark):
+    """embedding_pq_fit's census must equal a from-scratch numpy PQ over
+    the same parquet: same seeded per-subspace Lloyd fit on the sorted
+    sample, same argmin encode, same (subspace, code) counts and rounded
+    mean squared distances — full-loop determinism of the fit+encode."""
+    import numpy as np
+    import pandas as pd
+
+    from symat_hbase_tools_spark.operators import similarity as S
+
+    m, k, seed = 4, 16, 42
+    got = {
+        (r["subspace"], r["code"]): (r["n_members"], r["mean_sq_dist"])
+        for r in S.embedding_pq_fit(spark, SF_DIR, m=m, k=k, seed=seed).collect()
+    }
+
+    pdf = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values("vec_id")
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    d = X.shape[1]
+    ds = d // m
+    want = {}
+    for j in range(m):
+        C = S._kmeans_pp_lloyd(X[:, j * ds : (j + 1) * ds], k, seed + j)
+        Sj = X[:, j * ds : (j + 1) * ds]
+        dist = ((Sj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cj = dist.argmin(axis=1)
+        d2g = np.round(dist[np.arange(len(Sj)), cj] * 1e9).astype(np.int64)
+        for code in np.unique(cj):
+            mask = cj == code
+            want[(j, int(code))] = (
+                int(mask.sum()),
+                round(float(d2g[mask].sum()) / int(mask.sum()) / 1e9, 6),
+            )
+    assert got == want
