@@ -1013,6 +1013,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-paired portable twin; the banded original sits at 51+)
     "dedup_exact": dedup.exact_dedup,
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+    # round-11: asymmetric containment (quote/subset detection — high
+    # containment at low Jaccard is the size-mismatched case)
+    "doc_containment_pairs": lambda spark, sf: dedup.containment_pairs(spark, sf),
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     "dedup_simhash_portable": dedup.simhash_portable_pairs,
     "doc_dup_spans": dedup.dup_span_census,
@@ -1052,6 +1055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # baseline every real predictor must beat
     "events_seasonal_hourly": timeseries.events_seasonal_hourly,
     "events_seasonal_naive_backtest": timeseries.events_seasonal_naive_backtest,
+    "events_burst_users": lambda spark, sf: timeseries.events_burst_users(spark, sf),
     # round-10: full weekly cohort-retention triangle
     "users_cohort_matrix": timeseries.users_cohort_matrix,
     # data-quality surface (round 3)
@@ -1084,6 +1088,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pca_check": pca.pca_check,
     # LLM-pipeline surface: multimodal plumbing
     "multimodal_features": multimodal.multimodal_features,
+    # round-11: byte-identical media dedup (sha-256 over the raw payload —
+    # the no-decode pass that works in this container)
+    "multimodal_payload_dedup": lambda spark, sf: multimodal.payload_dedup(
+        multimodal.attach_payload(load_table(spark, sf, "documents"))
+    ),
     # sampling surface
     "doc_sample": doc_sample,
     # training-pipeline assembly
@@ -4167,6 +4176,47 @@ ORACLE_SQL: dict[str, str] = {
                CAST(16 AS INTEGER) AS k, TRUE AS partition_ok,
                TRUE AS codes_ok, TRUE AS quantization_ok
         FROM embeddings
+    """,
+    # round-11: containment — same shingle CTE as the Jaccard oracles;
+    # C = i / min(n1, n2), no length filter by design
+    "doc_containment_pairs": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        sh0 AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 1)),
+                    i -> w[i] || '|' || w[i+1] || '|' || w[i+2]) shl FROM t),
+        sh AS (SELECT DISTINCT doc_id, unnest(shl) s FROM sh0),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id d1, b.doc_id d2, CAST(COUNT(*) AS BIGINT) i
+                  FROM sh a JOIN sh b USING (s)
+                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        cont AS (SELECT d1, d2, least(s1.n, s2.n) AS n_small,
+                        round(CAST(i AS DOUBLE) / least(s1.n, s2.n), 6)
+                            AS containment
+                 FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+                            JOIN sizes s2 ON d2 = s2.doc_id)
+        SELECT d1, d2, n_small, containment FROM cont WHERE containment >= 0.8
+    """,
+    # round-11: rate-limit audit — tumbling-minute counts, exact integers
+    "events_burst_users": """
+        WITH pm AS (
+            SELECT user_id, (epoch_us(ts) // 60000000) * 60 AS m,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2)
+        SELECT user_id,
+               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_burst_minutes,
+               CAST(MAX(c) AS BIGINT) AS max_per_minute,
+               CAST(SUM(c) AS BIGINT) AS total_events,
+               CAST(MIN(CASE WHEN c >= 2 THEN m END) AS BIGINT)
+                   AS first_burst_minute
+        FROM pm GROUP BY 1
+        HAVING SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) >= 1
+    """,
+    # round-11: byte-identical payload dedup — sha-256 hex on both engines
+    "multimodal_payload_dedup": """
+        SELECT sha256(text) AS fp,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY 1
     """,
     # round-11: diurnal profile — hour-of-day from pure integer epoch
     # arithmetic (no session timezone on either engine); exact counts and

@@ -1152,3 +1152,62 @@ def prefix_filter_pairs(
         F.greatest("da", "db").alias("d2"),
         (F.col("i") / (F.col("m1") + F.col("m2") - F.col("i"))).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: shingle containment of the smaller set,
+    C = |A∩B| / min(|A|,|B|) >= threshold. The asymmetric companion to
+    Jaccard dedup — a short document quoted inside a long one scores low
+    Jaccard (the union is huge) but high containment, which is exactly the
+    quote/subset/boilerplate-inclusion case corpus curation wants to
+    catch (the same motivation as RefinedWeb's substring dedup, at
+    set-of-shingles granularity).
+
+    Length filtering is deliberately ABSENT: containment pairs are
+    precisely the size-mismatched ones a Jaccard length filter prunes.
+    Candidate generation is the df-capped shingle self-join
+    (``MAX_SHINGLE_DF`` semantics as in ``ngram_jaccard_pairs``: capped
+    shingles leave both the intersection and the sizes — consistent
+    "capped containment"; this corpus sits far below the cap so the
+    output is textbook-exact, oracle-verified).
+
+    Scale shape: identical to the Jaccard join — one partial-aggregated
+    df cap pass, the SHUFFLE_HASH shingle self-join, a (d1, d2) count
+    aggregate, size joins on the reduced pair table. Output: d1 < d2,
+    n_small, containment (rounded 6).
+    """
+    sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
+        "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
+    )
+    if max_shingle_df is not None:
+        hot = sh.groupBy("s").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.least("n1", "n2").alias("n_small"),
+            F.round(
+                F.col("i").cast("double") / F.least("n1", "n2"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -246,3 +246,22 @@ def sniff_media_meta(records: DataFrame, payload_col: str = "payload") -> DataFr
             "sample_rate": rate,
         }
     )
+
+
+def payload_dedup(records: DataFrame) -> DataFrame:
+    """Exact BINARY-payload dedup census — one row per distinct payload
+    fingerprint (sha-256 over the raw bytes): canonical keeper (min
+    doc_id) and copy count. The byte-identical-asset pass every media
+    pipeline runs before any perceptual hashing: identical files are the
+    overwhelming bulk of media duplication and need no decode at all —
+    which is why this operator works in THIS container while perceptual
+    decode stays env-stubbed (see extract_features).
+
+    Scale shape: the digest is a narrow map over the payload column; one
+    partial-aggregated groupBy on the 32-byte digest. Same plan shape as
+    dedup.exact_dedup, applied to binary.
+    """
+    return records.groupBy(F.sha2(F.col("payload"), 256).alias("fp")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

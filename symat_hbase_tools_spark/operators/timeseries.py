@@ -1151,3 +1151,43 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("mae"),
         F.round(F.sum(err).cast("double") / F.count(F.lit(1)), 6).alias("bias"),
     )
+
+
+def events_burst_users(
+    spark: SparkSession, sf_dir: str, per_minute_limit: int = 2
+) -> DataFrame:
+    """Rate-limit audit: users whose event rate hit ``per_minute_limit``
+    events inside one tumbling minute — the would-have-been-throttled
+    report an abuse/quota owner runs before turning a limiter on (and the
+    skew input: these users are the hot keys of every user-keyed
+    aggregate downstream).
+
+    Per flagged user: burst minutes, the worst minute's count, total
+    events, and the first burst minute's epoch. Exact integers
+    throughout; minute = pure epoch arithmetic, timezone-free.
+
+    Scale shape: one partial-aggregated (user, minute) pass, then a
+    per-user aggregate of the reduced table — two shuffles, both on the
+    natural keys; the total-events column rides the same reduced rows
+    (sum of minute counts), never a second scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    minute = (F.floor(F.unix_micros(F.col("ts")) / 60_000_000) * 60).cast("long")
+    per_min = events.groupBy(
+        F.col("user_id"), minute.alias("m")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lim = int(per_minute_limit)
+    return (
+        per_min.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("c") >= lim, 1).otherwise(0)).alias(
+                "n_burst_minutes"
+            ),
+            F.max("c").alias("max_per_minute"),
+            F.sum("c").alias("total_events"),
+            F.min(F.when(F.col("c") >= lim, F.col("m"))).alias(
+                "first_burst_minute"
+            ),
+        )
+        .filter(F.col("n_burst_minutes") >= 1)
+    )
