@@ -1264,6 +1264,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-11: product quantization (the PQ half of IVF-PQ serving) —
     # rows-only census + oracle-paired invariant twin
     "embedding_pq_fit": lambda spark, sf: similarity.embedding_pq_fit(spark, sf),
+    "ann_pq_topk": lambda spark, sf: similarity.ann_pq_topk(spark, sf),
+    "ann_pq_recall_check": similarity.ann_pq_recall_check,
     "embedding_pq_check": lambda spark, sf: similarity.embedding_pq_check(
         spark, sf
     ),
@@ -4177,6 +4179,11 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS codes_ok, TRUE AS quantization_ok
         FROM embeddings
     """,
+    # round-11: PQ-ADC serving recall floor (tolerance-oracle pattern)
+    "ann_pq_recall_check": """
+        SELECT 'pq' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
+        FROM embeddings
+    """,
     # round-11: containment — same shingle CTE as the Jaccard oracles;
     # C = i / min(n1, n2), no length filter by design
     "doc_containment_pairs": """
@@ -4353,6 +4360,7 @@ ROWS_ONLY_CHECK_TWINS: dict[str, str] = {
     "ann_ivf_topk": "ann_ivf_recall_check",
     "embedding_pca_project": "embedding_pca_check",
     "embedding_pq_fit": "embedding_pq_check",
+    "ann_pq_topk": "ann_pq_recall_check",
     "embedding_kmeans_fit": "embedding_kmeans_check",
 }
 

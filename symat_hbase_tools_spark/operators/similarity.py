@@ -2405,3 +2405,213 @@ def embedding_pq_check(
         "n_vectors long, m int, k int, partition_ok boolean, "
         "codes_ok boolean, quantization_ok boolean",
     )
+
+
+#: ADC shortlist chunk gate: each broadcast query costs a (m x n_codes)
+#: float64 LUT (~2 KB at m=8, codes=32), so 200k queries ~ 400 MB — the
+#: same order as the masked-LSH cogroup optimum; above it, hash-chunk.
+MAX_PQ_BROADCAST_QUERIES = 200_000
+#: recall@5 floor for the PQ-ADC + exact-re-rank serving path (measured
+#: 0.971-0.988 at sf0.001/0.01/0.1 with the m=16, 64-code, 16k-shortlist
+#: defaults; the sweep: m=8/32-code/4k read 0.42-0.63 — these embeddings
+#: are unclustered, so the shortlist depth and code granularity carry the
+#: recall, not corpus structure)
+PQ_RECALL_FLOOR = 0.9
+
+
+def _pq_fit_codebooks(base: DataFrame, m: int, k: int, seed: int, normalize: bool):
+    """Seeded per-subspace Lloyd codebooks on the portable-hash-capped
+    sample (the embedding_pq_fit / ann_pq_topk shared fit). Returns
+    (codebooks (m, k, d/m), d, n_rows). normalize=True fits on
+    L2-normalized vectors — squared L2 on normalized vectors is monotone
+    with cosine, which is what makes ADC rank like the exact cosine
+    searches."""
+    import numpy as np
+
+    d = len(base.select("emb").first()["emb"])
+    if d % m != 0:
+        raise ValueError(f"embedding dim {d} not divisible by m={m} subspaces")
+    ds = d // m
+    n = base.count()
+    train = base
+    if n > MAX_KMEANS_TRAIN_ROWS:
+        stride = -(-n // MAX_KMEANS_TRAIN_ROWS)
+        train = base.filter(
+            F.pmod(F.xxhash64(F.lit(seed), F.col("vec_id")), F.lit(stride)) == 0
+        )
+    pdf = train.select("vec_id", "emb").toPandas().sort_values("vec_id")
+    X = np.array(pdf["emb"].tolist(), dtype=np.float64)
+    if normalize:
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    books = np.stack(
+        [_kmeans_pp_lloyd(X[:, j * ds : (j + 1) * ds], k, seed + j) for j in range(m)]
+    )
+    return books, d, n
+
+
+def ann_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 64,
+    shortlist_mult: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via PRODUCT-QUANTIZATION ADC +
+    exact re-rank — the serving shape FAISS calls IVFPQ-with-refine, here
+    as the flat-PQ variant (the IVF cell pruning half already exists as
+    ``ann_ivf_topk``; this is the compressed-domain scan half).
+
+    Pipeline:
+      1. fit m per-subspace codebooks on L2-NORMALIZED vectors (driver
+         Lloyd on the capped sample — squared L2 on normalized vectors is
+         monotone with cosine, so ADC ranks like the exact searches);
+      2. encode the corpus to m small codes per vector (the compressed
+         table a 100 TB index actually scans: m bytes/vector, a 64x read
+         cut vs float64 — the scan streams CODES, never raw vectors);
+      3. Asymmetric Distance Computation: per query, a (m x n_codes)
+         lookup table of exact subspace distances to every codeword;
+         candidate distance = m table gathers + adds, no multiplies;
+         per-batch shortlist of shortlist_mult*k by (distance,
+         neighbor_id) — deterministic;
+      4. EXACT re-rank of the shortlist: join the shortlist pairs back to
+         the raw vectors and compute true cosine JVM-side (zip_with dot,
+         fixed evaluation order), window per query to the final k.
+
+    Scale shape: the fit is driver-side on a capped sample; the encode and
+    the ADC scan are narrow Arrow-batched maps (no shuffle; query LUTs
+    broadcast, hash-chunked above MAX_PQ_BROADCAST_QUERIES exactly like
+    brute_topk's gate); the shortlist merge window and the re-rank join
+    handle O(n_queries x shortlist) rows only. Rows-only in the registry —
+    recall is floor-asserted by the oracle-paired ``ann_pq_recall_check``.
+    """
+    import numpy as np
+    from functools import reduce
+
+    base = _emb(spark, sf_dir)
+    books, d, n = _pq_fit_codebooks(base, m, n_codes, seed, normalize=True)
+    ds = d // m
+    bc_books = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        import pandas as pd
+
+        C = bc_books.value
+        for b in batches:
+            if b.empty:
+                continue
+            E = np.array(b["emb"].tolist(), dtype=np.float64)
+            E = E / np.linalg.norm(E, axis=1, keepdims=True)
+            codes = np.empty((len(E), m), dtype=np.int32)
+            for j in range(m):
+                S = E[:, j * ds : (j + 1) * ds]
+                dist = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": b["vec_id"], "codes": list(codes)}
+            )
+
+    enc = base.mapInPandas(encode, schema="vec_id long, codes array<int>")
+
+    R = int(shortlist_mult) * int(k)
+
+    def adc_chunk(queries: DataFrame) -> DataFrame:
+        q_pdf = queries.toPandas().sort_values("vec_id")
+        q_ids = q_pdf["vec_id"].to_numpy()
+        Q = np.array(q_pdf["emb"].tolist(), dtype=np.float64)
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        C = books
+        # per-query exact subspace distance tables: (nq, m, n_codes)
+        lut = np.empty((len(Q), m, n_codes), dtype=np.float64)
+        for j in range(m):
+            Sq = Q[:, j * ds : (j + 1) * ds]
+            lut[:, j, :] = ((Sq[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+        bc = spark.sparkContext.broadcast((q_ids, lut))
+
+        def scan(batches):
+            import pandas as pd
+
+            ids, L = bc.value
+            for b in batches:
+                if b.empty:
+                    continue
+                c_ids = b["vec_id"].to_numpy()
+                codes = np.array(b["codes"].tolist(), dtype=np.int64)
+                q_step = max(1, (1 << 25) // max(1, len(c_ids)))
+                for lo in range(0, len(ids), q_step):
+                    ids_s = ids[lo : lo + q_step]
+                    Ls = L[lo : lo + q_step]
+                    d2 = np.zeros((len(ids_s), len(c_ids)))
+                    for j in range(m):
+                        d2 += Ls[:, j, :][:, codes[:, j]]
+                    sims = -d2
+                    sims[ids_s[:, None] == c_ids[None, :]] = -np.inf
+                    rr = min(R, sims.shape[1])
+                    top, nbr = _topk_rows(sims, c_ids, rr)
+                    keep = np.isfinite(top).ravel()
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.repeat(ids_s, rr)[keep],
+                            "neighbor_id": nbr.ravel()[keep],
+                            "neg_d2": top.ravel()[keep],
+                        }
+                    )
+
+        return enc.mapInPandas(
+            scan, schema="query_id long, neighbor_id long, neg_d2 double"
+        )
+
+    if n > MAX_PQ_BROADCAST_QUERIES:
+        n_chunks = -(-n // MAX_PQ_BROADCAST_QUERIES)
+        parts = [
+            adc_chunk(
+                base.filter(F.pmod(F.xxhash64("vec_id"), F.lit(n_chunks)) == i)
+            )
+            for i in range(n_chunks)
+        ]
+        scored = reduce(lambda a, b: a.unionByName(b), parts)
+    else:
+        scored = adc_chunk(base)
+
+    wS = Window.partitionBy("query_id").orderBy(F.desc("neg_d2"), "neighbor_id")
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(wS))
+        .filter(F.col("rk") <= R)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank, JVM-side: cosine from the RAW vectors
+    qv = base.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    nv = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ne", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    ranked = (
+        shortlist.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (nrm(F.col("qe")) * nrm(F.col("ne")))).alias("sim_raw"),
+        )
+    )
+    wF = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        ranked.withColumn("rk", F.row_number().over(wF))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+def ann_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_check(
+        spark, sf_dir, "pq", ann_pq_topk(spark, sf_dir, k=5),
+        floor=PQ_RECALL_FLOOR,
+    )
