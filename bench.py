@@ -119,6 +119,19 @@ HEADLINE = [
     "users_cohort_matrix",
     "kv_region_stats",
     "part_affinity_lift",
+    # round-11 operators: split-point advisor, seasonal profile/backtest +
+    # burst audit, phrase mining + entropy, FD census, containment dedup,
+    # binary payload dedup, PQ-ADC serving recall
+    "kv_split_points",
+    "events_seasonal_hourly",
+    "events_seasonal_naive_backtest",
+    "events_burst_users",
+    "text_pmi_collocations",
+    "text_word_entropy",
+    "orders_fd_check",
+    "doc_containment_pairs",
+    "multimodal_payload_dedup",
+    "ann_pq_recall_check",
 ]
 
 

@@ -1345,25 +1345,36 @@ _DRIVER_WINDOW = [
     "kv_point_get",
     "kv_audit_report",
     "kv_copy_row_bump",
-    "q1_pricing_summary",
+    # Round-11 rotation: ELEVEN new round-11 ops seated (standing
+    # discipline: no registered query ends its birth round
+    # driver-unverified) + the two round-10-tail dedup changes re-proved
+    # (minhash bucket cap landed post-window in r10; prefix_filter gained
+    # the cost router this round). Eleven triple-green-or-better vets
+    # rotate out (q1_pricing_summary — still the entry() smoke every
+    # round — events_session_window, dedup_exact, doc_contamination,
+    # ann_lsh_recall_check, text_quality_score, doc_pack_sequences,
+    # multimodal_features, price_percentiles_exact_rank, knn_cosine_topk,
+    # embedding_norm_histogram); all stay sweep-covered and
+    # test_oracle-covered.
+    "kv_split_points",
     # events_sessionize rotates out in r7 (driver-green r4/r5/r6) for the
     # NEW events_stateful_profiles — the stateful-processor machinery run
     # as a REAL stream and hash-matched against a SQL oracle
     "events_stateful_profiles",
-    "events_session_window",
-    "dedup_exact",
+    "events_seasonal_hourly",
+    "events_seasonal_naive_backtest",
     "dedup_minhash_lsh",
     "dedup_prefix_filter",
-    "doc_contamination",
-    "ann_lsh_recall_check",
+    "doc_containment_pairs",
+    "ann_pq_recall_check",
     # NEW this round (would otherwise end the round driver-unverified,
     # falsifying the completeness claim above); knn_cosine_topk rotates
     # out as its family's r5-green representative — the exact brute path
     # stays exercised here anyway as this check's recall baseline
     "ann_ivf_indexed_recall_check",
-    "text_quality_score",
-    "doc_pack_sequences",
-    "multimodal_features",
+    "text_pmi_collocations",
+    "text_word_entropy",
+    "multimodal_payload_dedup",
     # Round-10 rotation: the two round-9 additions seated (they were the
     # only registered queries with no driver CORRECTNESS row ever —
     # round-9 verdict ask #1). The round-5 hash-mismatch re-seats
@@ -1431,7 +1442,7 @@ _DRIVER_WINDOW = [
     "hard_negatives_indexed_check",
     # relational tail (first-time r6; q18/price_quantity_stats rotated
     # out r10 after four green rounds)
-    "price_percentiles_exact_rank",
+    "orders_fd_check",
     # event-time analytics (first-time)
     "events_mean_shift",
     # data quality / robust stats (first-time, new in r5)
@@ -1443,7 +1454,7 @@ _DRIVER_WINDOW = [
     # r7 re-seats: kv_latest_version re-verifies green after the packed
     # fast-path swap; knn_cosine_topk returns as the exact-ANN baseline
     "kv_latest_version",
-    "knn_cosine_topk",
+    "events_burst_users",
     # dedup / contamination (first-time)
     "doc_contamination_bloom",
     # embeddings: the rows-only-by-design ops (embedding_near_dup_lsh,
@@ -1451,7 +1462,7 @@ _DRIVER_WINDOW = [
     # ORACLE-PAIRED check twins instead — same code paths exercised, but
     # the driver window reads 0 `err: no_oracle` rows (round-8 verdict
     # item 7); the raw forms stay registered at 51+ and sweep-covered
-    "embedding_norm_histogram",
+    "embedding_pq_check",
     "embedding_near_dup_lsh_check",
     "embedding_semantic_dedup_check",
     "embedding_pca_check",
