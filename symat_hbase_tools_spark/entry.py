@@ -1194,6 +1194,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_idle_customers": relational.q22_idle_customers,
     # round-10: market-basket co-purchase lift (PMI-over-baskets shape)
     "part_affinity_lift": relational.part_affinity_lift,
+    # round-11: ABC/Pareto revenue classification (integer class cuts over
+    # the distributed prefix sum)
+    "customer_abc_analysis": relational.customer_abc_analysis,
     "price_quantity_stats": relational.price_quantity_stats,
     # embedding-table maintenance (round 2)
     "embedding_quantize_int8": similarity.embedding_quantize_int8,
@@ -4189,6 +4192,31 @@ ORACLE_SQL: dict[str, str] = {
                CAST(16 AS INTEGER) AS k, TRUE AS partition_ok,
                TRUE AS codes_ok, TRUE AS quantization_ok
         FROM embeddings
+    """,
+    # round-11: ABC census — window cumsum under the same total order,
+    # identical integer class cuts
+    "customer_abc_analysis": """
+        WITH pc AS (SELECT o_custkey,
+                           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                                AS BIGINT) AS rev_cents
+                    FROM orders GROUP BY 1),
+        cum AS (SELECT o_custkey, rev_cents,
+                       CAST(SUM(rev_cents) OVER (
+                            ORDER BY rev_cents DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum_cents,
+                       CAST(SUM(rev_cents) OVER () AS BIGINT) AS total_cents
+                FROM pc),
+        cl AS (SELECT o_custkey, rev_cents, total_cents,
+                      CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
+                           WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+                           ELSE 'C' END AS abc_class
+               FROM cum)
+        SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents,
+               CAST(SUM(rev_cents) AS DOUBLE) / ANY_VALUE(total_cents)
+                   AS revenue_share
+        FROM cl GROUP BY 1
     """,
     # round-11: PQ-ADC serving recall floor (tolerance-oracle pattern)
     "ann_pq_recall_check": """

@@ -198,38 +198,15 @@ def split_points(cells: DataFrame, target_bytes: int) -> DataFrame:
     comparison — HBase's own key order); the render happens once per
     emitted region.
     """
-    from pyspark import StorageLevel
-    from pyspark.sql import Window
+    from symat_hbase_tools_spark.plans.ranking import ordered_prefix_sum
 
     per_row = (
         cells.select("row", _cell_bytes().alias("b"))
         .groupBy("row")
         .agg(F.sum("b").alias("row_bytes"))
     )
-    ranged = per_row.repartitionByRange("row").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy("row")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = ranged.withColumn("_cum", F.sum("row_bytes").over(w)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    counts = local.groupBy("_pid").agg(F.sum("row_bytes").alias("_cnt"))
-    prior = counts.select(
-        F.col("_pid").alias("_ppid"), F.col("_cnt").alias("_pcnt")
-    )
-    off = (
-        counts.join(prior, F.col("_ppid") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_pcnt"), F.lit(0)).alias("_offset"))
-    )
-    tape = local.join(F.broadcast(off), "_pid").select(
-        "row",
-        "row_bytes",
-        (F.col("_cum") - F.col("row_bytes") + F.col("_offset")).alias("_start"),
+    tape = ordered_prefix_sum(
+        per_row, [F.col("row")], "row_bytes", out_col="_start", inclusive=False
     )
     return (
         tape.withColumn(

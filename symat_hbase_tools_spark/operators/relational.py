@@ -1679,3 +1679,54 @@ def part_affinity_lift(
             ).alias("lift"),
         )
     )
+
+
+def customer_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification of customers — the classic
+    inventory-analysis cut (class A carries the first 80% of revenue, B
+    the next 15%, C the tail) a revenue-ops owner runs before tiering
+    service levels.
+
+    Exactness: per-customer revenue is an exact integer-cents sum; the
+    running revenue is a distributed prefix sum under the TOTAL order
+    (cents desc, custkey) — plans/ranking.ordered_prefix_sum, the same
+    no-single-partition-window machinery as the split-point byte tape —
+    and the 80/95 class cuts are INTEGER comparisons (cum*5 <= total*4,
+    cum*20 <= total*19: small multipliers so the products stay in int64
+    headroom far past this corpus), so the boundary customer lands in the
+    same class on every engine. INCLUSIVE cumulative semantics: a
+    customer belongs to A iff the running total THROUGH them is within
+    80% of grand revenue.
+
+    Scale shape: one partial-aggregated per-customer pass, the prefix-sum
+    machinery over the REDUCED (customers-sized) table, a 1-row grand
+    total broadcast, and a 3-group census.
+    """
+    from symat_hbase_tools_spark.plans.ranking import ordered_prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev_cents"))
+    cum = ordered_prefix_sum(
+        per_cust,
+        [F.desc("rev_cents"), F.col("o_custkey")],
+        "rev_cents",
+        out_col="cum_cents",
+    )
+    total = per_cust.agg(F.sum("rev_cents").alias("total_cents"))
+    classed = cum.crossJoin(F.broadcast(total)).select(
+        "o_custkey",
+        "rev_cents",
+        F.when(F.col("cum_cents") * 5 <= F.col("total_cents") * 4, "A")
+        .when(F.col("cum_cents") * 20 <= F.col("total_cents") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "total_cents",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_cents").alias("revenue_cents"),
+        (
+            F.sum("rev_cents").cast("double") / F.first("total_cents")
+        ).alias("revenue_share"),
+    )

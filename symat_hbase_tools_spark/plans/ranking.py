@@ -125,3 +125,52 @@ def cume_dist_from_rank(rank: Column, n_rows) -> Column:
     """cume_dist for a unique total order: rank/n."""
     n = _n_expr(n_rows)
     return rank.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "prefix_sum",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Distributed EXACT prefix sum of ``value_col`` under a total order —
+    the same no-single-partition-window machinery as ``global_order_rank``
+    (range repartition -> within-range cumulative window -> lazy
+    triangular per-partition offsets), summing a value instead of
+    counting rows. ``inclusive=False`` gives the exclusive form (the tape
+    START position — what packing/split-point binning wants). Fully lazy:
+    no jobs at plan-build time; the ranged table persists because three
+    stages of the same action reference it.
+
+    The order must be total (include a unique tie-break column); the
+    value should be an exact integer type for cross-engine determinism.
+    """
+    from pyspark import StorageLevel
+
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_cum", F.sum(value_col).over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    totals = local.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    prior = totals.select(F.col("_pid").alias("_ppid"), F.col("_t").alias("_pt"))
+    off = (
+        totals.join(prior, F.col("_ppid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_pt"), F.lit(0)).alias("_offset"))
+    )
+    out = F.col("_cum") + F.col("_offset")
+    if not inclusive:
+        out = out - F.col(value_col)
+    return (
+        local.join(F.broadcast(off), "_pid")
+        .withColumn(out_col, out)
+        .drop("_pid", "_cum", "_offset")
+    )
