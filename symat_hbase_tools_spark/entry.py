@@ -1146,6 +1146,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         customer_cells(load_table(spark, sf, "customer")),
         target_bytes=SPLIT_TARGET_BYTES,
     ),
+    # round-11: the inverse advisor — adjacent thin-region merge pairs
+    "kv_merge_candidates": lambda spark, sf: kv.merge_candidates(
+        customer_cells(load_table(spark, sf, "customer")),
+        target_bytes=SPLIT_TARGET_BYTES,
+        prefix_len=12,
+    ),
     # relational surface
     "q5_local_supplier_volume": relational.q5_local_supplier_volume,
     "q7_volume_shipping": relational.q7_volume_shipping,
@@ -1448,12 +1454,13 @@ _DRIVER_WINDOW = [
     "orders_fd_check",
     # event-time analytics (first-time)
     "events_mean_shift",
-    # data quality / robust stats (first-time, new in r5)
-    "orders_price_mad",
+    # data quality / robust stats: orders_price_mad rotates out r11
+    # (green r6-r10); the Pareto census seats as the family's newest
+    "customer_abc_analysis",
     # linear-probe training (first-time, new in r5); the rows-only raw
     # ridge output rotated out in r7 — doc_probe_ridge_check (oracle-
     # paired, exercises the same fit) is its driver-verified form
-    "doc_probe_ridge_check",
+    "kv_merge_candidates",
     # r7 re-seats: kv_latest_version re-verifies green after the packed
     # fast-path swap; knn_cosine_topk returns as the exact-ANN baseline
     "kv_latest_version",
@@ -4193,6 +4200,23 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS codes_ok, TRUE AS quantization_ok
         FROM embeddings
     """,
+    # round-11: merge advisor — lead() over the prefix census in key order
+    "kv_merge_candidates": (
+        "WITH cells AS (" + _unpivot_sql() + "), "
+        "pr AS (SELECT substr(row_key, 1, 12) AS prefix, "
+        "              CAST(SUM(strlen(row_key) + strlen(family) "
+        "                       + strlen(qualifier) + strlen(value) + 8) "
+        "                   AS BIGINT) AS total_bytes "
+        "       FROM cells GROUP BY 1), "
+        "pairs AS (SELECT prefix AS prefix_a, total_bytes AS bytes_a, "
+        "                 lead(prefix) OVER (ORDER BY prefix) AS prefix_b, "
+        "                 lead(total_bytes) OVER (ORDER BY prefix) AS bytes_b "
+        "          FROM pr) "
+        "SELECT prefix_a, prefix_b, "
+        "       CAST(bytes_a + bytes_b AS BIGINT) AS combined_bytes "
+        "FROM pairs WHERE prefix_b IS NOT NULL "
+        "AND bytes_a + bytes_b <= 16384"
+    ),
     # round-11: ABC census — window cumsum under the same total order,
     # identical integer class cuts
     "customer_abc_analysis": """

@@ -282,3 +282,46 @@ def region_stats(cells: DataFrame, prefix_len: int = 10) -> DataFrame:
             "byte_share"
         ),
     )
+
+
+def merge_candidates(
+    cells: DataFrame, target_bytes: int, prefix_len: int = 10
+) -> DataFrame:
+    """Region MERGE advisor — the inverse of ``split_points``: adjacent
+    key-prefix regions whose combined bytes still fit the target are
+    candidates for `merge_region` (the small-region sprawl cleanup an
+    HBase operator runs after TTL sweeps or bulk deletes shrink old
+    regions). Together the two advisors close the region-sizing loop the
+    reference's troubleshooting family opens: census -> split keys for
+    fat regions -> merge pairs for thin ones.
+
+    Semantics (deterministic): regions = the prefix census in key order;
+    a pair (region i, region i+1) is a candidate iff bytes_i +
+    bytes_{i+1} <= target. Pairs OVERLAP deliberately (i+1 may also pair
+    with i+2) — the advisor reports every legal adjacent merge and the
+    operator picks; a greedy non-overlapping chain would be
+    order-sequential and no more correct. Exact integer byte math.
+
+    Scale shape: the census is the region_stats aggregate (data-scale
+    work ends there, O(prefixes) rows out); adjacency is one lead()
+    window over the REDUCED census — prefix count is bounded by key
+    design, never by row count, so the single-partition window is
+    driver-scale by construction (same argument as the gap-fill spine).
+    """
+    from pyspark.sql import Window
+
+    census = region_stats(cells, prefix_len=prefix_len).select(
+        "prefix", "n_rows", "total_bytes"
+    )
+    w = Window.orderBy("prefix")
+    paired = census.select(
+        F.col("prefix").alias("prefix_a"),
+        F.col("total_bytes").alias("bytes_a"),
+        F.lead("prefix").over(w).alias("prefix_b"),
+        F.lead("total_bytes").over(w).alias("bytes_b"),
+    ).filter(F.col("prefix_b").isNotNull())
+    return paired.select(
+        "prefix_a",
+        "prefix_b",
+        (F.col("bytes_a") + F.col("bytes_b")).alias("combined_bytes"),
+    ).filter(F.col("combined_bytes") <= int(target_bytes))

@@ -273,3 +273,31 @@ def test_split_points_single_fat_row_gets_own_region(spark):
     assert out[0]["n_rows"] == 3 and out[0]["region_bytes"] == 44 + 516
     assert out[8]["n_rows"] == 1 and out[8]["split_key"] == "r3"
     assert out[9]["n_rows"] == 1 and out[9]["split_key"] == "r4"
+
+
+def test_merge_candidates_filter_and_adjacency(spark):
+    """Merge advisor: only ADJACENT prefix pairs whose combined bytes fit
+    the target qualify; a fat region poisons both pairs it touches."""
+    from symat_hbase_tools_spark.operators import kv
+    from symat_hbase_tools_spark.sources.cells import CELLS_SCHEMA, CELL_TS
+
+    rows = []
+    # four regions by 1-char prefix: a,b small; c fat; d small
+    for pfx, n_rows, val in (("a", 2, 10), ("b", 2, 10), ("c", 2, 500), ("d", 2, 10)):
+        for i in range(n_rows):
+            rows.append(
+                (f"{pfx}{i}".encode(), "f", b"q", CELL_TS, "Put", b"x" * val)
+            )
+    cells = spark.createDataFrame(rows, CELLS_SCHEMA)
+    # per small region: 2 cells x (2+1+1+10+8) = 44 bytes; fat: 2 x 512 = 1024
+    out = {
+        (r["prefix_a"], r["prefix_b"]): r["combined_bytes"]
+        for r in kv.merge_candidates(cells, target_bytes=100, prefix_len=1).collect()
+    }
+    assert out == {("a", "b"): 88}
+    # raising the target admits the fat region's pairs too
+    out2 = {
+        (r["prefix_a"], r["prefix_b"])
+        for r in kv.merge_candidates(cells, target_bytes=2000, prefix_len=1).collect()
+    }
+    assert out2 == {("a", "b"), ("b", "c"), ("c", "d")}
