@@ -488,6 +488,10 @@ def test_no_interpreted_hof_reinlined_into_filters(spark):
         "doc_contamination_fuzzy",
         "doc_ngram_novelty",
         "text_tokenizer_fertility",
+        # round-11 HOF-bearing additions (bigram zip / shingle transforms)
+        "text_pmi_collocations",
+        "text_word_entropy",
+        "doc_containment_pairs",
     ]
     for name in hof_queries:
         assert_no_hof_in_filters(QUERIES[name](spark, SF_DIR))
