@@ -1066,6 +1066,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-10: Benford first-digit census (fraud / synthetic-data gate)
     # round-11: functional-dependency violation census (within-table
     # determinism check next to referential_integrity's between-table one)
+    # round-11: duplicate-payment audit + Deequ-style constraint census
+    "orders_duplicate_payments": lambda spark, sf: profiling.duplicate_payments(
+        load_table(spark, sf, "orders")
+    ),
+    "lineitem_constraint_check": lambda spark, sf: profiling.constraint_check(
+        load_table(spark, sf, "lineitem")
+    ),
     "orders_fd_check": lambda spark, sf: profiling.fd_violations(
         load_table(spark, sf, "orders")
     ),
@@ -4217,6 +4224,45 @@ ORACLE_SQL: dict[str, str] = {
         "FROM pairs WHERE prefix_b IS NOT NULL "
         "AND bytes_a + bytes_b <= 16384"
     ),
+    # round-11: duplicate-payment suspects — same-customer same-day
+    # multi-order groups, identical amounts flagged via exact cents
+    "orders_duplicate_payments": """
+        SELECT o_custkey, o_orderdate,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS n_distinct_amounts,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
+               array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+        FROM orders
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    """,
+    # round-11: constraint census — one conditional-sum pass, NULL
+    # predicate = violation
+    "lineitem_constraint_check": """
+        WITH one AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(CASE WHEN COALESCE(l_discount >= 0.00 AND l_discount <= 0.10, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+            CAST(SUM(CASE WHEN COALESCE(l_tax >= 0.00 AND l_tax <= 0.08, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+            CAST(SUM(CASE WHEN COALESCE(l_quantity >= 1 AND l_quantity <= 50, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+            CAST(SUM(CASE WHEN COALESCE(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+            CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v5,
+            CAST(SUM(CASE WHEN COALESCE(l_linestatus IN ('O','F'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v6,
+            CAST(SUM(CASE WHEN COALESCE(l_shipdate >= DATE'1992-01-01' AND l_shipdate <= DATE'1998-12-31', FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v7
+            FROM lineitem)
+        SELECT u.rule, u.n_violations, one.n_rows,
+               u.n_violations = 0 AS passes
+        FROM one, (
+            SELECT * FROM (
+                SELECT 'discount_in_range' AS rule, v1 AS n_violations FROM one
+                UNION ALL SELECT 'tax_in_range', v2 FROM one
+                UNION ALL SELECT 'quantity_in_range', v3 FROM one
+                UNION ALL SELECT 'positive_price', v4 FROM one
+                UNION ALL SELECT 'returnflag_domain', v5 FROM one
+                UNION ALL SELECT 'linestatus_domain', v6 FROM one
+                UNION ALL SELECT 'shipdate_bounds', v7 FROM one
+            )) u
+    """,
     # round-11: ABC census — window cumsum under the same total order,
     # identical integer class cuts
     "customer_abc_analysis": """

@@ -457,3 +457,80 @@ def fd_violations(df: DataFrame, candidates=ORDERS_FD_CANDIDATES) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def duplicate_payments(df: DataFrame) -> DataFrame:
+    """Potential duplicate-transaction census — the payments-audit staple:
+    a customer with MULTIPLE orders on one day is the double-entry review
+    queue; ``n_distinct_amounts < n_orders`` auto-confirms an
+    identical-amount pair (the classic double-charge signature). One row
+    per suspect (customer, day) group with the member keys (sorted,
+    bounded by the group) so the auditor acts without a second scan.
+
+    Scale shape: one partial-aggregated groupBy on the natural composite
+    key; suspect groups are tiny, so the collected key list per row is
+    bounded. Amounts compare as exact integer cents — float equality
+    would be engine-dependent.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        df.select("o_custkey", "o_orderdate", "o_orderkey", cents.alias("pc"))
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct(F.col("pc")).alias("n_distinct_amounts"),
+            F.sum("pc").alias("total_cents"),
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")), ","
+            ).alias("order_keys"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+#: business-rule constraint suite for the lineitem table (Deequ-style
+#: check census; each rule is a boolean SQL predicate over one row)
+LINEITEM_CONSTRAINTS = (
+    ("discount_in_range", "l_discount >= 0.00 AND l_discount <= 0.10"),
+    ("tax_in_range", "l_tax >= 0.00 AND l_tax <= 0.08"),
+    ("quantity_in_range", "l_quantity >= 1 AND l_quantity <= 50"),
+    ("positive_price", "l_extendedprice > 0"),
+    ("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ("linestatus_domain", "l_linestatus IN ('O', 'F')"),
+    ("shipdate_bounds", "l_shipdate >= DATE'1992-01-01' AND l_shipdate <= DATE'1998-12-31'"),
+)
+
+
+def constraint_check(df: DataFrame, constraints=LINEITEM_CONSTRAINTS) -> DataFrame:
+    """Business-rule constraint census — Deequ's `Check` shape: each rule
+    is a row-level boolean predicate; the census reports per rule the
+    violation count and the verdict. NULL predicate results count as
+    violations (a rule that cannot be evaluated did not pass — the
+    conservative audit posture).
+
+    Scale shape: ONE pass over the table computing all rules as
+    conditional sums in a single partial aggregate (no per-rule scan, no
+    Expand); the output is K rows assembled from the 1-row aggregate via
+    a stack() unpivot — constant-size, driver-free.
+    """
+    aggs = []
+    for name, pred in constraints:
+        ok = F.expr(pred)
+        aggs.append(
+            F.sum(F.when(F.coalesce(ok, F.lit(False)), 0).otherwise(1)).alias(
+                f"v_{name}"
+            )
+        )
+    one = df.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{name}', v_{name}" for name, _ in constraints
+    )
+    return one.selectExpr(
+        f"stack({len(constraints)}, {stack_args}) AS (rule, n_violations)",
+        "n_rows",
+    ).select(
+        "rule",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passes"),
+    )
