@@ -640,10 +640,16 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
             cells = _load_cells(spark, args.table)
             report = split_points(cells, target_bytes=args.targetBytes).cache()
-            splits = sorted(
+            # order by region_seq (the byte-tape order = HBase key order);
+            # sorting the RENDERED strings would misplace escaped keys
+            # (backslash 0x5C sorts before ']'..'~')
+            splits = [
                 r["split_key"]
-                for r in report.filter("region_seq >= 1").collect()
-            )
+                for r in sorted(
+                    report.filter("region_seq >= 1").collect(),
+                    key=lambda r: r["region_seq"],
+                )
+            ]
             n_regions = report.count()
             print(f"REGIONS={n_regions} SPLITS={len(splits)} TARGET_BYTES={args.targetBytes}")
             for k in splits:

@@ -1706,7 +1706,7 @@ ORACLE_SQL: dict[str, str] = {
         "pr AS (SELECT substr(row_key, 1, 10) AS prefix, row_key, "
         "              CAST(COUNT(*) AS BIGINT) AS n_cells, "
         "              CAST(SUM(strlen(row_key) + strlen(family) "
-        "                       + strlen(qualifier) + strlen(value) + 8) "
+        "                       + strlen(qualifier) + COALESCE(strlen(value), 0) + 8) "
         "                   AS BIGINT) AS row_bytes "
         "       FROM cells GROUP BY 1, 2), "
         "pp AS (SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_rows, "
@@ -1727,7 +1727,7 @@ ORACLE_SQL: dict[str, str] = {
         "WITH cells AS (" + _unpivot_sql() + "), "
         "pr AS (SELECT row_key, "
         "              CAST(SUM(strlen(row_key) + strlen(family) "
-        "                       + strlen(qualifier) + strlen(value) + 8) "
+        "                       + strlen(qualifier) + COALESCE(strlen(value), 0) + 8) "
         "                   AS BIGINT) AS row_bytes "
         "       FROM cells GROUP BY 1), "
         "tape AS (SELECT row_key, row_bytes, "
@@ -4212,7 +4212,7 @@ ORACLE_SQL: dict[str, str] = {
         "WITH cells AS (" + _unpivot_sql() + "), "
         "pr AS (SELECT substr(row_key, 1, 12) AS prefix, "
         "              CAST(SUM(strlen(row_key) + strlen(family) "
-        "                       + strlen(qualifier) + strlen(value) + 8) "
+        "                       + strlen(qualifier) + COALESCE(strlen(value), 0) + 8) "
         "                   AS BIGINT) AS total_bytes "
         "       FROM cells GROUP BY 1), "
         "pairs AS (SELECT prefix AS prefix_a, total_bytes AS bytes_a, "

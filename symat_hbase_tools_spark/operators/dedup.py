@@ -144,15 +144,20 @@ def ngram_jaccard_pairs(
     return _jaccard_pairs_from_shingles(sh, threshold, max_shingle_df)
 
 
-def _jaccard_pairs_from_shingles(
-    sh: DataFrame, threshold: float, max_shingle_df: int | None
+def _intersection_pairs(
+    sh: DataFrame, max_shingle_df: int | None
 ) -> DataFrame:
-    """Jaccard pairs from an exploded (doc_id, s: long) shingle-hash table.
+    """(d1 < d2, i, n1, n2) from an exploded (doc_id, s: long) shingle-hash
+    table — the shared candidate pipeline under BOTH similarity scores
+    (Jaccard and containment finish it with different formulas, so the
+    df-cap semantics and the join strategy can never drift between them).
 
     join key = xxhash64(shingle): fixed-width long comparisons instead of
     string equality through the whole self-join (the hot path at scale).
     A key collision would need two distinct shingles in one corpus to share
     an xxhash64 — p < n^2 / 2^64, irrelevant even at 10^8 distinct shingles.
+    With ``max_shingle_df``, capped shingles leave both the intersection
+    and the sizes (consistent capped semantics, see MAX_SHINGLE_DF).
     """
     if max_shingle_df is not None:
         hot = sh.groupBy("s").count().filter(F.col("count") > max_shingle_df)
@@ -173,9 +178,15 @@ def _jaccard_pairs_from_shingles(
     )
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return inter.join(s1, "d1").join(s2, "d2")
+
+
+def _jaccard_pairs_from_shingles(
+    sh: DataFrame, threshold: float, max_shingle_df: int | None
+) -> DataFrame:
+    """Jaccard finisher over ``_intersection_pairs`` (see its docstring)."""
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
+        _intersection_pairs(sh, max_shingle_df)
         .select(
             "d1",
             "d2",
@@ -1016,13 +1027,22 @@ def prefix_filter_pairs(
     from pyspark import StorageLevel
 
     eps = 1e-9
-    hot, volume = _shingle_df_census(spark, sf_dir, n, cutoff=hot_df_cutoff)
+    if route not in ("auto", "exact", "prefix"):
+        raise ValueError(
+            f"route must be 'auto', 'exact' or 'prefix', got {route!r}"
+        )
     if route == "auto":
+        hot, volume = _shingle_df_census(spark, sf_dir, n, cutoff=hot_df_cutoff)
         route = (
             "exact"
             if not hot and volume <= EXACT_ROUTE_MAX_JOIN_ROWS
             else "prefix"
         )
+    elif route == "prefix":
+        # forced prefix still needs the HOT LIST (demotion order); a
+        # forced exact route skips the census entirely — the caller
+        # opted out of the cost decision it feeds
+        hot = _hot_shingle_list(spark, sf_dir, n, cutoff=hot_df_cutoff)
     if route == "exact":
         # COST-BASED ROUTE (round-11): the sampled detection pass certifies
         # a COLD df distribution (no shingle at df >= hot_df_cutoff), so the
@@ -1185,22 +1205,8 @@ def containment_pairs(
     sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
         "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
     )
-    if max_shingle_df is not None:
-        hot = sh.groupBy("s").count().filter(F.col("count") > max_shingle_df)
-        sh = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.hint("shuffle_hash").alias("b")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
+        _intersection_pairs(sh, max_shingle_df)
         .select(
             "d1",
             "d2",

@@ -2294,26 +2294,8 @@ def embedding_pq_fit(
     import numpy as np
 
     base = _emb(spark, sf_dir)
-    d = len(base.select("emb").first()["emb"])
-    if d % m != 0:
-        raise ValueError(f"embedding dim {d} not divisible by m={m} subspaces")
+    codebooks, d, _n = _pq_fit_codebooks(base, m, k, seed, normalize=False)
     ds = d // m
-
-    n = base.count()
-    train = base
-    if n > MAX_KMEANS_TRAIN_ROWS:
-        stride = -(-n // MAX_KMEANS_TRAIN_ROWS)
-        train = base.filter(
-            F.pmod(F.xxhash64(F.lit(seed), F.col("vec_id")), F.lit(stride)) == 0
-        )
-    pdf = train.select("vec_id", "emb").toPandas().sort_values("vec_id")
-    X = np.array(pdf["emb"].tolist(), dtype=np.float64)
-    codebooks = np.stack(
-        [
-            _kmeans_pp_lloyd(X[:, j * ds : (j + 1) * ds], k, seed + j)
-            for j in range(m)
-        ]
-    )  # (m, k, ds)
     bc = spark.sparkContext.broadcast(codebooks)
 
     def encode(batches):
@@ -2407,10 +2389,12 @@ def embedding_pq_check(
     )
 
 
-#: ADC shortlist chunk gate: each broadcast query costs a (m x n_codes)
-#: float64 LUT (~2 KB at m=8, codes=32), so 200k queries ~ 400 MB — the
-#: same order as the masked-LSH cogroup optimum; above it, hash-chunk.
-MAX_PQ_BROADCAST_QUERIES = 200_000
+#: per-task LUT allocation target for the ADC scan: the query chunk size
+#: is derived from it as TARGET_PQ_LUT_BYTES // (m * n_codes * 8), so the
+#: (chunk, m, n_codes) float64 table a task materializes stays ~256 MB at
+#: ANY (m, n_codes) — a fixed query-count cap would be wrong by the
+#: parameter ratio (m=16/codes=64 is 4x the bytes of m=8/codes=32).
+TARGET_PQ_LUT_BYTES = 256 << 20
 #: recall@5 floor for the PQ-ADC + exact-re-rank serving path (measured
 #: 0.971-0.988 at sf0.001/0.01/0.1 with the m=16, 64-code, 16k-shortlist
 #: defaults; the sweep: m=8/32-code/4k read 0.42-0.63 — these embeddings
@@ -2481,8 +2465,8 @@ def ann_pq_topk(
 
     Scale shape: the fit is driver-side on a capped sample; the encode and
     the ADC scan are narrow Arrow-batched maps (no shuffle; query LUTs
-    broadcast, hash-chunked above MAX_PQ_BROADCAST_QUERIES exactly like
-    brute_topk's gate); the shortlist merge window and the re-rank join
+    vectors broadcast; hash-chunked so each task's LUT stays under
+    TARGET_PQ_LUT_BYTES, the brute_topk-style gate); the shortlist merge window and the re-rank join
     handle O(n_queries x shortlist) rows only. Rows-only in the registry —
     recall is floor-asserted by the oracle-paired ``ann_pq_recall_check``.
     """
@@ -2517,22 +2501,33 @@ def ann_pq_topk(
     R = int(shortlist_mult) * int(k)
 
     def adc_chunk(queries: DataFrame) -> DataFrame:
+        # broadcast the normalized query VECTORS (d*8 bytes/query), not
+        # their LUTs (m*n_codes*8 — 16x bigger at the defaults): chunk
+        # broadcasts are created eagerly for the whole union plan, so
+        # resident broadcast memory is the FULL query side — vectors keep
+        # that at corpus-scan order (the brute_topk contract) while each
+        # task builds its own LUT once below (a few hundred MFLOPs,
+        # amortized over the task's batches).
         q_pdf = queries.toPandas().sort_values("vec_id")
         q_ids = q_pdf["vec_id"].to_numpy()
         Q = np.array(q_pdf["emb"].tolist(), dtype=np.float64)
         Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        C = books
-        # per-query exact subspace distance tables: (nq, m, n_codes)
-        lut = np.empty((len(Q), m, n_codes), dtype=np.float64)
-        for j in range(m):
-            Sq = Q[:, j * ds : (j + 1) * ds]
-            lut[:, j, :] = ((Sq[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
-        bc = spark.sparkContext.broadcast((q_ids, lut))
+        bc = spark.sparkContext.broadcast((q_ids, Q))
 
         def scan(batches):
             import pandas as pd
 
-            ids, L = bc.value
+            ids, Qm = bc.value
+            C = bc_books.value
+            # per-query exact subspace distance tables, built ONCE per
+            # task: (chunk, m, n_codes) <= TARGET_PQ_LUT_BYTES by the
+            # chunk-size derivation
+            L = np.empty((len(Qm), m, n_codes), dtype=np.float64)
+            for j in range(m):
+                Sq = Qm[:, j * ds : (j + 1) * ds]
+                L[:, j, :] = ((Sq[:, None, :] - C[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
             for b in batches:
                 if b.empty:
                     continue
@@ -2562,8 +2557,9 @@ def ann_pq_topk(
             scan, schema="query_id long, neighbor_id long, neg_d2 double"
         )
 
-    if n > MAX_PQ_BROADCAST_QUERIES:
-        n_chunks = -(-n // MAX_PQ_BROADCAST_QUERIES)
+    max_chunk_queries = max(1, TARGET_PQ_LUT_BYTES // (m * n_codes * 8))
+    if n > max_chunk_queries:
+        n_chunks = -(-n // max_chunk_queries)
         parts = [
             adc_chunk(
                 base.filter(F.pmod(F.xxhash64("vec_id"), F.lit(n_chunks)) == i)

@@ -73,22 +73,29 @@ def main() -> int:
         e0, e1 = eq_pri[name], eq_cur[name]
         if e0 <= 0 or e1 < 0.1 or e1 <= 1.5 * e0:
             continue
+        # `is not None` (not truthiness): a sub-0.5ms control legitimately
+        # rounds to 0.000 in the artifact — 0.0 is a PRESENT measurement,
+        # not a missing one
         c0, c1 = ctl_pri.get(name), ctl_cur.get(name)
-        ctl_moved = c0 and c1 and c1 > 1.25 * c0
+        have_ctl = c0 is not None and c1 is not None
+        ctl_moved = have_ctl and c1 > 1.25 * max(c0, 1e-3)
         row = (f"{name}: engine {e0:.3f} -> {e1:.3f} s ({e1 / e0:.2f}x), "
                f"control "
-               + (f"{c0:.3f} -> {c1:.3f} s ({c1 / c0:.2f}x)" if c0 and c1
-                  else "missing"))
-        if ctl_moved or not (c0 and c1):
+               + (f"{c0:.3f} -> {c1:.3f} s ({c1 / max(c0, 1e-3):.2f}x)"
+                  if have_ctl else "missing"))
+        if ctl_moved or not have_ctl:
             noise.append(row + "  [host/unadjudicable]")
         else:
             regressions.append(row + "  [REGRESSION]")
 
+    # floor the control at 1 ms before dividing: an artifact 0.000 means
+    # "< 0.5 ms", and a divide-by-zero here would crash the gate instead
+    # of returning its documented exit code
     weak = [
         f"{n}: {eq_cur[n]:.3f} s vs control {ctl_cur[n]:.3f} s "
-        f"({eq_cur[n] / ctl_cur[n]:.1f}x)"
+        f"({eq_cur[n] / max(ctl_cur[n], 1e-3):.1f}x)"
         for n in sorted(set(eq_cur) & set(ctl_cur))
-        if eq_cur[n] >= 0.3 and eq_cur[n] > 2 * ctl_cur[n]
+        if eq_cur[n] >= 0.3 and eq_cur[n] > 2 * max(ctl_cur[n], 1e-3)
     ]
 
     etot, ctot = cur.get("value"), cur.get("duckdb_control", {}).get("total_sec")
