@@ -2477,6 +2477,13 @@ def ann_pq_topk(
     books, d, n = _pq_fit_codebooks(base, m, n_codes, seed, normalize=True)
     ds = d // m
     bc_books = spark.sparkContext.broadcast(books)
+    # ADAPTIVE shortlist: a fixed depth loses recall as the corpus grows
+    # (measured at the 10x probe: 80-deep read recall@5 0.880 — under the
+    # 0.9 floor — 240-deep 0.976). Flat PQ on UNCLUSTERED vectors needs a
+    # corpus-proportional shortlist (~1%) to hold recall; real deployments
+    # bound this with IVF cell pruning (ann_ivf_topk), which is exactly
+    # why flat-PQ serving pairs with a coarse quantizer at scale.
+    R_depth = max(int(shortlist_mult) * int(k), n // 100)
 
     def encode(batches):
         import pandas as pd
@@ -2498,7 +2505,7 @@ def ann_pq_topk(
 
     enc = base.mapInPandas(encode, schema="vec_id long, codes array<int>")
 
-    R = int(shortlist_mult) * int(k)
+    R = R_depth
 
     def adc_chunk(queries: DataFrame) -> DataFrame:
         # broadcast the normalized query VECTORS (d*8 bytes/query), not
