@@ -119,9 +119,11 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--sfDir", default="/root/testdata/sf0.001")
     dd.add_argument(
         "--method",
-        choices=["exact", "minhash", "ngram"],
+        choices=["exact", "minhash", "ngram", "containment"],
         default="minhash",
-        help="exact = normalized-md5; minhash/ngram = near-dup clusters, keep min doc_id",
+        help="exact = normalized-md5; minhash/ngram = near-dup clusters, "
+        "keep min doc_id; containment = drop the SMALLER doc of each "
+        "high-containment pair (quote/subset subsumption)",
     )
     dd.add_argument("--output", required=True, help="parquet path for survivors")
 
@@ -367,6 +369,32 @@ def main(argv: list[str] | None = None) -> int:
                     F.col("keep_doc_id").alias("doc_id")
                 )
                 survivors = docs.join(keepers, "doc_id", "left_semi")
+            elif args.method == "containment":
+                # a contained (smaller) doc is subsumed by its container:
+                # drop it. n_small identifies the smaller side; ties (equal
+                # shingle counts) drop the larger doc_id for determinism.
+                pairs = dd_ops.containment_pairs(spark, args.sfDir)
+                sizes = (
+                    dd_ops._doc_shingles(spark, args.sfDir, 3)
+                    .select(
+                        "doc_id",
+                        F.size(F.array_distinct(F.col("sh"))).alias("ns"),
+                    )
+                )
+                s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("ns").alias("ns1"))
+                s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("ns").alias("ns2"))
+                drops = (
+                    pairs.join(s1, "d1")
+                    .join(s2, "d2")
+                    .select(
+                        F.when(F.col("ns1") < F.col("ns2"), F.col("d1"))
+                        .when(F.col("ns2") < F.col("ns1"), F.col("d2"))
+                        .otherwise(F.greatest("d1", "d2"))
+                        .alias("doc_id")
+                    )
+                    .distinct()
+                )
+                survivors = docs.join(drops, "doc_id", "left_anti")
             else:
                 pairs = (
                     dd_ops.minhash_lsh_pairs(spark, args.sfDir)

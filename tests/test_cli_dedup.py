@@ -304,3 +304,28 @@ def test_cli_curate_all_buckets_keeps_unscored_docs(spark, tmp_path):
                "--output", out2])
     assert rc == 0
     assert 1 not in {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+
+
+def test_dedup_containment_drops_smaller_side(spark, tmp_path):
+    """--method containment: the smaller doc of each high-containment pair
+    is dropped (quote/subset subsumption); containers survive."""
+    import pyspark.sql.functions as F
+
+    from symat_hbase_tools_spark.cli import main
+
+    body = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, body + " kilo lima mike november oscar papa quebec", "en", "s", 80),
+            (2, body, "en", "s", 60),  # contained in 1 -> dropped
+            (3, "sierra tango uniform victor whiskey xray yankee zulu", "en", "s", 50),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "cont")
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "out")
+    rc = main(["dedup", "--sfDir", sf_dir, "--method", "containment", "--output", out])
+    assert rc == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert kept == {1, 3}
