@@ -159,6 +159,20 @@ def main(argv: list[str] | None = None) -> int:
     bt.add_argument("--merges", type=int, default=8, help="number of merges to learn")
     bt.add_argument("--output", required=True, help="TSV path for the merge table")
 
+    tk = sub.add_parser(
+        "tokenize", help="write the BPE-tokenized corpus (doc_id, n_tokens, tokens)"
+    )
+    tk.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    tk.add_argument("--merges", type=int, default=8, help="merge-table size to learn")
+    tk.add_argument("--output", required=True, help="parquet path for tokenized docs")
+
+    pk = sub.add_parser(
+        "pack", help="write the packed-sequence assignment under a token budget"
+    )
+    pk.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    pk.add_argument("--budget", type=int, default=2048, help="tokens per sequence")
+    pk.add_argument("--output", required=True, help="parquet path for the assignment")
+
     rs = sub.add_parser(
         "resample",
         help="write a UniMax per-domain budget-resampled documents corpus",
@@ -458,6 +472,42 @@ def main(argv: list[str] | None = None) -> int:
                         f"{r['merge_rank']}\t{r['left']}\t{r['right']}\t{r['pair_count']}\n"
                     )
             print(f"LEARNED_MERGES={len(rows)}")
+            return 0
+        if args.tool == "tokenize":
+            from symat_hbase_tools_spark.operators import bpe
+
+            out = bpe.tokenize_corpus(spark, args.sfDir, n_merges=args.merges)
+            out.write.mode("overwrite").parquet(args.output)
+            back = spark.read.parquet(args.output)
+            from pyspark.sql import functions as F
+
+            r = back.agg(
+                F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("toks")
+            ).collect()[0]
+            print(f"DOCS={r['docs']} TOTAL_TOKENS={r['toks']} MERGES={args.merges}")
+            return 0
+        if args.tool == "pack":
+            from pyspark.sql import functions as F
+
+            from symat_hbase_tools_spark.operators.packing import (
+                pack_sequences,
+                packing_stats,
+            )
+            from symat_hbase_tools_spark.sources.tables import load_table
+
+            docs = load_table(spark, args.sfDir, "documents")
+            packed = pack_sequences(docs, budget=args.budget)
+            packed.write.mode("overwrite").parquet(args.output)
+            st = packing_stats(spark.read.parquet(args.output), args.budget)
+            r = st.agg(
+                F.count(F.lit(1)).alias("seqs"),
+                F.sum("n_tokens").alias("toks"),
+                F.avg("fill").alias("fill"),
+            ).collect()[0]
+            print(
+                f"SEQUENCES={r['seqs']} TOTAL_TOKENS={r['toks']} "
+                f"MEAN_FILL={r['fill']:.4f} BUDGET={args.budget}"
+            )
             return 0
         if args.tool == "resample":
             from pyspark.sql import functions as F

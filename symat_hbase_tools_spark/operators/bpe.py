@@ -102,6 +102,65 @@ def learn_merges(
     ).orderBy("merge_rank")
 
 
+def apply_merges(word: str, merge_list) -> list:
+    """Greedy BPE encode of one word: merges applied in learned order —
+    the standard encode; shared by the census (counts) and
+    ``tokenize_corpus`` (emits the symbols)."""
+    syms = list(word)
+    for a, b in merge_list:
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def tokenize_corpus(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """Tokenized corpus: (doc_id, n_tokens, tokens array<string>) under the
+    learned merge table — the WRITE form of ``tokenize_census`` (the
+    pipeline step that materializes training tokens; the census only
+    reports compression). Same greedy encode, same two corpus passes
+    (learn + encode), same per-batch word cache; the merge table ships as
+    a closure constant into one Arrow-batched kernel.
+    """
+    merge_rows = learn_merges(spark, sf_dir, n_merges=n_merges).collect()
+    merge_list = [(r["left"], r["right"]) for r in merge_rows]
+    docs = load_table(spark, sf_dir, "documents")
+
+    def encode(batches):
+        for pdf in batches:
+            cache: dict[str, list] = {}
+
+            def doc_tokens(text):
+                out = []
+                for w in text.split():
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = cache[w] = apply_merges(w, merge_list)
+                    out.extend(hit)
+                return out
+
+            toks = pdf["text"].map(doc_tokens)
+            yield __import__("pandas").DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": toks.map(len),
+                    "tokens": toks,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode, schema="doc_id long, n_tokens long, tokens array<string>"
+    )
+
+
 def tokenize_census(
     spark: SparkSession, sf_dir: str, n_merges: int = 8
 ) -> DataFrame:
@@ -124,18 +183,7 @@ def tokenize_census(
 
     def encode(batches):
         def word_tokens(word):
-            syms = list(word)
-            for a, b in merge_list:
-                out, i, n = [], 0, len(syms)
-                while i < n:
-                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            return len(syms)
+            return len(apply_merges(word, merge_list))
 
         for pdf in batches:
             cache: dict[str, int] = {}

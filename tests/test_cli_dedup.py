@@ -329,3 +329,43 @@ def test_dedup_containment_drops_smaller_side(spark, tmp_path):
     assert rc == 0
     kept = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
     assert kept == {1, 3}
+
+
+def test_tokenize_cli_writes_consistent_tokens(spark, tmp_path):
+    """tokenize: the written corpus's token totals must agree with the
+    census's compression accounting (same learned table, same encode)."""
+    from symat_hbase_tools_spark.cli import main
+    from symat_hbase_tools_spark.operators import bpe
+
+    out = str(tmp_path / "toks")
+    rc = main(["tokenize", "--sfDir", SF_DIR, "--merges", "8", "--output", out])
+    assert rc == 0
+    back = spark.read.parquet(out)
+    total = back.agg({"n_tokens": "sum"}).collect()[0][0]
+    census = bpe.tokenize_census(spark, SF_DIR, n_merges=8)
+    census_total = census.agg({"total_bpe_tokens": "sum"}).collect()[0][0]
+    assert total == census_total
+    # per-row consistency: n_tokens == len(tokens)
+    import pyspark.sql.functions as F
+
+    assert back.filter(F.col("n_tokens") != F.size("tokens")).count() == 0
+
+
+def test_pack_cli_assignment_is_budget_consistent(spark, tmp_path):
+    """pack: every document's start_offset div budget equals its seq_id
+    and the tape is gapless (sum of n_tokens == max offset + last doc)."""
+    from symat_hbase_tools_spark.cli import main
+
+    out = str(tmp_path / "packed")
+    rc = main(["pack", "--sfDir", SF_DIR, "--budget", "512", "--output", out])
+    assert rc == 0
+    import pyspark.sql.functions as F
+
+    back = spark.read.parquet(out)
+    bad = back.filter(F.expr("start_offset div 512") != F.col("seq_id")).count()
+    assert bad == 0
+    agg = back.agg(
+        F.sum("n_tokens").alias("s"),
+        F.max(F.col("start_offset") + F.col("n_tokens")).alias("m"),
+    ).collect()[0]
+    assert agg["s"] == agg["m"]
