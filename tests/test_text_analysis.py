@@ -697,3 +697,66 @@ def test_ngram_novelty_matches_python(spark, documents):
         assert nov == n_owned / len(shingles)
         total_owned += n_owned
     assert total_owned == len(owner)
+
+
+def test_word_entropy_boundary_distributions(spark, tmp_path, monkeypatch):
+    """Entropy boundaries: an all-one-word doc has entropy 0 and NULL
+    normalized entropy (no scale at n_distinct=1); an all-distinct doc has
+    entropy ln(n) and normalized entropy exactly 1."""
+    import math
+
+    from symat_hbase_tools_spark.operators import text_analysis as ta
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup dup dup dup dup dup", "en", "s", 23),
+            (2, "one two three four five six seven eight", "en", "s", 39),
+            (3, "a a a b b c", "en", "s", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "ent")
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    out = {r["doc_id"]: r for r in ta.word_entropy(spark, sf_dir).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["norm_entropy"] is None
+    assert out[2]["entropy"] == round(math.log(8), 6)
+    assert out[2]["norm_entropy"] == 1.0
+    # mixed doc: -sum p ln p over (3/6, 2/6, 1/6)
+    want = -sum(c / 6 * math.log(c / 6) for c in (3, 2, 1))
+    assert abs(out[3]["entropy"] - want) < 1e-6
+    assert out[3]["n_tokens"] == 6 and out[3]["n_distinct"] == 3
+
+
+def test_pmi_collocations_exclusive_pair_tops(spark, tmp_path):
+    """A bigram that ALWAYS co-occurs exclusively maximizes PMI: with
+    cl(w1)=cr(w2)=c12, pmi = ln(N / c12) — the top collocation beats any
+    pair whose parts also appear apart."""
+    import math
+
+    from symat_hbase_tools_spark.operators import text_analysis as ta
+
+    # 'san francisco' x6 exclusive; filler gives 'the cat' diluted counts
+    rows = []
+    for i in range(6):
+        rows.append((i, "san francisco is the cat place", "en", "s", 30))
+    for i in range(6, 12):
+        rows.append((i, "the dog saw the cat and the bird", "en", "s", 32))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "pmi")
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    out = ta.pmi_collocations(spark, sf_dir, min_count=5, top_k=10).collect()
+    assert out, "no collocations above min_count"
+    # every FULLY exclusive pair (cl = cr = c12) ties at the maximum
+    # pmi = ln(N / c12); (san, francisco) must be in that top group, and
+    # diluted pairs (e.g. involving 'the'/'cat', which appear in multiple
+    # contexts) must score strictly lower
+    n_bigrams = 6 * 5 + 6 * 7  # 6 docs x 5 bigrams + 6 docs x 7 bigrams
+    top_pmi = out[0]["pmi"]
+    assert top_pmi == round(math.log(n_bigrams / 6), 6)
+    top_group = {(r["w1"], r["w2"]) for r in out if r["pmi"] == top_pmi}
+    assert ("san", "francisco") in top_group
+    assert all(
+        r["pmi"] < top_pmi for r in out if "the" in (r["w1"], r["w2"])
+    )
