@@ -1153,6 +1153,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         customer_cells(load_table(spark, sf, "customer")),
         target_bytes=SPLIT_TARGET_BYTES,
     ),
+    # round-11: salted-layout balance census (the third hotspot remedy)
+    "kv_salt_census": lambda spark, sf: kv.salt_census(
+        customer_cells(load_table(spark, sf, "customer"))
+    ),
     # round-11: the inverse advisor — adjacent thin-region merge pairs
     "kv_merge_candidates": lambda spark, sf: kv.merge_candidates(
         customer_cells(load_table(spark, sf, "customer")),
@@ -4207,6 +4211,19 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS codes_ok, TRUE AS quantization_ok
         FROM embeddings
     """,
+    # round-11: salt census — md5-derived portable salt byte, exact bytes
+    "kv_salt_census": (
+        "WITH cells AS (" + _unpivot_sql() + "), "
+        "pr AS (SELECT strpos('0123456789abcdef', substr(md5(row_key), 2, 1)) "
+        "              - 1 AS salt, row_key, "
+        "              CAST(SUM(strlen(row_key) + strlen(family) "
+        "                       + strlen(qualifier) + COALESCE(strlen(value), 0) + 8) "
+        "                   AS BIGINT) AS row_bytes "
+        "       FROM cells GROUP BY 1, 2) "
+        "SELECT CAST(salt AS INT) AS salt, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "       CAST(SUM(row_bytes) AS BIGINT) AS total_bytes "
+        "FROM pr GROUP BY 1"
+    ),
     # round-11: merge advisor — lead() over the prefix census in key order
     "kv_merge_candidates": (
         "WITH cells AS (" + _unpivot_sql() + "), "

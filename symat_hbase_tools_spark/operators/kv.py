@@ -325,3 +325,56 @@ def merge_candidates(
         "prefix_b",
         (F.col("bytes_a") + F.col("bytes_b")).alias("combined_bytes"),
     ).filter(F.col("combined_bytes") <= int(target_bytes))
+
+
+def salt_cells(cells: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Salted key layout: prefix every row key with ONE deterministic salt
+    byte — the standard HBase remedy for a monotonically-written hot
+    prefix (SCALING.md source geometry; the third leg of the hotspot
+    toolkit next to split_points and merge_candidates). All versions of a
+    row share its salt (the salt is a pure function of the key), so
+    row-atomic semantics survive; sequential writers spread across
+    n_salts ranges.
+
+    The salt byte is portable: the first md5 byte of the key bytes,
+    mod n_salts (n_salts <= 256) — reproducible in any engine, unlike a
+    JVM-seeded hash. Scan-within-salt stays key-ordered (the salt is a
+    PREFIX), so per-salt range scans remain possible; full-key scans read
+    n_salts ranges (the documented cost of salting).
+    """
+    if not 1 <= int(n_salts) <= 256:
+        raise ValueError("n_salts must be in [1, 256]")
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col("row")), 1, 2), 16, 10).cast("int"),
+        F.lit(int(n_salts)),
+    ).cast("int")
+    # unhex of a 2-hex-digit render = exactly one byte
+    salt_byte = F.unhex(F.lpad(F.hex(salt), 2, "0"))
+    return cells.withColumn("row", F.concat(salt_byte, F.col("row")))
+
+
+def unsalt_cells(salted: DataFrame) -> DataFrame:
+    """Strip the 1-byte salt prefix (read-path inverse of salt_cells)."""
+    return salted.withColumn(
+        "row", F.expr("substring(row, 2, 2147483647)").cast("binary")
+    )
+
+
+def salt_census(cells: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Per-salt balance evidence for a PLANNED salting: how many rows and
+    bytes each salt range would carry. A flat census = the salting will
+    spread load; n_salts buckets with exact integer byte math. (Runs on
+    the UNSALTED table — it predicts the layout without writing it.)"""
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col("row")), 1, 2), 16, 10).cast("int"),
+        F.lit(int(n_salts)),
+    )
+    per_row = (
+        cells.select(salt.alias("salt"), "row", _cell_bytes().alias("b"))
+        .groupBy("salt", "row")
+        .agg(F.sum("b").alias("row_bytes"))
+    )
+    return per_row.groupBy("salt").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("row_bytes").alias("total_bytes"),
+    )

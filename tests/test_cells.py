@@ -301,3 +301,43 @@ def test_merge_candidates_filter_and_adjacency(spark):
         for r in kv.merge_candidates(cells, target_bytes=2000, prefix_len=1).collect()
     }
     assert out2 == {("a", "b"), ("b", "c"), ("c", "d")}
+
+
+def test_salt_roundtrip_and_balance(spark, customer):
+    """salt_cells: one deterministic salt byte per key; unsalt is the
+    exact inverse; all versions of a key share its salt; the census
+    predicts the salted layout's balance."""
+    import pyspark.sql.functions as F
+
+    from symat_hbase_tools_spark.operators import kv
+    from symat_hbase_tools_spark.sources.cells import customer_cells
+
+    cells = customer_cells(customer.limit(120))
+    salted = kv.salt_cells(cells, n_salts=16)
+    # round-trip identity (full cell rows)
+    back = kv.unsalt_cells(salted)
+    assert back.exceptAll(cells).count() == 0
+    assert cells.exceptAll(back).count() == 0
+    # every key maps to exactly one salt (versions stay together)
+    one_salt = (
+        salted.select(F.expr("substring(row, 1, 1)").alias("s"),
+                      F.expr("substring(row, 2, 2147483647)").alias("k"))
+        .groupBy("k").agg(F.count_distinct("s").alias("ns"))
+    )
+    assert one_salt.filter(F.col("ns") != 1).count() == 0
+    # census totals conserve rows
+    census = kv.salt_census(cells, n_salts=16)
+    tot = census.agg(F.sum("n_rows")).collect()[0][0]
+    assert tot == 120
+    # salts actually spread (more than 4 distinct buckets on 120 keys)
+    assert census.count() > 4
+
+
+def test_salt_cells_rejects_bad_n_salts(spark, customer):
+    import pytest as _pytest
+
+    from symat_hbase_tools_spark.operators import kv
+    from symat_hbase_tools_spark.sources.cells import customer_cells
+
+    with _pytest.raises(ValueError):
+        kv.salt_cells(customer_cells(customer.limit(5)), n_salts=0)
