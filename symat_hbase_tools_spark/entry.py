@@ -1463,8 +1463,9 @@ _DRIVER_WINDOW = [
     # relational tail (first-time r6; q18/price_quantity_stats rotated
     # out r10 after four green rounds)
     "orders_fd_check",
-    # event-time analytics (first-time)
-    "events_mean_shift",
+    # events_mean_shift rotates out late-r11 (green r6-r10); the newest
+    # cell-layer op seats per the birth-round discipline
+    "kv_salt_census",
     # data quality / robust stats: orders_price_mad rotates out r11
     # (green r6-r10); the Pareto census seats as the family's newest
     "customer_abc_analysis",
