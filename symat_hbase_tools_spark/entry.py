@@ -1286,6 +1286,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pq_fit": lambda spark, sf: similarity.embedding_pq_fit(spark, sf),
     "ann_pq_topk": lambda spark, sf: similarity.ann_pq_topk(spark, sf),
     "ann_pq_recall_check": similarity.ann_pq_recall_check,
+    # round-11: the COMPOSED serving architecture — IVF cell pruning +
+    # compressed-domain ADC scan + exact refine
+    "ann_ivfpq_topk": lambda spark, sf: similarity.ann_ivfpq_topk(spark, sf),
+    "ann_ivfpq_recall_check": similarity.ann_ivfpq_recall_check,
     "embedding_pq_check": lambda spark, sf: similarity.embedding_pq_check(
         spark, sf
     ),
@@ -4311,6 +4315,11 @@ ORACLE_SQL: dict[str, str] = {
         SELECT 'pq' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
         FROM embeddings
     """,
+    # round-11: IVF-PQ composed-serving recall floor
+    "ann_ivfpq_recall_check": """
+        SELECT 'ivfpq' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
+        FROM embeddings
+    """,
     # round-11: containment — same shingle CTE as the Jaccard oracles;
     # C = i / min(n1, n2), no length filter by design
     "doc_containment_pairs": """
@@ -4488,6 +4497,7 @@ ROWS_ONLY_CHECK_TWINS: dict[str, str] = {
     "embedding_pca_project": "embedding_pca_check",
     "embedding_pq_fit": "embedding_pq_check",
     "ann_pq_topk": "ann_pq_recall_check",
+    "ann_ivfpq_topk": "ann_ivfpq_recall_check",
     "embedding_kmeans_fit": "embedding_kmeans_check",
 }
 

@@ -2583,7 +2583,15 @@ def ann_pq_topk(
         .filter(F.col("rk") <= R)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank, JVM-side: cosine from the RAW vectors
+    return _exact_cosine_rerank(shortlist, base, k)
+
+
+def _exact_cosine_rerank(shortlist: DataFrame, base: DataFrame, k: int) -> DataFrame:
+    """Exact JVM-side cosine re-rank of (query_id, neighbor_id) shortlist
+    pairs against the RAW vectors — the "refine" stage shared by the
+    flat-PQ and IVF-PQ serving paths. zip_with dot in fixed evaluation
+    order (deterministic), window top-k per query over the bounded
+    shortlist rows only."""
     qv = base.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
     nv = base.select(
         F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")
@@ -2616,5 +2624,184 @@ def ann_pq_topk(
 def ann_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(
         spark, sf_dir, "pq", ann_pq_topk(spark, sf_dir, k=5),
+        floor=PQ_RECALL_FLOOR,
+    )
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 64,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+    n_assign: int = 3,
+    cell_shortlist_mult: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composed 100 TB serving
+    architecture (FAISS's IVFPQ + refine): the IVF coarse quantizer
+    prunes to ``n_probe`` cells per query, the PQ codes make the scan
+    INSIDE each cell compressed-domain (ADC over m codes/vector — the
+    cell kernel never touches raw member vectors), and an exact cosine
+    re-rank ("refine") of the merged shortlist restores precision.
+    ``ann_ivf_topk`` is the exact-in-cell half, ``ann_pq_topk`` the
+    flat-compressed half; this composes them.
+
+    Pipeline:
+      1. coarse codebook (cached seeded Lloyd, ~sqrt(n) cells) + spilled
+         assignment (n_assign nearest cells per vector — the boundary-miss
+         fix, same as IVF);
+      2. PQ codebooks on L2-normalized vectors; members encoded ONCE (a
+         narrow Arrow map adds `codes` to the assignment);
+      3. per query: probe the n_probe nearest cells (cell ids + the raw
+         query vector ride the probe rows);
+      4. cogroup on cell id: the kernel builds each query's (m x n_codes)
+         LUT and gathers ADC distances against the cell's CODES —
+         per-candidate cost is m table gathers, no multiplies, and the
+         shuffled member payload is m ints instead of d doubles (the
+         compression is IN THE PLAN, not just on disk);
+      5. per-cell shortlist (cell_shortlist_mult*k by (distance, id)),
+         global merge window, exact re-rank of the merged shortlist via
+         the shared ``_exact_cosine_rerank``.
+
+    Recall comes from three levers (probe fraction, spill, shortlist
+    depth); the oracle-paired ``ann_ivfpq_recall_check`` floor-asserts
+    the composition end-to-end. Rows-only in the registry (k-means +
+    Lloyd are not SQL-expressible).
+    """
+    import numpy as np
+
+    base = _emb(spark, sf_dir)
+    n = base.count()
+    if n_cells is None:
+        n_cells = _adaptive_cells(n)
+    if n_probe is None:
+        n_probe = max(3, n_cells // 3)
+    centers, with_vec = _codebook_cached(spark, sf_dir, n_cells, seed)
+    bc_centers = spark.sparkContext.broadcast(centers)
+    books, d, _ = _pq_fit_codebooks(base, m, n_codes, seed + 100, normalize=True)
+    ds = d // m
+    bc_books = spark.sparkContext.broadcast(books)
+
+    # members: spilled cell assignment + PQ codes, one narrow map each
+    assigned = _cell_assign(with_vec, bc_centers, n_assign)
+
+    def encode(batches):
+        import pandas as pd
+
+        C = bc_books.value
+        for b in batches:
+            if b.empty:
+                continue
+            E = np.array(b["emb"].tolist(), dtype=np.float64)
+            E = E / np.linalg.norm(E, axis=1, keepdims=True)
+            codes = np.empty((len(E), m), dtype=np.int32)
+            for j in range(m):
+                S = E[:, j * ds : (j + 1) * ds]
+                dist = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": b["vec_id"],
+                    "cell": b["cell"],
+                    "codes": list(codes),
+                }
+            )
+
+    members = assigned.mapInPandas(
+        encode, schema="neighbor_id long, cell int, codes array<int>"
+    )
+
+    def query_probes(batches):
+        import pandas as pd
+
+        C = bc_centers.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            dq = _sqdist_to_centers(Q, C)
+            probes = np.argsort(dq, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"].repeat(n_probe),
+                    "qe": pdf["emb"].repeat(n_probe),
+                    "cell": probes.ravel(),
+                }
+            )
+
+    q = base.mapInPandas(
+        query_probes, schema="query_id long, qe array<double>, cell int"
+    )
+
+    R_cell = int(cell_shortlist_mult) * int(k)
+
+    def adc_cell_kernel(qg, cg):
+        import pandas as pd
+
+        if qg.empty or cg.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "neg_d2": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "neg_d2": "float64"})
+        C = bc_books.value
+        Q = np.array(qg["qe"].tolist(), dtype=np.float64)
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        q_ids = qg["query_id"].to_numpy()
+        codes = np.array(cg["codes"].tolist(), dtype=np.int64)
+        c_ids = cg["neighbor_id"].to_numpy()
+        # per-query LUT for THIS cell's queries (rebuilt per probed cell —
+        # the per-query-once precompute is a serving-layer cache; here the
+        # rebuild is m*n_codes*ds flops per query-probe, amortized over
+        # the cell's members)
+        out_q, out_n, out_d = [], [], []
+        q_step = max(1, KERNEL_SLICE_ELEMS // max(1, len(c_ids)))
+        for lo in range(0, len(q_ids), q_step):
+            Qs = Q[lo : lo + q_step]
+            ids_s = q_ids[lo : lo + q_step]
+            L = np.empty((len(Qs), m, n_codes), dtype=np.float64)
+            for j in range(m):
+                Sq = Qs[:, j * ds : (j + 1) * ds]
+                L[:, j, :] = ((Sq[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+            d2 = np.zeros((len(Qs), len(c_ids)))
+            for j in range(m):
+                d2 += L[:, j, :][:, codes[:, j]]
+            sims = -d2
+            sims[ids_s[:, None] == c_ids[None, :]] = -np.inf
+            rr = min(R_cell, sims.shape[1])
+            top, nbr = _topk_rows(sims, c_ids, rr)
+            keep = np.isfinite(top).ravel()
+            out_q.append(np.repeat(ids_s, rr)[keep])
+            out_n.append(nbr.ravel()[keep])
+            out_d.append(top.ravel()[keep])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "neg_d2": np.concatenate(out_d),
+            }
+        )
+
+    local = (
+        q.groupby("cell")
+        .cogroup(members.groupby("cell"))
+        .applyInPandas(
+            adc_cell_kernel, schema="query_id long, neighbor_id long, neg_d2 double"
+        )
+    )
+    wS = Window.partitionBy("query_id").orderBy(F.desc("neg_d2"), "neighbor_id")
+    shortlist = (
+        local.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(wS))
+        .filter(F.col("rk") <= R_cell * max(1, n_probe // 2))
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_cosine_rerank(shortlist, base, k)
+
+
+def ann_ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_check(
+        spark, sf_dir, "ivfpq", ann_ivfpq_topk(spark, sf_dir, k=5),
         floor=PQ_RECALL_FLOOR,
     )

@@ -1117,3 +1117,19 @@ def test_pq_census_matches_pure_numpy(spark):
                 round(float(d2g[mask].sum()) / int(mask.sum()) / 1e9, 6),
             )
     assert got == want
+
+
+def test_ivfpq_cell_scan_is_compressed_domain(spark):
+    """The IVF-PQ member side shuffled into the cell cogroup must carry PQ
+    CODES, not raw embedding arrays — the compression must be in the PLAN
+    (a codes column of m smallints vs d doubles), not just a storage
+    claim. Also: recall floor holds (the check's own assertion)."""
+    from symat_hbase_tools_spark.operators import similarity as S
+
+    df = S.ann_ivfpq_topk(spark, SF_DIR, k=3)
+    plan = df._jdf.queryExecution().toString()
+    # the cogroup kernel's member schema is (neighbor_id, cell, codes) —
+    # raw member vectors appear only in the final refine join
+    assert "codes" in plan
+    check = S.ann_ivfpq_recall_check(spark, SF_DIR).collect()[0]
+    assert check["recall_ok"] is True and check["method"] == "ivfpq"
