@@ -1481,8 +1481,10 @@ _DRIVER_WINDOW = [
     # fast-path swap; knn_cosine_topk returns as the exact-ANN baseline
     "kv_latest_version",
     "events_burst_users",
-    # dedup / contamination (first-time)
-    "doc_contamination_bloom",
+    # doc_contamination_bloom rotates out late-r11 (green r6-r10; fuzzy +
+    # overlap stay seated as the family's reps); the composed IVF-PQ
+    # check seats per the birth-round discipline
+    "ann_ivfpq_recall_check",
     # embeddings: the rows-only-by-design ops (embedding_near_dup_lsh,
     # embedding_semantic_dedup, embedding_pca_project) seat their
     # ORACLE-PAIRED check twins instead — same code paths exercised, but
