@@ -253,7 +253,14 @@ def main(argv: list[str] | None = None) -> int:
         help="build / append to / query a persisted IVF ANN index "
         "(build once, serve many — the >1M-vector regime)",
     )
-    ai.add_argument("--action", choices=["build", "append", "query"], required=True)
+    ai.add_argument(
+        "--action",
+        choices=["build", "append", "query", "add-pq", "query-pq"],
+        required=True,
+        help="add-pq attaches the compressed PQ layer (codebooks + "
+        "cell-partitioned codes); query-pq serves from it (ADC scan of "
+        "codes only + exact refine). Re-run add-pq after append.",
+    )
     ai.add_argument("--indexDir", required=True, help="index root (centroids/ + assignments/)")
     ai.add_argument("--sfDir", default="/root/testdata/sf0.001",
                     help="build: corpus dir containing embeddings.parquet")
@@ -689,6 +696,11 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 print(f"built index at {args.indexDir}: cells={cells} n_assign={args.nAssign}")
                 return 0
+            if args.action == "add-pq":
+                S.ivf_index_add_pq(spark, args.indexDir)
+                n = spark.read.parquet(f"{args.indexDir}/pq_codes").count()
+                print(f"encoded {n} rows into {args.indexDir}/pq_codes")
+                return 0
             if not args.vectors:
                 print("error: --vectors required for append/query", file=sys.stderr)
                 return 1
@@ -704,7 +716,10 @@ def main(argv: list[str] | None = None) -> int:
             n_probe = (
                 args.nProbe if args.nProbe is not None else max(3, n_cells // 4)
             )
-            out = S.ann_ivf_query(spark, args.indexDir, vecs, k=args.k, n_probe=n_probe)
+            query_fn = (
+                S.ann_ivfpq_query if args.action == "query-pq" else S.ann_ivf_query
+            )
+            out = query_fn(spark, args.indexDir, vecs, k=args.k, n_probe=n_probe)
             out.show(20, truncate=False)
             if args.output:
                 out.write.mode("overwrite").parquet(args.output)

