@@ -392,24 +392,16 @@ def main(argv: list[str] | None = None) -> int:
                 survivors = docs.join(keepers, "doc_id", "left_semi")
             elif args.method == "containment":
                 # a contained (smaller) doc is subsumed by its container:
-                # drop it. n_small identifies the smaller side; ties (equal
-                # shingle counts) drop the larger doc_id for determinism.
+                # drop it. The drop side comes from the CAPPED sizes the
+                # pair itself carries (n1/n2) — recomputing uncapped sizes
+                # here could disagree with the containment denominator
+                # when max_shingle_df is active. Ties (equal shingle
+                # counts) drop the larger doc_id for determinism.
                 pairs = dd_ops.containment_pairs(spark, args.sfDir)
-                sizes = (
-                    dd_ops._doc_shingles(spark, args.sfDir, 3)
-                    .select(
-                        "doc_id",
-                        F.size(F.array_distinct(F.col("sh"))).alias("ns"),
-                    )
-                )
-                s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("ns").alias("ns1"))
-                s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("ns").alias("ns2"))
                 drops = (
-                    pairs.join(s1, "d1")
-                    .join(s2, "d2")
-                    .select(
-                        F.when(F.col("ns1") < F.col("ns2"), F.col("d1"))
-                        .when(F.col("ns2") < F.col("ns1"), F.col("d2"))
+                    pairs.select(
+                        F.when(F.col("n1") < F.col("n2"), F.col("d1"))
+                        .when(F.col("n2") < F.col("n1"), F.col("d2"))
                         .otherwise(F.greatest("d1", "d2"))
                         .alias("doc_id")
                     )

@@ -799,6 +799,36 @@ def ann_ivf_indexed_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sf_dirs whose shared scratch IVF index already carries the PQ layer
+#: (ivf_index_add_pq is idempotent but not free — one encode pass over
+#: the indexed vectors; amortize it the same way the index build is)
+_IVF_PQ_LAYERED: set = set()
+
+
+def ann_ivfpq_indexed_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall floor check for the PERSISTED IVF-PQ serving path — the
+    add-pq/query-pq CLI lifecycle (build once, encode once, serve many)
+    that the in-session ``ann_ivfpq_recall_check`` cannot cover: here the
+    ADC scan reads the cell-partitioned ``pq_codes/`` tree with probe-list
+    directory pruning and never opens the raw-vector files, exactly the
+    FAISS-style serving shape SCALING.md documents for the 100 TB corpus.
+
+    Shares the amortized per-(sf_dir, mtime) index with
+    ``ann_ivf_indexed_recall_check``; the PQ layer (m=16, 64 codes — the
+    round-11 tuning for these unclustered embeddings) is attached once
+    per process. Floor PQ_RECALL_FLOOR (0.9) vs exact brute force at
+    n_probe=6/16 — the same probe depth as the plain indexed check."""
+    idx = _ivf_index_for(spark, sf_dir)
+    if idx not in _IVF_PQ_LAYERED:
+        similarity.ivf_index_add_pq(spark, idx, m=16, n_codes=64)
+        _IVF_PQ_LAYERED.add(idx)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = similarity.ann_ivfpq_query(spark, idx, emb, k=5, n_probe=6)
+    return similarity._ann_recall_check(
+        spark, sf_dir, "ivfpq_indexed", ann, floor=similarity.PQ_RECALL_FLOOR
+    )
+
+
 def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
     """The per-(sf_dir, mtime) process-scratch IVF index both indexed
     checks share (n_cells=16, n_assign=3 — the serving configuration)."""
@@ -1015,7 +1045,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
     # round-11: asymmetric containment (quote/subset detection — high
     # containment at low Jaccard is the size-mismatched case)
-    "doc_containment_pairs": lambda spark, sf: dedup.containment_pairs(spark, sf),
+    "doc_containment_pairs": lambda spark, sf: dedup.containment_pairs(
+        spark, sf
+    ).select("d1", "d2", "n_small", "containment"),
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     "dedup_simhash_portable": dedup.simhash_portable_pairs,
     "doc_dup_spans": dedup.dup_span_census,
@@ -1027,6 +1059,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall_check": similarity.ann_lsh_recall_check,
     "ann_ivf_recall_check": similarity.ann_ivf_recall_check,
     "ann_ivf_indexed_recall_check": ann_ivf_indexed_recall_check,
+    # round-12: the persisted add-pq/query-pq serving path's recall row
+    "ann_ivfpq_indexed_recall_check": ann_ivfpq_indexed_recall_check,
     "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
         spark, sf, threshold=0.4
     ),
@@ -3199,6 +3233,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "ann_ivf_indexed_recall_check": """
         SELECT 'ivf_indexed' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
+        FROM embeddings
+    """,
+    "ann_ivfpq_indexed_recall_check": """
+        SELECT 'ivfpq_indexed' AS method, COUNT(*) AS n_queries,
+               TRUE AS recall_ok
         FROM embeddings
     """,
     # embedding_near_dup_lsh itself is rows-only (bucket collisions are

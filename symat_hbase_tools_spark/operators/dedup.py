@@ -892,7 +892,29 @@ MAX_HOT_SHINGLES = 100_000
 #: route whose candidate pruning pays for itself. Measured: sf0.1
 #: estimates ~2.8M (exact 0.6 s vs prefix 0.9-1.8 s), the 10x probe ~28M
 #: (exact 9.1 s vs prefix 1.9 s) — the bound sits ~3x from both.
+#: exact-route volume budget PER PARALLEL SLOT. The round-11 measurement
+#: (8M exploded self-join rows was the break-even on the 32-core test
+#: host) normalizes to 250k rows/slot; the router multiplies by the
+#: session's defaultParallelism so a 1000-executor cluster admits
+#: proportionally larger corpora on the exact path while a 4-core laptop
+#: flips to prefix earlier. Cluster-portable by construction — the
+#: threshold tracks the hardware instead of hard-coding this host.
+EXACT_ROUTE_ROWS_PER_SLOT = 250_000
+
+#: legacy fixed threshold (the round-11 32-core measurement); kept for
+#: reference and as the floor so tiny local[1] test sessions don't flip
+#: mid-suite
 EXACT_ROUTE_MAX_JOIN_ROWS = 8_000_000
+
+
+def exact_route_max_join_rows(spark: SparkSession) -> int:
+    """Parallelism-scaled exact-route threshold: max(legacy 8M floor,
+    250k rows per default-parallelism slot). On this 32-core host the
+    product equals the measured 8M; on a 1000-slot cluster it grows to
+    250M — the exploded self-join is embarrassingly parallel after the
+    shuffle, so per-slot work is the quantity that must stay bounded."""
+    par = max(1, int(spark.sparkContext.defaultParallelism))
+    return max(EXACT_ROUTE_MAX_JOIN_ROWS, EXACT_ROUTE_ROWS_PER_SLOT * par)
 
 
 def _shingle_df_census(
@@ -1035,7 +1057,7 @@ def prefix_filter_pairs(
         hot, volume = _shingle_df_census(spark, sf_dir, n, cutoff=hot_df_cutoff)
         route = (
             "exact"
-            if not hot and volume <= EXACT_ROUTE_MAX_JOIN_ROWS
+            if not hot and volume <= exact_route_max_join_rows(spark)
             else "prefix"
         )
     elif route == "prefix":
@@ -1200,7 +1222,10 @@ def containment_pairs(
     Scale shape: identical to the Jaccard join — one partial-aggregated
     df cap pass, the SHUFFLE_HASH shingle self-join, a (d1, d2) count
     aggregate, size joins on the reduced pair table. Output: d1 < d2,
-    n_small, containment (rounded 6).
+    n1, n2 (the CAPPED per-side sizes — consumers deriving a drop side
+    must use these, not recomputed uncapped sizes, so the orientation
+    always agrees with the containment denominator), n_small,
+    containment (rounded 6).
     """
     sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
         "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
@@ -1210,6 +1235,8 @@ def containment_pairs(
         .select(
             "d1",
             "d2",
+            F.col("n1"),
+            F.col("n2"),
             F.least("n1", "n2").alias("n_small"),
             F.round(
                 F.col("i").cast("double") / F.least("n1", "n2"), 6

@@ -1628,9 +1628,29 @@ def ivf_index_append(
     _invalidate_ivf_relations(index_dir)
 
 
-#: probe-table caches outstanding from ann_ivf_query calls; each new call
-#: releases the previous call's cache (bounded at one call's worth)
+#: probe-table caches outstanding from ann_ivf_query / ann_ivfpq_query
+#: calls; each new call releases the previous call's cache (bounded at
+#: one call's worth)
 _IVF_PROBE_CACHES: list = []
+
+
+def _release_probe_caches() -> None:
+    """Serve-many hygiene shared by the persisted IVF and IVF-PQ query
+    paths: release the PREVIOUS call's probe cache before persisting a
+    new one — without this, cached probe blocks accumulate across calls
+    in a long-lived session until the context cleaner happens to GC
+    them. Callers materialize each result before issuing the next query
+    (the CLI / entry paths do), so the released cache is no longer
+    referenced by a live plan."""
+    while _IVF_PROBE_CACHES:
+        prev = _IVF_PROBE_CACHES.pop()
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            # the session that persisted it was stopped — its cached
+            # blocks died with the context; a throw here would wedge
+            # the next query in the NEW session until process restart
+            pass
 
 #: per-process memo of the index relations (the DataFrame handle, NOT the
 #: data): re-issuing spark.read.parquet per query re-runs the parallel
@@ -1718,21 +1738,7 @@ def _ivf_query_impl(
 
     from pyspark import StorageLevel
 
-    # serve-many hygiene: release the PREVIOUS call's probe cache before
-    # persisting a new one — without this, cached probe blocks accumulate
-    # across calls in a long-lived session until the context cleaner
-    # happens to GC them. Callers materialize each result before issuing
-    # the next query (the CLI / entry paths do), so the released cache is
-    # no longer referenced by a live plan.
-    while _IVF_PROBE_CACHES:
-        prev = _IVF_PROBE_CACHES.pop()
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            # the session that persisted it was stopped — its cached
-            # blocks died with the context; a throw here would wedge
-            # the next query in the NEW session until process restart
-            pass
+    _release_probe_caches()
 
     # persist: the probe table is referenced TWICE (the probed-cell
     # collect below and the cogroup) — without it the query scan + probe
@@ -2266,6 +2272,16 @@ def matryoshka_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: overflow-guard assumption for the PQ census integer grid: a single
+#: (subspace, code) cell is assumed to hold at most this many members
+#: (10^9 rows in ONE of the m*k cells is beyond a 100 TB corpus); the
+#: encode kernel asserts every per-item grid value leaves this much
+#: summation headroom inside int64 — i.e. per-item d2 <= ~9.2, which
+#: normalized embeddings always satisfy (subspace slices have norm <= 1,
+#: so d2 <= 4) while huge unnormalized magnitudes trip loudly
+PQ_CENSUS_MAX_CELL = 10**9
+
+
 def embedding_pq_fit(
     spark: SparkSession, sf_dir: str, m: int = 4, k: int = 16, seed: int = 42
 ) -> DataFrame:
@@ -2319,9 +2335,27 @@ def embedding_pq_fit(
                 # grid: the census sum is then an order-free BIGINT sum —
                 # partitioning/batching cannot move the rounded mean by an
                 # ulp (the module's exact-integer-sum discipline)
-                d2s.append(
-                    np.round(dist[np.arange(len(S)), cj] * 1e9).astype(np.int64)
-                )
+                d2_grid = np.round(
+                    dist[np.arange(len(S)), cj] * 1e9
+                ).astype(np.int64)
+                # overflow headroom: the per-cell BIGINT sum is exact only
+                # while sum(d2_1e9) < 2^63. Guard per item against the
+                # documented corpus bound — if every item in a cell hit
+                # this magnitude the cell would need > PQ_CENSUS_MAX_CELL
+                # members to overflow. Unnormalized embeddings with huge
+                # magnitudes trip this loudly instead of silently
+                # corrupting mean_sq_dist; remedy: normalize the vectors
+                # or census on a coarser grid.
+                worst = int(np.abs(d2_grid).max()) if len(d2_grid) else 0
+                if worst > (2**63 - 1) // PQ_CENSUS_MAX_CELL:
+                    raise ValueError(
+                        "embedding_pq_fit: subspace squared distance "
+                        f"{worst / 1e9:.3e} exceeds the int64 census "
+                        f"headroom for {PQ_CENSUS_MAX_CELL:.0e} members "
+                        "per cell — normalize the embeddings or use a "
+                        "coarser grid"
+                    )
+                d2s.append(d2_grid)
             yield pd.DataFrame(
                 {
                     "subspace": np.concatenate(subs),
@@ -2947,6 +2981,10 @@ def ann_ivfpq_query(
             )
 
     from pyspark import StorageLevel
+
+    # same serve-many hygiene as ann_ivf_query: drop the previous
+    # call's persisted probe table before pinning a new one
+    _release_probe_caches()
 
     q = (
         queries.select(

@@ -1073,6 +1073,12 @@ def events_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     back. Nothing data-scale after the first aggregate.
     """
     events = load_table(spark, sf_dir, "events")
+    # POSITIVE-EPOCH ASSUMPTION (here and in events_burst_users /
+    # the seasonal backtest): Spark's floor()/pmod() floor toward -inf
+    # while the DuckDB oracle's // and % truncate toward zero — the two
+    # agree only for ts >= 1970-01-01. Event-log timestamps satisfy this
+    # by construction; a corpus with pre-epoch timestamps would need the
+    # oracle rewritten with explicit floor-division semantics.
     hod = F.pmod(F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000), 24).cast(
         "long"
     )
@@ -1114,6 +1120,7 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
     — never a data-scale shuffle; bounds ride along broadcast.
     """
     events = load_table(spark, sf_dir, "events")
+    # positive-epoch assumption — see events_seasonal_hourly
     hour = (F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000) * 3600).cast(
         "long"
     )
@@ -1172,6 +1179,7 @@ def events_burst_users(
     (sum of minute counts), never a second scan.
     """
     events = load_table(spark, sf_dir, "events")
+    # positive-epoch assumption — see events_seasonal_hourly
     minute = (F.floor(F.unix_micros(F.col("ts")) / 60_000_000) * 60).cast("long")
     per_min = events.groupBy(
         F.col("user_id"), minute.alias("m")

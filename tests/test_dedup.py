@@ -495,3 +495,31 @@ def test_prefix_filter_route_is_volume_based(spark, tmp_path):
     docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
     hot2, _ = dedup._shingle_df_census(spark, sf_dir, 3, cutoff=2)
     assert len(hot2) >= 1
+
+
+def test_exact_route_threshold_scales_with_parallelism(spark):
+    """The exact-vs-prefix break-even is cluster-portable: 250k exploded
+    join rows per default-parallelism slot, floored at the measured 8M
+    so small local sessions keep the round-11 behavior. A 1000-slot
+    cluster must admit proportionally larger corpora on the exact path."""
+    from unittest import mock
+
+    from symat_hbase_tools_spark.operators import dedup
+
+    class _FakeSC:
+        def __init__(self, par):
+            self.defaultParallelism = par
+
+    for par, want in [
+        (1, 8_000_000),  # floor: tiny sessions never flip below 8M
+        (32, 8_000_000),  # this host: reproduces the measured break-even
+        (1000, 250_000_000),  # cluster: scales with the hardware
+    ]:
+        fake = mock.Mock()
+        fake.sparkContext = _FakeSC(par)
+        assert dedup.exact_route_max_join_rows(fake) == want
+
+    # the live session agrees with the formula
+    live = dedup.exact_route_max_join_rows(spark)
+    par = spark.sparkContext.defaultParallelism
+    assert live == max(8_000_000, 250_000 * par)
