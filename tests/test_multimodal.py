@@ -147,3 +147,83 @@ def test_resize_real_decoder_is_stubbed(spark, documents):
 
     with pytest.raises(Exception, match="PIL"):
         resize_images(attach_payload(documents), use_real_decoder=True).collect()
+
+
+def _phash64(payload: bytes) -> int:
+    """Python mirror of the dHash kernel for parity tests."""
+    import numpy as np
+
+    n_cells = multimodal.PHASH_ROWS * multimodal.PHASH_COLS
+    a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    edges = (np.arange(n_cells + 1, dtype=np.int64) * len(a)) // n_cells
+    cs = np.concatenate(([0.0], np.cumsum(a)))
+    cnt = (edges[1:] - edges[:-1]).astype(np.float64)
+    sums = cs[edges[1:]] - cs[edges[:-1]]
+    means = np.divide(sums, cnt, out=np.zeros(n_cells), where=cnt > 0).reshape(
+        multimodal.PHASH_ROWS, multimodal.PHASH_COLS
+    )
+    bits = (means[:, 1:] > means[:, :-1]).ravel().astype(np.uint64)
+    fp = int((bits * (1 << np.arange(63, -1, -1, dtype=np.uint64))).sum())
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def test_perceptual_hash_matches_python_mirror(spark, documents):
+    """Spark kernel == the straight-line python fold, doc by doc."""
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in multimodal.perceptual_hashes(
+            multimodal.attach_payload(documents.limit(25))
+        ).collect()
+    }
+    for r in documents.limit(25).collect():
+        assert got[r["doc_id"]] == _phash64(r["text"].encode())
+
+
+def test_single_byte_edit_stays_within_hamming_two(spark, documents):
+    """The check twin's guarantee, asserted directly: replacing ONE byte
+    perturbs one grid cell, flipping at most the two adjacent gradient
+    bits — for every corpus document, at any payload length."""
+    for r in documents.limit(50).collect():
+        p = r["text"].encode()
+        if len(p) < 8:
+            continue
+        q = b"~" + p[1:]
+        d = _phash64(p) ^ _phash64(q)
+        assert bin(d & ((1 << 64) - 1)).count("1") <= 2
+
+
+def test_near_dup_pairs_band_join_is_exact(spark):
+    """Band blocking must equal brute force for hamming <= 3 (pigeonhole).
+
+    Payload pairs engineered at hamming 0/1/2 (recovered) and a far pair
+    (dropped); brute-force popcount over all fingerprints is the oracle."""
+    rows = []
+    base = bytes(range(256)) * 4
+    rows.append((1, base))
+    rows.append((2, base))  # identical -> hamming 0
+    rows.append((3, b"~" + base[1:]))  # one-byte edit -> <= 2
+    rows.append((4, bytes(255 - b for b in base)))  # inverted -> far
+    rows.append((5, base[::-1]))  # reversed -> far-ish
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in multimodal.perceptual_hashes(df).collect()
+    }
+    want = set()
+    ids = sorted(fps)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            x = (fps[d1] ^ fps[d2]) & ((1 << 64) - 1)
+            if bin(x).count("1") <= 3:
+                want.add((d1, d2))
+    got = {
+        (r["d1"], r["d2"])
+        for r in multimodal.near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert got == want
+    assert (1, 2) in got and (1, 3) in got
+
+
+def test_multimodal_near_dup_check_covers_all_plants(spark):
+    row = multimodal.multimodal_near_dup_check(spark, SF_DIR).collect()[0]
+    assert row["coverage_ok"] and row["n_planted"] > 0
