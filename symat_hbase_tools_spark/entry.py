@@ -445,6 +445,42 @@ def events_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_EO_SEQ = iter(range(1, 1 << 30))
+
+
+def events_rollup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming rollup, driver-verified ACROSS AN INJECTED
+    RETRY: the events table streams through the generation-sink
+    materialized view (streaming/rollup.py) one file per micro-batch, with
+    a crash injected at the worst point — batch 1's state generation fully
+    committed but the engine's commit-log record lost — then the stream
+    restarts from the same checkpoint and replays that batch. A green hash
+    here certifies the batch-id-keyed idempotent commit protocol
+    end-to-end: the replayed merge overwrites its own generation
+    byte-identically, so the rendered rollup equals the one-shot batch
+    aggregate (the events_hourly oracle verbatim) despite the retry.
+
+    Scale shape: per micro-batch the heavy work is a map-side partial
+    aggregate to O(hours x types) state rows; merge + generation write are
+    state-sized, never event-sized. Scratch dirs are per-call (run-seq
+    under the process mkdtemp root) — each invocation re-runs the full
+    crash drill."""
+    from symat_hbase_tools_spark.streaming import rollup
+
+    base = _scratch_path(f"rollup_eo_{next(_ROLLUP_EO_SEQ)}")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(4).write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    rollup.maintain_rollup_with_retry(
+        stream, f"{base}/state", f"{base}/ckpt", fail_once_at=1
+    )
+    return rollup.rollup_view(spark, f"{base}/state")
+
+
 REPAIR_TS = CELL_TS + 9000
 
 
@@ -1264,6 +1300,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_salted_agg": events_salted_agg,
     "doc_pii_scrub": text_analysis.pii_scrub,
     "events_exactly_once": relational.events_exactly_once,
+    # round-12: the REAL-stream exactly-once drill (injected post-commit
+    # crash + checkpoint replay through the generation sink)
+    "events_rollup_exactly_once": events_rollup_exactly_once,
     "orders_cohort_retention": relational.orders_cohort_retention,
     "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
     "embedding_near_dup_lsh_check": similarity.embedding_near_dup_lsh_check,
@@ -2020,6 +2059,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
     "events_hourly": f"""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               event_type, COUNT(*) AS n_events,
+               {_money('value')} AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    # round-12: the streaming crash-drill rollup must converge to the
+    # SAME one-shot hourly aggregate — exactly-once means the injected
+    # replay is invisible in the final state
+    "events_rollup_exactly_once": f"""
         SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
                event_type, COUNT(*) AS n_events,
                {_money('value')} AS sum_value

@@ -172,3 +172,55 @@ def maintain_rollup(
 def rollup_view(spark: SparkSession, state_dir: str) -> DataFrame:
     """The user-facing rollup rendered from the latest state."""
     return render_hourly_state(read_state(spark, state_dir))
+
+
+def maintain_rollup_with_retry(
+    stream: DataFrame, state_dir: str, checkpoint: str, fail_once_at: int = 1
+) -> None:
+    """Drain a bounded stream with ONE INJECTED POST-COMMIT FAILURE — the
+    crash-recovery drill that proves the generation sink's exactly-once
+    claim end-to-end, not just per-function.
+
+    The injected crash lands at the WORST point: ``merge_batch`` for batch
+    ``fail_once_at`` has fully committed its generation (_SUCCESS marker
+    down), but the foreachBatch body dies before Structured Streaming can
+    record the batch in its commit log — exactly the window where an
+    at-least-once sink double-counts. On restart from the same checkpoint
+    the engine replays that batch (same id, same file list from the
+    source log); ``merge_batch`` rebuilds ``gen=<id>`` from its parent and
+    the same input — byte-identical overwrite, so the replay is absorbed
+    and the final rollup equals the one-shot batch aggregate.
+    """
+    spark = stream.sparkSession
+    fired = {"done": False}
+
+    def body(batch: DataFrame, bid: int) -> None:
+        merge_batch(spark, batch, bid, state_dir)
+        if bid == fail_once_at and not fired["done"]:
+            fired["done"] = True
+            raise RuntimeError("injected post-commit failure (drill)")
+
+    def drain() -> None:
+        q = (
+            stream.writeStream.foreachBatch(body)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    try:
+        drain()
+    except Exception as e:  # noqa: BLE001 — only the injected drill may pass
+        if "injected post-commit failure" not in str(e):
+            raise
+    if not fired["done"]:
+        raise RuntimeError(
+            f"stream drained without reaching batch {fail_once_at} — the "
+            "retry drill did not exercise the recovery path"
+        )
+    # restart: the engine replays the uncommitted batch, then finishes
+    drain()

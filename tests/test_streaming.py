@@ -470,3 +470,34 @@ def test_streaming_ivf_ingest_is_searchable(spark, tmp_path):
     got = ann_ivf_query(spark, idx, held.limit(20), k=3, n_probe=4)
     assert got.count() > 0
     assert got.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_events_rollup_exactly_once_across_injected_retry(spark, tmp_path):
+    """The crash drill end-to-end: a post-commit failure at batch 1 (state
+    generation committed, engine commit-log record lost), restart from the
+    same checkpoint, replay absorbed — final rollup equals the one-shot
+    batch aggregate, and the injected path demonstrably fired (the drill
+    raises if the stream drains without reaching the target batch)."""
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from symat_hbase_tools_spark.streaming import rollup
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    rollup.maintain_rollup_with_retry(stream, state_dir, ckpt, fail_once_at=1)
+
+    snap = lambda df: {  # noqa: E731
+        (r["hour_epoch"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in df.collect()
+    }
+    assert snap(rollup.rollup_view(spark, state_dir)) == snap(
+        relational.events_hourly(spark, SF_DIR)
+    )
+    # storage stayed bounded through the crash + replay
+    assert len(rollup._gen_dirs(spark, state_dir)) <= rollup.KEEP_GENERATIONS
