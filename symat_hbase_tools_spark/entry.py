@@ -34,6 +34,7 @@ from symat_hbase_tools_spark.operators import (
     pca,
     pipeline,
     profiling,
+    rangejoin,
     relational,
     similarity,
     text_analysis,
@@ -1071,6 +1072,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_kv_state": events_kv_state,
     "asof_purchase_signup": relational.asof_purchase_signup,
     "events_sessionize": relational.events_sessionize,
+    # round-12: keyless range join (grid buckets) + sweep-line concurrency
+    "events_session_window_hits": rangejoin.events_session_window_hits,
+    "events_concurrency": rangejoin.events_concurrency,
     "events_session_window": events_session_window,
     "events_stateful_profiles": events_stateful_profiles,
     "purchase_attribution": relational.purchase_attribution,
@@ -1106,6 +1110,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives_ann_recall_check": similarity.hard_negatives_ann_recall_check,
     "hard_negatives_indexed_check": hard_negatives_indexed_check,
     "pipeline_curated_search": pipeline.curated_similarity_search,
+    # round-12: hybrid lexical+semantic retrieval (reciprocal-rank fusion)
+    "doc_hybrid_search_rrf": pipeline.hybrid_search_rrf,
+    # round-12: kNN-probe accuracy (the non-parametric rep-quality eval)
+    "embedding_knn_label_vote": similarity.knn_label_vote,
     # LLM-pipeline surface: text analysis
     "text_lang_id": text_analysis.lang_id,
     "text_quality_score": text_analysis.quality_score,
@@ -2394,6 +2402,75 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT nk, 'suppliers_only' FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)
     """,
+    # round-12: keyless point-in-interval join — the oracle runs the naive
+    # inequality join (DuckDB IEJoin handles test scales); the engine runs
+    # the grid-bucket equi-join, never a nested loop
+    "events_session_window_hits": """
+        WITH b AS (
+            SELECT user_id, epoch_us(ts) AS t_us, event_id,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+                        WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 28800000000 THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        sid AS (
+            SELECT user_id, t_us,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id
+                        ORDER BY t_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_seq
+            FROM b
+        ),
+        s AS (
+            SELECT user_id, session_seq,
+                   MIN(t_us) AS start_us, MAX(t_us) AS end_us,
+                   COUNT(*) AS n
+            FROM sid GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ),
+        p AS (SELECT event_id, epoch_us(ts) AS t_us FROM events
+              WHERE event_type = 'purchase')
+        SELECT p.event_id, p.t_us,
+               CAST(COUNT(*) AS BIGINT) AS n_active_sessions
+        FROM p JOIN s ON s.start_us <= p.t_us AND p.t_us <= s.end_us
+        GROUP BY 1, 2
+    """,
+    # round-12: sweep-line concurrency — one window cumsum over the total
+    # sweep order mirrors the engine's distributed prefix sum exactly
+    "events_concurrency": """
+        WITH b AS (
+            SELECT user_id, epoch_us(ts) AS t_us, event_id,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+                        WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 28800000000 THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        sid AS (
+            SELECT user_id, t_us,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id
+                        ORDER BY t_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_seq
+            FROM b
+        ),
+        s AS (
+            SELECT user_id, session_seq,
+                   MIN(t_us) AS start_us, MAX(t_us) AS end_us
+            FROM sid GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ),
+        d AS (
+            SELECT start_us AS t_us, 1 AS delta, user_id, session_seq FROM s
+            UNION ALL
+            SELECT end_us, -1, user_id, session_seq FROM s
+        )
+        SELECT t_us, user_id, session_seq, CAST(delta AS INT) AS delta,
+               CAST(SUM(delta) OVER (
+                   ORDER BY t_us, delta DESC, user_id, session_seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_active
+        FROM d
+    """,
     "events_sessionize": """
         WITH g AS (
             SELECT user_id,
@@ -3015,6 +3092,87 @@ ORACLE_SQL: dict[str, str] = {
                            i -> CAST(ascii(substr(cleaned, CAST(i AS INT), 1)) AS BIGINT))),
                    (h, ch) -> (h * 31 + ch) % 1000000007) AS clean_fp
         FROM c
+    """,
+    # round-12: kNN-probe accuracy — the knn oracle shape, then a majority
+    # vote (count DESC, label ASC tiebreak) and a per-class census
+    "embedding_knn_label_vote": """
+        WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings WHERE label IS NOT NULL),
+        knn AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+                                    c.vec_id
+                       ) AS rk
+                FROM e q JOIN e c ON q.vec_id <> c.vec_id
+            ) WHERE rk <= 5
+        ),
+        votes AS (SELECT knn.query_id, n.label AS n_label,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM knn JOIN e n ON knn.neighbor_id = n.vec_id
+                  GROUP BY 1, 2),
+        pred AS (SELECT query_id, n_label AS predicted FROM (
+            SELECT query_id, n_label,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY c DESC, n_label ASC) AS rk
+            FROM votes) WHERE rk = 1)
+        SELECT t.label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN p.predicted = t.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN p.predicted = t.label THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS accuracy
+        FROM e t LEFT JOIN pred p ON t.vec_id = p.query_id
+        GROUP BY 1
+    """,
+    # round-12: hybrid retrieval — the bm25 oracle CTE + a cosine list on
+    # the fixed query vector, fused by reciprocal rank (1/(60+rank))
+    "doc_hybrid_search_rrf": f"""
+        WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term
+                       FROM documents WHERE trim(text) <> ''),
+        dl AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS dl FROM documents),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        qt AS (SELECT unnest(['hash', 'join', 'scan']) AS term),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM words JOIN qt USING (term) GROUP BY 1, 2),
+        dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        bm AS (
+            SELECT doc_id,
+                   round(SUM(ln((CAST(n_docs AS DOUBLE) - df + 0.5)
+                                / (df + 0.5) + 1.0)
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))), 6)
+                       AS score
+            FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+                 CROSS JOIN stats
+            GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+        ),
+        lex AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                            AS BIGINT) AS lex_rank
+                FROM bm),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+        q AS (SELECT emb AS qe FROM e WHERE vec_id = 7),
+        simt AS (SELECT vec_id AS doc_id,
+                        round(list_cosine_similarity(e.emb, q.qe), 6) AS sim
+                 FROM e CROSS JOIN q WHERE vec_id <> 7
+                 ORDER BY sim DESC, doc_id LIMIT 20),
+        sem AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                            AS BIGINT) AS sem_rank
+                FROM simt),
+        f AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                     l.lex_rank, s.sem_rank,
+                     round(COALESCE(1.0 / (60.0 + l.lex_rank), 0)
+                           + COALESCE(1.0 / (60.0 + s.sem_rank), 0), 6)
+                         AS rrf_score
+              FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id)
+        SELECT doc_id, lex_rank, sem_rank, rrf_score
+        FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
     """,
     "text_bm25_search": f"""
         WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term

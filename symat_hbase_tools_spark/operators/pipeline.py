@@ -35,3 +35,98 @@ def curated_similarity_search(
         F.broadcast(kept), "vec_id", "left_semi"
     ).select("vec_id", "embedding")
     return brute_topk(spark, emb, k=k)
+
+
+#: reciprocal-rank-fusion constant (Cormack et al. 2009 — 60 is the
+#: canonical value; dampens the head so one list can't dominate)
+RRF_K = 60
+
+#: fixed hybrid-search query: the corpus vector whose embedding anchors
+#: the semantic list (its document is NOT excluded from the lexical list
+#: — BM25 knows nothing of the vector identity, mirroring real hybrid
+#: retrieval where the two indexes are independent)
+HYBRID_QUERY_VEC_ID = 7
+
+
+def hybrid_search_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = HYBRID_QUERY_VEC_ID,
+    query_terms: tuple[str, ...] = ("hash", "join", "scan"),
+    n_list: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the standard RAG
+    serving composition: a LEXICAL candidate list (BM25 over the inverted-
+    index shape) and a SEMANTIC list (cosine against a query embedding),
+    fused by rrf = sum over lists of 1/(RRF_K + rank). Rank fusion beats
+    score fusion because BM25 scores and cosines live on incomparable
+    scales; RRF needs only the orders.
+
+    Determinism: both lists rank on round-6 scores with doc_id tiebreaks
+    (the bm25_search / knn discipline), so the fused order is
+    hash-comparable cross-engine. Output: top-k (doc_id, lex_rank,
+    sem_rank, rrf_score) — NULL rank = absent from that list, the honest
+    single-list case RRF handles natively.
+
+    Scale shape: the lexical side walks only the query terms' postings
+    (see bm25_search); the semantic side is one narrow map over the
+    embeddings with the 1-row query vector broadcast (a 64-dim fold per
+    row — JVM-side zip_with/aggregate, no Python), then a top-n_list
+    TakeOrdered. The fusion join touches 2*n_list rows. Nothing here is
+    corpus-quadratic; at 100 TB the semantic list would come from the
+    persisted IVF-PQ index instead (same fused shape downstream)."""
+    from pyspark.sql import Window
+
+    from symat_hbase_tools_spark.operators.similarity import as_double
+    from symat_hbase_tools_spark.operators.text_analysis import bm25_search
+
+    lex = bm25_search(spark, sf_dir, query_terms=query_terms, k=n_list).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("lex_rank"),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    q = emb.filter(F.col("vec_id") == int(query_vec_id)).select(
+        F.col("emb").alias("q")
+    )
+    dot = "aggregate(zip_with(emb, q, (x, y) -> x * y), 0D, (a, v) -> a + v)"
+    nrm = (
+        "sqrt(aggregate(zip_with({c}, {c}, (x, y) -> x * y), 0D, (a, v) -> a + v))"
+    )
+    sim = F.round(
+        F.expr(dot) / (F.expr(nrm.format(c="emb")) * F.expr(nrm.format(c="q"))),
+        6,
+    )
+    sem = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != int(query_vec_id))
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(n_list)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim"), "doc_id"))
+            .alias("sem_rank"),
+        )
+    )
+
+    kk = float(RRF_K)
+    fused = lex.join(sem, "doc_id", "full").select(
+        "doc_id",
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("sem_rank").cast("long").alias("sem_rank"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(kk) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(kk) + F.col("sem_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(k)

@@ -1927,6 +1927,66 @@ def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_label_vote(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Leave-one-out kNN-probe accuracy — the non-parametric companion to
+    the linear probe (``regression.doc_probe_ridge``): how well do raw
+    embedding neighborhoods predict labels? The standard representation-
+    quality eval (kNN probe, e.g. DINO/SimCLR protocols): each labeled
+    vector is classified by majority vote of its k exact cosine neighbors
+    (self excluded), ties broken by smallest label for cross-engine
+    determinism.
+
+    Output census per true label: n_queries, n_correct, accuracy — the
+    per-class confusion diagonal, hash-comparable (counts are exact
+    integers; accuracy divides them).
+
+    Scale shape: the kNN set comes from the same broadcast-chunk BLAS
+    kernel as ``knn_cosine_topk`` (corpus streamed, never collected); the
+    vote is two partial-aggregated groupBys on (query, label) then one
+    window row_number over k rows per query — O(n*k) rows after the
+    search, nothing quadratic."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "embedding", F.col("label").cast("long").alias("label"))
+    )
+    knn = brute_topk(spark, e.select("vec_id", "embedding"), k=k)
+    n_lbl = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        knn.join(n_lbl, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("n_label").alias("predicted"))
+    )
+    truth = e.select(F.col("vec_id").alias("query_id"), "label")
+    return (
+        truth.join(pred, "query_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double")
+                / F.col("n_queries").cast("double")
+            ).alias("accuracy"),
+        )
+    )
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization — the standard 4x storage cut
     for embedding tables at corpus scale (float32 -> int8 + one float scale).
