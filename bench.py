@@ -132,6 +132,20 @@ HEADLINE = [
     "doc_containment_pairs",
     "multimodal_payload_dedup",
     "ann_pq_recall_check",
+    # late-round-11 operators (headline was frozen at 90 for artifact
+    # coherence last round — seated now per the r11 verdict ask #1)
+    "kv_salt_census",
+    "kv_merge_candidates",
+    "customer_abc_analysis",
+    "orders_duplicate_payments",
+    "lineitem_constraint_check",
+    # round-12 operators: perceptual media near-dup, keyless range join +
+    # sweep concurrency, kNN probe, hybrid RRF retrieval
+    "multimodal_near_dup_check",
+    "events_session_window_hits",
+    "events_concurrency",
+    "embedding_knn_label_vote",
+    "doc_hybrid_search_rrf",
 ]
 
 

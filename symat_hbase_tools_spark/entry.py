@@ -1467,10 +1467,11 @@ _DRIVER_WINDOW = [
     # embedding_norm_histogram); all stay sweep-covered and
     # test_oracle-covered.
     "kv_split_points",
-    # events_sessionize rotates out in r7 (driver-green r4/r5/r6) for the
-    # NEW events_stateful_profiles — the stateful-processor machinery run
-    # as a REAL stream and hash-matched against a SQL oracle
-    "events_stateful_profiles",
+    # Round-12 rotation: events_stateful_profiles rotates out (5x green
+    # r7-r11; stays sweep-covered and pytest-driven as a REAL stream) —
+    # the exactly-once crash drill seats as the streaming rep (injected
+    # post-commit failure + checkpoint replay through the generation sink)
+    "events_rollup_exactly_once",
     "events_seasonal_hourly",
     "events_seasonal_naive_backtest",
     "dedup_minhash_lsh",
@@ -1497,27 +1498,29 @@ _DRIVER_WINDOW = [
     # r6-seated quadruple-green relational vets rotate out
     # (q18_large_volume_customers, price_quantity_stats) — both stay in
     # the bench headline and the sweeps.
-    "doc_dsir_select",
-    "doc_ccnet_buckets",
-    # third r10 addition: embedding-space outlier cleaning
-    # (orders_stats_pushdown rotates out, r6-seated quadruple-green; its
-    # footer-only plan shape stays asserted in test_plans.py)
-    "embedding_outlier_flags",
-    # fourth r10 addition: tokenizer fertility census
-    # (sketch_event_stats rotates out, r6-seated quadruple-green)
-    "text_tokenizer_fertility",
-    # fifth r10 addition: fuzzy (near-dup) benchmark contamination
-    # (heavy_hitters_sketch rotates out, r6-seated quadruple-green)
-    "doc_contamination_fuzzy",
-    # sixth r10 addition: first-occurrence n-gram novelty
-    # (events_type_correlation rotates out, r6-seated quadruple-green)
-    "doc_ngram_novelty",
-    # seventh r10 addition: matryoshka truncation census
-    # (events_salted_agg rotates out, r6-seated quadruple-green)
-    "embedding_matryoshka_census",
-    # eighth r10 addition: exact-dyadic EWMA
-    # (events_exactly_once rotates out, r6-seated quadruple-green)
-    "events_ewma",
+    # Round-12 rotation: eight r10 vets rotate out double-green
+    # (doc_dsir_select, doc_ccnet_buckets, embedding_outlier_flags,
+    # text_tokenizer_fertility, doc_contamination_fuzzy, doc_ngram_novelty,
+    # embedding_matryoshka_census, events_ewma — all stay sweep-covered);
+    # the two late-r11 entries that never had a driver row seat first
+    "orders_duplicate_payments",
+    "lineitem_constraint_check",
+    # NEW round-12 (birth-round discipline — no registered query ends its
+    # birth round driver-unverified): the persisted IVF-PQ serving path's
+    # recall row (add-pq/query-pq lifecycle, the one serving architecture
+    # that had no driver-visible certificate)
+    "ann_ivfpq_indexed_recall_check",
+    # perceptual media near-dup (dHash byte raster): the planted-edit
+    # coverage twin carries the oracle-paired claim; the rows-only pair
+    # query sits at 51+ per the check-twin policy
+    "multimodal_near_dup_check",
+    # kNN-probe accuracy (the non-parametric rep-quality eval)
+    "embedding_knn_label_vote",
+    # hybrid BM25+cosine retrieval fused by reciprocal rank
+    "doc_hybrid_search_rrf",
+    # keyless grid-bucket range join + sweep-line concurrency
+    "events_session_window_hits",
+    "events_concurrency",
     # ninth/tenth r10 additions: Benford census + cohort triangle
     # (events_value_drift and doc_probe_gram rotate out — r5-seated,
     # driver-green r6-r9)
