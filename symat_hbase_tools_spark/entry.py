@@ -49,7 +49,11 @@ from symat_hbase_tools_spark.sources.cells import (
     customer_cells_versioned,
     customer_cells_with_deletes,
 )
-from symat_hbase_tools_spark.operators.sampling import _md5_cut
+from symat_hbase_tools_spark.operators.sampling import (
+    _md5_cut,
+    kcenter_check,
+    kcenter_select,
+)
 from symat_hbase_tools_spark.sources.tables import load_table
 
 POINT_GET_CUSTKEY = 42
@@ -1365,6 +1369,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_csv_roundtrip": docs_csv_roundtrip,
     # round-3: PPS systematic weighted sampling + k-means clustering
     "doc_sample_weighted": doc_sample_weighted,
+    # round-12: greedy k-center (farthest-point) diversity selection —
+    # rows-only (iterative greedy, not SQL-expressible); the invariants
+    # live in the oracle-paired check twin
+    "embedding_kcenter_select": kcenter_select,
+    "embedding_kcenter_check": kcenter_check,
     "embedding_kmeans_fit": similarity.embedding_kmeans_fit,
     "embedding_kmeans_check": similarity.embedding_kmeans_check,
     # round-11: product quantization (the PQ half of IVF-PQ serving) —
@@ -4618,6 +4627,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
         WHERE text IS NOT NULL AND octet_length(encode(text)) >= 8
     """,
+    # round-12: greedy k-center invariants — the oracle pins the selection
+    # size (least(8, corpus)) and the two booleans the engine must earn
+    "embedding_kcenter_check": """
+        SELECT CAST(least(8, COUNT(*)) AS BIGINT) AS k_selected,
+               TRUE AS distinct_ok, TRUE AS monotone_ok
+        FROM embeddings
+    """,
     # round-11: byte-identical payload dedup — sha-256 hex on both engines
     "multimodal_payload_dedup": """
         SELECT sha256(text) AS fp,
@@ -4764,6 +4780,7 @@ ROWS_ONLY_CHECK_TWINS: dict[str, str] = {
     "ann_ivfpq_topk": "ann_ivfpq_recall_check",
     "embedding_kmeans_fit": "embedding_kmeans_check",
     "multimodal_near_dup": "multimodal_near_dup_check",
+    "embedding_kcenter_select": "embedding_kcenter_check",
 }
 
 

@@ -332,3 +332,145 @@ def pps_systematic(
             first_point.cast("long").alias("sample_rank"),
         )
     )
+
+
+# --- k-center (farthest-point) diversity selection --------------------------
+
+#: default selection size for the registry form
+KCENTER_K = 8
+
+
+def kcenter_select(
+    spark, sf_dir: str, k: int = KCENTER_K
+) -> DataFrame:
+    """Greedy k-center (farthest-point) DIVERSITY selection over the
+    embedding corpus — the coverage-maximizing subset a curation pipeline
+    uses where PPS/stratified sampling would oversample dense regions
+    (facility-location/coreset selection, the Gonzalez 2-approximation).
+
+    Protocol (deterministic, layout-independent): vectors are L2
+    normalized; the first center is the vector farthest from the corpus
+    MEAN (tie -> smallest vec_id); each next center is the vector with
+    the largest distance to its nearest already-selected center (same
+    tie-break). Output: (rank, vec_id, sel_dist) where sel_dist is the
+    point's min-distance-to-selected AT SELECTION TIME — by the greedy
+    property this sequence is non-increasing (asserted by the check
+    twin), and sel_dist of the last row bounds the covering radius of
+    the whole corpus within a factor 2.
+
+    Scale shape: k passes, each a NARROW Arrow-batched map (centers
+    broadcast — k*d doubles) + one max_by aggregate; nothing is ever
+    collected except the k chosen vectors (k*d doubles/round). O(n*k*d)
+    work per pass is the honest cost of exact greedy; k is small by
+    construction (a diversity quota, not a sample size).
+    """
+    import numpy as np
+
+    from symat_hbase_tools_spark.operators.similarity import as_double
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .persist()
+    )
+
+    def mind_kernel(centers_bc):
+        def run(batches):
+            import pandas as pd
+
+            C = centers_bc.value  # (m, d) normalized
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                E = np.array(pdf["emb"].tolist(), dtype=np.float64)
+                E = E / np.linalg.norm(E, axis=1, keepdims=True)
+                d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "mind": np.sqrt(d2.min(axis=1)),
+                    }
+                )
+
+        return run
+
+    # seed reference: the corpus mean direction (one exact per-dimension
+    # moment pass — O(d) result rows, never the vectors themselves)
+    dim_sums = (
+        base.select(F.posexplode("emb").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .orderBy("dim")
+        .collect()
+    )
+    mean = np.array([r["s"] / r["c"] for r in dim_sums], dtype=np.float64)
+    mean = mean / (np.linalg.norm(mean) or 1.0)
+
+    k = min(int(k), base.count())  # metadata-cheap; guards tiny corpora
+    centers: list[np.ndarray] = [mean]
+    chosen: list[tuple[int, int, float]] = []
+    chosen_ids: set[int] = set()
+    for rank in range(1, int(k) + 1):
+        bc = spark.sparkContext.broadcast(
+            np.array(centers, dtype=np.float64)
+        )
+        scored = base.mapInPandas(
+            mind_kernel(bc), schema="vec_id long, mind double"
+        ).filter(~F.col("vec_id").isin(list(chosen_ids)) if chosen_ids else F.lit(True))
+        # farthest point, ties to the smallest vec_id: max over the
+        # (mind, -vec_id) struct order
+        top = scored.agg(
+            F.max(F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid"))).alias("w")
+        ).collect()[0]["w"]
+        sel_id, sel_d = -top["nid"], float(top["mind"])
+        vec = np.array(
+            base.filter(F.col("vec_id") == sel_id).collect()[0]["emb"],
+            dtype=np.float64,
+        )
+        vec = vec / np.linalg.norm(vec)
+        if rank == 1:
+            centers = [vec]  # drop the mean seed — it is not a member
+        else:
+            centers.append(vec)
+        chosen.append((rank, sel_id, round(sel_d, 6)))
+        chosen_ids.add(sel_id)
+    base.unpersist()
+    return spark.createDataFrame(
+        chosen, "rank int, vec_id long, sel_dist double"
+    )
+
+
+def kcenter_check(spark, sf_dir: str, k: int = KCENTER_K) -> DataFrame:
+    """Oracle-paired invariants for the greedy k-center selection: exactly
+    k distinct centers chosen from the corpus, and the selection-time
+    distances are NON-INCREASING from rank 2 on (the Gonzalez greedy
+    property: once a point is covered at radius r, no later selection can
+    sit farther than r from the selected set). Rank 1's distance is to
+    the mean seed, a different reference — excluded from the monotone
+    claim."""
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    sel = kcenter_select(spark, sf_dir, k=k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("rank")
+    mono = sel.filter(F.col("rank") >= 2).select(
+        (F.col("sel_dist") <= F.lag("sel_dist", 1, float("inf")).over(w))
+        .alias("ok")
+    )
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return sel.agg(
+        F.lit(min(int(k), n)).cast("long").alias("k_selected"),
+        F.count_distinct("vec_id").cast("long").alias("n_distinct"),
+    ).crossJoin(
+        mono.agg(
+            F.coalesce(F.min(F.col("ok").cast("int")) == 1, F.lit(True)).alias(
+                "monotone_ok"
+            )
+        )
+    ).select(
+        "k_selected",
+        (F.col("n_distinct") == F.col("k_selected")).alias("distinct_ok"),
+        "monotone_ok",
+    )

@@ -232,3 +232,50 @@ def test_unimax_resample_rows_consistent_with_census(spark, documents):
         if r["n_kept"] > 0
     }
     assert got == want
+
+
+def test_kcenter_matches_python_greedy(spark):
+    """Engine greedy k-center == the straight-line python greedy, rank by
+    rank (same seed reference: corpus mean direction; same tie-break:
+    smallest vec_id)."""
+    import numpy as np
+
+    from symat_hbase_tools_spark.operators.sampling import kcenter_select
+    from tests.conftest import SF_DIR
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    E = E / np.linalg.norm(E, axis=1, keepdims=True)
+    mean = E.mean(axis=0) * 0 + np.array(
+        [r["embedding"] for r in rows], dtype=np.float64
+    ).mean(axis=0)
+    mean = mean / np.linalg.norm(mean)
+
+    want = []
+    centers = mean.reshape(1, -1)
+    chosen = set()
+    for rank in range(1, 9):
+        d = np.sqrt(
+            ((E[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        )
+        # exclude already chosen; farthest, ties to smallest vec_id
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] not in chosen),
+            key=lambda i: (-d[i], ids[i]),
+        )
+        pick = order[0]
+        want.append((rank, int(ids[pick]), round(float(d[pick]), 6)))
+        chosen.add(ids[pick])
+        centers = (
+            E[[pick]] if rank == 1 else np.vstack([centers, E[[pick]]])
+        )
+    got = [
+        (r["rank"], r["vec_id"], r["sel_dist"])
+        for r in kcenter_select(spark, SF_DIR).orderBy("rank").collect()
+    ]
+    assert got == want

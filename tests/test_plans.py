@@ -492,9 +492,49 @@ def test_no_interpreted_hof_reinlined_into_filters(spark):
         "text_pmi_collocations",
         "text_word_entropy",
         "doc_containment_pairs",
+        # round-12: the RRF fusion's zip_with/aggregate dot product
+        "doc_hybrid_search_rrf",
     ]
     for name in hof_queries:
         assert_no_hof_in_filters(QUERIES[name](spark, SF_DIR))
+
+
+def test_range_bucket_join_no_cartesian_pushed_filter(spark):
+    """The keyless range join's whole point: the executed plan must be an
+    equi-join on the bucket key (hash or broadcast), never a
+    CartesianProduct or a BroadcastNestedLoopJoin; the purchase filter
+    reaches the parquet scan."""
+    from symat_hbase_tools_spark.plans.explain import plan_string
+
+    plan = plan_string(
+        QUERIES["events_session_window_hits"](spark, SF_DIR), mode="simple"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EqualTo(event_type,purchase)" in plan, plan
+
+
+def test_concurrency_sweep_no_single_partition_window(spark):
+    """The sweep's prefix sum must ride the distributed ordered_prefix_sum
+    (range repartition + per-partition window), never a global
+    Window.orderBy with no partitioning (the single-reducer smell)."""
+    from symat_hbase_tools_spark.plans.explain import plan_string
+
+    plan = plan_string(
+        QUERIES["events_concurrency"](spark, SF_DIR), mode="simple"
+    )
+    assert "CartesianProduct" not in plan, plan
+    # the lazy triangular-offset machinery leaves its range partitioning
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_knn_label_vote_no_cartesian(spark):
+    from symat_hbase_tools_spark.plans.explain import plan_string
+
+    plan = plan_string(
+        QUERIES["embedding_knn_label_vote"](spark, SF_DIR), mode="simple"
+    )
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_indexed_incremental_dedup_no_hof_filter_single_batch_pass(spark, tmp_path):
