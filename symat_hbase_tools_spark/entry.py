@@ -1530,10 +1530,13 @@ _DRIVER_WINDOW = [
     # keyless grid-bucket range join + sweep-line concurrency
     "events_session_window_hits",
     "events_concurrency",
-    # ninth/tenth r10 additions: Benford census + cohort triangle
-    # (events_value_drift and doc_probe_gram rotate out — r5-seated,
-    # driver-green r6-r9)
-    "orders_benford",
+    # r12: greedy k-center diversity selection's invariant twin (birth-
+    # round discipline; orders_benford rotates out double-green — stays
+    # sweep-covered; the rows-only raw selection sits at 51+ per the
+    # check-twin policy)
+    "embedding_kcenter_check",
+    # tenth r10 addition: cohort triangle (events_value_drift and
+    # doc_probe_gram rotated out r10 — r5-seated, driver-green r6-r9)
     "users_cohort_matrix",
     # eleventh r10 addition: key-prefix region census
     # (events_active_users_approx rotates out, r6-seated quadruple-green)
