@@ -353,6 +353,19 @@ def salt_cells(cells: DataFrame, n_salts: int = 16) -> DataFrame:
     return cells.withColumn("row", F.concat(salt_byte, F.col("row")))
 
 
+def salt_split_points(n_salts: int = 16) -> list[bytes]:
+    """Pre-split boundaries FOR a salted table: the n_salts-1 interior
+    single-byte keys [b'\\x01', ..., b'\\x0f'] so each region holds exactly
+    one salt prefix. Sampled quantiles of a salted table land boundaries
+    INSIDE salt groups (the round-12 A/B measured balance 2.0 from that);
+    splitting ON the salt byte is the deployment-correct layout — balance
+    ~1.0 by construction because the salt is uniform by design (the HBase
+    create-table SPLITS argument for a salted schema)."""
+    if not 2 <= int(n_salts) <= 256:
+        raise ValueError("n_salts must be in [2, 256]")
+    return [bytes([i]) for i in range(1, int(n_salts))]
+
+
 def unsalt_cells(salted: DataFrame) -> DataFrame:
     """Strip the 1-byte salt prefix (read-path inverse of salt_cells)."""
     return salted.withColumn(

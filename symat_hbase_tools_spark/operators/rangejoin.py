@@ -39,21 +39,58 @@ from symat_hbase_tools_spark.sources.tables import load_table
 DEFAULT_BUCKET_US = 6 * 3600 * 1_000_000
 
 
+def sampled_median_span(
+    intervals: DataFrame, lo_col: str, hi_col: str, target: int = 1000
+) -> int | None:
+    """Median interval span from a deterministic hash sample — the
+    bucket-width autotuner's input (one narrow filtered pass; ~4*target
+    spans collected, never the intervals themselves). None on empty."""
+    total = intervals.count()
+    if total == 0:
+        return None
+    buckets = max(total // (4 * target), 1)
+    spans = sorted(
+        r["s"]
+        for r in intervals.select(
+            (F.col(hi_col) - F.col(lo_col)).alias("s"),
+            F.pmod(
+                F.xxhash64(F.lit(42), F.col(lo_col), F.col(hi_col)),
+                F.lit(buckets),
+            ).alias("b"),
+        )
+        .filter(F.col("b") == 0)
+        .collect()
+    )
+    return int(spans[len(spans) // 2]) if spans else None
+
+
 def range_bucket_join(
     points: DataFrame,
     intervals: DataFrame,
     point_col: str,
     lo_col: str,
     hi_col: str,
-    bucket_width: int = DEFAULT_BUCKET_US,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Inner join of points to every interval containing them (inclusive
     bounds), via grid bucketing — no cartesian, no nested-loop join.
 
+    ``bucket_width=None`` AUTOTUNES: the grid width is the sampled MEDIAN
+    interval span (one cheap census pass, the dedup router's sampling
+    discipline), so a typical interval replicates into ~2 buckets while
+    the bucket key stays selective — corpus-portable instead of
+    fixture-tuned. Any explicit width produces the identical row set
+    (bucketing is a physical-plan choice, never semantics).
+
     Column contract: ``points`` and ``intervals`` must not share column
     names (callers alias first); all three key columns are integral.
     """
-    g = int(bucket_width)
+    if bucket_width is None:
+        bucket_width = (
+            sampled_median_span(intervals, lo_col, hi_col)
+            or DEFAULT_BUCKET_US
+        )
+    g = max(int(bucket_width), 1)
     p_b = points.withColumn("_b", (F.col(point_col) / g).cast("long"))
     i_b = intervals.withColumn(
         "_b",
@@ -110,7 +147,7 @@ def events_session_window_hits(
     spark: SparkSession,
     sf_dir: str,
     min_session_events: int = 3,
-    bucket_width: int = DEFAULT_BUCKET_US,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """KEYLESS range join, end to end: for every purchase event, how many
     HEAVY sessions (any user, >= min_session_events events) were active at

@@ -341,3 +341,32 @@ def test_salt_cells_rejects_bad_n_salts(spark, customer):
 
     with _pytest.raises(ValueError):
         kv.salt_cells(customer_cells(customer.limit(5)), n_salts=0)
+
+
+def test_salt_split_points_one_region_per_salt(spark, customer):
+    """salt_split_points boundaries route EVERY salted row into the region
+    of its own salt byte — the balance-by-construction layout the round-12
+    A/B motivates (quantile boundaries read balance 2.0; these read the
+    salt distribution itself)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.operators.kv import salt_cells, salt_split_points
+    from symat_hbase_tools_spark.sources.cells import customer_cells
+
+    bounds = salt_split_points(16)
+    assert bounds == [bytes([i]) for i in range(1, 16)]
+    salted = salt_cells(customer_cells(customer), n_salts=16)
+    # region of a row under these boundaries == its salt byte
+    region = F.lit(15)
+    for i in range(14, -1, -1):
+        region = F.when(F.col("row") < F.lit(bounds[i]), i).otherwise(region)
+    got = salted.select(
+        (F.conv(F.hex(F.expr("substring(row, 1, 1)")), 16, 10).cast("int")).alias("salt"),
+        region.alias("region"),
+    )
+    assert got.filter(F.col("salt") != F.col("region")).count() == 0
+    with pytest.raises(ValueError):
+        salt_split_points(1)
+    with pytest.raises(ValueError):
+        salt_split_points(257)

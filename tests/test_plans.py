@@ -504,6 +504,7 @@ def test_range_bucket_join_no_cartesian_pushed_filter(spark):
     equi-join on the bucket key (hash or broadcast), never a
     CartesianProduct or a BroadcastNestedLoopJoin; the purchase filter
     reaches the parquet scan."""
+    from symat_hbase_tools_spark.entry import QUERIES
     from symat_hbase_tools_spark.plans.explain import plan_string
 
     plan = plan_string(
@@ -518,6 +519,7 @@ def test_concurrency_sweep_no_single_partition_window(spark):
     """The sweep's prefix sum must ride the distributed ordered_prefix_sum
     (range repartition + per-partition window), never a global
     Window.orderBy with no partitioning (the single-reducer smell)."""
+    from symat_hbase_tools_spark.entry import QUERIES
     from symat_hbase_tools_spark.plans.explain import plan_string
 
     plan = plan_string(
@@ -529,6 +531,7 @@ def test_concurrency_sweep_no_single_partition_window(spark):
 
 
 def test_knn_label_vote_no_cartesian(spark):
+    from symat_hbase_tools_spark.entry import QUERIES
     from symat_hbase_tools_spark.plans.explain import plan_string
 
     plan = plan_string(

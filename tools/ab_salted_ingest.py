@@ -13,8 +13,14 @@ sorts and writes everything while the other 15 idle. Salting first (the
 deterministic md5 salt byte) spreads the same batch across all regions.
 
 Usage:
-    python tools/ab_salted_ingest.py unsalted [batch_rows]
-    python tools/ab_salted_ingest.py salted   [batch_rows]
+    python tools/ab_salted_ingest.py unsalted        [batch_rows]
+    python tools/ab_salted_ingest.py salted          [batch_rows]
+    python tools/ab_salted_ingest.py salted-presplit [batch_rows]
+
+salted-presplit uses kv.salt_split_points (one region per salt byte)
+instead of sampled quantiles of the salted standing table — the
+deployment-correct layout for a salted schema (balance ~1.0 by
+construction).
 
 Prints one JSON line:
     {"mode", "batch_rows", "n_regions", "wall_sec",
@@ -55,31 +61,35 @@ def _keyed(df, day_expr):
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "unsalted"
     batch_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
-    assert mode in ("unsalted", "salted"), mode
+    assert mode in ("unsalted", "salted", "salted-presplit"), mode
 
     import pyspark.sql.functions as F
 
-    from symat_hbase_tools_spark.operators.kv import salt_cells
+    from symat_hbase_tools_spark.operators.kv import salt_cells, salt_split_points
     from symat_hbase_tools_spark.session import get_spark
 
     spark = get_spark("ab-salted-ingest", cpus="32")
 
     standing = _keyed(spark.range(STANDING_ROWS), F.col("id") % 30)
     batch = _keyed(spark.range(batch_rows), F.lit(31))
-    if mode == "salted":
+    if mode != "unsalted":
         standing, batch = salt_cells(standing), salt_cells(batch)
 
-    # fixed pre-split boundaries from the STANDING table: 15 interior
-    # split keys -> 16 regions (sampled quantiles of actual keys, the
-    # region_boundaries discipline, cheap exact version at this scale)
-    keys = [
-        bytes(r["row"])
-        for r in standing.select("row")
-        .filter(F.pmod(F.xxhash64(F.lit(42), F.col("row")), F.lit(250)) == 0)
-        .collect()
-    ]
-    keys.sort()
-    bounds = [keys[(i * len(keys)) // N_REGIONS] for i in range(1, N_REGIONS)]
+    if mode == "salted-presplit":
+        # one region per salt byte — the deployment-correct salted layout
+        bounds = salt_split_points(N_REGIONS)
+    else:
+        # fixed pre-split boundaries from the STANDING table: 15 interior
+        # split keys -> 16 regions (sampled quantiles of actual keys, the
+        # region_boundaries discipline, cheap exact version at this scale)
+        keys = [
+            bytes(r["row"])
+            for r in standing.select("row")
+            .filter(F.pmod(F.xxhash64(F.lit(42), F.col("row")), F.lit(250)) == 0)
+            .collect()
+        ]
+        keys.sort()
+        bounds = [keys[(i * len(keys)) // N_REGIONS] for i in range(1, N_REGIONS)]
 
     # region routing: static range lookup (WHEN chain over binary
     # literals — what a fixed region directory does)
