@@ -49,3 +49,25 @@ def test_plan_cache_bounded(spark, tmp_path):
     q(spark, SF_DIR)
     assert len(entry._PLAN_CACHE) <= entry._PLAN_CACHE_MAX
     entry._PLAN_CACHE.clear()
+
+
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE name must be a registered query (a typo here
+    would fail the per-round bench artifact, not CI, without this guard) and
+    oracle-paired (the embedded DuckDB control times the same names)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from symat_hbase_tools_spark.entry import ORACLE_SQL, QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert missing == [], missing
+    unpaired = [n for n in bench.HEADLINE if n not in ORACLE_SQL]
+    assert unpaired == [], unpaired
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
