@@ -592,6 +592,14 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def doc_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup sampling weights (1/cluster_size over the near-dup CC
+    graph; singletons weight 1) — see clustering.softdedup_weights."""
+    from symat_hbase_tools_spark.operators.clustering import softdedup_weights
+
+    return softdedup_weights(spark, sf_dir)
+
+
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination sweep: training docs sharing >=5 shingles
     with the benchmark subset (doc_id % 50 == 0)."""
@@ -1192,6 +1200,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # training-pipeline assembly
     "doc_pack_sequences": doc_pack_sequences,
     "doc_dedup_clusters": doc_dedup_clusters,
+    # round-12: SoftDeDup — reweight near-dup clusters (1/size) instead of
+    # dropping members; same CC graph as doc_dedup_clusters
+    "doc_softdedup_weights": doc_softdedup_weights,
     "doc_leakage_safe_split": doc_leakage_safe_split,
     "doc_contamination": doc_contamination,
     # round-10: fuzzy (near-duplicate) contamination — MinHash-LSH
@@ -1402,6 +1413,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_equidepth_histogram": relational.orders_equidepth_histogram,
     # round-3: HLL scale path of active-users + Zipf corpus diagnostic
     "events_active_users_approx": timeseries.events_active_users_approx,
+    # round-12: mergeable quantile sketch next to the exact percentile
+    # (the HLL gate's sibling for the sketch family)
+    "events_percentile_sketch_check": timeseries.events_percentile_sketch_check,
     "text_zipf_fit": text_analysis.zipf_fit,
     # round-11: phrase mining (PMI collocations) + per-doc word entropy
     "text_pmi_collocations": lambda spark, sf: text_analysis.pmi_collocations(
@@ -3530,6 +3544,26 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
         FROM labels GROUP BY cluster
     """,
+    # round-12: SoftDeDup — same recursive-CTE labels, weight = 1/size
+    "doc_softdedup_weights": f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
+        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                  UNION SELECT d2, d1 FROM pairs),
+        reach(a, b) AS (SELECT a, b FROM edges
+                        UNION
+                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (SELECT a AS node, least(a, MIN(b)) AS cluster
+                   FROM reach GROUP BY a),
+        csz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM labels GROUP BY 1)
+        SELECT d.doc_id, l.cluster,
+               CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+               1.0 / COALESCE(s.cluster_size, 1) AS weight
+        FROM documents d
+        LEFT JOIN labels l ON d.doc_id = l.node
+        LEFT JOIN csz s ON l.cluster = s.cluster
+    """,
     # doc_leakage_safe_split: the same recursive-CTE cluster labels as
     # doc_dedup_clusters, then the portable md5 split on
     # coalesce(cluster, doc_id) — the zero-leak boolean is TRUE by
@@ -4433,6 +4467,15 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # tolerance oracle: exact WAU hash-compared; the HLL sketch result is
     # asserted within 5% as a boolean the oracle states as TRUE
+    # round-12: exact percentiles (interpolated, round-6 — DuckDB
+    # quantile_cont mirrors Spark's percentile) + TRUE for the sketch gate
+    "events_percentile_sketch_check": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50_exact,
+               round(quantile_cont(value, 0.95), 6) AS p95_exact,
+               TRUE AS sketch_ok
+        FROM events GROUP BY event_type
+    """,
     "events_active_users_approx": """
         WITH pairs AS (SELECT DISTINCT
                            CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400

@@ -404,3 +404,42 @@ def leakage_safe_split(
             (F.col("n_leaks") == 0).alias("no_cross_split_pairs"),
         )
     )
+
+
+def softdedup_weights(spark, sf_dir: str) -> DataFrame:
+    """Soft dedup: REWEIGHT duplicates instead of dropping them (the
+    SoftDeDup idea, ACL 2024 — hard dedup throws away the signal that a
+    document was independently produced N times; a 1/N sampling weight
+    keeps the corpus distribution while removing the over-count). Every
+    document in a near-dup cluster (n-gram Jaccard >= 0.5, the
+    doc_dedup_clusters graph) gets weight 1/cluster_size; singletons keep
+    weight 1. Output: (doc_id, cluster, cluster_size, weight).
+
+    Scale shape: the pair graph is the bucketed Jaccard join; connected
+    components is the engine's alternating-min label propagation; the
+    weight step is one count aggregate on the O(clustered docs) label
+    table joined back BROADCAST (clusters are tiny relative to any real
+    corpus). Weight divides exact integers — hash-stable cross-engine."""
+    from symat_hbase_tools_spark.operators.dedup import ngram_jaccard_pairs
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    labels = connected_components(pairs)  # (node, cluster)
+    sizes = labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    member = labels.join(F.broadcast(sizes), "cluster").select(
+        F.col("node").alias("doc_id"), "cluster", "cluster_size"
+    )
+    return docs.join(F.broadcast(member), "doc_id", "left").select(
+        "doc_id",
+        "cluster",
+        F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long").alias(
+            "cluster_size"
+        ),
+        (
+            F.lit(1.0)
+            / F.coalesce(F.col("cluster_size"), F.lit(1)).cast("double")
+        ).alias("weight"),
+    )

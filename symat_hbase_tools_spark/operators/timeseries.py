@@ -840,6 +840,39 @@ def events_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_percentile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed-quantile serving notch (companion to the HLL WAU
+    gate above): ``percentile_approx`` — Spark's mergeable Greenwald-
+    Khanna-style quantile sketch, the aggregate a 100 TB latency/value
+    dashboard actually runs — next to the EXACT percentile, tolerance-
+    oracle form: the query emits the exact p50/p95 (hash-comparable,
+    round-6) plus a boolean asserting the sketch lands within 5% relative
+    error (+1e-6 absolute floor for near-zero medians). Sketch drift
+    flips the boolean and fails the driver's hash compare.
+
+    Why this is the scale path: the exact percentile sorts every group's
+    values; the sketch partial-aggregates bounded summaries map-side, so
+    the shuffle carries O(types x sketch_size) regardless of event count,
+    mergeable across arbitrary re-partitions.
+    """
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50x"),
+        F.percentile("value", 0.95).alias("p95x"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50a"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95a"),
+    )
+    tol = lambda a, x: (  # noqa: E731
+        F.abs(F.col(a) - F.col(x)) <= 0.05 * F.abs(F.col(x)) + 1e-6
+    )
+    return g.select(
+        "event_type",
+        F.round("p50x", 6).alias("p50_exact"),
+        F.round("p95x", 6).alias("p95_exact"),
+        (tol("p50a", "p50x") & tol("p95a", "p95x")).alias("sketch_ok"),
+    )
+
+
 #: top-N session paths reported
 TOP_PATHS = 20
 

@@ -62,3 +62,47 @@ def test_latest_and_visible_match_model(cells_py):
         for r in kv.visible_cells(df).collect()
     }
     assert visible == {k for k, (_, typ, _v) in want.items() if typ == "Put"}
+
+
+# --- perceptual dHash: random-payload parity + edit-locality ---------------
+
+_payload_st = st.binary(min_size=1, max_size=512)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_payload_st, min_size=1, max_size=8, unique=True))
+def test_phash_kernel_matches_python_on_random_payloads(payloads):
+    """Spark dHash kernel == the python mirror for arbitrary byte strings
+    (lengths shorter/longer than the 72-cell grid, repeated bytes, high
+    bytes)."""
+    spark = _SPARK[0]
+    from symat_hbase_tools_spark.operators import multimodal
+    from tests.test_multimodal import _phash64
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in multimodal.perceptual_hashes(df).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == _phash64(p), (i, p)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.binary(min_size=8, max_size=512),
+    st.integers(min_value=0, max_value=255),
+)
+def test_phash_single_byte_edit_hamming_bound(payload, newbyte):
+    """Editing ONE byte (any position's replacement at position 0 is the
+    check twin's plant; here: position 0, any value) flips at most 2
+    gradient bits — the pure-python statement of the coverage twin's
+    guarantee, fuzzed."""
+    from tests.test_multimodal import _phash64
+
+    edited = bytes([newbyte]) + payload[1:]
+    d = (_phash64(payload) ^ _phash64(edited)) & ((1 << 64) - 1)
+    assert bin(d).count("1") <= 2
