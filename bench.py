@@ -146,6 +146,8 @@ HEADLINE = [
     "events_concurrency",
     "embedding_knn_label_vote",
     "doc_hybrid_search_rrf",
+    "doc_softdedup_weights",
+    "events_percentile_sketch_check",
 ]
 
 

@@ -1552,12 +1552,12 @@ _DRIVER_WINDOW = [
     # tenth r10 addition: cohort triangle (events_value_drift and
     # doc_probe_gram rotated out r10 — r5-seated, driver-green r6-r9)
     "users_cohort_matrix",
-    # eleventh r10 addition: key-prefix region census
-    # (events_active_users_approx rotates out, r6-seated quadruple-green)
-    "kv_region_stats",
-    # twelfth r10 addition: market-basket lift
-    # (orders_zorder_census rotates out, r6-seated quadruple-green)
-    "part_affinity_lift",
+    # r12 late additions (birth-round discipline; the last two r10 vets —
+    # kv_region_stats, part_affinity_lift — rotate out double-green, both
+    # stay sweep-covered and bench-timed): SoftDeDup reweighting and the
+    # mergeable quantile-sketch tolerance gate
+    "doc_softdedup_weights",
+    "events_percentile_sketch_check",
     # NEW round 8 (seated immediately so they don't end the round
     # driver-unverified): token-budgeted corpus selection + hard-negative
     # mining. q4_order_priority / q6_forecast_revenue rotate out as their
