@@ -1193,3 +1193,23 @@ def test_persisted_ivfpq_lifecycle(spark, tmp_path):
         & (F.abs(F.col("sim") - 1.0) < 1e-6)
     ).count()
     assert hits == 4
+
+
+def test_serve_many_probe_cache_bounded_across_both_paths(spark, tmp_path):
+    """The r11 advisory fix: alternating ann_ivf_query and ann_ivfpq_query
+    calls in one long-lived session must never accumulate persisted probe
+    tables — each call releases the previous call's cache (bounded at ONE
+    outstanding entry), whichever path persisted it."""
+    import symat_hbase_tools_spark.operators.similarity as S
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "idx")
+    S.build_ivf_index(spark, SF_DIR, idx, n_cells=4)
+    S.ivf_index_add_pq(spark, idx, m=8, n_codes=16)
+    queries = load_table(spark, SF_DIR, "embeddings").orderBy("vec_id").limit(5)
+
+    for i in range(4):
+        fn = S.ann_ivf_query if i % 2 == 0 else S.ann_ivfpq_query
+        rows = fn(spark, idx, queries, k=3, n_probe=2).collect()
+        assert len(rows) > 0
+        assert len(S._IVF_PROBE_CACHES) <= 1, (i, S._IVF_PROBE_CACHES)
