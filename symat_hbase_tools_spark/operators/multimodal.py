@@ -285,6 +285,23 @@ def payload_dedup(records: DataFrame) -> DataFrame:
 PHASH_ROWS = 8
 PHASH_COLS = 9
 
+#: fingerprint-table caches outstanding from near_dup_pairs calls; each
+#: new call releases the previous call's (bounded at one call's worth)
+_PHASH_FP_CACHES: list = []
+
+
+def _release_phash_caches() -> None:
+    """Serve-many hygiene: drop the previous call's persisted fingerprint
+    table before pinning a new one (same discipline as the IVF probe
+    caches; callers materialize each result before the next call)."""
+    while _PHASH_FP_CACHES:
+        prev = _PHASH_FP_CACHES.pop()
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            # stopped session: its cached blocks died with the context
+            pass
+
 
 def perceptual_hashes(records: DataFrame) -> DataFrame:
     """(doc_id, payload) -> (doc_id, fp) 64-bit dHash over the byte raster.
@@ -337,8 +354,13 @@ def near_dup_pairs(records: DataFrame, max_hamming: int = 3) -> DataFrame:
     from pyspark import StorageLevel
 
     # persist: one 16-byte row per doc feeds BOTH sides of the band join;
-    # without it the payload scan + hash kernel runs twice
+    # without it the payload scan + hash kernel runs twice. Serve-many
+    # hygiene (the IVF probe-table discipline): release the previous
+    # call's cache first so repeated calls in a long-lived session never
+    # accumulate pinned fingerprint tables.
+    _release_phash_caches()
     fps = perceptual_hashes(records).persist(StorageLevel.MEMORY_AND_DISK)
+    _PHASH_FP_CACHES.append(fps)
     bands = F.array(
         *[
             F.struct(
@@ -402,9 +424,15 @@ def multimodal_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length(F.encode("text", "UTF-8")) >= 8)
     )
+    # collision-proof offset: a corpus with doc_ids >= the static offset
+    # would alias a clone onto a REAL document and silently corrupt the
+    # coverage count — bump past the actual max (one tiny agg job; the
+    # same value parameterizes both the union and the recovery filter)
+    max_id = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] or 0
+    offset = max(_PLANT_OFFSET, int(max_id) + 1)
     base = attach_payload(docs)
     clone = base.select(
-        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        (F.col("doc_id") + offset).alias("doc_id"),
         F.concat(
             F.encode(F.lit("~"), "UTF-8"),
             F.expr("substring(payload, 2, octet_length(payload) - 1)"),
@@ -412,7 +440,7 @@ def multimodal_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "meta",
     )
     pairs = near_dup_pairs(base.unionByName(clone), max_hamming=3)
-    planted_found = pairs.filter(F.col("d2") == F.col("d1") + _PLANT_OFFSET)
+    planted_found = pairs.filter(F.col("d2") == F.col("d1") + offset)
     return (
         docs.agg(F.count(F.lit(1)).alias("n_planted"))
         .crossJoin(planted_found.agg(F.count(F.lit(1)).alias("n_found")))

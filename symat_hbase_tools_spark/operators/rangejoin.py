@@ -39,29 +39,49 @@ from symat_hbase_tools_spark.sources.tables import load_table
 DEFAULT_BUCKET_US = 6 * 3600 * 1_000_000
 
 
-def sampled_median_span(
-    intervals: DataFrame, lo_col: str, hi_col: str, target: int = 1000
+#: interval-table caches outstanding from events_session_window_hits
+#: calls; each new call releases the previous call's (bounded at one)
+_INTERVAL_CACHES: list = []
+
+
+def _release_interval_caches() -> None:
+    """Serve-many hygiene (the IVF probe-table discipline): drop the
+    previous call's persisted interval table before pinning a new one."""
+    while _INTERVAL_CACHES:
+        prev = _INTERVAL_CACHES.pop()
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            # stopped session: its cached blocks died with the context
+            pass
+
+
+#: replication ceiling for the WORST interval under an autotuned grid:
+#: the width floor max_span/4096 guarantees no single interval explodes
+#: into more than ~4096 bucket rows (a whale session in a short-median
+#: corpus would otherwise drive span/median past Spark's array limit)
+MAX_BUCKETS_PER_INTERVAL = 4096
+
+
+def autotune_bucket_width(
+    intervals: DataFrame, lo_col: str, hi_col: str
 ) -> int | None:
-    """Median interval span from a deterministic hash sample — the
-    bucket-width autotuner's input (one narrow filtered pass; ~4*target
-    spans collected, never the intervals themselves). None on empty."""
-    total = intervals.count()
-    if total == 0:
+    """Grid width from ONE partial-aggregated pass over the intervals:
+    the approximate median span (percentile_approx — the mergeable
+    quantile sketch, so the pass is map-side-combined at any scale)
+    floored by exact_max_span / MAX_BUCKETS_PER_INTERVAL so a long-tail
+    whale interval can never replicate past the ceiling. None on empty."""
+    row = intervals.select(
+        (F.col(hi_col) - F.col(lo_col)).alias("s")
+    ).agg(
+        F.percentile_approx("s", 0.5, 10000).alias("med"),
+        F.max("s").alias("mx"),
+    ).collect()[0]
+    if row["med"] is None:
         return None
-    buckets = max(total // (4 * target), 1)
-    spans = sorted(
-        r["s"]
-        for r in intervals.select(
-            (F.col(hi_col) - F.col(lo_col)).alias("s"),
-            F.pmod(
-                F.xxhash64(F.lit(42), F.col(lo_col), F.col(hi_col)),
-                F.lit(buckets),
-            ).alias("b"),
-        )
-        .filter(F.col("b") == 0)
-        .collect()
+    return max(
+        int(row["med"]), int(row["mx"]) // MAX_BUCKETS_PER_INTERVAL, 1
     )
-    return int(spans[len(spans) // 2]) if spans else None
 
 
 def range_bucket_join(
@@ -75,11 +95,16 @@ def range_bucket_join(
     """Inner join of points to every interval containing them (inclusive
     bounds), via grid bucketing — no cartesian, no nested-loop join.
 
-    ``bucket_width=None`` AUTOTUNES: the grid width is the sampled MEDIAN
-    interval span (one cheap census pass, the dedup router's sampling
-    discipline), so a typical interval replicates into ~2 buckets while
-    the bucket key stays selective — corpus-portable instead of
-    fixture-tuned. Any explicit width produces the identical row set
+    ``bucket_width=None`` AUTOTUNES: the grid width is the approximate
+    MEDIAN interval span from one partial-aggregated census pass
+    (percentile_approx + exact max), floored at
+    max_span/MAX_BUCKETS_PER_INTERVAL so no whale interval can explode
+    past the replication ceiling — a typical interval replicates into
+    ~2 buckets while the bucket key stays selective, corpus-portable
+    instead of fixture-tuned. The autotune pass re-evaluates the
+    intervals plan once; callers that build intervals from an expensive
+    shuffle and want a single evaluation should persist it first or pass
+    an explicit width. Any width produces the identical row set
     (bucketing is a physical-plan choice, never semantics).
 
     Column contract: ``points`` and ``intervals`` must not share column
@@ -87,7 +112,7 @@ def range_bucket_join(
     """
     if bucket_width is None:
         bucket_width = (
-            sampled_median_span(intervals, lo_col, hi_col)
+            autotune_bucket_width(intervals, lo_col, hi_col)
             or DEFAULT_BUCKET_US
         )
     g = max(int(bucket_width), 1)
@@ -163,6 +188,8 @@ def events_session_window_hits(
     then a partial-aggregated count per purchase. The DuckDB oracle runs
     the naive inequality join (its IEJoin handles small scales); the
     engine never does."""
+    from pyspark import StorageLevel
+
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", F.unix_micros(F.col("ts")).alias("t_us")
@@ -173,6 +200,14 @@ def events_session_window_hits(
         "start_us",
         "end_us",
     )
+    if bucket_width is None:
+        # the interval table feeds BOTH the autotune census and the join;
+        # persist so the sessionization shuffle runs once, with the
+        # serve-many release discipline (previous call's cache dropped —
+        # same hygiene as the IVF probe tables)
+        _release_interval_caches()
+        ivals = ivals.persist(StorageLevel.MEMORY_AND_DISK)
+        _INTERVAL_CACHES.append(ivals)
     hits = range_bucket_join(
         purchases, ivals, "t_us", "start_us", "end_us", bucket_width
     )

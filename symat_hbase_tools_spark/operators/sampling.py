@@ -384,12 +384,16 @@ def kcenter_select(
                 if pdf.empty:
                     continue
                 E = np.array(pdf["emb"].tolist(), dtype=np.float64)
-                E = E / np.linalg.norm(E, axis=1, keepdims=True)
-                d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                En = E / np.linalg.norm(E, axis=1, keepdims=True)
+                d2 = ((En[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                # the NORMALIZED vector rides along so the winning center
+                # comes back in the same pass — no second corpus scan to
+                # re-fetch it by id
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"],
                         "mind": np.sqrt(d2.min(axis=1)),
+                        "nemb": list(En),
                     }
                 )
 
@@ -416,19 +420,28 @@ def kcenter_select(
             np.array(centers, dtype=np.float64)
         )
         scored = base.mapInPandas(
-            mind_kernel(bc), schema="vec_id long, mind double"
+            mind_kernel(bc), schema="vec_id long, mind double, nemb array<double>"
         ).filter(~F.col("vec_id").isin(list(chosen_ids)) if chosen_ids else F.lit(True))
         # farthest point, ties to the smallest vec_id: max over the
-        # (mind, -vec_id) struct order
+        # (mind, -vec_id) struct order — nemb rides as a NEVER-COMPARED
+        # trailing field (vec_id is unique, so comparison always resolves
+        # at the second key), returning the winning normalized vector in
+        # the SAME pass
         top = scored.agg(
-            F.max(F.struct(F.col("mind"), (-F.col("vec_id")).alias("nid"))).alias("w")
+            F.max(
+                F.struct(
+                    F.col("mind"),
+                    (-F.col("vec_id")).alias("nid"),
+                    F.col("nemb"),
+                )
+            ).alias("w")
         ).collect()[0]["w"]
+        # release this round's broadcast eagerly (the pass is fully
+        # materialized by the collect) — k handles per call would
+        # otherwise pile up in a long-lived session
+        bc.unpersist(blocking=False)
         sel_id, sel_d = -top["nid"], float(top["mind"])
-        vec = np.array(
-            base.filter(F.col("vec_id") == sel_id).collect()[0]["emb"],
-            dtype=np.float64,
-        )
-        vec = vec / np.linalg.norm(vec)
+        vec = np.array(top["nemb"], dtype=np.float64)
         if rank == 1:
             centers = [vec]  # drop the mean seed — it is not a member
         else:

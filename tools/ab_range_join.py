@@ -54,6 +54,9 @@ def main() -> None:
     )
     n_points, n_intervals = purchases.count(), ivals.count()
 
+    def agg_of(hits):
+        return hits.groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+
     t0 = time.monotonic()
     if mode == "bucketed":
         hits = rj.range_bucket_join(
@@ -65,23 +68,26 @@ def main() -> None:
             (F.col("start_us") <= F.col("t_us"))
             & (F.col("t_us") <= F.col("end_us")),
         )
-    rows = (
-        hits.groupBy("event_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .count()
-    )
+    agg = agg_of(hits)
+    rows = agg.count()
     wall = time.monotonic() - t0
-    print(
-        json.dumps(
-            {
-                "mode": mode,
-                "wall_sec": round(wall, 2),
-                "rows": rows,
-                "n_points": n_points,
-                "n_intervals": n_intervals,
-            }
+    out = {
+        "mode": mode,
+        "wall_sec": round(wall, 2),
+        "rows": rows,
+        "n_points": n_points,
+        "n_intervals": n_intervals,
+    }
+    if mode == "naive":
+        # output-equality cross-check (untimed): the naive aggregate must
+        # be row-for-row identical to the bucketed plan's
+        bucketed = agg_of(
+            rj.range_bucket_join(purchases, ivals, "t_us", "start_us", "end_us")
         )
-    )
+        diff = agg.exceptAll(bucketed).count() + bucketed.exceptAll(agg).count()
+        out["matches_bucketed"] = diff == 0
+        assert diff == 0, f"{diff} aggregate rows differ between plans"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
