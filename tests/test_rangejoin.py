@@ -154,3 +154,29 @@ def test_hybrid_rrf_fuses_both_lists(spark):
         assert max(b["rrf_score"] for b in both) > min(
             s["rrf_score"] for s in single
         )
+
+
+def test_autotune_floor_caps_whale_interval_replication(spark):
+    """A long-tail whale interval in a short-median corpus must not
+    explode: the autotuned width is floored at
+    max_span/MAX_BUCKETS_PER_INTERVAL, and the join still returns the
+    exact pair set."""
+    short = [(i, i * 1000, i * 1000 + 30) for i in range(500)]  # span 30
+    whale = [(999, 0, 3_000_000_000)]  # span 3e9 -> 1e8 buckets unfloored
+    ivals = spark.createDataFrame(
+        short + whale, "iid long, lo long, hi long"
+    )
+    g = rj.autotune_bucket_width(ivals, "lo", "hi")
+    assert g >= 3_000_000_000 // rj.MAX_BUCKETS_PER_INTERVAL
+    points = spark.createDataFrame(
+        [(1, 15), (2, 250_000), (3, 2_999_999_999)], "pid long, p long"
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in rj.range_bucket_join(
+            points, ivals, "p", "lo", "hi", bucket_width=None
+        ).collect()
+    }
+    # every point is inside the whale; point 1 also inside interval 0
+    # ([0, 30]) and point 2 inside interval 250 ([250000, 250030])
+    assert got == {(1, 999), (2, 999), (3, 999), (1, 0), (2, 250)}
