@@ -222,6 +222,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     cu.add_argument("--output", required=True, help="parquet path for kept docs")
 
+    dv = sub.add_parser(
+        "select-diverse",
+        help="greedy k-center (farthest-point) diversity selection over "
+        "the embedding corpus — the coverage-maximizing subset where "
+        "PPS/stratified sampling would oversample dense regions",
+    )
+    dv.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    dv.add_argument("--k", type=int, default=8)
+    dv.add_argument(
+        "--output",
+        required=True,
+        help="parquet path for (rank, vec_id, sel_dist)",
+    )
+
     mn = sub.add_parser(
         "mine-negatives",
         help="write contrastive hard negatives: top-k most-similar "
@@ -568,6 +582,18 @@ def main(argv: list[str] | None = None) -> int:
                 f"DOCS_TOTAL={n_total} DOCS_SELECTED={n_kept} "
                 f"TOKENS_SELECTED={tok_kept}"
             )
+            return 0
+        if args.tool == "select-diverse":
+            from symat_hbase_tools_spark.operators.sampling import kcenter_select
+
+            if args.k < 1:
+                print("error: --k must be >= 1", file=sys.stderr)
+                return 1
+            sel = kcenter_select(spark, args.sfDir, k=args.k)
+            sel.coalesce(1).write.mode("overwrite").parquet(args.output)
+            n = sel.count()
+            print(f"SELECTED={n} K_REQUESTED={args.k}")
+            print(f"wrote {args.output}")
             return 0
         if args.tool == "curate":
             from pyspark.sql import functions as F

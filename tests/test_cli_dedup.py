@@ -369,3 +369,19 @@ def test_pack_cli_assignment_is_budget_consistent(spark, tmp_path):
         F.max(F.col("start_offset") + F.col("n_tokens")).alias("m"),
     ).collect()[0]
     assert agg["s"] == agg["m"]
+
+
+def test_cli_select_diverse(spark, tmp_path):
+    """select-diverse writes the k-center selection; bad --k exits 1."""
+    from symat_hbase_tools_spark.cli import main
+
+    out = str(tmp_path / "div")
+    rc = main(
+        ["select-diverse", "--sfDir", SF_DIR, "--k", "4", "--output", out]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out).orderBy("rank").collect()
+    assert [r["rank"] for r in got] == [1, 2, 3, 4]
+    assert len({r["vec_id"] for r in got}) == 4
+    assert main(["select-diverse", "--sfDir", SF_DIR, "--k", "0",
+                 "--output", out]) == 1
