@@ -1244,6 +1244,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_region_stats": lambda spark, sf: kv.region_stats(
         customer_cells(load_table(spark, sf, "customer"))
     ),
+    # round-12: snapshot integrity manifest (ExportSnapshot/verifysnapshot
+    # family) — order-free per-region content checksums
+    "kv_snapshot_manifest": lambda spark, sf: kv.snapshot_manifest(
+        customer_cells(load_table(spark, sf, "customer"))
+    ),
     # round-11: the actionable half of the census — suggested region split
     # keys at a target bytes-per-region (distributed byte-tape prefix sum,
     # exact integers; split keys = region_seq >= 1)
@@ -1827,6 +1832,24 @@ ORACLE_SQL: dict[str, str] = {
     # region census: byte math over the SAME rendered cell strings the
     # kv oracles hash-match; per-row grain first (fat-row max), then
     # prefix grain; byte_share divides identical bigints
+    # round-12: snapshot manifest — the same rendered-cell strings, hashed
+    # with the portable first-8-md5-hex-digits trick (the salt/simhash
+    # discipline) and BIGINT-summed so the checksum is order-free
+    "kv_snapshot_manifest": (
+        "WITH cells AS (" + _unpivot_sql() + "), "
+        "h AS (SELECT substr(row_key, 1, 10) AS prefix, row_key, "
+        "             strlen(row_key) + strlen(family) + strlen(qualifier) "
+        "               + COALESCE(strlen(value), 0) + 8 AS b, "
+        "             ('0x' || substr(md5(concat_ws(chr(31), row_key, family, "
+        "               qualifier, CAST(ts AS VARCHAR), COALESCE(value, ''))), "
+        "               1, 8))::BIGINT AS hv "
+        "      FROM cells) "
+        "SELECT prefix, CAST(COUNT(DISTINCT row_key) AS BIGINT) AS n_rows, "
+        "       CAST(COUNT(*) AS BIGINT) AS n_cells, "
+        "       CAST(SUM(b) AS BIGINT) AS total_bytes, "
+        "       CAST(SUM(hv) AS BIGINT) AS content_sum "
+        "FROM h GROUP BY 1"
+    ),
     "kv_region_stats": (
         "WITH cells AS (" + _unpivot_sql() + "), "
         "pr AS (SELECT substr(row_key, 1, 10) AS prefix, row_key, "

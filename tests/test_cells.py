@@ -370,3 +370,37 @@ def test_salt_split_points_one_region_per_salt(spark, customer):
         salt_split_points(1)
     with pytest.raises(ValueError):
         salt_split_points(257)
+
+
+def test_snapshot_manifest_localizes_tampering(spark, customer):
+    """The verification contract: manifests of two copies agree everywhere;
+    tamper ONE cell's value in the replica and exactly that prefix's
+    content_sum moves while its counts/bytes stay reconcilable — the
+    region-localization a full diff would buy at shuffle cost."""
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.operators.kv import snapshot_manifest
+    from symat_hbase_tools_spark.sources.cells import customer_cells
+
+    cells = customer_cells(customer)
+    snap = lambda df: {  # noqa: E731
+        r["prefix"]: (r["n_rows"], r["n_cells"], r["total_bytes"], r["content_sum"])
+        for r in df.collect()
+    }
+    a = snap(snapshot_manifest(cells))
+    assert a == snap(snapshot_manifest(cells))  # identical copies agree
+
+    qual = F.decode("qualifier", "UTF-8")
+    key = F.decode("row", "UTF-8")
+    tampered = cells.withColumn(
+        "value",
+        F.when(
+            (key == "cust#00000042") & (qual == "c_name"),
+            F.encode(F.lit("TAMPERED"), "UTF-8").cast("binary"),
+        ).otherwise(F.col("value")),
+    )
+    b = snap(snapshot_manifest(tampered))
+    moved = [p for p in a if a[p][3] != b[p][3]]
+    assert moved == ["cust#00000"]  # the one prefix holding the tampered row
+    # counts still agree (same cells, different bytes in one value)
+    assert all(a[p][:2] == b[p][:2] for p in a)
