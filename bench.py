@@ -148,6 +148,7 @@ HEADLINE = [
     "doc_hybrid_search_rrf",
     "doc_softdedup_weights",
     "events_percentile_sketch_check",
+    "kv_snapshot_manifest",
 ]
 
 

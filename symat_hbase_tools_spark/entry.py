@@ -1554,9 +1554,10 @@ _DRIVER_WINDOW = [
     # sweep-covered; the rows-only raw selection sits at 51+ per the
     # check-twin policy)
     "embedding_kcenter_check",
-    # tenth r10 addition: cohort triangle (events_value_drift and
-    # doc_probe_gram rotated out r10 — r5-seated, driver-green r6-r9)
-    "users_cohort_matrix",
+    # r12 late addition: snapshot integrity manifest (birth-round
+    # discipline; users_cohort_matrix — the last r10 vet — rotates out
+    # double-green, stays sweep-covered and bench-timed)
+    "kv_snapshot_manifest",
     # r12 late additions (birth-round discipline; the last two r10 vets —
     # kv_region_stats, part_affinity_lift — rotate out double-green, both
     # stay sweep-covered and bench-timed): SoftDeDup reweighting and the
