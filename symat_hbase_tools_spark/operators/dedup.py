@@ -476,6 +476,52 @@ def minhash_lsh_pairs(
     return cross.unionByName(within)
 
 
+def banded_hamming_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """All id pairs with hamming(fp64) <= max_hamming over a
+    (id, 64-bit fingerprint) table — EXACT under 4 x 16-bit band blocking
+    (pigeonhole: <= 3 bit flips leave at least one of 4 bands untouched),
+    while the self-join only ever shuffles on 16-bit band keys. The shared
+    candidate generator behind simhash_pairs AND the perceptual media
+    near-dup (multimodal.near_dup_pairs). Output: (d1 < d2, hamming)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(fp_col, 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bh"),
+            )
+            for b in range(4)
+        ]
+    )
+    buckets = fps.select(
+        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp")
+    ).select("doc_id", "fp", F.explode(bands).alias("bb")).select(
+        "doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.fp").alias("fp1"),
+            F.col("b.fp").alias("fp2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2")))
+    return cand.select(
+        "d1", "d2", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_pairs(
     spark: SparkSession, sf_dir: str, n: int = 3, max_hamming: int = 3
 ) -> DataFrame:
@@ -498,35 +544,7 @@ def simhash_pairs(
         .agg(*simhash_vote_aggs(F.col("h")))
         .select("doc_id", simhash_from_votes().alias("fp"))
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned("fp", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
-            )
-            for b in range(4)
-        ]
-    )
-    buckets = fps.select("doc_id", "fp", F.explode(bands).alias("bb")).select(
-        "doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.fp").alias("fp1"),
-            F.col("b.fp").alias("fp2"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2")))
-    return (
-        cand.select("d1", "d2", hamming.alias("hamming").cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return banded_hamming_pairs(fps, max_hamming=max_hamming)
 
 
 def dup_span_census(

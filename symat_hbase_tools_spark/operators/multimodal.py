@@ -292,15 +292,10 @@ _PHASH_FP_CACHES: list = []
 
 def _release_phash_caches() -> None:
     """Serve-many hygiene: drop the previous call's persisted fingerprint
-    table before pinning a new one (same discipline as the IVF probe
-    caches; callers materialize each result before the next call)."""
-    while _PHASH_FP_CACHES:
-        prev = _PHASH_FP_CACHES.pop()
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            # stopped session: its cached blocks died with the context
-            pass
+    table before pinning a new one (plans/serve_cache.py)."""
+    from symat_hbase_tools_spark.plans.serve_cache import release_all
+
+    release_all(_PHASH_FP_CACHES)
 
 
 def perceptual_hashes(records: DataFrame) -> DataFrame:
@@ -348,10 +343,13 @@ def near_dup_pairs(records: DataFrame, max_hamming: int = 3) -> DataFrame:
     the same candidate-generation shape as dedup.simhash_pairs, so the
     join only ever shuffles on 16-bit band keys — never all-pairs.
 
-    Scale shape: fingerprint map (narrow, Arrow-batched) -> 4-way band
-    explode (one 24-byte row per doc per band) -> band-key self-join ->
-    distinct + popcount filter. 100 TB posture identical to SimHash's."""
+    Scale shape: fingerprint map (narrow, Arrow-batched) -> the SHARED
+    4x16-bit band candidate generator (dedup.banded_hamming_pairs — one
+    24-byte row per doc per band, band-key self-join, distinct + popcount
+    filter). 100 TB posture identical to SimHash's."""
     from pyspark import StorageLevel
+
+    from symat_hbase_tools_spark.operators.dedup import banded_hamming_pairs
 
     # persist: one 16-byte row per doc feeds BOTH sides of the band join;
     # without it the payload scan + hash kernel runs twice. Serve-many
@@ -361,36 +359,7 @@ def near_dup_pairs(records: DataFrame, max_hamming: int = 3) -> DataFrame:
     _release_phash_caches()
     fps = perceptual_hashes(records).persist(StorageLevel.MEMORY_AND_DISK)
     _PHASH_FP_CACHES.append(fps)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned("fp", 16 * b)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("bh"),
-            )
-            for b in range(4)
-        ]
-    )
-    buckets = fps.select("doc_id", "fp", F.explode(bands).alias("bb")).select(
-        "doc_id", "fp", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.fp").alias("fp1"),
-            F.col("b.fp").alias("fp2"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("fp1").bitwiseXOR(F.col("fp2")))
-    return cand.select(
-        "d1", "d2", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    return banded_hamming_pairs(fps, max_hamming=max_hamming)
 
 
 def multimodal_near_dup(

@@ -46,14 +46,11 @@ _INTERVAL_CACHES: list = []
 
 def _release_interval_caches() -> None:
     """Serve-many hygiene (the IVF probe-table discipline): drop the
-    previous call's persisted interval table before pinning a new one."""
-    while _INTERVAL_CACHES:
-        prev = _INTERVAL_CACHES.pop()
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            # stopped session: its cached blocks died with the context
-            pass
+    previous call's persisted interval table before pinning a new one
+    (plans/serve_cache.py)."""
+    from symat_hbase_tools_spark.plans.serve_cache import release_all
+
+    release_all(_INTERVAL_CACHES)
 
 
 #: replication ceiling for the WORST interval under an autotuned grid:

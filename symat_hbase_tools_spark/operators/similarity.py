@@ -1637,20 +1637,10 @@ _IVF_PROBE_CACHES: list = []
 def _release_probe_caches() -> None:
     """Serve-many hygiene shared by the persisted IVF and IVF-PQ query
     paths: release the PREVIOUS call's probe cache before persisting a
-    new one — without this, cached probe blocks accumulate across calls
-    in a long-lived session until the context cleaner happens to GC
-    them. Callers materialize each result before issuing the next query
-    (the CLI / entry paths do), so the released cache is no longer
-    referenced by a live plan."""
-    while _IVF_PROBE_CACHES:
-        prev = _IVF_PROBE_CACHES.pop()
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            # the session that persisted it was stopped — its cached
-            # blocks died with the context; a throw here would wedge
-            # the next query in the NEW session until process restart
-            pass
+    new one (plans/serve_cache.py has the rationale)."""
+    from symat_hbase_tools_spark.plans.serve_cache import release_all
+
+    release_all(_IVF_PROBE_CACHES)
 
 #: per-process memo of the index relations (the DataFrame handle, NOT the
 #: data): re-issuing spark.read.parquet per query re-runs the parallel
