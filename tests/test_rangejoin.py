@@ -180,3 +180,31 @@ def test_autotune_floor_caps_whale_interval_replication(spark):
     # every point is inside the whale; point 1 also inside interval 0
     # ([0, 30]) and point 2 inside interval 250 ([250000, 250030])
     assert got == {(1, 999), (2, 999), (3, 999), (1, 0), (2, 250)}
+
+
+def test_range_bucket_join_negative_axis(spark):
+    """Pre-1970 epochs (negative values): trunc-toward-zero bucketing is
+    MONOTONE, so b(lo) <= b(p) <= b(hi) still holds and the equi-join
+    stays exhaustive — pinned here so a future floor-division 'fix' on
+    one side only cannot silently break the pairing."""
+    points = spark.createDataFrame(
+        [(1, -15), (2, -5), (3, 0), (4, 7)], "pid long, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(0, -20, -10), (1, -7, 3), (2, -100, 100)],
+        "iid long, lo long, hi long",
+    )
+    for g in (3, 10, 1000):
+        got = {
+            (r["pid"], r["iid"])
+            for r in rj.range_bucket_join(
+                points, intervals, "p", "lo", "hi", bucket_width=g
+            ).collect()
+        }
+        want = {
+            (r["pid"], r["iid"])
+            for r in points.crossJoin(intervals)
+            .filter((F.col("lo") <= F.col("p")) & (F.col("p") <= F.col("hi")))
+            .collect()
+        }
+        assert got == want, f"g={g}: {got ^ want}"

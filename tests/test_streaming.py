@@ -501,3 +501,29 @@ def test_events_rollup_exactly_once_across_injected_retry(spark, tmp_path):
     )
     # storage stayed bounded through the crash + replay
     assert len(rollup._gen_dirs(spark, state_dir)) <= rollup.KEEP_GENERATIONS
+
+
+def test_rollup_retry_drill_at_last_batch(spark, tmp_path):
+    """The crash drill at the FINAL batch: the restart replays it as the
+    only remaining work and the rollup still converges to the batch
+    aggregate — the boundary where a buggy drill could under-merge."""
+    from symat_hbase_tools_spark.sources.tables import load_table
+    from symat_hbase_tools_spark.streaming import rollup
+
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state_dir, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    rollup.maintain_rollup_with_retry(stream, state_dir, ckpt, fail_once_at=2)
+    snap = lambda df: {  # noqa: E731
+        (r["hour_epoch"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in df.collect()
+    }
+    assert snap(rollup.rollup_view(spark, state_dir)) == snap(
+        relational.events_hourly(spark, SF_DIR)
+    )
