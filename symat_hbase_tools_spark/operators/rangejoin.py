@@ -98,16 +98,24 @@ def range_bucket_join(
     max_span/MAX_BUCKETS_PER_INTERVAL so no whale interval can explode
     past the replication ceiling — a typical interval replicates into
     ~2 buckets while the bucket key stays selective, corpus-portable
-    instead of fixture-tuned. The autotune pass re-evaluates the
-    intervals plan once; callers that build intervals from an expensive
-    shuffle and want a single evaluation should persist it first or pass
-    an explicit width. Any width produces the identical row set
+    instead of fixture-tuned. Because the autotune census and the join
+    both consume the intervals plan, the autotune path PERSISTS
+    ``intervals`` (unless the caller already did) under the serve-many
+    release discipline, so an expensive unpersisted intervals shuffle is
+    never paid twice. Any width produces the identical row set
     (bucketing is a physical-plan choice, never semantics).
 
     Column contract: ``points`` and ``intervals`` must not share column
     names (callers alias first); all three key columns are integral.
     """
     if bucket_width is None:
+        sl = intervals.storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            from pyspark import StorageLevel
+
+            _release_interval_caches()
+            intervals = intervals.persist(StorageLevel.MEMORY_AND_DISK)
+            _INTERVAL_CACHES.append(intervals)
         bucket_width = (
             autotune_bucket_width(intervals, lo_col, hi_col)
             or DEFAULT_BUCKET_US

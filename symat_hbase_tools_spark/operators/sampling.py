@@ -384,7 +384,13 @@ def kcenter_select(
                 if pdf.empty:
                     continue
                 E = np.array(pdf["emb"].tolist(), dtype=np.float64)
-                En = E / np.linalg.norm(E, axis=1, keepdims=True)
+                # zero-norm guard: without it a zero embedding yields NaN
+                # min-distance, and NaN sorts above every double in the
+                # struct max, so that row would win every greedy round
+                # (mirrors the `or 1.0` guard on the mean seed below)
+                En = E / np.maximum(
+                    np.linalg.norm(E, axis=1, keepdims=True), 1e-12
+                )
                 d2 = ((En[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
                 # the NORMALIZED vector rides along so the winning center
                 # comes back in the same pass — no second corpus scan to

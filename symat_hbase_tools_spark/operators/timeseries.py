@@ -854,6 +854,15 @@ def events_percentile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFram
     values; the sketch partial-aggregates bounded summaries map-side, so
     the shuffle carries O(types x sketch_size) regardless of event count,
     mergeable across arbitrary re-partitions.
+
+    Accepted ulp risk (same class as bm25's ln() note): the exact
+    columns hash-compare Spark's ``percentile`` against DuckDB's
+    ``quantile_cont``. Both linearly interpolate, but the interpolation
+    arithmetic can differ in the last ulp, which on an adversarial value
+    sitting within one ulp of a 0.5e-6 rounding boundary could flip the
+    6th decimal. On this fixture the nearest p50/p95 values sit >>1e-9
+    from any such boundary; if a future fixture trips it, switch the
+    exact columns to the same relative-tolerance boolean as sketch_ok.
     """
     events = load_table(spark, sf_dir, "events")
     g = events.groupBy("event_type").agg(

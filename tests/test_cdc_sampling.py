@@ -279,3 +279,34 @@ def test_kcenter_matches_python_greedy(spark):
         for r in kcenter_select(spark, SF_DIR).orderBy("rank").collect()
     ]
     assert got == want
+
+
+def test_kcenter_zero_norm_vector_never_wins(spark, tmp_path):
+    """A zero-norm embedding must not produce a NaN min-distance (NaN
+    sorts above every double in the struct max, so an unguarded kernel
+    would make the zero vector win EVERY greedy round). With the guard it
+    normalizes to ~0 and behaves like any near-mean point."""
+    import numpy as np
+
+    from symat_hbase_tools_spark.operators.sampling import kcenter_select
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.normal(size=8).tolist()) for i in range(20)]
+    vecs.append((99, [0.0] * 8))  # the adversarial zero-norm row
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = kcenter_select(spark, str(tmp_path), k=5).orderBy("rank").collect()
+    ranks = [r["rank"] for r in got]
+    dists = [r["sel_dist"] for r in got]
+    assert ranks == [1, 2, 3, 4, 5]
+    # no NaN leaked into the selection distances
+    assert all(d == d for d in dists)
+    # greedy invariant from rank 2 on: selection distances non-increasing
+    # (rank 1 measures to the corpus MEAN, not a center, so 1->2 may rise;
+    # a NaN winner would break this ordering immediately)
+    assert all(a >= b for a, b in zip(dists[1:], dists[2:]))
+    # the zero vector normalizes to ~0, i.e. close to typical points; it
+    # must not be picked ahead of genuinely far vectors every round
+    assert [r["vec_id"] for r in got].count(99) <= 1

@@ -41,7 +41,8 @@ def test_range_bucket_join_equals_naive(spark):
         }
         assert got == want, f"bucket_width={g}"
     assert (3 in {i for _, i in want}) is False  # empty interval really empty
-    assert (1, 1) not in want or True
+    # zero-length inclusive interval [100,100] contains point p=100 (pid 3)
+    assert (3, 1) in want
 
 
 def test_session_window_hits_match_naive_interval_join(spark):
