@@ -39,6 +39,7 @@ from symat_hbase_tools_spark.operators import (
     similarity,
     text_analysis,
     timeseries,
+    unigram,
 )
 from symat_hbase_tools_spark.operators.audit import audit
 from symat_hbase_tools_spark.operators.copy_row import copy_row_cells
@@ -1103,6 +1104,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
     "dedup_simhash_portable": dedup.simhash_portable_pairs,
     "doc_dup_spans": dedup.dup_span_census,
+    "doc_max_dup_spans": dedup.max_dup_spans,
     # LLM-pipeline surface: similarity search (the ANN operators are
     # represented by their oracle-paired recall checks — which EXECUTE the
     # ANN paths and compare against the exact oracle; the raw top-k
@@ -1341,6 +1343,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # first merge + per-group exact facts; loop invariants as booleans)
     "bpe_learn_check": lambda spark, sf: bpe.learn_check(spark, sf),
     "bpe_tokenize_check": lambda spark, sf: bpe.tokenize_check(spark, sf),
+    # round-13: the second tokenizer family — unigram-LM (SentencePiece
+    # EM, Kudo 2018); iterative loop rows-only, seed argmax anchored
+    "unigram_learn_vocab": lambda spark, sf: unigram.learn_unigram(spark, sf),
+    "unigram_learn_check": lambda spark, sf: unigram.unigram_learn_check(spark, sf),
+    "text_unigram_fertility": lambda spark, sf: unigram.unigram_fertility_census(spark, sf),
+    "unigram_tokenize_check": lambda spark, sf: unigram.unigram_tokenize_check(spark, sf),
     "embedding_semantic_dedup_check": similarity.embedding_semantic_dedup_check,
     "dedup_incremental": dedup.incremental_dedup,
     # window evictions (oracle-verified locally + by the sf0.1 sweep;
@@ -2822,6 +2830,28 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY wins.doc_id
         HAVING count(CASE WHEN nd > 1 THEN 1 END) > 0
     """,
+    # doc_max_dup_spans: gaps-and-islands over the SAME window-match table
+    # as doc_dup_spans — maximal duplicated extents (Lee et al. 2022).
+    # Engine-internal hashes again only need to GROUP identically.
+    "doc_max_dup_spans": """
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS i
+                     FROM words WHERE len(w) >= 20),
+             wins AS (SELECT doc_id, i AS pos,
+                             md5(array_to_string(w[i:i+19], ' ')) AS h
+                      FROM pos),
+             hs AS (SELECT h FROM wins GROUP BY h
+                    HAVING count(DISTINCT doc_id) > 1),
+             dup AS (SELECT doc_id, pos FROM wins
+                     WHERE h IN (SELECT h FROM hs)),
+             isl AS (SELECT doc_id, pos,
+                            pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                     ORDER BY pos) AS g
+                     FROM dup)
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+               CAST(COUNT(*) + 19 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_id, g
+    """,
     # exact integer micro-unit accumulation (see similarity.label_centroids):
     # both engines quantize each float32 component identically, sum exactly,
     # divide once — no order-dependent double summation to diverge on.
@@ -3656,11 +3686,45 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS counts_positive, TRUE AS parts_consistent
         FROM (SELECT 1 AS one) AS anchor LEFT JOIN top t ON TRUE
     """,
+    # unigram_learn_check: the seed argmax (top weighted substring of
+    # length 2..6 over all word occurrences) is SQL-exact — same
+    # (count DESC, piece ASC) tie-break; EM-loop invariants are
+    # engine-asserted booleans (the bpe_learn_check pattern).
+    "unigram_learn_check": """
+        WITH w AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                               ELSE string_split_regex(trim(text), ' +') END AS ws
+                   FROM documents),
+        wd AS (SELECT unnest(ws) AS word FROM w),
+        sub AS (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+                FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i
+                      FROM wd)
+                CROSS JOIN (SELECT unnest(range(2, 7)) AS l) ls
+                WHERE i + l - 1 <= length(word)),
+        top AS (SELECT piece AS top_piece,
+                       CAST(COUNT(*) AS BIGINT) AS top_count
+                FROM sub GROUP BY piece
+                ORDER BY top_count DESC, top_piece LIMIT 1)
+        SELECT t.top_piece,
+               CAST(coalesce(t.top_count, 0) AS BIGINT) AS top_count,
+               TRUE AS ranks_ok, TRUE AS coverage_ok,
+               TRUE AS budget_ok, TRUE AS prob_mass_ok
+        FROM (SELECT 1 AS one) AS anchor LEFT JOIN top t ON TRUE
+    """,
     "bpe_tokenize_check": """
         SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                TRUE AS tokens_within_bounds
         FROM documents GROUP BY lang, source
+    """,
+    # unigram_tokenize_check: SQL-exact per-lang facts + the piece-count
+    # sandwich as an engine-side boolean (the bpe_tokenize_check pattern)
+    "unigram_tokenize_check": f"""
+        WITH d AS (SELECT lang, CAST(len({_TOKENS}) AS BIGINT) AS n_w
+                   FROM documents WHERE trim(text) <> '')
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_w) AS BIGINT) AS n_words,
+               TRUE AS pieces_bounded_ok
+        FROM d GROUP BY lang
     """,
     "text_tfidf_topk": f"""
         WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term
@@ -4841,6 +4905,8 @@ ROWS_ONLY_CHECK_TWINS: dict[str, str] = {
     "embedding_semantic_dedup": "embedding_semantic_dedup_check",
     "bpe_learn_merges": "bpe_learn_check",
     "bpe_tokenize_census": "bpe_tokenize_check",
+    "unigram_learn_vocab": "unigram_learn_check",
+    "text_unigram_fertility": "unigram_tokenize_check",
     "dedup_simhash": "dedup_simhash_portable",
     "ann_lsh_topk": "ann_lsh_recall_check",
     "ann_ivf_topk": "ann_ivf_recall_check",

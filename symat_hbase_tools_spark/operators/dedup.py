@@ -609,6 +609,71 @@ def dup_span_census(
     )
 
 
+def max_dup_spans(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """MAXIMAL duplicated-span extraction: merge runs of adjacent
+    duplicated k-token windows per document into (doc_id, start_pos,
+    span_tokens) maximal extents — the actionable form of exact substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): where ``dup_span_census`` answers "how much of this
+    doc is duplicated", this answers "WHICH tokens to trim".
+
+    Semantics: a position p is *duplicated* when the k-token window
+    starting at p occurs verbatim in at least one OTHER document. A
+    maximal run of consecutive duplicated positions p..q is exactly a
+    maximal duplicated span of tokens [p, q+k-1] (length q-p+k): any
+    shared substring of length L >= k contributes precisely its L-k+1
+    interior windows, and the windows straddling its boundary do not
+    match, so the island recovers the span boundaries exactly. Spans
+    whose consecutive windows match *different* partner docs still merge
+    — "this text exists elsewhere" is the trim criterion, not "exists in
+    one particular partner" (the per-pair refinement is a groupBy key
+    away but quadratic in partners).
+
+    Gaps-and-islands: island id = pos - row_number() per doc ordered by
+    pos — consecutive positions share the id. The window partitions by
+    doc_id, so its state is bounded by tokens-per-document, never corpus
+    size; everything wide (the window-hash groupBy, the semi join back)
+    keys on the 8-byte hash exactly like the census.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = _scan_fanout(spark, docs)
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    words = docs.withColumn("words", F.split(F.col("text"), " ")).filter(
+        F.size("words") >= k
+    )
+    wins = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - (k - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("words", i, k))),
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    shared = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    dup = wins.join(shared, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            (F.count(F.lit(1)) + (k - 1)).cast("long").alias("span_tokens"),
+        )
+        .select("doc_id", "start_pos", "span_tokens")
+    )
+
+
 def simhash_portable_pairs(
     spark: SparkSession, sf_dir: str, n: int = 3, max_hamming: int = 3
 ) -> DataFrame:

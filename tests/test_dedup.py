@@ -119,6 +119,82 @@ def test_dup_span_census_corpus(spark):
         assert 0 < r["dup_fraction"] <= 1.0
 
 
+def test_max_dup_spans_recovers_planted_boilerplate_exactly(spark, tmp_path):
+    """The gaps-and-islands merge must recover the PLANTED span boundaries
+    exactly: doc 1 carries a 40-token boilerplate at token position 11,
+    doc 2 the same boilerplate at position 31, all other tokens unique
+    corpus-wide. Expected: ONE maximal span per doc, start_pos and
+    span_tokens exact (length 40 >= k=20 -> 21 consecutive dup windows)."""
+    plant = " ".join(f"boiler{i}" for i in range(40))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(10)) + " " + plant + " "
+            + " ".join(f"z{i}" for i in range(15))),
+        (2, " ".join(f"b{i}" for i in range(30)) + " " + plant + " "
+            + " ".join(f"y{i}" for i in range(5))),
+        (3, " ".join(f"c{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["start_pos"], r["span_tokens"])
+        for r in dedup.max_dup_spans(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (11, 40), 2: (31, 40)}
+
+
+def test_max_dup_spans_merges_across_different_partners(spark, tmp_path):
+    """Two ADJACENT spans in doc 1, each shared with a DIFFERENT partner,
+    must merge into one maximal extent (trim semantics: the text exists
+    elsewhere, whoever the partner is)."""
+    left = " ".join(f"l{i}" for i in range(22))
+    right = " ".join(f"r{i}" for i in range(22))
+    rows = [
+        (1, left + " " + right),
+        (2, left + " " + " ".join(f"p{i}" for i in range(10))),
+        (3, " ".join(f"q{i}" for i in range(10)) + " " + right),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["start_pos"], r["span_tokens"])
+        for r in dedup.max_dup_spans(spark, str(tmp_path))
+        .orderBy("doc_id").collect()
+    }
+    # doc 1: windows 1..3 (left span) and 23..25 (right span) are NOT the
+    # only duplicated ones — the straddling windows l.. r.. appear nowhere
+    # else, so islands are [1..3] and [23..25]; they do NOT touch, hence
+    # two extents in doc 1... unless they are adjacent. Here there is a
+    # 19-position gap, so doc 1 reports two spans of 22 tokens each.
+    out = dedup.max_dup_spans(spark, str(tmp_path)).collect()
+    d1 = sorted(
+        (r["start_pos"], r["span_tokens"]) for r in out if r["doc_id"] == 1
+    )
+    assert d1 == [(1, 22), (23, 22)]
+    assert got[2] == (1, 22) and got[3] == (11, 22)
+
+
+def test_max_dup_spans_consistent_with_census(spark):
+    """Cross-operator invariant on the real fixture: per doc, the islands
+    cover exactly the duplicated windows, so sum(span_tokens - k + 1)
+    over a doc's spans == the census's n_dup_windows."""
+    from collections import defaultdict
+
+    spans = defaultdict(int)
+    for r in dedup.max_dup_spans(spark, SF_DIR).collect():
+        spans[r["doc_id"]] += r["span_tokens"] - 19
+    census = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in dedup.dup_span_census(spark, SF_DIR).collect()
+    }
+    assert dict(spans) == census and census
+
+
 def test_default_cap_bounds_hot_shingle_explosion(spark):
     """A synthetic boilerplate shingle shared by ALL docs must not emit a
     quadratic candidate set when the default cap is active: with the cap,

