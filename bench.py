@@ -15,6 +15,14 @@ best of 2 warm runs); `cold_total_sec`/`cold_queries` report the
 first-invocation times including per-plan construction+analysis, so both
 regimes are visible. Run `python bench.py --baseline` to time the same
 queries on DuckDB (the BASELINE.md numbers).
+
+`--only q1,q2` re-times just the named queries (engine AND the embedded
+DuckDB control, same min-of-N protocol) — the 10-second flagged-list
+adjudication path (round-12 verdict ask): a contended-host flag is
+adjudicated by whether engine and control moved TOGETHER on the idle
+re-time. Accepts any registry query, not just headline members.
+--only runs never overwrite BENCH_DETAIL.json (they are adjudications,
+not official records).
 """
 
 from __future__ import annotations
@@ -250,8 +258,32 @@ def run_duckdb_baseline() -> dict:
     return timings
 
 
+def _parse_only() -> list[str] | None:
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            return [n for n in sys.argv[i + 1].split(",") if n]
+        if a.startswith("--only="):
+            return [n for n in a.split("=", 1)[1].split(",") if n]
+    return None
+
+
 def main() -> None:
     baseline = "--baseline" in sys.argv
+    only = _parse_only()
+    if only:
+        from symat_hbase_tools_spark.entry import ORACLE_SQL, QUERIES
+
+        unknown = [n for n in only if n not in QUERIES]
+        if unknown:
+            print(f"error: unknown queries {unknown}", file=sys.stderr)
+            sys.exit(1)
+        no_ctl = [n for n in only if n not in ORACLE_SQL]
+        if no_ctl:
+            print(
+                f"# note: no DuckDB control for rows-only {no_ctl}",
+                file=sys.stderr,
+            )
+        HEADLINE[:] = only
     if baseline:
         timings = run_duckdb_baseline()
         detail = {
@@ -319,15 +351,16 @@ def main() -> None:
                 for k, v in detail["duckdb_control"].items()
                 if k != "queries"
             }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "BASELINE_DETAIL.json" if baseline else "BENCH_DETAIL.json",
-    )
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1)
-    except OSError:
-        pass
+    if not only:  # adjudication runs never overwrite the official record
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BASELINE_DETAIL.json" if baseline else "BENCH_DETAIL.json",
+        )
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError:
+            pass
     line = json.dumps(summary)
     if len(line) > 1900:
         # drop the cheapest per-query entries until the line fits; the full
