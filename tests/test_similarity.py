@@ -1195,6 +1195,75 @@ def test_persisted_ivfpq_lifecycle(spark, tmp_path):
     assert hits == 4
 
 
+def test_ivfpq_concurrent_writer_drill(spark, tmp_path):
+    """Concurrent-writer drill (r12 verdict ask): a SECOND session appends
+    raw vectors between this reader's build and its query. The reader's
+    cached index relations are never invalidated (the writer is another
+    process — `_invalidate_ivf_relations` is per-process), so the query
+    must either REFUSE (STALE) or serve the PRE-APPEND snapshot — never a
+    torn result where an appended id surfaces without its PQ codes. A
+    reader that then refreshes its relations MUST refuse until the
+    re-encode runs; after ivf_index_add_pq it serves the union.
+    """
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from symat_hbase_tools_spark.operators import similarity as S
+
+    idx = str(tmp_path / "idx")
+    S.build_ivf_index(spark, SF_DIR, idx, n_cells=8)
+    S.ivf_index_add_pq(spark, idx)
+    qs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(20)
+    baseline = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_ivfpq_query(spark, idx, qs, k=3, n_probe=4).collect()
+    }
+
+    # the concurrent writer: run the real append, then restore the
+    # reader's cached (now-stale) relation handles — exactly the state a
+    # reader process holds while another process appends, since the
+    # writer's invalidation never reaches the reader's cache
+    import os
+
+    saved = {
+        k: v
+        for k, v in S._IVF_RELATION_CACHE.items()
+        if k[1].startswith(os.path.abspath(idx))
+    }
+    clones = qs.limit(3).withColumn("vec_id", F.col("vec_id") + 9_000_000)
+    S.ivf_index_append(spark, idx, clones, n_assign=1)
+    S._IVF_RELATION_CACHE.update(saved)
+
+    clone_ids = {r["vec_id"] for r in clones.select("vec_id").collect()}
+    try:
+        mid = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ann_ivfpq_query(spark, idx, qs, k=3, n_probe=4).collect()
+        }
+    except ValueError as exc:  # refusal is the other acceptable outcome
+        assert "STALE" in str(exc)
+    else:
+        # served: must be the consistent pre-append snapshot, and no
+        # appended id may leak into results the codes don't cover
+        assert mid == baseline
+        assert not {n for _, n in mid} & clone_ids
+
+    # a refreshed reader (new process / invalidated cache) sees the raw
+    # append without codes: MUST refuse until the re-encode
+    S._invalidate_ivf_relations(idx)
+    with _pytest.raises(ValueError, match="STALE"):
+        S.ann_ivfpq_query(spark, idx, qs, k=3).count()
+
+    # re-encode closes the drill: appended clones serve at sim 1.0
+    S.ivf_index_add_pq(spark, idx)
+    found = S.ann_ivfpq_query(spark, idx, clones, k=3, n_probe=8)
+    hits = found.filter(
+        (F.col("neighbor_id") == F.col("query_id") - 9_000_000)
+        & (F.abs(F.col("sim") - 1.0) < 1e-6)
+    ).count()
+    assert hits == 3
+
+
 def test_serve_many_probe_cache_bounded_across_both_paths(spark, tmp_path):
     """The r11 advisory fix: alternating ann_ivf_query and ann_ivfpq_query
     calls in one long-lived session must never accumulate persisted probe
