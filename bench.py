@@ -157,6 +157,11 @@ HEADLINE = [
     "doc_softdedup_weights",
     "events_percentile_sketch_check",
     "kv_snapshot_manifest",
+    # round-13 operators (unigram learn stays out like bpe learn — EM
+    # passes are tokenizer TRAINING, not a serving-query shape)
+    "doc_max_dup_spans",
+    "doc_trim_dup_spans",
+    "doc_gopher_quality",
 ]
 
 

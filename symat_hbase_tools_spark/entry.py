@@ -23,1613 +23,112 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from symat_hbase_tools_spark.operators import (
-    bpe,
-    contamination,
-    dedup,
-    kv,
-    multimodal,
-    pca,
-    pipeline,
-    profiling,
-    rangejoin,
-    relational,
-    similarity,
-    text_analysis,
-    timeseries,
-    unigram,
-)
-from symat_hbase_tools_spark.operators.audit import audit
-from symat_hbase_tools_spark.operators.copy_row import copy_row_cells
-from symat_hbase_tools_spark.operators.diff import cells_diff
-from symat_hbase_tools_spark.sources.cells import (
-    CELL_TS,
-    customer_cells,
-    customer_cells_versioned,
-    customer_cells_with_deletes,
-)
-from symat_hbase_tools_spark.operators.sampling import (
-    _md5_cut,
-    kcenter_check,
-    kcenter_select,
-)
-from symat_hbase_tools_spark.sources.tables import load_table
-
-POINT_GET_CUSTKEY = 42
-BUMP_TS = 1_786_000_000_000
-#: kv_split_points target bytes-per-region — sized so every test scale
-#: yields a multi-region answer (sf0.001 ~2, sf0.01 ~12, sf0.1 ~120)
-SPLIT_TARGET_BYTES = 16_384
-PROJECTION_QUALIFIERS = ("c_acctbal", "c_name")
+from symat_hbase_tools_spark.operators import relational
+from symat_hbase_tools_spark.registry import ORACLE_SQL, QUERIES
 
 # ---------------------------------------------------------------------------
-# oracle SQL builders (customer -> cells unpivot)
-
-_QUAL_VALUE_SQL = (
-    ("c_acctbal", "printf('%.2f', c_acctbal)"),
-    ("c_mktsegment", "c_mktsegment"),
-    ("c_name", "c_name"),
-    ("c_nationkey", "CAST(c_nationkey AS VARCHAR)"),
+# round-13 split: the 238 inline wrappers, fixture machinery, and per-domain
+# QUERIES/ORACLE_SQL registrations live in symat_hbase_tools_spark/registry/
+# ({kv,relational,events,docs,embeddings}.py over wrappers.py + sqlcommon.py).
+# entry.py remains the assembler — driver-window ordering, the prepared-plan
+# cache, and the rows-only twin map — and re-exports every wrapper name so
+# `from symat_hbase_tools_spark.entry import <anything>` keeps working.
+# ---------------------------------------------------------------------------
+from symat_hbase_tools_spark.registry.wrappers import *  # noqa: F401,F403
+from symat_hbase_tools_spark.registry.wrappers import (  # noqa: F401
+    _FIXTURE_CACHE,
+    _FIXTURE_ROOT,
+    _REGIONSTORE_CACHE,
+    _fanout,
+    _materialized_fixture,
+    _pretty_cells,
+    _scratch_path,
+    _unpivot_sql,
 )
-_ROW_KEY_SQL = "printf('cust#%08d', c_custkey)"
+from symat_hbase_tools_spark.registry.sqlcommon import (  # noqa: F401
+    _JACCARD_SQL,
+    _NTOK,
+    _PROFILE_RENDER_SQL,
+    _SHINGLE_CTE,
+    _TOKENS,
+    _fk_oracle_sql,
+    _money,
+    _profile_oracle_sql,
+    _simhash_portable_sql,
+)
 
+QUERIES = dict(QUERIES)  # local copy: window ordering + plan cache below
 
-def _unpivot_sql(
-    where: str = "TRUE", ts: int = CELL_TS, quals=None, with_custkey: bool = False
-) -> str:
-    """UNION ALL unpivot of customer into cells rows (row_key/family/qualifier/ts/value)."""
-    quals = quals or [q for q, _ in _QUAL_VALUE_SQL]
-    extra = ", c_custkey, c_acctbal" if with_custkey else ""
-    parts = [
-        f"SELECT {_ROW_KEY_SQL} AS row_key, 'cf' AS family, '{q}' AS qualifier, "
-        f"CAST({ts} AS BIGINT) AS ts, {v} AS value{extra} FROM customer WHERE {where}"
-        for q, v in _QUAL_VALUE_SQL
-        if q in quals
-    ]
-    return " UNION ALL ".join(parts)
 
 
 # ---------------------------------------------------------------------------
-# cell-layer queries (Spark side)
-
-
-def _pretty_cells(cells: DataFrame, *cols: str) -> DataFrame:
-    rendered = {
-        "row_key": F.decode(F.col("row"), "UTF-8").alias("row_key"),
-        "family": F.col("family"),
-        "qualifier": F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
-        "ts": F.col("ts"),
-        "value": F.decode(F.col("value"), "UTF-8").alias("value"),
-    }
-    return cells.select(*[rendered[c] for c in cols])
-
-
-def kv_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = customer_cells(load_table(spark, sf_dir, "customer"))
-    key = ("cust#%08d" % POINT_GET_CUSTKEY).encode()
-    return _pretty_cells(
-        kv.point_get(cells, key), "row_key", "family", "qualifier", "ts", "value"
-    )
-
-
-def kv_keyonly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = customer_cells(load_table(spark, sf_dir, "customer"))
-    return kv.keyonly_scan(cells).select(F.decode(F.col("row"), "UTF-8").alias("row_key"))
-
-
-def kv_column_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = customer_cells(load_table(spark, sf_dir, "customer"))
-    proj = kv.column_projection(cells, list(PROJECTION_QUALIFIERS))
-    return _pretty_cells(proj, "row_key", "qualifier", "value")
-
-
-def kv_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = customer_cells(load_table(spark, sf_dir, "customer"), with_corrupt_marker=True)
-    return audit(cells)[0]
-
-
-def kv_audit_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = customer_cells(load_table(spark, sf_dir, "customer"), with_corrupt_marker=True)
-    return audit(cells)[1]
-
-
-def kv_copy_row_bump(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = customer_cells(load_table(spark, sf_dir, "customer"))
-    key = ("cust#%08d" % POINT_GET_CUSTKEY).encode()
-    puts = copy_row_cells(cells, key, override_ts=BUMP_TS)
-    return _pretty_cells(puts, "row_key", "family", "qualifier", "ts", "value")
-
-
-def _fanout(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Spread a small-file source across the cluster before compute-bound
-    per-row synthesis (up to 36 struct entries per customer here). Fan-out
-    is bytes-proportional (plans/partitioning.py) with a much finer grain
-    than the text ops because cell synthesis multiplies rows 12-36x: 32 KB
-    of source parquet is ~0.5-1 MB of synthesized cells, i.e. real work.
-    Measured on kv_latest_version at sf0.1: 0.21 s at one 170 KB task ->
-    0.14 s at nine tasks. (Still capped at cluster parallelism and fan-OUT
-    only, so a many-split source at scale is untouched.)"""
-    from symat_hbase_tools_spark.plans.partitioning import fanout
-
-    return fanout(spark, df, bytes_per_task=32 * 1024)
-
-
-#: process-scoped scratch for synthesized cells fixtures. A fresh mkdtemp
-#: per process (never a fixed shared /tmp path — predictable paths race
-#: across concurrent runs and are squattable on multi-user hosts, per the
-#: round-3 advisory on docs_csv_roundtrip); keyed on (fixture, sf_dir,
-#: source mtime) so testdata regeneration invalidates the copy.
-_FIXTURE_CACHE: dict[tuple, str] = {}
-_FIXTURE_ROOT: list = []
-
-
-def _scratch_path(leaf: str) -> str:
-    """A path under the process-scoped mkdtemp scratch — the ONLY sanctioned
-    place for synthesized fixtures, roundtrip exports, and derived stores.
-    Never a fixed shared /tmp path (races across concurrent runs, squattable
-    on multi-user hosts — round-3/round-4 advisories)."""
-    import os
-    import tempfile
-
-    if not _FIXTURE_ROOT:
-        _FIXTURE_ROOT.append(tempfile.mkdtemp(prefix="symat_fixtures_"))
-    return os.path.join(_FIXTURE_ROOT[0], leaf)
-
-
-def _materialized_fixture(spark, sf_dir, name, build) -> DataFrame:
-    """Synthesized-fixture parquet cache. The versioned/corrupted cells
-    fixtures are BENCH INPUTS, not part of the operator under test; their
-    struct-explode synthesis was 60-80%% of kv_latest_version /
-    kv_repair_replica wall time (3.2x / 2.1x the oracle, round-3 verdict).
-    Materializing them once per (sf_dir, mtime) makes the timed query a
-    parquet scan + the actual operator — the same regime the DuckDB
-    oracle runs in (its fixture CTE materializes from the base table
-    in-memory). Falls back to the in-flight plan if the scratch dir is
-    unwritable."""
-    import os
-
-    src = os.path.join(sf_dir, "customer.parquet")
-    try:
-        key = (name, os.path.abspath(sf_dir), os.path.getmtime(src))
-    except OSError:
-        return build()
-    path = _FIXTURE_CACHE.get(key)
-    if path is None:
-        path = _scratch_path(f"{name}_{abs(hash(key)):x}")
-        try:
-            build().write.mode("overwrite").parquet(path)
-        except Exception:
-            return build()
-        _FIXTURE_CACHE[key] = path
-    return spark.read.parquet(path)
-
-
-def kv_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
-    versioned = _materialized_fixture(
-        spark,
-        sf_dir,
-        "cells_versioned",
-        lambda: customer_cells_versioned(
-            _fanout(spark, load_table(spark, sf_dir, "customer"))
-        ),
-    )
-    return _pretty_cells(kv.latest_cells(versioned), "row_key", "qualifier", "ts", "value")
-
-
-RANGE_START, RANGE_STOP = b"cust#00000100", b"cust#00000200"
-
-
-def kv_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = customer_cells(load_table(spark, sf_dir, "customer"))
-    ranged = kv.range_scan(cells, RANGE_START, RANGE_STOP)
-    return _pretty_cells(ranged, "row_key", "qualifier", "value")
-
-
-#: region stores already built this process, keyed (sf_dir, source mtime)
-#: so testdata regeneration rebuilds — mirrors _FIXTURE_CACHE.
-_REGIONSTORE_CACHE: dict[tuple, str] = {}
-
-
-def kv_region_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range scan THROUGH the regionstore relation (Python DataSource with
-    key-range pushdown, SURVEY.md §4.1): the store is built once per sf_dir
-    (range-partitioned region files), then the query's row predicates push
-    into the source and prune region directories — only the regions
-    intersecting [RANGE_START, RANGE_STOP) are opened.
-
-    The store lands in the process-scoped mkdtemp scratch (_FIXTURE_ROOT),
-    never a fixed shared /tmp path: predictable paths race across
-    concurrent runs and are squattable on multi-user hosts (round-4
-    verdict, What's wrong #1 — same advisory that moved the CSV
-    roundtrip in round 3)."""
-    import os
-
-    from symat_hbase_tools_spark.sources import regionstore
-
-    src = os.path.join(sf_dir, "customer.parquet")
-    try:
-        key = (os.path.abspath(sf_dir), os.path.getmtime(src))
-    except OSError:
-        key = (os.path.abspath(sf_dir), None)
-    store = _REGIONSTORE_CACHE.get(key)
-    if store is None:
-        store = _scratch_path(f"regionstore_{abs(hash(key)):x}")
-        cells = customer_cells(load_table(spark, sf_dir, "customer"))
-        regionstore.write_region_store(cells, store, n_regions=8)
-        _REGIONSTORE_CACHE[key] = store
-    df = regionstore.read_region_store(spark, store)
-    ranged = df.filter((F.col("row") >= RANGE_START) & (F.col("row") < RANGE_STOP))
-    return _pretty_cells(ranged, "row_key", "qualifier", "ts", "value")
-
-
-def kv_visible_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = customer_cells_with_deletes(load_table(spark, sf_dir, "customer"))
-    return _pretty_cells(kv.visible_cells(cells), "row_key", "qualifier", "ts", "value")
-
-
-def kv_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from symat_hbase_tools_spark.operators.cdc import scd2_history
-
-    versioned = customer_cells_versioned(load_table(spark, sf_dir, "customer"))
-    hist = scd2_history(versioned)
-    return hist.select(
-        F.decode(F.col("row"), "UTF-8").alias("row_key"),
-        F.decode(F.col("qualifier"), "UTF-8").alias("qualifier"),
-        F.decode(F.col("value"), "UTF-8").alias("value"),
-        "valid_from",
-        "valid_to",
-    )
-
-
-CHANGESET_TS = CELL_TS + 5000
-
-
-def kv_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE emulation: acctbal +50 for custkey%10==0, mktsegment deleted for
-    custkey%20==5; returns the post-merge visible table."""
-    from symat_hbase_tools_spark.operators.cdc import apply_changeset
-
-    customer = load_table(spark, sf_dir, "customer")
-    snapshot = customer_cells(customer)
-    key = F.encode(F.format_string("cust#%08d", F.col("c_custkey")), "UTF-8")
-    upserts = customer.filter(F.col("c_custkey") % 10 == 0).select(
-        key.alias("row"),
-        F.lit("cf").alias("family"),
-        F.encode(F.lit("c_acctbal"), "UTF-8").cast("binary").alias("qualifier"),
-        F.lit(CHANGESET_TS).cast("long").alias("ts"),
-        F.lit("Put").alias("type"),
-        F.encode(F.format_string("%.2f", F.col("c_acctbal") + 50), "UTF-8").alias("value"),
-    )
-    deletes = customer.filter(F.col("c_custkey") % 20 == 5).select(
-        key.alias("row"),
-        F.lit("cf").alias("family"),
-        F.encode(F.lit("c_mktsegment"), "UTF-8").cast("binary").alias("qualifier"),
-        F.lit(CHANGESET_TS).cast("long").alias("ts"),
-        F.lit("Delete").alias("type"),
-        F.lit(None).cast("binary").alias("value"),
-    )
-    merged = apply_changeset(snapshot, upserts.unionByName(deletes))
-    return _pretty_cells(kv.visible_cells(merged), "row_key", "qualifier", "value")
-
-
-def kv_major_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Major compaction of the versioned+deleted fixture: only the latest
-    live Put per coordinate survives."""
-    from symat_hbase_tools_spark.operators.compaction import major_compact
-    from symat_hbase_tools_spark.sources.cells import customer_cells_versioned_with_deletes
-
-    cells = customer_cells_versioned_with_deletes(load_table(spark, sf_dir, "customer"))
-    return _pretty_cells(major_compact(cells), "row_key", "qualifier", "ts", "value")
-
-
-def kv_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from symat_hbase_tools_spark.operators.compaction import compaction_report
-    from symat_hbase_tools_spark.sources.cells import customer_cells_versioned_with_deletes
-
-    cells = customer_cells_versioned_with_deletes(load_table(spark, sf_dir, "customer"))
-    return compaction_report(cells)
-
-
-def kv_retain_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VERSIONS=2 retention over the 3-version fixture: @v1 + plain survive."""
-    from symat_hbase_tools_spark.operators.compaction import retain_versions
-
-    cells = customer_cells_versioned(load_table(spark, sf_dir, "customer"))
-    return _pretty_cells(retain_versions(cells, 2), "row_key", "qualifier", "ts", "value")
-
-
-def kv_expire_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TTL sweep: cut-off between v1 and the latest version leaves only the
-    newest version of every cell."""
-    from symat_hbase_tools_spark.operators.compaction import expire_ttl
-
-    cells = customer_cells_versioned(load_table(spark, sf_dir, "customer"))
-    return _pretty_cells(
-        expire_ttl(cells, now_ms=CELL_TS + 3000, ttl_ms=1500),
-        "row_key",
-        "qualifier",
-        "ts",
-        "value",
-    )
-
-
-def kv_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-travel: the versioned table as of CELL_TS+1000 (the @v1 state)."""
-    versioned = customer_cells_versioned(load_table(spark, sf_dir, "customer"))
-    snap = kv.snapshot_as_of(versioned, CELL_TS + 1000)
-    return _pretty_cells(snap, "row_key", "qualifier", "ts", "value")
-
-
-INDEX_SEGMENT = "BUILDING"
-
-
-def kv_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Secondary-index query: customers in one market segment found via the
-    index table (range scan on index -> broadcast semi-join probe), not a
-    full-table value scan."""
-    from symat_hbase_tools_spark.operators.index import (
-        build_value_index,
-        index_lookup,
-        indexed_get,
-    )
-
-    cells = customer_cells(load_table(spark, sf_dir, "customer"))
-    idx = build_value_index(cells, "c_mktsegment")
-    keys = index_lookup(idx, INDEX_SEGMENT.encode())
-    return _pretty_cells(indexed_get(cells, keys), "row_key", "qualifier", "value")
-
-
-def events_kv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of the streaming KV ingest: events materialized as cells,
-    read latest-version-wins — the last value each user wrote per event
-    type. Shares event_cell_puts verbatim with streaming/ingest.py."""
-    from symat_hbase_tools_spark.streaming.ingest import event_cell_puts
-
-    cells = event_cell_puts(load_table(spark, sf_dir, "events"))
-    return _pretty_cells(kv.visible_cells(cells), "row_key", "qualifier", "ts", "value")
-
-
-def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible oracle row for the streaming session-window path
-    (round-4 verdict #7): runs streaming/events.py::session_counts — the
-    SAME groupBy(session_window) code the stream executes — on the bounded
-    events table. Spark's unified model makes withWatermark a no-op in
-    batch and plans session_window as a batch aggregate, so a green hash
-    here certifies the streaming aggregation's arithmetic, not a rewrite.
-
-    One row per (user, session): sessions merge while consecutive gaps are
-    STRICTLY under the 8h gap (session windows are [start, start+gap) —
-    an event at exactly +gap opens a new session), which is what the
-    gaps-and-islands oracle mirrors with `>= gap -> new`.
-    """
-    from symat_hbase_tools_spark.streaming.events import session_counts
-
-    return session_counts(load_table(spark, sf_dir, "events"))
-
-
-#: memory-sink names must be unique per invocation (a second stream with the
-#: same queryName would collide in the shared in-memory catalog)
-_STATEFUL_RUN_SEQ = iter(range(1, 1 << 30))
-
-
-def events_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator, driver-verified END TO END: this
-    ACTUALLY RUNS a structured stream (file source → applyInPandasWithState
-    via the transformWithState compat shim → memory sink, availableNow
-    drain), unlike events_session_window's batch-unified form — a green
-    hash here certifies the stateful-processor machinery itself.
-
-    The processor accumulates exact integer micros
-    (streaming/stateful.py::MicroProfileProcessor) so the converged state
-    is bit-identical to the SQL oracle no matter how the source files were
-    micro-batched. Update mode emits one row per (user, micro-batch); the
-    converged profile is the row with the max n_events (monotone per
-    user), reduced with the same max_by partial-aggregate shape as
-    kv_latest_version — O(users) state, no window sort."""
-    from symat_hbase_tools_spark.streaming import events as se
-    from symat_hbase_tools_spark.streaming.stateful import user_profiles_micros
-
-    stream = se.stream_events(spark, sf_dir)
-    name = f"stateful_profiles_{next(_STATEFUL_RUN_SEQ)}"
-    out = se.run_bounded(user_profiles_micros(stream), name, output_mode="update")
-    return (
-        out.groupBy("user_id")
-        .agg(
-            F.max_by(
-                F.struct("n_events", "value_micros", "last_seen_us"),
-                F.col("n_events"),
-            ).alias("w")
-        )
-        .select(
-            "user_id",
-            F.col("w.n_events").alias("n_events"),
-            F.col("w.value_micros").alias("value_micros"),
-            F.col("w.last_seen_us").alias("last_seen_us"),
-        )
-    )
-
-
-_ROLLUP_EO_SEQ = iter(range(1, 1 << 30))
-
-
-def events_rollup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-once streaming rollup, driver-verified ACROSS AN INJECTED
-    RETRY: the events table streams through the generation-sink
-    materialized view (streaming/rollup.py) one file per micro-batch, with
-    a crash injected at the worst point — batch 1's state generation fully
-    committed but the engine's commit-log record lost — then the stream
-    restarts from the same checkpoint and replays that batch. A green hash
-    here certifies the batch-id-keyed idempotent commit protocol
-    end-to-end: the replayed merge overwrites its own generation
-    byte-identically, so the rendered rollup equals the one-shot batch
-    aggregate (the events_hourly oracle verbatim) despite the retry.
-
-    Scale shape: per micro-batch the heavy work is a map-side partial
-    aggregate to O(hours x types) state rows; merge + generation write are
-    state-sized, never event-sized. Scratch dirs are per-call (run-seq
-    under the process mkdtemp root) — each invocation re-runs the full
-    crash drill."""
-    from symat_hbase_tools_spark.streaming import rollup
-
-    base = _scratch_path(f"rollup_eo_{next(_ROLLUP_EO_SEQ)}")
-    events = load_table(spark, sf_dir, "events")
-    events.repartition(4).write.mode("overwrite").parquet(f"{base}/src")
-    stream = (
-        spark.readStream.schema(events.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{base}/src")
-    )
-    rollup.maintain_rollup_with_retry(
-        stream, f"{base}/state", f"{base}/ckpt", fail_once_at=1
-    )
-    return rollup.rollup_view(spark, f"{base}/state")
-
-
-REPAIR_TS = CELL_TS + 9000
-
-
-def _corrupted_replica(cells: DataFrame) -> DataFrame:
-    """Deterministically diverged replica of a cells snapshot: tampered
-    c_acctbal (custkey%7==0), missing c_name (custkey%11==0), extraneous
-    c_bogus qualifier (custkey%13==0)."""
-    qual = F.decode("qualifier", "UTF-8")
-    custkey = F.regexp_extract(F.decode("row", "UTF-8"), r"cust#(\d+)", 1).cast("long")
-    tampered = F.when(
-        (qual == "c_acctbal") & (custkey % 7 == 0), F.encode(F.lit("CORRUPT"), "UTF-8")
-    ).otherwise(F.col("value"))
-    replica = cells.withColumn("value", tampered).filter(
-        ~((qual == "c_name") & (custkey % 11 == 0))
-    )
-    bogus = (
-        cells.filter((qual == "c_name") & (custkey % 13 == 0))
-        .withColumn("qualifier", F.encode(F.lit("c_bogus"), "UTF-8").cast("binary"))
-        .withColumn("value", F.encode(F.lit("junk"), "UTF-8").cast("binary"))
-    )
-    return replica.unionByName(bogus)
-
-
-def kv_repair_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end replica repair: diff -> changeset -> merge-on-read apply;
-    the repaired visible view must equal the authoritative one (the oracle is
-    the plain authoritative unpivot). Uses ``repair_visible`` (each side
-    version-resolved once, broadcast delta) — ``repair`` + a full re-resolve
-    computes the same rows with one more table-wide shuffle (pinned equal in
-    test_repair)."""
-    from symat_hbase_tools_spark.operators.repair import repair_visible
-
-    auth = _materialized_fixture(
-        spark,
-        sf_dir,
-        "cells_auth",
-        lambda: customer_cells(load_table(spark, sf_dir, "customer")),
-    )
-    replica = _materialized_fixture(
-        spark, sf_dir, "cells_replica", lambda: _corrupted_replica(auth)
-    )
-    fixed = repair_visible(auth, replica, REPAIR_TS)
-    return _pretty_cells(fixed, "row_key", "qualifier", "value")
-
-
-def prewarm_fixtures(spark: SparkSession, sf_dir: str) -> None:
-    """Materialize the synthesized cells fixtures for ``sf_dir`` — bench
-    setup, NOT query work. The versioned/corrupted cells tables are inputs
-    the driver's testdata doesn't ship (it has no cells-shaped tables);
-    synthesizing them is the analog of generating the testdata itself, so
-    the bench builds them in its warmup rather than billing the one-time
-    parquet write to whichever kv query happens to run first. Queries are
-    unaffected semantically — they read the same fixture either way."""
-    versioned = _materialized_fixture(
-        spark,
-        sf_dir,
-        "cells_versioned",
-        lambda: customer_cells_versioned(
-            _fanout(spark, load_table(spark, sf_dir, "customer"))
-        ),
-    )
-    auth = _materialized_fixture(
-        spark,
-        sf_dir,
-        "cells_auth",
-        lambda: customer_cells(load_table(spark, sf_dir, "customer")),
-    )
-    _materialized_fixture(
-        spark, sf_dir, "cells_replica", lambda: _corrupted_replica(auth)
-    )
-    versioned.take(1)
-
-
-def kv_repair_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from symat_hbase_tools_spark.operators.repair import repair_changeset, repair_counters
-
-    auth = customer_cells(load_table(spark, sf_dir, "customer"))
-    return repair_counters(repair_changeset(auth, _corrupted_replica(auth), REPAIR_TS))
-
-
-PACK_BUDGET = 2048
-
-
-def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing of documents (2048-token budget)."""
-    from symat_hbase_tools_spark.operators.packing import pack_sequences
-
-    return pack_sequences(load_table(spark, sf_dir, "documents"), PACK_BUDGET)
-
-
-def doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from symat_hbase_tools_spark.operators.packing import pack_sequences, packing_stats
-
-    packed = pack_sequences(load_table(spark, sf_dir, "documents"), PACK_BUDGET)
-    return packing_stats(packed, PACK_BUDGET)
-
-
-def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over n-gram Jaccard near-dup pairs: cluster id
-    (canonical survivor), member count, members dedup would drop."""
-    from symat_hbase_tools_spark.operators.clustering import dedup_clusters
-
-    pairs = dedup.ngram_jaccard_pairs(spark, sf_dir)
-    return dedup_clusters(pairs)
-
-
-def doc_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SoftDeDup sampling weights (1/cluster_size over the near-dup CC
-    graph; singletons weight 1) — see clustering.softdedup_weights."""
-    from symat_hbase_tools_spark.operators.clustering import softdedup_weights
-
-    return softdedup_weights(spark, sf_dir)
-
-
-def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/eval contamination sweep: training docs sharing >=5 shingles
-    with the benchmark subset (doc_id % 50 == 0)."""
-    from symat_hbase_tools_spark.operators.contamination import benchmark_contamination
-
-    return benchmark_contamination(spark, sf_dir)
-
-
-def doc_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/valid/test split keyed on the near-dup CLUSTER representative,
-    so near-duplicate pairs cannot straddle splits (eval contamination by
-    construction is impossible). Census per split + the hash-verified
-    zero-leak invariant. See clustering.leakage_safe_split."""
-    from symat_hbase_tools_spark.operators.clustering import leakage_safe_split
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(spark, sf_dir)
-    return leakage_safe_split(docs, pairs)
-
-
-ZORDER_BITS = 8
-
-
-def orders_zorder_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order layout census over orders: Morton-interleave (custkey mod
-    256, order-day mod 256) into a 16-bit Z-value and report per-quadrant
-    occupancy — the cross-engine-checkable half of the Z-order story (the
-    write-side layout + footer-stats pruning evidence lives in
-    operators/layout.py + tests/test_layout.py). The interleave is pure
-    integer bit math, reproduced verbatim in the DuckDB oracle."""
-    from symat_hbase_tools_spark.operators.layout import zvalue
-
-    orders = load_table(spark, sf_dir, "orders")
-    ck = F.pmod(F.col("o_custkey"), F.lit(256))
-    dy = F.pmod(F.floor(F.unix_timestamp("o_orderdate") / 86400), F.lit(256))
-    zv = zvalue([ck, dy], bits=ZORDER_BITS)
-    return (
-        orders.select(zv.alias("zv"))
-        .groupBy(F.shiftright(F.col("zv"), 10).cast("int").alias("quadrant"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.min("zv").alias("zv_min"),
-            F.max("zv").alias("zv_max"),
-        )
-    )
-
-
-def doc_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-screened contamination sweep — the 100 TB notch of
-    doc_contamination (bitmap broadcast + Arrow probe, exact verify on
-    survivors only). Identical output, shares the exact oracle."""
-    from symat_hbase_tools_spark.operators.contamination import (
-        benchmark_contamination_bloom,
-    )
-
-    return benchmark_contamination_bloom(spark, sf_dir)
-
-
-def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical selection over near-dup clusters: the surviving document of
-    every cluster is its highest-quality member (FineWeb keep-best policy).
-    Composes the n-gram Jaccard pairs, connected components, and the
-    quality-score operator."""
-    from symat_hbase_tools_spark.operators.clustering import dedup_keep_best
-
-    pairs = dedup.ngram_jaccard_pairs(spark, sf_dir)
-    quality = text_analysis.quality_score(spark, sf_dir).select(
-        "doc_id", "quality_score"
-    )
-    return dedup_keep_best(quality, pairs)
-
-
-def orders_price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median absolute deviation of order totals per priority — the robust
-    spread statistic for outlier gates (operators/profiling.py::group_mad;
-    mean/stddev saturate on the outliers they should catch)."""
-    from symat_hbase_tools_spark.operators.profiling import group_mad
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
-    )
-    # o_orderpriority has exactly 5 values (TPC-H spec): the tiny-group
-    # hint routes to the pure-JVM two-pass form — no Python worker on a
-    # kilobyte reduce side (round-9 verdict ask #3; bit-parity tested)
-    return group_mad(orders, "o_orderpriority", "price", expected_groups=5)
-
-
-#: fixed calendar boundary splitting the events table into baseline /
-#: current snapshots for the drift report (events span 2024-01)
-DRIFT_SPLIT_TS = "2024-01-16"
-
-
-def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSI drift report: value-distribution shift per event type between
-    the first and second half of the month — the train/serve feature-drift
-    gate (operators/profiling.py::psi_drift). psi rounded to 5 dp: the
-    10-term sum is the one place engine-vs-oracle fold order could differ
-    in final ulps."""
-    from symat_hbase_tools_spark.operators.profiling import psi_drift
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.col("value").cast("double").alias("v"), "ts"
-    )
-    split = F.lit(DRIFT_SPLIT_TS).cast("timestamp")
-    out = psi_drift(
-        ev.filter(F.col("ts") < split),
-        ev.filter(F.col("ts") >= split),
-        "event_type",
-        "v",
-    )
-    return out.select(
-        "event_type", F.round("psi", 5).alias("psi"), "n_buckets_used"
-    )
-
-
-UNIMAX_BUDGET_FRAC = 0.5
-UNIMAX_SEED = 57
-
-
-def doc_unimax_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UniMax per-domain token-budget resampling census over `source`."""
-    from symat_hbase_tools_spark.functions.text import token_count
-    from symat_hbase_tools_spark.operators.sampling import unimax_resample_census
-
-    docs = load_table(spark, sf_dir, "documents")
-    return unimax_resample_census(
-        docs,
-        "source",
-        token_count(F.col("text")),
-        ["doc_id"],
-        budget_frac=UNIMAX_BUDGET_FRAC,
-        seed=UNIMAX_SEED,
-    )
-
-
-SAMPLE_FRACTION = 0.2
-SAMPLE_STRATA = {"en": 0.25, "zh": 0.75}  # rebalance: downsample en, keep zh
-SAMPLE_SEED = 42
-
-
-def doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Layout-independent 20% sample of documents (portable md5 scheme)."""
-    from symat_hbase_tools_spark.operators.sampling import portable_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    return portable_sample(docs, ["doc_id"], SAMPLE_FRACTION, seed=SAMPLE_SEED).select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-
-
-def doc_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Systematic PPS sample of documents weighted by n_chars (~100 picks):
-    exact-integer stride selection on the char tape (operators/sampling)."""
-    from symat_hbase_tools_spark.operators.sampling import pps_systematic
-
-    docs = load_table(spark, sf_dir, "documents")
-    return pps_systematic(docs, "doc_id", "n_chars", target_k=100)
-
-
-def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language rebalancing sample: counts per lang after stratified draw."""
-    from symat_hbase_tools_spark.operators.sampling import portable_stratified_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    out = portable_stratified_sample(
-        docs, ["doc_id"], "lang", SAMPLE_STRATA, default_fraction=0.5, seed=SAMPLE_SEED
-    )
-    return out.groupBy("lang").agg(F.count("*").alias("n_docs")).orderBy("lang")
-
-
-def doc_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global corpus shuffle: portable (shard, pos) per doc."""
-    from symat_hbase_tools_spark.operators.sampling import shuffle_assign
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return shuffle_assign(docs, ["doc_id"], n_shards=256, seed=SAMPLE_SEED)
-
-
-def doc_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 10-per-language reservoir sample (portable ranking)."""
-    from symat_hbase_tools_spark.operators.sampling import reservoir_per_group
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    return reservoir_per_group(docs, ["lang"], ["doc_id"], n=10, seed=SAMPLE_SEED)
-
-
-def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key-safe two-phase aggregation over events (operators/skew.py):
-    per-(event_type, salt) partials re-combined per event_type. Matching
-    the plain GROUP BY oracle proves salting is semantics-preserving — at
-    100 TB this is the shape that keeps one viral key off a single reducer
-    when the per-key aggregation state itself is too big (collect/percentile
-    buffers), which AQE's join-only skew splitting cannot help with.
-    """
-    from symat_hbase_tools_spark.operators.relational import _MICROS, _SPLIT
-    from symat_hbase_tools_spark.operators.skew import salted_aggregate
-
-    events = load_table(spark, sf_dir, "events")
-    m = F.round(F.col("value") * _MICROS).cast("long")
-    lo = F.pmod(m, F.lit(_SPLIT).cast("long"))
-    hi = ((m - lo) / _SPLIT).cast("long")
-    return salted_aggregate(
-        events.select("event_type", "user_id", "value"),
-        ["event_type"],
-        aggs=[
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(hi).alias("_hi"),
-            F.sum(lo).alias("_lo"),
-        ],
-        final_aggs=[
-            F.sum("_n").alias("n_events"),
-            (
-                (
-                    F.sum("_hi").cast("double") * float(_SPLIT)
-                    + F.sum("_lo").cast("double")
-                )
-                / float(_MICROS)
-            ).alias("sum_value"),
-        ],
-    )
-
-
-#: persisted IVF indexes already built this process, keyed (sf_dir, mtime)
-#: so testdata regeneration rebuilds — mirrors _REGIONSTORE_CACHE.
-_IVF_INDEX_CACHE: dict[tuple, str] = {}
-
-
-def ann_ivf_indexed_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall floor check for the PERSISTED IVF index path — the build-once/
-    query-many serving shape that carries ANN past the brute-force
-    crossover (SCALING.md round-5: below ~1M vectors exact BLAS wins; above
-    it, only an amortized index keeps per-query cost sublinear in n).
-
-    The index (n_cells=16, n_assign=3 spilled assignment) materializes once
-    per (sf_dir, mtime) into the process-scoped scratch — the same
-    amortization contract as the regionstore and cells fixtures — so the
-    timed work here is ann_ivf_query itself: probed-cell directory pruning
-    + cell-local matmul + merge. Measured recall@5 with n_probe=6/16 on
-    the round-6 numpy-Lloyd codebook: 0.966 (sf0.001) / 0.970 (sf0.01)
-    vs floor 0.9 (similarity.IVF_RECALL_FLOOR)."""
-    idx = _ivf_index_for(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    ann = similarity.ann_ivf_query(spark, idx, emb, k=5, n_probe=6)
-    return similarity._ann_recall_check(
-        spark, sf_dir, "ivf_indexed", ann, floor=similarity.IVF_RECALL_FLOOR
-    )
-
-
-#: sf_dirs whose shared scratch IVF index already carries the PQ layer
-#: (ivf_index_add_pq is idempotent but not free — one encode pass over
-#: the indexed vectors; amortize it the same way the index build is)
-_IVF_PQ_LAYERED: set = set()
-
-
-def ann_ivfpq_indexed_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall floor check for the PERSISTED IVF-PQ serving path — the
-    add-pq/query-pq CLI lifecycle (build once, encode once, serve many)
-    that the in-session ``ann_ivfpq_recall_check`` cannot cover: here the
-    ADC scan reads the cell-partitioned ``pq_codes/`` tree with probe-list
-    directory pruning and never opens the raw-vector files, exactly the
-    FAISS-style serving shape SCALING.md documents for the 100 TB corpus.
-
-    Shares the amortized per-(sf_dir, mtime) index with
-    ``ann_ivf_indexed_recall_check``; the PQ layer (m=16, 64 codes — the
-    round-11 tuning for these unclustered embeddings) is attached once
-    per process. Floor PQ_RECALL_FLOOR (0.9) vs exact brute force at
-    n_probe=6/16 — the same probe depth as the plain indexed check."""
-    idx = _ivf_index_for(spark, sf_dir)
-    if idx not in _IVF_PQ_LAYERED:
-        similarity.ivf_index_add_pq(spark, idx, m=16, n_codes=64)
-        _IVF_PQ_LAYERED.add(idx)
-    emb = load_table(spark, sf_dir, "embeddings")
-    ann = similarity.ann_ivfpq_query(spark, idx, emb, k=5, n_probe=6)
-    return similarity._ann_recall_check(
-        spark, sf_dir, "ivfpq_indexed", ann, floor=similarity.PQ_RECALL_FLOOR
-    )
-
-
-def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
-    """The per-(sf_dir, mtime) process-scratch IVF index both indexed
-    checks share (n_cells=16, n_assign=3 — the serving configuration)."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        key = (os.path.abspath(sf_dir), os.path.getmtime(src))
-    except OSError:
-        key = (os.path.abspath(sf_dir), None)
-    idx = _IVF_INDEX_CACHE.get(key)
-    if idx is None:
-        idx = _scratch_path(f"ivfindex_{abs(hash(key)):x}")
-        similarity.build_ivf_index(spark, sf_dir, idx, n_cells=16, n_assign=3)
-        _IVF_INDEX_CACHE[key] = idx
-    return idx
-
-
-def hard_negatives_indexed_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall floor check for hard-negative mining OFF THE PERSISTED
-    label-bearing IVF index (``ann_ivf_query_negatives``) — the serving
-    shape past the brute crossover, where negatives for each incoming
-    training shard are mined against the standing index instead of
-    recomputed corpus-wide. Shares the amortized per-(sf_dir, mtime)
-    index with ann_ivf_indexed_recall_check; the timed work is the
-    probe + pruned cell-local label-masked matmul. Floor
-    HARD_NEG_ANN_RECALL_FLOOR (0.8) vs the exact broadcast-BLAS form;
-    measured recall@5 at n_probe=6/16: 0.964 (sf0.001) / 0.970
-    (sf0.01) — the same band as the plain indexed-IVF check, i.e. the
-    label mask costs no recall."""
-    idx = _ivf_index_for(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    ann = similarity.ann_ivf_query_negatives(spark, idx, emb, k=5, n_probe=6)
-    exact = similarity.embedding_hard_negatives(spark, sf_dir, k=5)
-    hits = ann.join(exact, ["query_id", "negative_id"], "left_semi")
-    stats = (
-        hits.agg(F.count(F.lit(1)).alias("n_hits"))
-        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_true")))
-        .crossJoin(
-            load_table(spark, sf_dir, "embeddings")
-            .filter(F.col("label").isNotNull())
-            .agg(F.count(F.lit(1)).alias("n_queries"))
-        )
-    )
-    return stats.select(
-        F.lit("ivf_indexed+labelmask").alias("method"),
-        F.col("n_queries"),
-        (
-            F.col("n_hits")
-            >= F.lit(similarity.HARD_NEG_ANN_RECALL_FLOOR) * F.col("n_true")
-        ).alias("recall_ok"),
-    )
-
-
-def docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL interchange round-trip: export documents as JSONL, re-ingest
-    through the PERMISSIVE corrupt-record-quarantining reader, aggregate.
-    Matching the parquet-side oracle proves the round-trip is lossless and
-    nothing was quarantined."""
-    import hashlib
-    import os
-
-    from symat_hbase_tools_spark.sources.io import (
-        read_documents_jsonl,
-        write_documents_jsonl,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    path = _scratch_path("jsonl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
-    write_documents_jsonl(docs, path)
-    good, _bad = read_documents_jsonl(spark, path)
-    return good.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.sum(F.length("text")).alias("sum_text_len"),
-    )
-
-
-
-def docs_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORC interchange round-trip: export documents as ORC (Spark-native
-    columnar sink), re-read with the canonical schema enforced, aggregate a
-    census INCLUDING a 24-bit md5-prefix content checksum of every text.
-    Matching the parquet-side oracle proves byte-lossless interchange."""
-    import hashlib
-    import os
-
-    from symat_hbase_tools_spark.sources.io import (
-        read_documents_orc,
-        write_documents_orc,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    path = _scratch_path("orc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
-    write_documents_orc(docs, path)
-    back = read_documents_orc(spark, path)
-    text_fp = F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("bigint")
-    return back.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.sum(text_fp).alias("text_fp_sum"),
-    )
-
-
-def docs_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV interchange round-trip: export documents as RFC 4180 quoted CSV,
-    re-read with the canonical schema + matching quote-escape options,
-    aggregate a census with a 24-bit md5-prefix checksum of every text.
-    Matching the parquet-side oracle proves the quote/escape cycle is
-    byte-lossless (commas, quotes, and newlines in text survive).
-
-    The export lands in the process-scoped fixture scratch (fresh mkdtemp
-    per run, keyed on sf_dir mtime) — never a fixed shared /tmp path,
-    which races across concurrent runs against the same sf_dir and is
-    squattable on multi-user hosts (round-3 advisory)."""
-    import hashlib
-
-    from symat_hbase_tools_spark.sources.io import (
-        read_documents_csv,
-        write_documents_csv,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    path = _scratch_path("csv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
-    write_documents_csv(docs, path)
-    back = read_documents_csv(spark, path)
-    text_fp = F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("bigint")
-    return back.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.sum(text_fp).alias("text_fp_sum"),
-    )
-
-
-def referential_integrity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FK violation census across the whole star schema (profiling.py)."""
-    return profiling.referential_integrity(
-        lambda name: load_table(spark, sf_dir, name)
-    )
-
-
-def kv_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    snap_a = customer_cells(customer)
-    modified = customer.filter(F.col("c_custkey") % 97 != 0).withColumn(
-        "c_acctbal",
-        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100).otherwise(
-            F.col("c_acctbal")
-        ),
-    )
-    snap_b = customer_cells(modified)
-    return cells_diff(snap_a, snap_b)
-
-
-# ---------------------------------------------------------------------------
-# inventory
-
-#: column -> render kind for the orders profile (min/max rendered per type)
-ORDERS_PROFILE_RENDERERS = {
-    "o_orderkey": "long",
-    "o_custkey": "long",
-    "o_orderstatus": "string",
-    "o_totalprice": "money",
-    "o_orderdate": "date",
-    "o_orderpriority": "string",
-}
-
-
-def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deequ-style per-column data-quality profile of the orders table."""
-    return profiling.profile(
-        load_table(spark, sf_dir, "orders"), ORDERS_PROFILE_RENDERERS
-    )
-
-
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ------------------------------------------------------------------
-    # FIRST 50 — the driver's correctness harness verifies QUERIES in dict
-    # order with a 50-entry budget (round-1 VERDICT). This window is
-    # deliberately ordered to span the whole SURVEY §2 surface: one
-    # representative per reference-op row, the six event-time queries, one
-    # representative per relational category, the LLM-pipeline operators
-    # (every family), and the round-3 families (event-time analytics,
-    # data-quality, PCA, incremental rollup). EVERY in-window entry is
-    # oracle-paired: rows-only operators are represented by the
-    # oracle-paired twin/recall-check that EXECUTES the same path
-    # (dedup_simhash -> dedup_simhash_portable, ann_*_topk ->
-    # ann_*_recall_check); the rows-only originals and within-family
-    # siblings sit at 51+, covered by the local oracle mirror
-    # (tests/test_oracle.py) and the sf0.1 sweep (SF01_VERIFY.json).
-    # ------------------------------------------------------------------
-    # reference surface representatives (S1-S5, K1-K3, T1-T5)
-    "kv_point_get": kv_point_get,
-    "kv_keyonly_scan": kv_keyonly_scan,
-    "kv_column_projection": kv_column_projection,
-    "kv_audit_report": kv_audit_report,
-    "kv_audit_counters": kv_audit_counters,
-    "kv_copy_row_bump": kv_copy_row_bump,
-    # relational category representatives (agg, join+topk, window, setop, JSON)
-    "q1_pricing_summary": relational.q1_pricing_summary,
-    "q3_shipping_priority": relational.q3_shipping_priority,
-    "customer_running_totals": relational.customer_running_totals,
-    "nation_setops": relational.nation_customer_supplier_setops,
-    "events_json_extract": relational.events_json_extract,
-    # event-time surface (the round-1 NTZ failure class — all six)
-    "events_kv_state": events_kv_state,
-    "asof_purchase_signup": relational.asof_purchase_signup,
-    "events_sessionize": relational.events_sessionize,
-    # round-12: keyless range join (grid buckets) + sweep-line concurrency
-    "events_session_window_hits": rangejoin.events_session_window_hits,
-    "events_concurrency": rangejoin.events_concurrency,
-    "events_session_window": events_session_window,
-    "events_stateful_profiles": events_stateful_profiles,
-    "purchase_attribution": relational.purchase_attribution,
-    "click_conversion_full": relational.click_conversion_full,
-    # LLM-pipeline surface: dedup (simhash is represented by its
-    # oracle-paired portable twin; the banded original sits at 51+)
-    "dedup_exact": dedup.exact_dedup,
-    "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-    # round-11: asymmetric containment (quote/subset detection — high
-    # containment at low Jaccard is the size-mismatched case)
-    "doc_containment_pairs": lambda spark, sf: dedup.containment_pairs(
-        spark, sf
-    ).select("d1", "d2", "n_small", "containment"),
-    "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-    "dedup_simhash_portable": dedup.simhash_portable_pairs,
-    "doc_dup_spans": dedup.dup_span_census,
-    "doc_max_dup_spans": dedup.max_dup_spans,
-    # LLM-pipeline surface: similarity search (the ANN operators are
-    # represented by their oracle-paired recall checks — which EXECUTE the
-    # ANN paths and compare against the exact oracle; the raw top-k
-    # variants sit at 51+ as rows-only)
-    "knn_cosine_topk": similarity.knn_cosine_topk,
-    "ann_lsh_recall_check": similarity.ann_lsh_recall_check,
-    "ann_ivf_recall_check": similarity.ann_ivf_recall_check,
-    "ann_ivf_indexed_recall_check": ann_ivf_indexed_recall_check,
-    # round-12: the persisted add-pq/query-pq serving path's recall row
-    "ann_ivfpq_indexed_recall_check": ann_ivfpq_indexed_recall_check,
-    "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
-        spark, sf, threshold=0.4
-    ),
-    # round-8: ANN-backed hard negatives (the >1M scale path; rows-only —
-    # plane-seed buckets) with its oracle-paired recall check
-    "embedding_hard_negatives_ann": similarity.embedding_hard_negatives_ann,
-    "hard_negatives_ann_recall_check": similarity.hard_negatives_ann_recall_check,
-    "hard_negatives_indexed_check": hard_negatives_indexed_check,
-    "pipeline_curated_search": pipeline.curated_similarity_search,
-    # round-12: hybrid lexical+semantic retrieval (reciprocal-rank fusion)
-    "doc_hybrid_search_rrf": pipeline.hybrid_search_rrf,
-    # round-12: kNN-probe accuracy (the non-parametric rep-quality eval)
-    "embedding_knn_label_vote": similarity.knn_label_vote,
-    # LLM-pipeline surface: text analysis
-    "text_lang_id": text_analysis.lang_id,
-    "text_quality_score": text_analysis.quality_score,
-    "text_bigram_surprisal": text_analysis.bigram_surprisal,
-    "text_repetition_signals": text_analysis.repetition_signals,
-    "doc_mixture_weights": text_analysis.mixture_weights,
-    "text_cleaning": text_analysis.text_cleaning,
-    "text_unigram_logprob": text_analysis.unigram_logprob,
-    "text_bm25_search": text_analysis.bm25_search,
-    # event-time analytics (round 3)
-    "events_funnel": timeseries.events_funnel,
-    "events_gap_fill": timeseries.events_gap_fill,
-    "events_hourly_incremental": timeseries.events_hourly_incremental,
-    # round-10: exact-dyadic EWMA smoothing (alpha = 1/2, 16-hour kernel)
-    "events_ewma": timeseries.events_ewma,
-    # round-11: diurnal seasonal profile + the seasonal-naive forecast
-    # baseline every real predictor must beat
-    "events_seasonal_hourly": timeseries.events_seasonal_hourly,
-    "events_seasonal_naive_backtest": timeseries.events_seasonal_naive_backtest,
-    "events_burst_users": lambda spark, sf: timeseries.events_burst_users(spark, sf),
-    # round-10: full weekly cohort-retention triangle
-    "users_cohort_matrix": timeseries.users_cohort_matrix,
-    # data-quality surface (round 3)
-    "orders_profile": orders_profile,
-    "referential_integrity_census": referential_integrity_census,
-    # round-5 data-quality additions
-    "orders_price_mad": orders_price_mad,
-    # round-10: Benford first-digit census (fraud / synthetic-data gate)
-    # round-11: functional-dependency violation census (within-table
-    # determinism check next to referential_integrity's between-table one)
-    # round-11: duplicate-payment audit + Deequ-style constraint census
-    "orders_duplicate_payments": lambda spark, sf: profiling.duplicate_payments(
-        load_table(spark, sf, "orders")
-    ),
-    "lineitem_constraint_check": lambda spark, sf: profiling.constraint_check(
-        load_table(spark, sf, "lineitem")
-    ),
-    "orders_fd_check": lambda spark, sf: profiling.fd_violations(
-        load_table(spark, sf, "orders")
-    ),
-    "orders_benford": lambda spark, sf: profiling.benford_census(
-        load_table(spark, sf, "orders"), "o_totalprice"
-    ),
-    "events_value_drift": events_value_drift,
-    # round-5: closed-form linear-probe training (normal equations from
-    # one distributed pass; exact-integer Gram => hash-exact oracle)
-    "doc_probe_gram": lambda spark, sf: __import__(
-        "symat_hbase_tools_spark.operators.regression", fromlist=["probe_gram"]
-    ).probe_gram(spark, sf),
-    "doc_probe_ridge": lambda spark, sf: __import__(
-        "symat_hbase_tools_spark.operators.regression", fromlist=["ridge_fit"]
-    ).ridge_fit(spark, sf),
-    "doc_probe_ridge_check": lambda spark, sf: __import__(
-        "symat_hbase_tools_spark.operators.regression", fromlist=["probe_fit_check"]
-    ).probe_fit_check(spark, sf),
-    # embedding maintenance (round 3; executes the PCA path end-to-end)
-    "embedding_pca_check": pca.pca_check,
-    # LLM-pipeline surface: multimodal plumbing
-    "multimodal_features": multimodal.multimodal_features,
-    # round-11: byte-identical media dedup (sha-256 over the raw payload —
-    # the no-decode pass that works in this container)
-    "multimodal_payload_dedup": lambda spark, sf: multimodal.payload_dedup(
-        multimodal.attach_payload(load_table(spark, sf, "documents"))
-    ),
-    # round-12: perceptual (dHash byte-raster) near-dup — the lightly-
-    # edited-copy companion to the byte-identical sha-256 pass; rows-only
-    # (numpy fingerprint fold), claim carried by the planted-edit twin
-    "multimodal_near_dup": multimodal.multimodal_near_dup,
-    "multimodal_near_dup_check": multimodal.multimodal_near_dup_check,
-    # sampling surface
-    "doc_sample": doc_sample,
-    # training-pipeline assembly
-    "doc_pack_sequences": doc_pack_sequences,
-    "doc_dedup_clusters": doc_dedup_clusters,
-    # round-12: SoftDeDup — reweight near-dup clusters (1/size) instead of
-    # dropping members; same CC graph as doc_dedup_clusters
-    "doc_softdedup_weights": doc_softdedup_weights,
-    "doc_leakage_safe_split": doc_leakage_safe_split,
-    "doc_contamination": doc_contamination,
-    # round-10: fuzzy (near-duplicate) contamination — MinHash-LSH
-    # candidates against the benchmark set, exact-Jaccard verified
-    "doc_contamination_fuzzy": contamination.benchmark_contamination_fuzzy,
-    "doc_contamination_overlap": contamination.contamination_overlap_census,
-    "bpe_pair_stats": text_analysis.bpe_pair_stats,
-    "text_tfidf_topk": text_analysis.tfidf_topk,
-    "doc_quality_classifier": text_analysis.quality_classifier,
-    "doc_unimax_resample": doc_unimax_resample,
-    "doc_dedup_keep_best": doc_dedup_keep_best,
-    # round-8 additions: token-budgeted corpus selection (distributed
-    # ordered prefix sum) and contrastive hard-negative mining (label-
-    # masked exact broadcast-BLAS top-k)
-    "doc_token_budget_select": text_analysis.token_budget_select,
-    "embedding_hard_negatives": similarity.embedding_hard_negatives,
-    # ------------------------------------------------------------------
-    # entries 51+ — remainder of the surface (driver-verified as budget
-    # allows; always covered by tests/test_oracle.py locally)
-    # ------------------------------------------------------------------
-    # cell layer (reference surface, extended)
-    "kv_latest_version": kv_latest_version,
-    "kv_range_scan": kv_range_scan,
-    "kv_region_scan": kv_region_scan,
-    "kv_visible_cells": kv_visible_cells,
-    "kv_scd2_history": kv_scd2_history,
-    "kv_apply_changeset": kv_apply_changeset,
-    "kv_repair_replica": kv_repair_replica,
-    "kv_repair_counters": kv_repair_counters,
-    "kv_major_compact": kv_major_compact,
-    "kv_index_lookup": kv_index_lookup,
-    "kv_snapshot_as_of": kv_snapshot_as_of,
-    "kv_compaction_report": kv_compaction_report,
-    "kv_retain_versions": kv_retain_versions,
-    "kv_expire_ttl": kv_expire_ttl,
-    "kv_table_diff": kv_table_diff,
-    # round-10: key-prefix region census (hotspot / pre-split / fat-row
-    # diagnostic — the hbck/RegionSizeCalculator troubleshooting family)
-    "kv_region_stats": lambda spark, sf: kv.region_stats(
-        customer_cells(load_table(spark, sf, "customer"))
-    ),
-    # round-12: snapshot integrity manifest (ExportSnapshot/verifysnapshot
-    # family) — order-free per-region content checksums
-    "kv_snapshot_manifest": lambda spark, sf: kv.snapshot_manifest(
-        customer_cells(load_table(spark, sf, "customer"))
-    ),
-    # round-11: the actionable half of the census — suggested region split
-    # keys at a target bytes-per-region (distributed byte-tape prefix sum,
-    # exact integers; split keys = region_seq >= 1)
-    "kv_split_points": lambda spark, sf: kv.split_points(
-        customer_cells(load_table(spark, sf, "customer")),
-        target_bytes=SPLIT_TARGET_BYTES,
-    ),
-    # round-11: salted-layout balance census (the third hotspot remedy)
-    "kv_salt_census": lambda spark, sf: kv.salt_census(
-        customer_cells(load_table(spark, sf, "customer"))
-    ),
-    # round-11: the inverse advisor — adjacent thin-region merge pairs
-    "kv_merge_candidates": lambda spark, sf: kv.merge_candidates(
-        customer_cells(load_table(spark, sf, "customer")),
-        target_bytes=SPLIT_TARGET_BYTES,
-        prefix_len=12,
-    ),
-    # relational surface
-    "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-    "q7_volume_shipping": relational.q7_volume_shipping,
-    # round-4: footer-only stats via parquet aggregate pushdown
-    "orders_stats_pushdown": relational.orders_stats_pushdown,
-    "top_parts_per_brand": relational.top_parts_per_brand,
-    "customer_order_deltas": relational.customer_order_deltas,
-    "segment_distinct_counts": relational.segment_distinct_counts,
-    "approx_distinct_parts": relational.approx_distinct_parts,
-    "part_name_analysis": relational.part_name_analysis,
-    "monthly_order_stats": relational.monthly_order_stats,
-    "rollup_order_counts": relational.rollup_order_counts,
-    "cube_returnflag_linestatus": relational.cube_returnflag_linestatus,
-    "pivot_status_by_priority": relational.pivot_status_by_priority,
-    "price_percentiles": relational.price_percentiles,
-    "price_percentiles_approx": relational.price_percentiles_approx,
-    "price_percentiles_exact_rank": relational.price_percentiles_exact_rank,
-    "orders_without_lineitems": relational.orders_without_lineitems,
-    "events_hourly": relational.events_hourly,
-    "events_sliding_6h": relational.events_sliding_6h,
-    "events_by_segment": relational.events_by_segment,
-    "customer_balance_distribution": relational.customer_balance_distribution,
-    "fuzzy_name_pairs": relational.fuzzy_name_pairs,
-    "q13_customer_order_histogram": relational.q13_customer_order_histogram,
-    "top_customer_per_nation": relational.top_customer_per_nation,
-    "nation_pair_volume": relational.nation_pair_volume,
-    "heavy_hitter_users": relational.heavy_hitter_users,
-    "heavy_hitters_sketch": relational.heavy_hitters_sketch,
-    "min_cost_supplier": relational.min_cost_supplier,
-    "market_share": relational.market_share,
-    "sketch_event_stats": relational.sketch_event_stats,
-    "q4_order_priority": relational.q4_order_priority,
-    "q6_forecast_revenue": relational.q6_forecast_revenue,
-    "q9_product_profit": relational.q9_product_profit,
-    "q10_returned_items": relational.q10_returned_items,
-    "q12_late_shipment_priorities": relational.q12_late_shipment_priorities,
-    "q15_top_supplier": relational.q15_top_supplier,
-    "q16_part_supplier_counts": relational.q16_part_supplier_counts,
-    "q20_promotion_suppliers": relational.q20_promotion_suppliers,
-    "q21_waiting_suppliers": relational.q21_waiting_suppliers,
-    "q11_part_value_share": relational.q11_part_value_share,
-    "q14_promo_revenue": relational.q14_promo_revenue,
-    "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
-    "q18_large_volume_customers": relational.q18_large_volume_customers,
-    "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
-    "q22_idle_customers": relational.q22_idle_customers,
-    # round-10: market-basket co-purchase lift (PMI-over-baskets shape)
-    "part_affinity_lift": relational.part_affinity_lift,
-    # round-11: ABC/Pareto revenue classification (integer class cuts over
-    # the distributed prefix sum)
-    "customer_abc_analysis": relational.customer_abc_analysis,
-    "price_quantity_stats": relational.price_quantity_stats,
-    # embedding-table maintenance (round 2)
-    "embedding_quantize_int8": similarity.embedding_quantize_int8,
-    "embedding_norm_histogram": similarity.embedding_norm_histogram,
-    # interchange formats (round 2)
-    "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
-    "docs_orc_roundtrip": docs_orc_roundtrip,
-    # round-2 operators
-    "events_salted_agg": events_salted_agg,
-    "doc_pii_scrub": text_analysis.pii_scrub,
-    "events_exactly_once": relational.events_exactly_once,
-    # round-12: the REAL-stream exactly-once drill (injected post-commit
-    # crash + checkpoint replay through the generation sink)
-    "events_rollup_exactly_once": events_rollup_exactly_once,
-    "orders_cohort_retention": relational.orders_cohort_retention,
-    "embedding_near_dup_lsh": similarity.embedding_near_dup_lsh,
-    "embedding_near_dup_lsh_check": similarity.embedding_near_dup_lsh_check,
-    "embedding_semantic_dedup": similarity.embedding_semantic_dedup,
-    "bpe_learn_merges": lambda spark, sf: bpe.learn_merges(spark, sf),
-    "bpe_tokenize_census": lambda spark, sf: bpe.tokenize_census(spark, sf),
-    # round-7: oracle-paired check forms (DuckDB independently computes the
-    # first merge + per-group exact facts; loop invariants as booleans)
-    "bpe_learn_check": lambda spark, sf: bpe.learn_check(spark, sf),
-    "bpe_tokenize_check": lambda spark, sf: bpe.tokenize_check(spark, sf),
-    # round-13: the second tokenizer family — unigram-LM (SentencePiece
-    # EM, Kudo 2018); iterative loop rows-only, seed argmax anchored
-    "unigram_learn_vocab": lambda spark, sf: unigram.learn_unigram(spark, sf),
-    "unigram_learn_check": lambda spark, sf: unigram.unigram_learn_check(spark, sf),
-    "text_unigram_fertility": lambda spark, sf: unigram.unigram_fertility_census(spark, sf),
-    "unigram_tokenize_check": lambda spark, sf: unigram.unigram_tokenize_check(spark, sf),
-    "embedding_semantic_dedup_check": similarity.embedding_semantic_dedup_check,
-    "dedup_incremental": dedup.incremental_dedup,
-    # window evictions (oracle-verified locally + by the sf0.1 sweep;
-    # each has an in-window sibling covering the same operator family —
-    # and the three rows-only originals are represented in-window by their
-    # oracle-paired twins/recall checks, which execute the same paths)
-    "dedup_bow_fingerprint": dedup.bow_fingerprint_dedup,
-    "dedup_simhash": dedup.simhash_pairs,
-    "ann_lsh_topk": similarity.ann_lsh_topk,
-    "ann_ivf_topk": similarity.ann_ivf_topk,
-    "text_token_stats": text_analysis.token_stats,
-    "text_nfc_clean": text_analysis.text_nfc_clean,
-    "text_vocab_coverage": text_analysis.vocab_coverage,
-    "boilerplate_shingles": text_analysis.boilerplate_shingles,
-    "multimodal_frame_census": multimodal.multimodal_frame_census,
-    "multimodal_resize_census": multimodal.multimodal_resize_census,
-    "doc_shuffle_assign": doc_shuffle_assign,
-    "click_conversion": relational.click_conversion,
-    "embedding_label_centroids": similarity.label_centroids,
-    # round-10: embedding-space cleaning — per-label prototype-distance
-    # outlier flags, exact-integer stats end-to-end
-    "embedding_outlier_flags": similarity.embedding_outlier_flags,
-    # round-10: matryoshka truncation census — prefix-dim energy
-    # retention, exact-integer pipeline
-    "embedding_matryoshka_census": similarity.matryoshka_census,
-    "text_doc_fingerprints": text_analysis.doc_fingerprints,
-    "doc_length_histogram": text_analysis.length_histogram,
-    "doc_sample_stratified": doc_sample_stratified,
-    "doc_reservoir_per_lang": doc_reservoir_per_lang,
-    "doc_pack_stats": doc_pack_stats,
-    "doc_chunk_census": text_analysis.chunk_census,
-    # round-3 operators: event-time analytics siblings (funnel/gap-fill/
-    # incremental sit in-window)
-    "events_anomaly_hours": timeseries.events_anomaly_hours,
-    "events_value_bands": timeseries.events_value_bands,
-    "events_ohlc_daily": timeseries.events_ohlc_daily,
-    "events_attribution_decay": timeseries.events_attribution_decay,
-    # round-3: mixture temperature, PCA projection (check sits in-window)
-    "doc_mixture_temperature": text_analysis.mixture_temperature,
-    "embedding_pca_project": pca.pca_project,
-    # round-3: CSV interchange
-    "docs_csv_roundtrip": docs_csv_roundtrip,
-    # round-3: PPS systematic weighted sampling + k-means clustering
-    "doc_sample_weighted": doc_sample_weighted,
-    # round-12: greedy k-center (farthest-point) diversity selection —
-    # rows-only (iterative greedy, not SQL-expressible); the invariants
-    # live in the oracle-paired check twin
-    "embedding_kcenter_select": kcenter_select,
-    "embedding_kcenter_check": kcenter_check,
-    "embedding_kmeans_fit": similarity.embedding_kmeans_fit,
-    "embedding_kmeans_check": similarity.embedding_kmeans_check,
-    # round-11: product quantization (the PQ half of IVF-PQ serving) —
-    # rows-only census + oracle-paired invariant twin
-    "embedding_pq_fit": lambda spark, sf: similarity.embedding_pq_fit(spark, sf),
-    "ann_pq_topk": lambda spark, sf: similarity.ann_pq_topk(spark, sf),
-    "ann_pq_recall_check": similarity.ann_pq_recall_check,
-    # round-11: the COMPOSED serving architecture — IVF cell pruning +
-    # compressed-domain ADC scan + exact refine
-    "ann_ivfpq_topk": lambda spark, sf: similarity.ann_ivfpq_topk(spark, sf),
-    "ann_ivfpq_recall_check": similarity.ann_ivfpq_recall_check,
-    "embedding_pq_check": lambda spark, sf: similarity.embedding_pq_check(
-        spark, sf
-    ),
-    # round-3: engagement metrics + changepoint detection
-    "events_active_users": timeseries.events_active_users,
-    "events_mean_shift": timeseries.events_mean_shift,
-    # round-3: latency histogram, RFM segmentation, series correlation
-    "events_interarrival_histogram": timeseries.events_interarrival_histogram,
-    "users_rfm_segments": timeseries.users_rfm_segments,
-    "events_type_correlation": timeseries.events_type_correlation,
-    # round-3: cohort retention + skew diagnostics
-    "users_dn_retention": timeseries.users_dn_retention,
-    "events_skew_report": timeseries.events_skew_report,
-    # round-3: equi-depth histogram (optimizer-statistics shape)
-    "orders_equidepth_histogram": relational.orders_equidepth_histogram,
-    # round-3: HLL scale path of active-users + Zipf corpus diagnostic
-    "events_active_users_approx": timeseries.events_active_users_approx,
-    # round-12: mergeable quantile sketch next to the exact percentile
-    # (the HLL gate's sibling for the sketch family)
-    "events_percentile_sketch_check": timeseries.events_percentile_sketch_check,
-    "text_zipf_fit": text_analysis.zipf_fit,
-    # round-11: phrase mining (PMI collocations) + per-doc word entropy
-    "text_pmi_collocations": lambda spark, sf: text_analysis.pmi_collocations(
-        spark, sf
-    ),
-    "text_word_entropy": text_analysis.word_entropy,
-    # round-3: exact set-similarity join via prefix filtering (complete
-    # candidates — no LSH recall loss, no DF cap; same oracle as
-    # dedup_ngram_jaccard because the SPEC is identical)
-    "dedup_prefix_filter": dedup.prefix_filter_pairs,
-    # round-3: journey analytics (session paths + Markov transitions)
-    "events_session_paths": timeseries.events_session_paths,
-    "events_markov_transitions": timeseries.events_markov_transitions,
-    # round-4: bloom-screened contamination (scale notch of
-    # doc_contamination: bitmap broadcast + Arrow probe, exact verify)
-    "doc_contamination_bloom": doc_contamination_bloom,
-    # round-9: reward-model / DPO preference-pair construction
-    "doc_preference_pairs": text_analysis.preference_pairs,
-    # round-9: curriculum ordering with cross-language interleave
-    "doc_curriculum_order": text_analysis.curriculum_order,
-    # round-10: DSIR importance-weighted data selection (hashed-unigram
-    # target/source log ratio, exact-micros weights)
-    "doc_dsir_select": text_analysis.dsir_select,
-    # round-10: CCNet-style per-language perplexity terciles over the
-    # corpus bigram LM (rank-cut buckets, never value-interpolated)
-    "doc_ccnet_buckets": text_analysis.ccnet_buckets,
-    # round-10: per-language tokenizer fertility census (subwords/word,
-    # bytes/subword — the vocabulary-rebalancing diagnostic)
-    "text_tokenizer_fertility": text_analysis.tokenizer_fertility,
-    # round-10: first-occurrence n-gram novelty (corpus-diversity /
-    # memorization diagnostic)
-    "doc_ngram_novelty": text_analysis.ngram_novelty,
-    # round-4: Z-order layout census (Morton interleave, oracle-checked)
-    "orders_zorder_census": orders_zorder_census,
-}
-
-
-# ---------------------------------------------------------------------------
-# driver verification window (round-5 rotation)
+# driver verification window (round-13 rotation)
 #
 # The driver hash-verifies the FIRST 50 entries in dict order against the
-# DuckDB oracles at sf0.01. The round-4 verdict's top instruction:
-# rotate AGGRESSIVELY — ~100 of 166 entries had never had an external
-# CORRECTNESS row. This window seats 31 never-driver-verified entries
-# (the TPC-H tail, all three interchange roundtrips, the event-time
-# analytics family, the embedding check family) plus the four kv scans
-# last verified in round 1 and the NEW streaming session-window twin.
-# 15 long-green veterans stay as family representatives; everything
-# rotated out remains covered by tests/test_oracle.py and the sf0.01 /
-# sf0.1 sweeps (SF001_GATE.json / SF01_VERIFY.json).
+# DuckDB oracles at sf0.01. Round-13 policy (r12 verdict ask #4): keep the
+# kv core trio + the exactly-once streaming rep, seat every round-13
+# registration (doc_max_dup_spans, doc_trim_dup_spans,
+# doc_gopher_quality + the two unigram check twins — the rows-only
+# unigram_learn_vocab / text_unigram_fertility are represented by those
+# twins per the check-twin policy), and fill the remaining 41 seats with
+# the STALEST oracle-paired entries — every one of them last had a
+# driver row in rounds 1-3 (computed from CORRECTNESS_r*.json).
+# Everything rotated out is double-green-or-better and stays covered by
+# tests/test_oracle.py and the sf0.01/sf0.1 sweeps. Historical rotation
+# notes live in git history (rounds 5-12 window comments).
 
 _DRIVER_WINDOW = [
-    # Round-6 rotation: the LAST 33 never-driver-verified entries (26
-    # oracle-paired + the 7 rows-only-by-design whose paired companions are
-    # already green) + the two round-5 hash-mismatch fixes re-seated for
-    # green re-verification + 15 green family representatives. After this
-    # round every registry entry has >=1 driver CORRECTNESS row.
-    #
-    # green family reps (driver-pass in r4/r5)
     "kv_point_get",
     "kv_audit_report",
     "kv_copy_row_bump",
-    # Round-11 rotation: ELEVEN new round-11 ops seated (standing
-    # discipline: no registered query ends its birth round
-    # driver-unverified) + the two round-10-tail dedup changes re-proved
-    # (minhash bucket cap landed post-window in r10; prefix_filter gained
-    # the cost router this round). Eleven triple-green-or-better vets
-    # rotate out (q1_pricing_summary — still the entry() smoke every
-    # round — events_session_window, dedup_exact, doc_contamination,
-    # ann_lsh_recall_check, text_quality_score, doc_pack_sequences,
-    # multimodal_features, price_percentiles_exact_rank, knn_cosine_topk,
-    # embedding_norm_histogram); all stay sweep-covered and
-    # test_oracle-covered.
-    "kv_split_points",
-    # Round-12 rotation: events_stateful_profiles rotates out (5x green
-    # r7-r11; stays sweep-covered and pytest-driven as a REAL stream) —
-    # the exactly-once crash drill seats as the streaming rep (injected
-    # post-commit failure + checkpoint replay through the generation sink)
     "events_rollup_exactly_once",
-    "events_seasonal_hourly",
-    "events_seasonal_naive_backtest",
-    "dedup_minhash_lsh",
-    "dedup_prefix_filter",
-    "doc_containment_pairs",
-    "ann_pq_recall_check",
-    # NEW this round (would otherwise end the round driver-unverified,
-    # falsifying the completeness claim above); knn_cosine_topk rotates
-    # out as its family's r5-green representative — the exact brute path
-    # stays exercised here anyway as this check's recall baseline
-    "ann_ivf_indexed_recall_check",
-    "text_pmi_collocations",
-    "text_word_entropy",
-    "multimodal_payload_dedup",
-    # Round-10 rotation: the two round-9 additions seated (they were the
-    # only registered queries with no driver CORRECTNESS row ever —
-    # round-9 verdict ask #1). The round-5 hash-mismatch re-seats
-    # (embedding_quantize_int8, docs_jsonl_roundtrip) rotate out after
-    # four consecutive green rounds (r6-r9); both stay sweep-covered.
-    "doc_preference_pairs",
-    "doc_curriculum_order",
-    # Round-10 additions seated immediately (the standing discipline: no
-    # registered query ends its birth round driver-unverified). Two
-    # r6-seated quadruple-green relational vets rotate out
-    # (q18_large_volume_customers, price_quantity_stats) — both stay in
-    # the bench headline and the sweeps.
-    # Round-12 rotation: eight r10 vets rotate out double-green
-    # (doc_dsir_select, doc_ccnet_buckets, embedding_outlier_flags,
-    # text_tokenizer_fertility, doc_contamination_fuzzy, doc_ngram_novelty,
-    # embedding_matryoshka_census, events_ewma — all stay sweep-covered);
-    # the two late-r11 entries that never had a driver row seat first
-    "orders_duplicate_payments",
-    "lineitem_constraint_check",
-    # NEW round-12 (birth-round discipline — no registered query ends its
-    # birth round driver-unverified): the persisted IVF-PQ serving path's
-    # recall row (add-pq/query-pq lifecycle, the one serving architecture
-    # that had no driver-visible certificate)
-    "ann_ivfpq_indexed_recall_check",
-    # perceptual media near-dup (dHash byte raster): the planted-edit
-    # coverage twin carries the oracle-paired claim; the rows-only pair
-    # query sits at 51+ per the check-twin policy
-    "multimodal_near_dup_check",
-    # kNN-probe accuracy (the non-parametric rep-quality eval)
-    "embedding_knn_label_vote",
-    # hybrid BM25+cosine retrieval fused by reciprocal rank
-    "doc_hybrid_search_rrf",
-    # keyless grid-bucket range join + sweep-line concurrency
-    "events_session_window_hits",
-    "events_concurrency",
-    # r12: greedy k-center diversity selection's invariant twin (birth-
-    # round discipline; orders_benford rotates out double-green — stays
-    # sweep-covered; the rows-only raw selection sits at 51+ per the
-    # check-twin policy)
-    "embedding_kcenter_check",
-    # r12 late addition: snapshot integrity manifest (birth-round
-    # discipline; users_cohort_matrix — the last r10 vet — rotates out
-    # double-green, stays sweep-covered and bench-timed)
-    "kv_snapshot_manifest",
-    # r12 late additions (birth-round discipline; the last two r10 vets —
-    # kv_region_stats, part_affinity_lift — rotate out double-green, both
-    # stay sweep-covered and bench-timed): SoftDeDup reweighting and the
-    # mergeable quantile-sketch tolerance gate
-    "doc_softdedup_weights",
-    "events_percentile_sketch_check",
-    # NEW round 8 (seated immediately so they don't end the round
-    # driver-unverified): token-budgeted corpus selection + hard-negative
-    # mining. q4_order_priority / q6_forecast_revenue rotate out as their
-    # family's r6+r7 double-green representatives.
-    "doc_token_budget_select",
-    "embedding_hard_negatives",
-    # the ANN path's recall certificate (q10_returned_items rotates out,
-    # r6+r7 double-green)
-    "hard_negatives_ann_recall_check",
-    # Round-9 rotation: the FINAL 5 never-driver-checked entries seated
-    # (doc_contamination_overlap, doc_leakage_safe_split,
-    # multimodal_resize_census, embedding_hard_negatives_ann — now
-    # oracle-paired via the routed-exact oracle — and
-    # hard_negatives_indexed_check), closing cumulative driver visibility
-    # to 186/186. Five r6+r7+r8 triple-green relational vets rotate out
-    # (q7, q12, q15, top_customer_per_nation, nation_pair_volume).
-    "doc_contamination_overlap",
-    "doc_leakage_safe_split",
-    "multimodal_resize_census",
-    "embedding_hard_negatives_ann",
-    "hard_negatives_indexed_check",
-    # relational tail (first-time r6; q18/price_quantity_stats rotated
-    # out r10 after four green rounds)
-    "orders_fd_check",
-    # events_mean_shift rotates out late-r11 (green r6-r10); the newest
-    # cell-layer op seats per the birth-round discipline
-    "kv_salt_census",
-    # data quality / robust stats: orders_price_mad rotates out r11
-    # (green r6-r10); the Pareto census seats as the family's newest
-    "customer_abc_analysis",
-    # linear-probe training (first-time, new in r5); the rows-only raw
-    # ridge output rotated out in r7 — doc_probe_ridge_check (oracle-
-    # paired, exercises the same fit) is its driver-verified form
-    "kv_merge_candidates",
-    # r7 re-seats: kv_latest_version re-verifies green after the packed
-    # fast-path swap; knn_cosine_topk returns as the exact-ANN baseline
-    "kv_latest_version",
-    "events_burst_users",
-    # doc_contamination_bloom rotates out late-r11 (green r6-r10; fuzzy +
-    # overlap stay seated as the family's reps); the composed IVF-PQ
-    # check seats per the birth-round discipline
-    "ann_ivfpq_recall_check",
-    # embeddings: the rows-only-by-design ops (embedding_near_dup_lsh,
-    # embedding_semantic_dedup, embedding_pca_project) seat their
-    # ORACLE-PAIRED check twins instead — same code paths exercised, but
-    # the driver window reads 0 `err: no_oracle` rows (round-8 verdict
-    # item 7); the raw forms stay registered at 51+ and sweep-covered
-    "embedding_pq_check",
-    "embedding_near_dup_lsh_check",
-    "embedding_semantic_dedup_check",
-    "embedding_pca_check",
-    # kmeans raw fit rotated out r7; embedding_kmeans_check (driver-green
-    # r5, registered at 51+) is its oracle-paired form
-    # BPE training loop: r7 seats the ORACLE-PAIRED check forms (DuckDB
-    # computes the first merge + per-group facts); raw forms stay
-    # registered at 51+ and python-parity tested
-    "bpe_learn_check",
-    "bpe_tokenize_check",
+    "doc_max_dup_spans",
+    "doc_trim_dup_spans",
+    "doc_gopher_quality",
+    "unigram_learn_check",
+    "unigram_tokenize_check",
+    "approx_distinct_parts",
+    "cube_returnflag_linestatus",
+    "customer_order_deltas",
+    "events_by_segment",
+    "events_hourly",
+    "events_sliding_6h",
+    "fuzzy_name_pairs",
+    "kv_apply_changeset",
+    "kv_compaction_report",
+    "kv_expire_ttl",
+    "kv_index_lookup",
+    "kv_major_compact",
+    "kv_repair_counters",
+    "kv_repair_replica",
+    "kv_retain_versions",
+    "kv_snapshot_as_of",
+    "monthly_order_stats",
+    "orders_without_lineitems",
+    "part_name_analysis",
+    "pivot_status_by_priority",
+    "price_percentiles",
+    "price_percentiles_approx",
+    "q13_customer_order_histogram",
+    "q5_local_supplier_volume",
+    "rollup_order_counts",
+    "segment_distinct_counts",
+    "top_parts_per_brand",
+    "boilerplate_shingles",
+    "click_conversion",
+    "dedup_bow_fingerprint",
+    "doc_length_histogram",
+    "doc_pack_stats",
+    "doc_reservoir_per_lang",
+    "doc_sample_stratified",
+    "doc_shuffle_assign",
+    "embedding_label_centroids",
+    "multimodal_frame_census",
+    "text_doc_fingerprints",
+    "text_token_stats",
+    "click_conversion_full",
+    "customer_running_totals",
 ]
 
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
@@ -1703,3195 +202,6 @@ def _prepared(name: str, fn: Callable) -> Callable:
 QUERIES = {name: _prepared(name, fn) for name, fn in QUERIES.items()}
 
 # shared SQL fragments for the LLM-op oracles
-_TOKENS = "string_split_regex(trim(text), ' +')"
-_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
-_SHINGLE_CTE = """
-    t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-    sh0 AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 1)),
-                i -> w[i] || '|' || w[i+1] || '|' || w[i+2]) shl FROM t),
-    sh AS (SELECT DISTINCT doc_id, unnest(shl) s FROM sh0),
-    sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
-    inter AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) i
-              FROM sh a JOIN sh b USING (s)
-              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-    jac AS (SELECT d1, d2, i / (s1.n + s2.n - i) AS jaccard
-            FROM inter JOIN sizes s1 ON d1 = s1.doc_id
-                       JOIN sizes s2 ON d2 = s2.doc_id)
-"""
-_JACCARD_SQL = f"WITH {_SHINGLE_CTE} SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5"
-
-
-def _simhash_portable_sql(max_hamming: int = 3) -> str:
-    """Generated DuckDB twin of dedup.simhash_portable_pairs: md5-derived
-    64-bit hash as two 32-bit halves, per-bit ±1 votes, 4x16-bit band
-    blocking, bit_count(xor) hamming. 64 vote columns are generated here
-    rather than hand-written."""
-    votes = ", ".join(
-        f"SUM(CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{h}_{j}"
-        for h in ("lo", "hi")
-        for j in range(32)
-    )
-    fp = {
-        h: " + ".join(
-            f"(CASE WHEN v{h}_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
-            for j in range(32)
-        )
-        for h in ("lo", "hi")
-    }
-    return f"""
-        WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-        sh0 AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 1)),
-                    i -> w[i] || '|' || w[i+1] || '|' || w[i+2]) shl FROM t),
-        sh AS (SELECT DISTINCT doc_id, unnest(shl) s FROM sh0),
-        h AS (SELECT doc_id,
-                     ('0x' || substr(md5(s), 1, 8))::BIGINT AS hi,
-                     ('0x' || substr(md5(s), 9, 8))::BIGINT AS lo
-              FROM sh),
-        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
-        f AS (SELECT doc_id, {fp['lo']} AS fp_lo, {fp['hi']} AS fp_hi FROM v),
-        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-                     CAST(bit_count(xor(a.fp_lo, b.fp_lo))
-                          + bit_count(xor(a.fp_hi, b.fp_hi)) AS BIGINT) AS hamming
-              FROM f a JOIN f b ON a.doc_id < b.doc_id
-              AND ((a.fp_lo & 65535) = (b.fp_lo & 65535)
-                   OR ((a.fp_lo >> 16) & 65535) = ((b.fp_lo >> 16) & 65535)
-                   OR (a.fp_hi & 65535) = (b.fp_hi & 65535)
-                   OR ((a.fp_hi >> 16) & 65535) = ((b.fp_hi >> 16) & 65535)))
-        SELECT d1, d2, hamming FROM p WHERE hamming <= {max_hamming}
-    """
-
-# exact integer-micros money sum, hi/lo-split longs — mirrors
-# relational.money_sum_expr term for term (see its docstring)
-_MONEY_LO = "(((CAST(round(({expr}) * 1000000) AS BIGINT) % 1000000000) + 1000000000) % 1000000000)"
-_MONEY_HI = (
-    "CAST((CAST(round(({expr}) * 1000000) AS BIGINT) - " + _MONEY_LO + ") / 1000000000 AS BIGINT)"
-)
-_MONEY = (
-    "((CAST(SUM(" + _MONEY_HI + ") AS DOUBLE) * 1000000000.0"
-    " + CAST(SUM(" + _MONEY_LO + ") AS DOUBLE)) / 1000000.0)"
-)
-
-
-def _money(expr: str) -> str:
-    return _MONEY.replace("{expr}", expr)
-
-
-_PROFILE_RENDER_SQL = {
-    "long": "CAST({m}({c}) AS VARCHAR)",
-    "string": "{m}({c})",
-    "money": "printf('%.2f', {m}({c}))",
-    "date": "strftime({m}({c}), '%Y-%m-%d')",
-}
-
-
-def _fk_oracle_sql(edges) -> str:
-    """UNION ALL mirror of profiling.referential_integrity (same edges)."""
-    parts = []
-    for child, ckey, parent, pkey in edges:
-        parts.append(
-            f"SELECT '{child}.{ckey}->{parent}.{pkey}' AS relationship, "
-            f"CAST(COUNT(*) AS BIGINT) AS n_child, "
-            f"CAST(SUM(CASE WHEN c.{ckey} IS NOT NULL AND p.__pk IS NULL "
-            f"THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans, "
-            f"CAST(SUM(CASE WHEN c.{ckey} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
-            f"AS n_null_keys "
-            f"FROM {child} c LEFT JOIN "
-            f"(SELECT DISTINCT {pkey} AS __pk FROM {parent}) p "
-            f"ON c.{ckey} = p.__pk"
-        )
-    return " UNION ALL ".join(parts)
-
-
-def _profile_oracle_sql(table: str, renderers: dict[str, str]) -> str:
-    """UNION ALL per-column mirror of profiling.profile (same renderers)."""
-    parts = []
-    for c, kind in renderers.items():
-        r = _PROFILE_RENDER_SQL[kind]
-        parts.append(
-            f"SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
-            f"CAST(COUNT({c}) AS BIGINT) AS n_nonnull, "
-            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
-            f"{r.format(m='MIN', c=c)} AS min_repr, "
-            f"{r.format(m='MAX', c=c)} AS max_repr FROM {table}"
-        )
-    return " UNION ALL ".join(parts)
-
-
-ORACLE_SQL: dict[str, str] = {
-    "kv_point_get": _unpivot_sql(where=f"c_custkey = {POINT_GET_CUSTKEY}"),
-    "kv_keyonly_scan": f"SELECT {_ROW_KEY_SQL} AS row_key FROM customer",
-    "kv_column_projection": (
-        "SELECT row_key, qualifier, value FROM ("
-        + _unpivot_sql(quals=list(PROJECTION_QUALIFIERS))
-        + ")"
-    ),
-    "kv_audit_report": (
-        f"SELECT {_ROW_KEY_SQL} AS row_key, "
-        f"'CorruptCellError, message: corrupt marker present for row ' || {_ROW_KEY_SQL} AS error "
-        "FROM customer WHERE c_custkey % 50 = 7"
-    ),
-    "kv_audit_counters": (
-        "SELECT COUNT(*) AS total, "
-        "COUNT(*) FILTER (WHERE c_custkey % 50 <> 7) AS success, "
-        "COUNT(*) FILTER (WHERE c_custkey % 50 = 7) AS failed FROM customer"
-    ),
-    "kv_copy_row_bump": _unpivot_sql(
-        where=f"c_custkey = {POINT_GET_CUSTKEY}", ts=BUMP_TS
-    ),
-    # region census: byte math over the SAME rendered cell strings the
-    # kv oracles hash-match; per-row grain first (fat-row max), then
-    # prefix grain; byte_share divides identical bigints
-    # round-12: snapshot manifest — the same rendered-cell strings, hashed
-    # with the portable first-8-md5-hex-digits trick (the salt/simhash
-    # discipline) and BIGINT-summed so the checksum is order-free
-    "kv_snapshot_manifest": (
-        "WITH cells AS (" + _unpivot_sql() + "), "
-        "h AS (SELECT substr(row_key, 1, 10) AS prefix, row_key, "
-        "             strlen(row_key) + strlen(family) + strlen(qualifier) "
-        "               + COALESCE(strlen(value), 0) + 8 AS b, "
-        "             ('0x' || substr(md5(concat_ws(chr(31), row_key, family, "
-        "               qualifier, CAST(ts AS VARCHAR), COALESCE(value, ''))), "
-        "               1, 8))::BIGINT AS hv "
-        "      FROM cells) "
-        "SELECT prefix, CAST(COUNT(DISTINCT row_key) AS BIGINT) AS n_rows, "
-        "       CAST(COUNT(*) AS BIGINT) AS n_cells, "
-        "       CAST(SUM(b) AS BIGINT) AS total_bytes, "
-        "       CAST(SUM(hv) AS BIGINT) AS content_sum "
-        "FROM h GROUP BY 1"
-    ),
-    "kv_region_stats": (
-        "WITH cells AS (" + _unpivot_sql() + "), "
-        "pr AS (SELECT substr(row_key, 1, 10) AS prefix, row_key, "
-        "              CAST(COUNT(*) AS BIGINT) AS n_cells, "
-        "              CAST(SUM(strlen(row_key) + strlen(family) "
-        "                       + strlen(qualifier) + COALESCE(strlen(value), 0) + 8) "
-        "                   AS BIGINT) AS row_bytes "
-        "       FROM cells GROUP BY 1, 2), "
-        "pp AS (SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_rows, "
-        "              CAST(SUM(n_cells) AS BIGINT) AS n_cells, "
-        "              CAST(SUM(row_bytes) AS BIGINT) AS total_bytes, "
-        "              CAST(MAX(row_bytes) AS BIGINT) AS max_row_bytes "
-        "       FROM pr GROUP BY 1), "
-        "t AS (SELECT CAST(SUM(total_bytes) AS BIGINT) AS grand FROM pp) "
-        "SELECT prefix, n_rows, n_cells, total_bytes, max_row_bytes, "
-        "       CAST(total_bytes AS DOUBLE) / grand AS byte_share "
-        "FROM pp CROSS JOIN t"
-    ),
-    # split-point advisor: the same on-wire byte math on a row-ordered tape;
-    # DuckDB's window cumsum is the oracle for the engine's DISTRIBUTED
-    # prefix sum (range partitions + lazy triangular offsets) — exact
-    # integers so the region assignment is hash-stable cross-engine
-    "kv_split_points": (
-        "WITH cells AS (" + _unpivot_sql() + "), "
-        "pr AS (SELECT row_key, "
-        "              CAST(SUM(strlen(row_key) + strlen(family) "
-        "                       + strlen(qualifier) + COALESCE(strlen(value), 0) + 8) "
-        "                   AS BIGINT) AS row_bytes "
-        "       FROM cells GROUP BY 1), "
-        "tape AS (SELECT row_key, row_bytes, "
-        "                CAST(SUM(row_bytes) OVER (ORDER BY row_key "
-        "                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-        "                     - row_bytes AS BIGINT) AS s "
-        "         FROM pr) "
-        "SELECT s // 16384 AS region_seq, MIN(row_key) AS split_key, "
-        "       CAST(COUNT(*) AS BIGINT) AS n_rows, "
-        "       CAST(SUM(row_bytes) AS BIGINT) AS region_bytes "
-        "FROM tape GROUP BY 1"
-    ),
-    "kv_latest_version": (
-        "SELECT row_key, qualifier, CAST(ts + 2000 AS BIGINT) AS ts, value FROM ("
-        + _unpivot_sql()
-        + ")"
-    ),
-    "kv_scd2_history": (
-        # three versions per cell: @v0 [ts, ts+1000), @v1 [ts+1000, ts+2000),
-        # plain [ts+2000, NULL)
-        "SELECT row_key, qualifier, value || '@v0' AS value, ts AS valid_from, "
-        "CAST(ts + 1000 AS BIGINT) AS valid_to FROM (" + _unpivot_sql() + ") "
-        "UNION ALL "
-        "SELECT row_key, qualifier, value || '@v1', CAST(ts + 1000 AS BIGINT), "
-        "CAST(ts + 2000 AS BIGINT) FROM (" + _unpivot_sql() + ") "
-        "UNION ALL "
-        "SELECT row_key, qualifier, value, CAST(ts + 2000 AS BIGINT), "
-        "CAST(NULL AS BIGINT) FROM (" + _unpivot_sql() + ")"
-    ),
-    "kv_repair_replica": (
-        "SELECT row_key, qualifier, value FROM (" + _unpivot_sql() + ")"
-    ),
-    "kv_major_compact": (
-        "SELECT row_key, qualifier, ts, value FROM ("
-        + _unpivot_sql(ts=CELL_TS + 2000, with_custkey=True)
-        + ") WHERE NOT (qualifier = 'c_acctbal' AND c_custkey % 25 = 3)"
-    ),
-    "kv_compaction_report": (
-        "SELECT CAST(12 * COUNT(*) + COUNT(CASE WHEN c_custkey % 25 = 3 THEN 1 END)"
-        "        AS BIGINT) AS cells_before, "
-        "CAST(4 * COUNT(*) - COUNT(CASE WHEN c_custkey % 25 = 3 THEN 1 END)"
-        "        AS BIGINT) AS cells_after, "
-        "CAST(8 * COUNT(*) + 2 * COUNT(CASE WHEN c_custkey % 25 = 3 THEN 1 END)"
-        "        AS BIGINT) AS reclaimed FROM customer"
-    ),
-    "kv_retain_versions": (
-        "SELECT row_key, qualifier, ts, value || '@v1' AS value FROM ("
-        + _unpivot_sql(ts=CELL_TS + 1000)
-        + ") UNION ALL SELECT row_key, qualifier, ts, value FROM ("
-        + _unpivot_sql(ts=CELL_TS + 2000)
-        + ")"
-    ),
-    "kv_expire_ttl": (
-        "SELECT row_key, qualifier, ts, value FROM ("
-        + _unpivot_sql(ts=CELL_TS + 2000)
-        + ")"
-    ),
-    "kv_snapshot_as_of": (
-        "SELECT row_key, qualifier, ts, value || '@v1' AS value FROM ("
-        + _unpivot_sql(ts=CELL_TS + 1000)
-        + ")"
-    ),
-    "kv_index_lookup": (
-        "SELECT row_key, qualifier, value FROM ("
-        + _unpivot_sql(where="c_mktsegment = 'BUILDING'")
-        + ")"
-    ),
-    "events_kv_state": """
-        WITH cells AS (
-            SELECT printf('user#%08d', user_id) AS row_key,
-                   event_type AS qualifier,
-                   epoch_us(ts) AS ts,
-                   printf('%.3f', value) AS value
-            FROM events
-        ), ranked AS (
-            SELECT *, row_number() OVER (
-                       PARTITION BY row_key, qualifier
-                       ORDER BY ts DESC, value DESC) AS rn
-            FROM cells
-        )
-        SELECT row_key, qualifier, ts, value FROM ranked WHERE rn = 1
-    """,
-    "kv_repair_counters": (
-        "SELECT COUNT(*) FILTER (WHERE c_custkey % 7 = 0) AS restored, "
-        "COUNT(*) FILTER (WHERE c_custkey % 11 = 0) AS backfilled, "
-        "COUNT(*) FILTER (WHERE c_custkey % 13 = 0) AS deleted FROM customer"
-    ),
-    "kv_apply_changeset": (
-        "SELECT row_key, qualifier, "
-        "CASE WHEN qualifier = 'c_acctbal' AND c_custkey % 10 = 0 "
-        "     THEN printf('%.2f', c_acctbal + 50) ELSE value END AS value "
-        "FROM ("
-        + _unpivot_sql(with_custkey=True)
-        + ") WHERE NOT (qualifier = 'c_mktsegment' AND c_custkey % 20 = 5)"
-    ),
-    "kv_table_diff": (
-        f"SELECT row_key AS row, family, qualifier, 'removed' AS change, "
-        "value AS old_value, CAST(NULL AS VARCHAR) AS new_value FROM ("
-        + _unpivot_sql(where="c_custkey % 97 = 0")
-        + ") UNION ALL "
-        f"SELECT {_ROW_KEY_SQL} AS row, 'cf' AS family, 'c_acctbal' AS qualifier, "
-        "'changed' AS change, printf('%.2f', c_acctbal) AS old_value, "
-        "printf('%.2f', c_acctbal + 100) AS new_value "
-        "FROM customer WHERE c_custkey % 97 <> 0 AND c_custkey % 10 = 0"
-    ),
-    # basket affinity: exact bigint counts and PRODUCTS on both sides of
-    # each division (n_ab*n_orders vs n_a*n_b) — bit-stable
-    "part_affinity_lift": """
-        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
-                    AS n_orders FROM li),
-        pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-                         CAST(COUNT(*) AS BIGINT) AS n_ab
-                  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                  AND a.l_partkey < b.l_partkey
-                  GROUP BY 1, 2
-                  HAVING COUNT(*) >= 2),
-        pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
-               FROM li GROUP BY 1)
-        SELECT part_a, part_b, n_ab,
-               ca.n_part AS n_a, cb.n_part AS n_b,
-               CAST(n_ab AS DOUBLE) / n_orders AS support,
-               CAST(n_ab * n_orders AS DOUBLE) / (ca.n_part * cb.n_part)
-                   AS lift
-        FROM pairs
-        JOIN pc ca ON pairs.part_a = ca.l_partkey
-        JOIN pc cb ON pairs.part_b = cb.l_partkey
-        CROSS JOIN tot
-    """,
-    "q1_pricing_summary": f"""
-        SELECT l_returnflag, l_linestatus,
-               SUM(l_quantity) AS sum_qty,
-               {_money('l_extendedprice')} AS sum_base_price,
-               {_money('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-               {_money('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-               SUM(l_quantity) / COUNT(*) AS avg_qty,
-               {_money('l_extendedprice')} / COUNT(*) AS avg_price,
-               {_money('l_discount')} / COUNT(*) AS avg_disc,
-               COUNT(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
-    """,
-    "q3_shipping_priority": f"""
-        SELECT l_orderkey,
-               {_money('l_extendedprice * (1 - l_discount)')} AS revenue,
-               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-               o_orderpriority
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        WHERE c_mktsegment = 'BUILDING'
-          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-        GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        ORDER BY revenue DESC, l_orderkey LIMIT 10
-    """,
-    "orders_stats_pushdown": """
-        SELECT COUNT(*) AS n_orders,
-               MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
-               MIN(o_custkey) AS min_custkey, MAX(o_custkey) AS max_custkey
-        FROM orders
-    """,
-    "q7_volume_shipping": f"""
-        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               CAST(year(l_shipdate) AS INT) AS l_year,
-               {_money('l_extendedprice * (1 - l_discount)')} AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
-          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
-            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
-        GROUP BY 1, 2, 3
-    """,
-    "q5_local_supplier_volume": f"""
-        SELECT n_name, {_money('l_extendedprice * (1 - l_discount)')} AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        JOIN nation ON s_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        GROUP BY n_name
-    """,
-    "top_parts_per_brand": f"""
-        WITH per_part AS (
-            SELECT p_brand, p_partkey,
-                   {_money('l_extendedprice * (1 - l_discount)')} AS revenue
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            GROUP BY p_brand, p_partkey
-        )
-        SELECT p_brand, p_partkey, revenue, rk FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
-            FROM per_part
-        ) WHERE rk <= 3
-    """,
-    "customer_order_deltas": """
-        SELECT o_custkey, o_orderkey,
-               o_totalprice - lag(o_totalprice) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ) AS price_delta
-        FROM orders
-    """,
-    "segment_distinct_counts": """
-        SELECT c_mktsegment,
-               COUNT(*) AS n_customers,
-               COUNT(DISTINCT c_nationkey) AS n_nations,
-               COUNT(DISTINCT CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
-                                   THEN c_custkey END) AS n_buyers
-        FROM customer GROUP BY c_mktsegment
-    """,
-    # approx_distinct_parts: tolerance oracle — the Spark side emits the
-    # exact count plus a boolean asserting the HLL estimate is within 5%
-    # (5x rsd) of it; sketch drift flips the boolean and fails the hash.
-    "approx_distinct_parts": """
-        SELECT l_returnflag,
-               COUNT(DISTINCT l_partkey) AS exact_parts,
-               TRUE AS approx_within_bound
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    "orders_without_lineitems": """
-        SELECT o_orderstatus, COUNT(*) AS n_orders
-        FROM orders
-        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
-        GROUP BY o_orderstatus
-    """,
-    "events_json_extract": """
-        SELECT event_type, COUNT(*) AS n_events,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-               COUNT(DISTINCT user_id) AS n_users
-        FROM events GROUP BY event_type
-    """,
-    "events_hourly": f"""
-        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-               event_type, COUNT(*) AS n_events,
-               {_money('value')} AS sum_value
-        FROM events GROUP BY 1, 2
-    """,
-    # round-12: the streaming crash-drill rollup must converge to the
-    # SAME one-shot hourly aggregate — exactly-once means the injected
-    # replay is invisible in the final state
-    "events_rollup_exactly_once": f"""
-        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-               event_type, COUNT(*) AS n_events,
-               {_money('value')} AS sum_value
-        FROM events GROUP BY 1, 2
-    """,
-    "events_sliding_6h": """
-        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - i * 3600 AS window_start,
-               event_type, COUNT(*) AS n_events
-        FROM events, range(0, 6) r(i)
-        GROUP BY 1, 2
-    """,
-    "q13_customer_order_histogram": """
-        WITH per_cust AS (
-            SELECT c_custkey, COUNT(o_orderkey) AS c_count
-            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-            GROUP BY c_custkey)
-        SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY c_count
-    """,
-    "top_customer_per_nation": """
-        SELECT c_nationkey, c_custkey, c_name, c_acctbal
-        FROM customer c
-        WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
-                           WHERE c2.c_nationkey = c.c_nationkey)
-    """,
-    "nation_pair_volume": f"""
-        SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
-               CAST(year(l_shipdate) AS INT) AS l_year,
-               {_money('l_extendedprice * (1 - l_discount)')} AS volume
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation n1 ON c_nationkey = n1.n_nationkey
-        JOIN nation n2 ON s_nationkey = n2.n_nationkey
-        WHERE n1.n_name <> n2.n_name
-        GROUP BY 1, 2, 3
-    """,
-    "heavy_hitter_users": """
-        SELECT user_id, COUNT(*) AS n_events FROM events
-        GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
-    """,
-    "min_cost_supplier": """
-        WITH costs AS (
-            SELECT l_partkey, l_suppkey,
-                   MIN(l_extendedprice / l_quantity) AS unit_cost
-            FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
-        )
-        SELECT p_partkey, p_brand, s_name AS supplier, s_acctbal, unit_cost
-        FROM costs
-        JOIN part ON l_partkey = p_partkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        WHERE p_size < 15
-          AND unit_cost = (SELECT MIN(c2.unit_cost) FROM costs c2
-                           WHERE c2.l_partkey = costs.l_partkey)
-    """,
-    "market_share": f"""
-        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-               {_money("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
-               / {_money('l_extendedprice * (1 - l_discount)')} AS mkt_share
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation n1 ON c_nationkey = n1.n_nationkey
-        JOIN region ON n1.n_regionkey = r_regionkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation n2 ON s_nationkey = n2.n_nationkey
-        WHERE r_name = 'AMERICA'
-        GROUP BY 1
-    """,
-    "q4_order_priority": """
-        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1997-01-01'
-          AND EXISTS (SELECT 1 FROM lineitem
-                      WHERE l_orderkey = o_orderkey
-                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        GROUP BY o_orderpriority
-    """,
-    "q6_forecast_revenue": f"""
-        SELECT {_money("l_extendedprice * l_discount")} AS revenue
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1997-01-01'
-          AND l_discount >= 0.03 AND l_discount <= 0.07
-          AND l_quantity < 24
-    """,
-    "q9_product_profit": f"""
-        SELECT n_name AS nation,
-               CAST(year(l_shipdate) AS INT) AS o_year,
-               {_money("l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity")} AS sum_profit
-        FROM lineitem
-        JOIN part ON l_partkey = p_partkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-        WHERE p_type = 'PROMO'
-        GROUP BY n_name, year(l_shipdate)
-    """,
-    "q10_returned_items": f"""
-        SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
-               {_money("l_extendedprice * (1 - l_discount)")} AS revenue
-        FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        WHERE l_returnflag = 'R'
-          AND o_orderdate >= TIMESTAMP '1996-07-01'
-          AND o_orderdate < TIMESTAMP '1996-10-01'
-        GROUP BY c_custkey, c_name, c_acctbal, n_name
-        ORDER BY revenue DESC, c_custkey
-        LIMIT 20
-    """,
-    "q12_late_shipment_priorities": """
-        SELECT l_linestatus,
-               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1997-01-01'
-          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
-        GROUP BY l_linestatus
-    """,
-    "q15_top_supplier": f"""
-        WITH revenue AS (
-            SELECT l_suppkey AS supplier_no,
-                   {_money("l_extendedprice * (1 - l_discount)")} AS total_revenue
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1996-04-01'
-            GROUP BY l_suppkey
-        )
-        SELECT s_suppkey, s_name, total_revenue
-        FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-    """,
-    "q16_part_supplier_counts": """
-        SELECT p_brand, p_type, p_size,
-               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE p_brand <> 'Brand#1'
-          AND p_type <> 'PROMO'
-          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-        GROUP BY p_brand, p_type, p_size
-    """,
-    "q20_promotion_suppliers": """
-        SELECT s_suppkey, s_name FROM supplier
-        WHERE s_suppkey IN (
-            SELECT l_suppkey FROM lineitem
-            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
-              AND l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1997-01-01'
-            GROUP BY l_partkey, l_suppkey
-            HAVING SUM(l_quantity) > 100.0
-        )
-    """,
-    "q21_waiting_suppliers": """
-        WITH late AS (
-            SELECT l_orderkey, l_suppkey
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            WHERE o_orderstatus = 'F'
-              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
-        )
-        SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
-        FROM late l1
-        JOIN supplier ON l1.l_suppkey = s_suppkey
-        WHERE EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM late l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey)
-        GROUP BY s_name
-    """,
-    "q11_part_value_share": f"""
-        WITH per_part AS (
-            SELECT l_partkey,
-                   {_money('l_extendedprice * (1 - l_discount)')} AS part_value
-            FROM lineitem GROUP BY l_partkey)
-        SELECT l_partkey, part_value FROM per_part
-        WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,6)))
-                                        AS DOUBLE) / COUNT(*)
-                            FROM per_part) * 1.5
-    """,
-    "q14_promo_revenue": f"""
-        SELECT CAST(year(l_shipdate) AS INT) AS l_year,
-               100.0 * {_money("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
-               / {_money('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        GROUP BY 1
-    """,
-    "q17_small_quantity_revenue": f"""
-        WITH li AS (
-            SELECT l_partkey, l_quantity, l_extendedprice
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE p_brand = 'Brand#13'),
-        a AS (SELECT l_partkey AS a_partkey,
-                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-                       / COUNT(*) AS avg_qty
-              FROM li GROUP BY 1)
-        SELECT {_money('l_extendedprice')} / 7.0
-               AS avg_yearly
-        FROM li JOIN a ON l_partkey = a_partkey
-        WHERE l_quantity < 0.5 * avg_qty
-    """,
-    "q18_large_volume_customers": """
-        WITH big AS (
-            SELECT l_orderkey, SUM(l_quantity) AS sum_qty
-            FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
-        SELECT c_custkey, c_name, o_orderkey,
-               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-               o_totalprice, sum_qty
-        FROM big JOIN orders ON l_orderkey = o_orderkey
-                 JOIN customer ON o_custkey = c_custkey
-    """,
-    "q19_disjunctive_revenue": f"""
-        SELECT {_money('l_extendedprice * (1 - l_discount)')} AS revenue
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-               AND l_quantity BETWEEN 1 AND 11)
-           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-               AND l_quantity BETWEEN 10 AND 20)
-           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-               AND l_quantity BETWEEN 20 AND 30)
-    """,
-    "q22_idle_customers": f"""
-        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
-               {_money('c_acctbal')} AS totacctbal
-        FROM customer
-        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
-                                       AS DOUBLE) / COUNT(*)
-                           FROM customer WHERE c_acctbal > 0.0)
-          AND NOT EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey
-                            AND o_orderdate >= TIMESTAMP '2001-01-01')
-        GROUP BY c_nationkey
-    """,
-    "customer_running_totals": """
-        WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
-                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-                   FROM orders)
-        SELECT o_custkey, o_orderkey,
-               CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_index,
-               CAST(CAST(SUM(cents) OVER wf AS BIGINT) AS DOUBLE) / 100.0
-                   AS running_spend,
-               CAST(CAST(SUM(cents) OVER w3 AS BIGINT) AS DOUBLE)
-                   / (CAST(COUNT(*) OVER w3 AS DOUBLE) * 100.0) AS moving_avg3,
-               strftime(first_value(o_orderdate) OVER wf, '%Y-%m-%d')
-                   AS first_order_date
-        FROM o
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-               wf AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-               w3 AS (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-    """,
-    # moments assembled from exact integer power sums — see
-    # relational.price_quantity_stats for why not built-in stddev/corr
-    "price_quantity_stats": """
-        WITH base AS (
-            SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS xq,
-                   CAST(round(l_extendedprice * 100) AS BIGINT) AS c
-            FROM lineitem),
-        s AS (
-            SELECT l_returnflag,
-                   CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(xq) AS BIGINT) AS sx_i,
-                   CAST(SUM(c) AS BIGINT) AS sy_c,
-                   CAST(SUM(xq * xq) AS BIGINT) AS sxx_i,
-                   CAST(SUM((c * c) // 1000000000) AS BIGINT) AS syy_hi,
-                   CAST(SUM((c * c) % 1000000000) AS BIGINT) AS syy_lo,
-                   CAST(SUM(xq * c) AS BIGINT) AS sxy_c
-            FROM base GROUP BY 1),
-        g AS (
-            SELECT l_returnflag, n,
-                   CAST(sx_i AS DOUBLE) AS sx,
-                   CAST(sy_c AS DOUBLE) / 100.0 AS sy,
-                   CAST(sxx_i AS DOUBLE) AS sxx,
-                   (CAST(syy_hi AS DOUBLE) * 1000000000.0
-                    + CAST(syy_lo AS DOUBLE)) / 10000.0 AS syy,
-                   CAST(sxy_c AS DOUBLE) / 100.0 AS sxy
-            FROM s)
-        SELECT l_returnflag, n,
-               sx / CAST(n AS DOUBLE) AS avg_qty,
-               sy / CAST(n AS DOUBLE) AS avg_price,
-               round(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
-                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS stddev_qty,
-               round(sqrt((CAST(n AS DOUBLE) * syy - sy * sy)
-                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS stddev_price,
-               round((CAST(n AS DOUBLE) * sxy - sx * sy)
-                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6) AS covar_qty_price,
-               round((CAST(n AS DOUBLE) * sxy - sx * sy)
-                    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
-                           * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qty_price
-        FROM g
-    """,
-    # sketch_event_stats: tolerance oracle — exact distinct/median plus
-    # booleans asserting the HLL / KLL estimates are within documented
-    # bounds (5% / 2%). ann_ivf_topk stays rows-only (k-means cells are
-    # engine-specific; recall-tested vs brute force locally).
-    "sketch_event_stats": """
-        SELECT event_type,
-               COUNT(DISTINCT user_id) AS exact_users,
-               CAST(quantile_cont(value, 0.5) AS DOUBLE) AS exact_p50_value,
-               TRUE AS hll_within_bound,
-               TRUE AS kll_within_bound
-        FROM events GROUP BY event_type
-    """,
-    # heavy_hitters_sketch: tolerance oracle — the exact top-k with a
-    # per-row boolean that the frequent-items sketch honored its error
-    # bound (items under ~n/maxItemsTracked carry no guarantee and pass
-    # vacuously — the sf1 lesson; see relational.heavy_hitters_sketch)
-    "heavy_hitters_sketch": """
-        SELECT user_id, n_events, TRUE AS sketch_within_bound
-        FROM (SELECT user_id, COUNT(*) AS n_events FROM events
-              GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10)
-        ORDER BY n_events DESC, user_id
-    """,
-    "nation_setops": """
-        WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
-             s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
-        SELECT nk, 'both' AS membership FROM c INTERSECT SELECT nk, 'both' FROM s
-        UNION ALL
-        SELECT nk, 'customers_only' FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
-        UNION ALL
-        SELECT nk, 'suppliers_only' FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)
-    """,
-    # round-12: keyless point-in-interval join — the oracle runs the naive
-    # inequality join (DuckDB IEJoin handles test scales); the engine runs
-    # the grid-bucket equi-join, never a nested loop
-    "events_session_window_hits": """
-        WITH b AS (
-            SELECT user_id, epoch_us(ts) AS t_us, event_id,
-                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
-                        WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                             > 28800000000 THEN 1 ELSE 0 END AS is_new
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-        ),
-        sid AS (
-            SELECT user_id, t_us,
-                   CAST(SUM(is_new) OVER (PARTITION BY user_id
-                        ORDER BY t_us, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS BIGINT) AS session_seq
-            FROM b
-        ),
-        s AS (
-            SELECT user_id, session_seq,
-                   MIN(t_us) AS start_us, MAX(t_us) AS end_us,
-                   COUNT(*) AS n
-            FROM sid GROUP BY 1, 2 HAVING COUNT(*) >= 3
-        ),
-        p AS (SELECT event_id, epoch_us(ts) AS t_us FROM events
-              WHERE event_type = 'purchase')
-        SELECT p.event_id, p.t_us,
-               CAST(COUNT(*) AS BIGINT) AS n_active_sessions
-        FROM p JOIN s ON s.start_us <= p.t_us AND p.t_us <= s.end_us
-        GROUP BY 1, 2
-    """,
-    # round-12: sweep-line concurrency — one window cumsum over the total
-    # sweep order mirrors the engine's distributed prefix sum exactly
-    "events_concurrency": """
-        WITH b AS (
-            SELECT user_id, epoch_us(ts) AS t_us, event_id,
-                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
-                        WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                             > 28800000000 THEN 1 ELSE 0 END AS is_new
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-        ),
-        sid AS (
-            SELECT user_id, t_us,
-                   CAST(SUM(is_new) OVER (PARTITION BY user_id
-                        ORDER BY t_us, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS BIGINT) AS session_seq
-            FROM b
-        ),
-        s AS (
-            SELECT user_id, session_seq,
-                   MIN(t_us) AS start_us, MAX(t_us) AS end_us
-            FROM sid GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        ),
-        d AS (
-            SELECT start_us AS t_us, 1 AS delta, user_id, session_seq FROM s
-            UNION ALL
-            SELECT end_us, -1, user_id, session_seq FROM s
-        )
-        SELECT t_us, user_id, session_seq, CAST(delta AS INT) AS delta,
-               CAST(SUM(delta) OVER (
-                   ORDER BY t_us, delta DESC, user_id, session_seq
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS BIGINT) AS n_active
-        FROM d
-    """,
-    "events_sessionize": """
-        WITH g AS (
-            SELECT user_id,
-                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
-                        WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 28800000000 THEN 1
-                        ELSE 0 END AS is_new
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-        )
-        SELECT user_id, CAST(SUM(is_new) + 1 AS BIGINT) AS n_sessions,
-               COUNT(*) AS n_events
-        FROM g GROUP BY user_id
-    """,
-    # events_stateful_profiles: converged per-user running profile of the
-    # REAL stateful stream (integer-micros accumulation is micro-batch-
-    # order independent — see MicroProfileProcessor)
-    "events_stateful_profiles": """
-        SELECT user_id, COUNT(*) AS n_events,
-               CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
-                   AS value_micros,
-               MAX(epoch_us(ts)) AS last_seen_us
-        FROM events GROUP BY user_id
-    """,
-    "events_session_window": """
-        WITH o AS (
-            SELECT user_id, epoch_us(ts) AS us,
-                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
-                        WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 28800000000 THEN 1
-                        ELSE 0 END AS is_new
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
-        ), s AS (
-            SELECT user_id, us,
-                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
-                                     ROWS UNBOUNDED PRECEDING) AS sid
-            FROM o
-        )
-        SELECT user_id, COUNT(*) AS n_events,
-               CAST(MIN(us) // 1000000 AS BIGINT) AS session_start
-        FROM s GROUP BY user_id, sid
-    """,
-    "purchase_attribution": """
-        SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
-               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-        FROM events p JOIN events c
-          ON p.user_id = c.user_id
-         AND epoch_us(c.ts) <= epoch_us(p.ts)
-         AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
-        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-    """,
-    "click_conversion": """
-        SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
-               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-        FROM (SELECT * FROM events WHERE event_type = 'click') c
-        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-          ON c.user_id = p.user_id
-         AND epoch_us(p.ts) >= epoch_us(c.ts)
-         AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
-    """,
-    "click_conversion_full": """
-        SELECT c.event_id AS click_id,
-               COALESCE(c.user_id, p.user_id) AS user_id,
-               p.event_id AS purchase_id,
-               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
-        FROM (SELECT * FROM events WHERE event_type = 'click') c
-        FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-          ON c.user_id = p.user_id
-         AND epoch_us(p.ts) >= epoch_us(c.ts)
-         AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
-    """,
-    "kv_range_scan": (
-        "SELECT row_key, qualifier, value FROM ("
-        + _unpivot_sql(where="c_custkey >= 100 AND c_custkey < 200")
-        + ")"
-    ),
-    "kv_region_scan": (
-        "SELECT row_key, qualifier, ts, value FROM ("
-        + _unpivot_sql(where="c_custkey >= 100 AND c_custkey < 200")
-        + ")"
-    ),
-    "kv_visible_cells": (
-        "SELECT row_key, qualifier, ts, value FROM ("
-        + _unpivot_sql(quals=["c_mktsegment", "c_name", "c_nationkey"])
-        + " UNION ALL "
-        + _unpivot_sql(where="c_custkey % 25 <> 3", quals=["c_acctbal"])
-        + ")"
-    ),
-    "part_name_analysis": r"""
-        SELECT CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT) AS brand_num,
-               string_split(p_name, ' ')[1] AS first_word,
-               COUNT(*) AS n_parts,
-               COUNT(DISTINCT p_type) AS n_types,
-               MAX(upper(p_name)) AS max_name_upper,
-               CAST(SUM(length(p_name)) AS BIGINT) AS total_name_len
-        FROM part GROUP BY 1, 2
-    """,
-    "monthly_order_stats": f"""
-        SELECT CAST(year(o_orderdate) AS INT) AS y,
-               CAST(month(o_orderdate) AS INT) AS m,
-               COUNT(*) AS n_orders,
-               {_money('o_totalprice')} AS total_price,
-               COUNT(DISTINCT o_custkey) AS n_customers,
-               CAST(COUNT(*) FILTER (WHERE dayofweek(o_orderdate) IN (0, 6)) AS BIGINT)
-                   AS weekend_orders
-        FROM orders GROUP BY 1, 2
-    """,
-    "rollup_order_counts": f"""
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               {_money('o_totalprice')} AS total_price
-        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-    "cube_returnflag_linestatus": """
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-               SUM(l_quantity) AS sum_qty
-        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    "pivot_status_by_priority": """
-        SELECT o_orderpriority,
-               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
-               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
-               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
-        FROM orders GROUP BY o_orderpriority
-    """,
-    "price_percentiles": """
-        SELECT l_returnflag,
-               CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
-               CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    # identical spec via distributed rank selection (the exact-percentile
-    # scale path) — same oracle as price_percentiles
-    "price_percentiles_exact_rank": """
-        SELECT l_returnflag,
-               CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
-               CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    # price_percentiles_approx: tolerance oracle — exact interpolated
-    # percentiles plus booleans asserting the sketch is within 0.5% rel err.
-    "price_percentiles_approx": """
-        SELECT l_returnflag,
-               CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
-               CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90,
-               TRUE AS p50_within_bound,
-               TRUE AS p90_within_bound
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    "asof_purchase_signup": """
-        WITH w AS (
-            SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
-                   max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER (
-                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-                       ROWS UNBOUNDED PRECEDING
-                   ) AS last_signup_us
-            FROM events)
-        SELECT event_id, user_id, us AS purchase_us, last_signup_us,
-               us - last_signup_us AS us_since_signup
-        FROM w WHERE event_type = 'purchase'
-    """,
-    "dedup_exact": r"""
-        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-               min(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
-        FROM documents GROUP BY 1
-    """,
-    "dedup_bow_fingerprint": """
-        WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-                      FROM documents),
-             fps AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY tok)) AS fp
-                     FROM toks GROUP BY doc_id)
-        SELECT fp, min(doc_id) AS keep_doc_id, COUNT(*) AS n_docs FROM fps GROUP BY fp
-    """,
-    "dedup_ngram_jaccard": _JACCARD_SQL,
-    # same spec, different (prefix-filtering) candidate algorithm
-    "dedup_prefix_filter": _JACCARD_SQL,
-    "events_session_paths": """
-        WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-                   FROM events),
-        lagged AS (SELECT *, lag(us) OVER (PARTITION BY user_id
-                                           ORDER BY us, event_id) AS prev
-                   FROM e),
-        s AS (SELECT *, SUM(CASE WHEN prev IS NULL THEN 0
-                                 WHEN us - prev > 28800000000 THEN 1
-                                 ELSE 0 END)
-                            OVER (PARTITION BY user_id ORDER BY us, event_id)
-                            AS session_no
-              FROM lagged),
-        p AS (SELECT user_id, session_no,
-                     string_agg(event_type, '>' ORDER BY us, event_id) AS path
-              FROM s GROUP BY 1, 2),
-        c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
-              FROM p GROUP BY 1),
-        r AS (SELECT *, CAST(row_number() OVER (ORDER BY n_sessions DESC,
-                                                path ASC) AS INTEGER) AS rank
-              FROM c)
-        SELECT rank, path, n_sessions FROM r WHERE rank <= 20
-    """,
-    "events_markov_transitions": """
-        WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
-                   FROM events),
-        pr AS (SELECT lag(event_type) OVER (PARTITION BY user_id
-                                            ORDER BY us, event_id)
-                          AS from_type,
-                      event_type AS to_type
-               FROM e),
-        c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
-              FROM pr WHERE from_type IS NOT NULL GROUP BY 1, 2),
-        t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
-              FROM c GROUP BY 1)
-        SELECT from_type, to_type, n, CAST(n AS DOUBLE) / n_from AS p
-        FROM c JOIN t USING (from_type)
-    """,
-    # dedup_minhash_lsh verifies candidates with EXACT jaccard; at the corpus'
-    # similarity gap (pairs are ~0.99 or <0.1) a banded miss has p ~ 1e-22, so
-    # the exact-jaccard SQL is its oracle too. dedup_simhash / ann_lsh_topk
-    # have no cross-engine twin (xxhash64 family) -> rows-only checks.
-    "dedup_minhash_lsh": _JACCARD_SQL,
-    # fuzzy contamination: the SAME exact-jaccard oracle restricted to
-    # (train x benchmark) pairs, best benchmark match per contaminated
-    # train doc (max jaccard, bench_doc tie-break). Completeness of the
-    # engine's LSH banding at threshold 0.5 is the dedup_minhash_lsh
-    # evidence, of which these pairs are a subset.
-    "doc_contamination_fuzzy": f"""
-        WITH {_SHINGLE_CTE},
-        cj AS (SELECT tr.doc_id AS doc_id, be.doc_id AS bench_doc, COUNT(*) i
-               FROM sh tr JOIN sh be USING (s)
-               WHERE tr.doc_id % 50 <> 0 AND be.doc_id % 50 = 0
-               GROUP BY 1, 2),
-        cjac AS (SELECT cj.doc_id AS doc_id, cj.bench_doc AS bench_doc,
-                        i / (s1.n + s2.n - i) AS jaccard
-                 FROM cj JOIN sizes s1 ON cj.doc_id = s1.doc_id
-                         JOIN sizes s2 ON cj.bench_doc = s2.doc_id)
-        SELECT doc_id, bench_doc, jaccard
-        FROM cjac
-        WHERE jaccard >= 0.5
-        QUALIFY row_number() OVER (PARTITION BY doc_id
-                                   ORDER BY jaccard DESC, bench_doc) = 1
-    """,
-    # simhash over a PORTABLE md5-derived hash — the full cross-engine
-    # verification twin of the (xxhash64, rows-only) dedup_simhash
-    "dedup_simhash_portable": _simhash_portable_sql(),
-    # incremental dedup: new batch (doc_id % 10 = 0) vs corpus only —
-    # exact by normalized md5, near by one-sided shingle jaccard
-    "dedup_incremental": r"""
-        WITH norm AS (SELECT doc_id,
-                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-              FROM documents),
-        exact AS (SELECT n.doc_id, MIN(c.doc_id) AS exact_match
-                  FROM (SELECT * FROM norm WHERE doc_id % 10 = 0) n
-                  JOIN (SELECT * FROM norm WHERE doc_id % 10 <> 0) c USING (fp)
-                  GROUP BY n.doc_id),
-        t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-        sh0 AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 1)),
-                    i -> w[i] || '|' || w[i+1] || '|' || w[i+2]) shl FROM t),
-        sh AS (SELECT DISTINCT doc_id, unnest(shl) s FROM sh0),
-        sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
-        inter AS (SELECT a.doc_id, b.doc_id AS c_doc, COUNT(*) i
-                  FROM sh a JOIN sh b USING (s)
-                  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-                  GROUP BY 1, 2),
-        jac AS (SELECT doc_id, c_doc, i / (s1.n + s2.n - i) AS jaccard
-                FROM inter JOIN sizes s1 USING (doc_id)
-                           JOIN sizes s2 ON c_doc = s2.doc_id
-                WHERE i / (s1.n + s2.n - i) >= 0.5),
-        near AS (SELECT doc_id, c_doc AS near_match,
-                        round(jaccard, 6) AS best_jaccard
-                 FROM (SELECT *, row_number() OVER (
-                           PARTITION BY doc_id ORDER BY jaccard DESC, c_doc
-                       ) AS rk FROM jac)
-                 WHERE rk = 1)
-        SELECT d.doc_id,
-               CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
-                    WHEN nr.near_match IS NOT NULL THEN 'near_dup'
-                    ELSE 'unique' END AS verdict,
-               COALESCE(e.exact_match, nr.near_match) AS match_doc,
-               COALESCE(nr.best_jaccard, 0.0) AS best_jaccard
-        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
-        LEFT JOIN exact e USING (doc_id)
-        LEFT JOIN near nr USING (doc_id)
-    """,
-    # doc_dup_spans: the window hash is engine-internal (Spark xxhash64,
-    # DuckDB md5) — only the grouping must agree, and it does because both
-    # hash the identical space-joined 20-token window strings.
-    "doc_dup_spans": """
-        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS i
-                     FROM words WHERE len(w) >= 20),
-             wins AS (SELECT doc_id, md5(array_to_string(w[i:i+19], ' ')) AS h
-                      FROM pos),
-             hs AS (SELECT h, count(DISTINCT doc_id) AS nd FROM wins GROUP BY h)
-        SELECT wins.doc_id,
-               CAST(count(*) AS BIGINT) AS n_windows,
-               CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_dup_windows,
-               CAST(count(CASE WHEN nd > 1 THEN 1 END) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE) AS dup_fraction
-        FROM wins JOIN hs USING (h)
-        GROUP BY wins.doc_id
-        HAVING count(CASE WHEN nd > 1 THEN 1 END) > 0
-    """,
-    # doc_max_dup_spans: gaps-and-islands over the SAME window-match table
-    # as doc_dup_spans — maximal duplicated extents (Lee et al. 2022).
-    # Engine-internal hashes again only need to GROUP identically.
-    "doc_max_dup_spans": """
-        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS i
-                     FROM words WHERE len(w) >= 20),
-             wins AS (SELECT doc_id, i AS pos,
-                             md5(array_to_string(w[i:i+19], ' ')) AS h
-                      FROM pos),
-             hs AS (SELECT h FROM wins GROUP BY h
-                    HAVING count(DISTINCT doc_id) > 1),
-             dup AS (SELECT doc_id, pos FROM wins
-                     WHERE h IN (SELECT h FROM hs)),
-             isl AS (SELECT doc_id, pos,
-                            pos - ROW_NUMBER() OVER (PARTITION BY doc_id
-                                                     ORDER BY pos) AS g
-                     FROM dup)
-        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
-               CAST(COUNT(*) + 19 AS BIGINT) AS span_tokens
-        FROM isl GROUP BY doc_id, g
-    """,
-    # exact integer micro-unit accumulation (see similarity.label_centroids):
-    # both engines quantize each float32 component identically, sum exactly,
-    # divide once — no order-dependent double summation to diverge on.
-    "embedding_label_centroids": """
-        WITH q AS (SELECT label,
-                          generate_subscripts(embedding, 1) - 1 AS dim,
-                          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
-                   FROM embeddings)
-        SELECT label, dim,
-               CAST(count(*) AS BIGINT) AS n_vecs,
-               CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / (count(*) * 1e6) AS centroid
-        FROM q GROUP BY label, dim
-    """,
-    # outlier flags: every aggregate input is an integer (micros
-    # quantization -> exact bigint distance sums -> integer power sums);
-    # the float expressions (prototype division, sqrt, threshold) are
-    # single exact-rounded operations over identical bigints, so the
-    # is_outlier boundary is bit-stable cross-engine. Expression shapes
-    # mirror the Spark side exactly (same cast/operation order).
-    "embedding_outlier_flags": """
-        WITH q AS (SELECT vec_id, label,
-                          generate_subscripts(embedding, 1) - 1 AS dim,
-                          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
-                               AS BIGINT) AS q
-                   FROM embeddings WHERE label IS NOT NULL),
-        cent AS (SELECT label, dim,
-                        CAST(round(CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE)
-                                   / COUNT(*)) AS BIGINT) AS c_q
-                 FROM q GROUP BY label, dim),
-        pv AS (SELECT vec_id, label,
-                      CAST(round(sqrt(CAST(CAST(SUM((q - c_q) * (q - c_q))
-                                                AS BIGINT) AS DOUBLE)))
-                           AS BIGINT) AS dist_micros
-               FROM q JOIN cent USING (label, dim)
-               GROUP BY vec_id, label),
-        st AS (SELECT label, COUNT(*) AS n,
-                      CAST(SUM(dist_micros) AS BIGINT) AS sd,
-                      CAST(SUM(dist_micros * dist_micros) AS BIGINT) AS sdd
-               FROM pv GROUP BY label),
-        thr AS (SELECT label,
-                       CAST(sd AS DOUBLE) / n
-                       + 2.0 * sqrt(greatest(
-                             (CAST(sdd AS DOUBLE)
-                              - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n)
-                             / n, 0.0)) AS thr
-                FROM st)
-        SELECT vec_id, label, dist_micros,
-               CAST(dist_micros AS DOUBLE) > thr AS is_outlier
-        FROM pv JOIN thr USING (label)
-    """,
-    # matryoshka census: exact bigint energy sums; retention and the mean
-    # are divisions/rounds of identical bigints (expression shapes mirror
-    # the Spark side exactly, incl. the /full*1e6 association order)
-    "embedding_matryoshka_census": """
-        WITH q AS (SELECT vec_id,
-                          generate_subscripts(embedding, 1) - 1 AS dim,
-                          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
-                               AS BIGINT) AS q
-                   FROM embeddings),
-        pv AS (SELECT vec_id,
-                      CAST(SUM(CASE WHEN dim < 8 THEN q * q ELSE 0 END)
-                           AS BIGINT) AS e8,
-                      CAST(SUM(CASE WHEN dim < 16 THEN q * q ELSE 0 END)
-                           AS BIGINT) AS e16,
-                      CAST(SUM(CASE WHEN dim < 32 THEN q * q ELSE 0 END)
-                           AS BIGINT) AS e32,
-                      CAST(SUM(CASE WHEN dim < 64 THEN q * q ELSE 0 END)
-                           AS BIGINT) AS e64
-               FROM q GROUP BY vec_id),
-        r AS (SELECT vec_id, k,
-                     CAST(round(CAST(e AS DOUBLE) / e64 * 1e6) AS BIGINT)
-                         AS ret
-              FROM (SELECT * FROM pv WHERE e64 > 0)
-              CROSS JOIN LATERAL (VALUES (8, e8), (16, e16), (32, e32),
-                                         (64, e64)) AS t(k, e))
-        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_vectors,
-               CAST(CAST(SUM(ret) AS BIGINT) AS DOUBLE) / COUNT(*) / 1e6
-                   AS mean_retention,
-               CAST(MIN(ret) AS BIGINT) AS min_retention_micros,
-               CAST(MAX(ret) AS BIGINT) AS max_retention_micros,
-               CAST(COUNT(*) FILTER (WHERE ret >= 900000) AS BIGINT)
-                   AS n_ge_90pct
-        FROM r GROUP BY k
-    """,
-    "text_vocab_coverage": """
-        WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
-                      FROM documents),
-             counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
-             vocab AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok ASC) AS rk
-                       FROM counts QUALIFY rk <= 10)
-        SELECT lang,
-               CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(count(CASE WHEN vocab.rk IS NULL THEN 1 END) AS BIGINT) AS n_oov,
-               CAST(count(CASE WHEN vocab.rk IS NULL THEN 1 END) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE) AS oov_rate
-        FROM toks LEFT JOIN vocab USING (tok)
-        GROUP BY lang
-    """,
-    "knn_cosine_topk": """
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings)
-        SELECT query_id, neighbor_id, sim FROM (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   round(list_cosine_similarity(q.emb, c.emb), 6) AS sim,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id
-                   ) AS rk
-            FROM e q JOIN e c ON q.vec_id <> c.vec_id
-        ) WHERE rk <= 5
-    """,
-    "embedding_near_dup": """
-        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) emb FROM embeddings)
-        SELECT a.vec_id AS d1, b.vec_id AS d2,
-               round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
-    """,
-    # hard negatives: the knn oracle shape with the positive mask in the
-    # join condition (q.label <> c.label also drops NULL labels on both
-    # sides, matching the engine's isNotNull filter)
-    "embedding_hard_negatives": """
-        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) emb
-                   FROM embeddings WHERE label IS NOT NULL)
-        SELECT query_id, negative_id, sim FROM (
-            SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
-                   round(list_cosine_similarity(q.emb, c.emb), 6) AS sim,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id
-                   ) AS rk
-            FROM e q JOIN e c ON q.label <> c.label
-        ) WHERE rk <= 5
-    """,
-    # ANN hard negatives: below ANN_BRUTE_CROSSOVER (1M vectors — every
-    # test scale) auto_route runs the EXACT broadcast-BLAS form, so the
-    # exact oracle applies verbatim; the LSH plan itself is certified by
-    # hard_negatives_ann_recall_check (auto_route=False). Quadratic SQL:
-    # keep in SWEEP_SKIP_ORACLES at sf1+ alongside embedding_hard_negatives.
-    "embedding_hard_negatives_ann": """
-        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) emb
-                   FROM embeddings WHERE label IS NOT NULL)
-        SELECT query_id, negative_id, sim FROM (
-            SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
-                   round(list_cosine_similarity(q.emb, c.emb), 6) AS sim,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id
-                   ) AS rk
-            FROM e q JOIN e c ON q.label <> c.label
-        ) WHERE rk <= 5
-    """,
-    "pipeline_curated_search": f"""
-        WITH kept AS (SELECT doc_id FROM documents WHERE {_NTOK} >= 40),
-             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) emb FROM embeddings
-                   WHERE vec_id IN (SELECT doc_id FROM kept))
-        SELECT query_id, neighbor_id, sim FROM (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   round(list_cosine_similarity(q.emb, c.emb), 6) AS sim,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id
-                   ) AS rk
-            FROM e q JOIN e c ON q.vec_id <> c.vec_id
-        ) WHERE rk <= 3
-    """,
-    "text_lang_id": """
-        SELECT lang,
-               CASE WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
-                    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
-                    WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
-                    WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
-                    WHEN regexp_matches(text, '(^| )(der|die|das|und) ') THEN 'de'
-                    WHEN regexp_matches(text, '(^| )(el|la|los|las) ') THEN 'es'
-                    WHEN regexp_matches(text, '(^| )(the|a|of|and) ') THEN 'en'
-                    ELSE 'unknown' END AS predicted,
-               COUNT(*) AS n_docs
-        FROM documents GROUP BY 1, 2
-    """,
-    "text_quality_score": f"""
-        WITH f AS (
-            SELECT doc_id,
-                   CAST({_NTOK} AS BIGINT) AS n_tokens,
-                   CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
-                   CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))
-                        AS BIGINT) AS non_word,
-                   CAST(len(list_filter({_TOKENS},
-                        t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
-                        AS BIGINT) AS stop_hits
-            FROM documents)
-        SELECT doc_id, n_tokens,
-               CASE WHEN n_tokens > 0 THEN word_chars / n_tokens ELSE 0.0 END AS avg_word_len,
-               CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END AS stopword_ratio,
-               CASE WHEN n_chars > 0 THEN non_word / n_chars ELSE 0.0 END AS punct_ratio,
-               least(n_tokens / 100.0, 1.0) * 0.5
-                 + (CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END) * 0.3
-                 + (1 - (CASE WHEN n_chars > 0 THEN non_word / n_chars ELSE 0.0 END)) * 0.2
-                 AS quality_score
-        FROM f
-    """,
-    "text_token_stats": f"""
-        WITH d AS (
-            SELECT lang, source, n_chars,
-                   CAST({_NTOK} AS BIGINT) AS n_toks,
-                   CAST(list_sum(list_transform({_TOKENS},
-                        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe
-            FROM documents)
-        SELECT lang, source, COUNT(*) AS n_docs,
-               CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-               CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
-               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-               CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avg_tokens
-        FROM d GROUP BY lang, source
-    """,
-    "text_doc_fingerprints": """
-        SELECT doc_id,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(range(1, length(text) + 1),
-                           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
-                   (h, c) -> (h * 31 + c) % 1000000007) AS fp
-        FROM documents
-    """,
-    "text_repetition_signals": """
-        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w,
-                          trim(text) = '' AS empty
-                   FROM documents),
-        u AS (SELECT doc_id, unnest(w) AS word FROM t WHERE NOT empty),
-        uc AS (SELECT doc_id, word, COUNT(*) AS c FROM u GROUP BY 1, 2),
-        ua AS (SELECT doc_id, MAX(c) AS topc, CAST(SUM(c) AS BIGINT) AS ntok,
-                      COUNT(*) AS ndist
-               FROM uc GROUP BY 1),
-        b0 AS (SELECT doc_id, list_transform(range(1, len(w)),
-                          i -> w[i] || ' ' || w[i+1]) AS bl
-               FROM t WHERE NOT empty),
-        bu AS (SELECT doc_id, unnest(bl) AS bigram FROM b0),
-        bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bu GROUP BY 1, 2),
-        ba AS (SELECT doc_id, MAX(c) AS topb FROM bc GROUP BY 1)
-        SELECT d.doc_id,
-               COALESCE(ntok, 0) AS n_tokens,
-               COALESCE(ndist, 0) AS n_distinct,
-               CASE WHEN ntok > 0 THEN topc / ntok ELSE 0.0 END AS top_unigram_frac,
-               CASE WHEN ntok > 0 THEN ndist / ntok ELSE 0.0 END AS distinct_ratio,
-               CASE WHEN ntok > 1 THEN topb / (ntok - 1) ELSE 0.0 END AS top_bigram_frac
-        FROM documents d
-        LEFT JOIN ua ON d.doc_id = ua.doc_id
-        LEFT JOIN ba ON d.doc_id = ba.doc_id
-    """,
-    "doc_mixture_weights": f"""
-        WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                          CAST(SUM(ntok) AS BIGINT) AS total_tokens
-                   FROM (SELECT lang, source, CAST({_NTOK} AS BIGINT) AS ntok
-                         FROM documents)
-                   GROUP BY 1, 2),
-        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS corpus_docs,
-                       COUNT(*) AS n_groups FROM g)
-        SELECT lang, source, n_docs, total_tokens,
-               n_docs / corpus_docs AS share,
-               (corpus_docs / n_groups) / n_docs AS weight
-        FROM g, tot
-    """,
-    "doc_length_histogram": f"""
-        SELECT bucket, n_docs, min_chars, max_chars, total_tokens,
-               bucket * 200 AS bucket_lo
-        FROM (SELECT n_chars // 200 AS bucket,
-                     CAST(COUNT(*) AS BIGINT) AS n_docs,
-                     MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
-                     CAST(SUM(CAST({_NTOK} AS BIGINT)) AS BIGINT) AS total_tokens
-              FROM documents GROUP BY 1)
-    """,
-    "boilerplate_shingles": f"""
-        WITH {_SHINGLE_CTE}
-        SELECT s AS shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
-        FROM sh GROUP BY s
-        ORDER BY doc_freq DESC, shingle
-        LIMIT 20
-    """,
-    "text_unigram_logprob": f"""
-        WITH w AS (SELECT doc_id, unnest({_TOKENS}) AS word
-                   FROM documents WHERE trim(text) <> ''),
-        v AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
-        t AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_corpus FROM v)
-        SELECT w.doc_id,
-               COUNT(*) AS n_tokens,
-               round(AVG(-ln(v.c / t.n_corpus)), 6) AS avg_neg_logprob
-        FROM w JOIN v USING (word) CROSS JOIN t
-        GROUP BY w.doc_id
-    """,
-    # NFC equivalence: Unicode's normalization stability policy pins NFC
-    # across implementations, so utf8proc (DuckDB) == unicodedata (engine);
-    # property-tested in tests/test_text_analysis.py. chr(768) = U+0300.
-    "text_nfc_clean": """
-        WITH d AS (
-            SELECT doc_id,
-                   CASE WHEN doc_id % 3 = 0
-                        THEN replace(text, 'a', 'a' || chr(768))
-                        ELSE text END AS t
-            FROM documents),
-        n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM d)
-        SELECT doc_id,
-               t <> nt AS changed,
-               CAST(length(t) AS BIGINT) AS cp_before,
-               CAST(length(nt) AS BIGINT) AS cp_after,
-               md5(nt) AS nfc_fp
-        FROM n
-    """,
-    "text_cleaning": """
-        WITH c AS (
-            SELECT doc_id, text,
-                   trim(regexp_replace(
-                        regexp_replace(text, '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
-                        '[ \\t\\r\\n]+', ' ', 'g')) AS cleaned
-            FROM documents)
-        SELECT doc_id,
-               CAST(length(text) AS BIGINT) AS raw_chars,
-               CAST(length(cleaned) AS BIGINT) AS clean_chars,
-               CAST(length(text) - length(cleaned) AS BIGINT) AS removed,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(range(1, length(cleaned) + 1),
-                           i -> CAST(ascii(substr(cleaned, CAST(i AS INT), 1)) AS BIGINT))),
-                   (h, ch) -> (h * 31 + ch) % 1000000007) AS clean_fp
-        FROM c
-    """,
-    # round-12: kNN-probe accuracy — the knn oracle shape, then a majority
-    # vote (count DESC, label ASC tiebreak) and a per-class census
-    "embedding_knn_label_vote": """
-        WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-                          CAST(embedding AS DOUBLE[]) AS emb
-                   FROM embeddings WHERE label IS NOT NULL),
-        knn AS (
-            SELECT query_id, neighbor_id FROM (
-                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
-                                    c.vec_id
-                       ) AS rk
-                FROM e q JOIN e c ON q.vec_id <> c.vec_id
-            ) WHERE rk <= 5
-        ),
-        votes AS (SELECT knn.query_id, n.label AS n_label,
-                         CAST(COUNT(*) AS BIGINT) AS c
-                  FROM knn JOIN e n ON knn.neighbor_id = n.vec_id
-                  GROUP BY 1, 2),
-        pred AS (SELECT query_id, n_label AS predicted FROM (
-            SELECT query_id, n_label,
-                   row_number() OVER (PARTITION BY query_id
-                       ORDER BY c DESC, n_label ASC) AS rk
-            FROM votes) WHERE rk = 1)
-        SELECT t.label, CAST(COUNT(*) AS BIGINT) AS n_queries,
-               CAST(SUM(CASE WHEN p.predicted = t.label THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_correct,
-               CAST(SUM(CASE WHEN p.predicted = t.label THEN 1 ELSE 0 END)
-                    AS DOUBLE) / COUNT(*) AS accuracy
-        FROM e t LEFT JOIN pred p ON t.vec_id = p.query_id
-        GROUP BY 1
-    """,
-    # round-12: hybrid retrieval — the bm25 oracle CTE + a cosine list on
-    # the fixed query vector, fused by reciprocal rank (1/(60+rank))
-    "doc_hybrid_search_rrf": f"""
-        WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term
-                       FROM documents WHERE trim(text) <> ''),
-        dl AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS dl FROM documents),
-        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-        qt AS (SELECT unnest(['hash', 'join', 'scan']) AS term),
-        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-               FROM words JOIN qt USING (term) GROUP BY 1, 2),
-        dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        bm AS (
-            SELECT doc_id,
-                   round(SUM(ln((CAST(n_docs AS DOUBLE) - df + 0.5)
-                                / (df + 0.5) + 1.0)
-                         * (tf * 2.2)
-                         / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))), 6)
-                       AS score
-            FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
-                 CROSS JOIN stats
-            GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
-        ),
-        lex AS (SELECT doc_id,
-                       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-                            AS BIGINT) AS lex_rank
-                FROM bm),
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-              FROM embeddings),
-        q AS (SELECT emb AS qe FROM e WHERE vec_id = 7),
-        simt AS (SELECT vec_id AS doc_id,
-                        round(list_cosine_similarity(e.emb, q.qe), 6) AS sim
-                 FROM e CROSS JOIN q WHERE vec_id <> 7
-                 ORDER BY sim DESC, doc_id LIMIT 20),
-        sem AS (SELECT doc_id,
-                       CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
-                            AS BIGINT) AS sem_rank
-                FROM simt),
-        f AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
-                     l.lex_rank, s.sem_rank,
-                     round(COALESCE(1.0 / (60.0 + l.lex_rank), 0)
-                           + COALESCE(1.0 / (60.0 + s.sem_rank), 0), 6)
-                         AS rrf_score
-              FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id)
-        SELECT doc_id, lex_rank, sem_rank, rrf_score
-        FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10
-    """,
-    "text_bm25_search": f"""
-        WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term
-                       FROM documents WHERE trim(text) <> ''),
-        dl AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS dl FROM documents),
-        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
-        qt AS (SELECT unnest(['hash', 'join', 'scan']) AS term),
-        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-               FROM words JOIN qt USING (term) GROUP BY 1, 2),
-        dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
-        SELECT doc_id,
-               round(SUM(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-                     * (tf * 2.2)
-                     / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))), 6) AS score
-        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        GROUP BY doc_id
-        ORDER BY score DESC, doc_id
-        LIMIT 20
-    """,
-    "multimodal_features": """
-        SELECT doc_id,
-               CAST(strlen(text) AS BIGINT) AS byte_len,
-               CAST(CAST(list_sum(list_transform(range(1, length(text) + 1),
-                    i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) % 997
-                    AS BIGINT) AS checksum,
-               CAST(n_chars % 640 + 1 AS INT) AS width,
-               CAST(doc_id % 480 + 1 AS INT) AS height
-        FROM documents
-    """,
-    "multimodal_frame_census": """
-        SELECT source,
-               CAST(SUM((doc_id % 10) // 2 + 1) AS BIGINT) AS n_frames_sampled,
-               COUNT(DISTINCT doc_id) AS n_docs
-        FROM documents GROUP BY source
-    """,
-    # multimodal_resize_census: the fake resize kernel is exact integer
-    # arithmetic (aspect-preserving clamp to 64, area-ratio byte
-    # truncation) — restated verbatim; strlen = BYTE length in DuckDB
-    "multimodal_resize_census": """
-        WITH m AS (
-            SELECT doc_id, source,
-                   n_chars % 640 + 1 AS w,
-                   doc_id % 480 + 1 AS h,
-                   strlen(text) AS in_len
-            FROM documents
-        ), d AS (
-            SELECT doc_id, source, w, h, in_len,
-                   greatest(w * least(greatest(w, h), 64) // greatest(w, h), 1) AS ow,
-                   greatest(h * least(greatest(w, h), 64) // greatest(w, h), 1) AS oh
-            FROM m
-        )
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_images,
-               CAST(SUM(ow) AS BIGINT) AS sum_out_width,
-               CAST(SUM(oh) AS BIGINT) AS sum_out_height,
-               CAST(SUM(least(greatest(in_len * (ow * oh) // (w * h), 1), in_len))
-                    AS BIGINT) AS sum_out_bytes,
-               CAST(MAX(ow) AS INT) AS max_out_width
-        FROM d GROUP BY source
-    """,
-    # portable md5 sampling: cutoffs are _md5_cut(fraction) hex strings —
-    # 0.2->33333333, 0.25->40000000, 0.75->c0000000, 0.5->80000000
-    "doc_sample": """
-        SELECT doc_id, lang, source, n_chars FROM documents
-        WHERE substr(md5(concat_ws(chr(31), '42', doc_id)), 1, 8) < '33333333'
-    """,
-    "doc_sample_stratified": """
-        SELECT lang, COUNT(*) AS n_docs FROM documents
-        WHERE substr(md5(concat_ws(chr(31), '42', doc_id)), 1, 8) <
-              CASE lang WHEN 'en' THEN '40000000' WHEN 'zh' THEN 'c0000000'
-                        ELSE '80000000' END
-        GROUP BY lang ORDER BY lang
-    """,
-    "doc_shuffle_assign": """
-        WITH h AS (SELECT doc_id, lang,
-                          md5(concat_ws(chr(31), '42', doc_id)) AS h
-                   FROM documents),
-        s AS (SELECT doc_id, lang, h,
-                     CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                           + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 256
-                          AS INT) AS shard
-              FROM h)
-        SELECT doc_id, lang, shard,
-               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
-                    AS BIGINT) AS pos
-        FROM s
-    """,
-    "doc_reservoir_per_lang": """
-        WITH r AS (SELECT doc_id, lang, n_chars,
-                          ROW_NUMBER() OVER (PARTITION BY lang
-                              ORDER BY md5(concat_ws(chr(31), '42', doc_id)),
-                                       doc_id) AS rk
-                   FROM documents)
-        SELECT doc_id, lang, n_chars FROM r WHERE rk <= 10
-    """,
-    "doc_pack_sequences": f"""
-        WITH t AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens
-                   FROM documents),
-        c AS (SELECT doc_id, n_tokens,
-                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                          - n_tokens AS BIGINT) AS start_offset
-              FROM t)
-        SELECT doc_id, n_tokens, start_offset,
-               start_offset // 2048 AS seq_id
-        FROM c
-    """,
-    "doc_pack_stats": f"""
-        WITH t AS (SELECT doc_id, CAST({_NTOK} AS BIGINT) AS n_tokens
-                   FROM documents),
-        c AS (SELECT doc_id, n_tokens,
-                     CAST(SUM(n_tokens) OVER (ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                          - n_tokens AS BIGINT) AS start_offset
-              FROM t)
-        SELECT start_offset // 2048 AS seq_id, COUNT(*) AS n_docs,
-               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-               CAST(SUM(n_tokens) AS DOUBLE) / 2048 AS fill
-        FROM c GROUP BY 1
-    """,
-    "doc_contamination": f"""
-        WITH {_SHINGLE_CTE}
-        SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
-        FROM (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0) tr
-        JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0) be USING (s)
-        GROUP BY tr.doc_id HAVING COUNT(*) >= 5
-    """,
-    # overlap-fraction census: every train doc, exact integer ratio in
-    # double (bit-identical cross-engine), conventional severity bands
-    "doc_contamination_overlap": f"""
-        WITH {_SHINGLE_CTE},
-        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
-        tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
-        osz AS (SELECT doc_id, COUNT(*) AS n_sh FROM tr GROUP BY 1),
-        oov AS (SELECT tr.doc_id, COUNT(b.s) AS n_ov
-                FROM tr LEFT JOIN bench b USING (s) GROUP BY 1),
-        base AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
-        SELECT base.doc_id,
-               CAST(COALESCE(osz.n_sh, 0) AS BIGINT) AS n_shingles,
-               CAST(COALESCE(oov.n_ov, 0) AS BIGINT) AS n_overlap,
-               CASE WHEN COALESCE(osz.n_sh, 0) = 0 THEN 0.0
-                    ELSE COALESCE(oov.n_ov, 0) / CAST(osz.n_sh AS DOUBLE)
-               END AS overlap_frac,
-               CASE WHEN COALESCE(osz.n_sh, 0) = 0 THEN 'clean'
-                    WHEN COALESCE(oov.n_ov, 0) / CAST(osz.n_sh AS DOUBLE) >= 0.5
-                        THEN 'leaked'
-                    WHEN COALESCE(oov.n_ov, 0) / CAST(osz.n_sh AS DOUBLE) >= 0.05
-                        THEN 'partial'
-                    ELSE 'clean'
-               END AS severity
-        FROM base LEFT JOIN osz USING (doc_id) LEFT JOIN oov USING (doc_id)
-    """,
-    # bloom screening has no false negatives and survivors are exactly
-    # verified, so the bloom path's spec — and oracle — is the exact one's
-    "orders_zorder_census": """
-        WITH g AS (
-            SELECT o_custkey % 256 AS ck,
-                   (CAST(epoch(o_orderdate) AS BIGINT) // 86400) % 256 AS dy
-            FROM orders),
-        z AS (SELECT (((ck >> 0) & 1) << 0) + (((dy >> 0) & 1) << 1) + (((ck >> 1) & 1) << 2) + (((dy >> 1) & 1) << 3) + (((ck >> 2) & 1) << 4) + (((dy >> 2) & 1) << 5) + (((ck >> 3) & 1) << 6) + (((dy >> 3) & 1) << 7) + (((ck >> 4) & 1) << 8) + (((dy >> 4) & 1) << 9) + (((ck >> 5) & 1) << 10) + (((dy >> 5) & 1) << 11) + (((ck >> 6) & 1) << 12) + (((dy >> 6) & 1) << 13) + (((ck >> 7) & 1) << 14) + (((dy >> 7) & 1) << 15) AS zv FROM g)
-        SELECT CAST(zv >> 10 AS INT) AS quadrant,
-               COUNT(*) AS n_orders,
-               MIN(zv) AS zv_min, MAX(zv) AS zv_max
-        FROM z GROUP BY 1
-    """,
-    "doc_contamination_bloom": f"""
-        WITH {_SHINGLE_CTE}
-        SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
-        FROM (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0) tr
-        JOIN (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0) be USING (s)
-        GROUP BY tr.doc_id HAVING COUNT(*) >= 5
-    """,
-    "events_by_segment": f"""
-        SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
-               {_money('value')} AS sum_value
-        FROM events LEFT JOIN customer ON user_id = c_custkey
-        GROUP BY 1, 2
-    """,
-    "customer_balance_distribution": """
-        SELECT c_custkey, c_acctbal,
-               CAST(ntile(10) OVER w AS INT) AS decile,
-               percent_rank() OVER w AS pct_rank,
-               cume_dist() OVER w AS cume
-        FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)
-    """,
-    "fuzzy_name_pairs": """
-        SELECT a.s_suppkey AS k1, b.s_suppkey AS k2,
-               a.s_name AS n1, b.s_name AS n2,
-               CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS distance
-        FROM supplier a JOIN supplier b
-          ON a.s_suppkey < b.s_suppkey
-         AND abs(length(a.s_name) - length(b.s_name)) <= 1
-        WHERE levenshtein(a.s_name, b.s_name) <= 1
-    """,
-    # jsonl round-trip: oracle reads the parquet directly — equality proves
-    # the JSONL writer+PERMISSIVE reader are lossless with zero quarantines
-    "docs_orc_roundtrip": """
-        WITH h AS (SELECT source, n_chars, md5(text) AS h FROM documents)
-        SELECT source, COUNT(*) AS n_docs,
-               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-               CAST(SUM(((((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1))) AS BIGINT) AS text_fp_sum
-        FROM h GROUP BY source
-    """,
-    "docs_jsonl_roundtrip": """
-        SELECT lang, COUNT(*) AS n_docs,
-               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-               CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
-        FROM documents GROUP BY lang
-    """,
-    # pii scrub: counts via regexp_extract_all length; fingerprint of the
-    # scrubbed text via the same rolling-hash fold as text_doc_fingerprints
-    "doc_pii_scrub": """
-        WITH s AS (
-            SELECT doc_id, text,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-                       '\\+\\d{7,15}\\b', '<PHONE>', 'g') AS scrubbed
-            FROM documents)
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-               CAST(len(regexp_extract_all(text,
-                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
-               CAST(len(regexp_extract_all(text,
-                   '\\+\\d{7,15}\\b')) AS BIGINT) AS n_phones,
-               list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(range(1, length(scrubbed) + 1),
-                           i -> CAST(ascii(substr(scrubbed, CAST(i AS INT), 1)) AS BIGINT))),
-                   (h, c) -> (h * 31 + c) % 1000000007) AS scrubbed_fp
-        FROM s
-    """,
-    # salted agg: the oracle is the PLAIN group-by — equality proves the
-    # two-phase salted rewrite is semantics-preserving
-    "events_salted_agg": f"""
-        SELECT event_type, COUNT(*) AS n_events, {_money("value")} AS sum_value
-        FROM events GROUP BY event_type
-    """,
-    "events_exactly_once": f"""
-        WITH base AS (SELECT event_id, ts, event_type, value FROM events),
-        re AS (SELECT * FROM base
-               UNION ALL
-               SELECT event_id, ts + INTERVAL 1 SECOND, event_type, value FROM base),
-        d AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rk
-              FROM re)
-        SELECT event_type, COUNT(*) AS n_events, {_money("value")} AS sum_value
-        FROM d WHERE rk = 1 GROUP BY event_type
-    """,
-    # ann recall checks: bounded-quality tolerance oracles (same pattern as
-    # the sketch queries) — the floor boolean is the cross-engine claim
-    "ann_lsh_recall_check": """
-        SELECT 'lsh' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
-        FROM embeddings
-    """,
-    "hard_negatives_ann_recall_check": """
-        SELECT 'lsh+labelmask' AS method, COUNT(*) AS n_queries,
-               TRUE AS recall_ok
-        FROM embeddings WHERE label IS NOT NULL
-    """,
-    "hard_negatives_indexed_check": """
-        SELECT 'ivf_indexed+labelmask' AS method, COUNT(*) AS n_queries,
-               TRUE AS recall_ok
-        FROM embeddings WHERE label IS NOT NULL
-    """,
-    "ann_ivf_recall_check": """
-        SELECT 'ivf' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
-        FROM embeddings
-    """,
-    "ann_ivf_indexed_recall_check": """
-        SELECT 'ivf_indexed' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
-        FROM embeddings
-    """,
-    "ann_ivfpq_indexed_recall_check": """
-        SELECT 'ivfpq_indexed' AS method, COUNT(*) AS n_queries,
-               TRUE AS recall_ok
-        FROM embeddings
-    """,
-    # embedding_near_dup_lsh itself is rows-only (bucket collisions are
-    # plane-seed specific); the oracle'd claim is the planted-duplicate
-    # coverage check: every vector gets a jittered clone, >=95% of the
-    # planted pairs must be recovered at threshold 0.99
-    "embedding_near_dup_lsh_check": """
-        SELECT COUNT(*) AS n_planted, TRUE AS coverage_ok FROM embeddings
-    """,
-    "embedding_semantic_dedup_check": """
-        SELECT COUNT(*) AS n_planted, TRUE AS coverage_ok FROM embeddings
-    """,
-    "orders_cohort_retention": """
-        WITH f AS (SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cm
-                   FROM orders GROUP BY 1)
-        SELECT strftime(f.cm, '%Y-%m') AS cohort,
-               CAST((year(o.o_orderdate) - year(f.cm)) * 12
-                    + (month(o.o_orderdate) - month(f.cm)) AS BIGINT) AS months_out,
-               COUNT(DISTINCT o.o_custkey) AS n_customers
-        FROM orders o JOIN f ON o.o_custkey = f.o_custkey
-        GROUP BY 1, 2
-    """,
-    # int8 quantization: floor (tie-free) keeps both engines bit-identical;
-    # the position-weighted sum pins every quantized value to its dimension
-    "embedding_quantize_int8": """
-        WITH m AS (
-            SELECT vec_id, embedding,
-                   list_max(list_transform(embedding,
-                       x -> abs(CAST(x AS DOUBLE)))) AS max_abs
-            FROM embeddings)
-        SELECT vec_id,
-               CASE WHEN max_abs = 0 THEN 0.0
-                    ELSE max_abs / 127.0 END AS scale,
-               CAST(CASE WHEN max_abs = 0 THEN 0 ELSE
-                   list_sum(list_transform(range(1, len(embedding) + 1),
-                       i -> CAST(floor(CAST(embedding[i] AS DOUBLE)
-                                       / max_abs * 127.0) AS BIGINT) * i))
-               END AS BIGINT) AS q_wsum,
-               CAST(CASE WHEN max_abs = 0 THEN 0 ELSE
-                   list_sum(list_transform(embedding,
-                       x -> abs(CAST(floor(CAST(x AS DOUBLE)
-                                           / max_abs * 127.0) AS BIGINT))))
-               END AS BIGINT) AS q_l1
-        FROM m
-    """,
-    "embedding_norm_histogram": """
-        SELECT CAST(floor(sqrt(list_sum(list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) / 0.25)
-                   AS BIGINT) AS norm_bucket,
-               COUNT(*) AS n_vecs
-        FROM embeddings GROUP BY 1
-    """,
-    "doc_dedup_clusters": f"""
-        WITH RECURSIVE {_SHINGLE_CTE},
-        pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
-        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                  UNION SELECT d2, d1 FROM pairs),
-        reach(a, b) AS (SELECT a, b FROM edges
-                        UNION
-                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        labels AS (SELECT a AS node, least(a, MIN(b)) AS cluster
-                   FROM reach GROUP BY a)
-        SELECT cluster, COUNT(*) AS n_members,
-               CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
-        FROM labels GROUP BY cluster
-    """,
-    # round-12: SoftDeDup — same recursive-CTE labels, weight = 1/size
-    "doc_softdedup_weights": f"""
-        WITH RECURSIVE {_SHINGLE_CTE},
-        pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
-        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                  UNION SELECT d2, d1 FROM pairs),
-        reach(a, b) AS (SELECT a, b FROM edges
-                        UNION
-                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        labels AS (SELECT a AS node, least(a, MIN(b)) AS cluster
-                   FROM reach GROUP BY a),
-        csz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
-                FROM labels GROUP BY 1)
-        SELECT d.doc_id, l.cluster,
-               CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
-               1.0 / COALESCE(s.cluster_size, 1) AS weight
-        FROM documents d
-        LEFT JOIN labels l ON d.doc_id = l.node
-        LEFT JOIN csz s ON l.cluster = s.cluster
-    """,
-    # doc_leakage_safe_split: the same recursive-CTE cluster labels as
-    # doc_dedup_clusters, then the portable md5 split on
-    # coalesce(cluster, doc_id) — the zero-leak boolean is TRUE by
-    # construction (split is cluster-keyed), stated, not assumed
-    "doc_leakage_safe_split": f"""
-        WITH RECURSIVE {_SHINGLE_CTE},
-        prs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
-        edges AS (SELECT d1 AS a, d2 AS b FROM prs
-                  UNION SELECT d2, d1 FROM prs),
-        reach(a, b) AS (SELECT a, b FROM edges
-                        UNION
-                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        labels AS (SELECT a AS node, least(a, MIN(b)) AS cluster
-                   FROM reach GROUP BY a),
-        assigned AS (
-            SELECT d.doc_id, l.cluster,
-                   substr(md5(concat_ws(chr(31), '42',
-                       CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR))), 1, 8) AS hx
-            FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
-        ),
-        s AS (SELECT doc_id, cluster,
-                     CASE WHEN hx < '{_md5_cut(0.8)}' THEN 'train'
-                          WHEN hx < '{_md5_cut(0.9)}' THEN 'valid'
-                          ELSE 'test' END AS split
-              FROM assigned)
-        SELECT split, COUNT(*) AS n_docs,
-               CAST(COUNT(cluster) AS BIGINT) AS n_clustered_docs,
-               TRUE AS no_cross_split_pairs
-        FROM s GROUP BY split
-    """,
-    "bpe_pair_stats": """
-        WITH t AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                               ELSE string_split_regex(trim(text), ' +') END AS w
-                   FROM documents),
-        p AS (SELECT unnest(list_transform(range(1, len(w)),
-                         i -> w[i] || ' ' || w[i+1])) AS pair
-              FROM t WHERE len(w) >= 2)
-        SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
-        FROM p GROUP BY pair
-        ORDER BY pair_count DESC, pair
-        LIMIT 50
-    """,
-    "bpe_learn_check": """
-        WITH w AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                               ELSE string_split_regex(trim(text), ' +') END AS ws
-                   FROM documents),
-        wd AS (SELECT unnest(ws) AS word FROM w),
-        p AS (SELECT unnest(list_transform(range(1, length(word)),
-                         i -> substr(word, i, 1) || chr(31) || substr(word, i + 1, 1)))
-                     AS pr
-              FROM wd WHERE length(word) >= 2),
-        top AS (SELECT split_part(pr, chr(31), 1) AS first_left,
-                       split_part(pr, chr(31), 2) AS first_right,
-                       CAST(COUNT(*) AS BIGINT) AS first_count
-                FROM p GROUP BY pr
-                ORDER BY first_count DESC, first_left, first_right
-                LIMIT 1)
-        -- anchored LEFT JOIN: exactly one row even on an empty corpus
-        -- (nulls + count 0, matching the engine), and the merge count is
-        -- checked as the engine-side bounded boolean n_merges_ok rather
-        -- than a hardcoded requested count, so a corpus with fewer
-        -- learnable merges degrades instead of falsely failing
-        SELECT t.first_left, t.first_right,
-               CAST(coalesce(t.first_count, 0) AS BIGINT) AS first_count,
-               TRUE AS n_merges_ok, TRUE AS ranks_ok,
-               TRUE AS counts_positive, TRUE AS parts_consistent
-        FROM (SELECT 1 AS one) AS anchor LEFT JOIN top t ON TRUE
-    """,
-    # unigram_learn_check: the seed argmax (top weighted substring of
-    # length 2..6 over all word occurrences) is SQL-exact — same
-    # (count DESC, piece ASC) tie-break; EM-loop invariants are
-    # engine-asserted booleans (the bpe_learn_check pattern).
-    "unigram_learn_check": """
-        WITH w AS (SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                               ELSE string_split_regex(trim(text), ' +') END AS ws
-                   FROM documents),
-        wd AS (SELECT unnest(ws) AS word FROM w),
-        sub AS (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
-                FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i
-                      FROM wd)
-                CROSS JOIN (SELECT unnest(range(2, 7)) AS l) ls
-                WHERE i + l - 1 <= length(word)),
-        top AS (SELECT piece AS top_piece,
-                       CAST(COUNT(*) AS BIGINT) AS top_count
-                FROM sub GROUP BY piece
-                ORDER BY top_count DESC, top_piece LIMIT 1)
-        SELECT t.top_piece,
-               CAST(coalesce(t.top_count, 0) AS BIGINT) AS top_count,
-               TRUE AS ranks_ok, TRUE AS coverage_ok,
-               TRUE AS budget_ok, TRUE AS prob_mass_ok
-        FROM (SELECT 1 AS one) AS anchor LEFT JOIN top t ON TRUE
-    """,
-    "bpe_tokenize_check": """
-        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-               TRUE AS tokens_within_bounds
-        FROM documents GROUP BY lang, source
-    """,
-    # unigram_tokenize_check: SQL-exact per-lang facts + the piece-count
-    # sandwich as an engine-side boolean (the bpe_tokenize_check pattern)
-    "unigram_tokenize_check": f"""
-        WITH d AS (SELECT lang, CAST(len({_TOKENS}) AS BIGINT) AS n_w
-                   FROM documents WHERE trim(text) <> '')
-        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(n_w) AS BIGINT) AS n_words,
-               TRUE AS pieces_bounded_ok
-        FROM d GROUP BY lang
-    """,
-    "text_tfidf_topk": f"""
-        WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term
-                       FROM documents WHERE trim(text) <> ''),
-        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-               FROM words GROUP BY 1, 2),
-        dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
-        scored AS (SELECT doc_id, term, tf, df,
-                          round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
-                              AS score
-                   FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
-        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                       ORDER BY score DESC, term) AS rk FROM scored)
-        SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
-        FROM ranked WHERE rk <= 3
-    """,
-    "doc_quality_classifier": f"""
-        WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term
-                       FROM documents WHERE trim(text) <> ''),
-        b AS (SELECT doc_id,
-                     CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                          + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 - 128
-                          AS BIGINT) AS wgt
-              FROM (SELECT doc_id,
-                           md5(concat_ws(chr(31), 'cls7', term)) AS h
-                    FROM words)),
-        agg AS (SELECT doc_id, CAST(SUM(wgt) AS BIGINT) AS wsum,
-                       CAST(COUNT(*) AS BIGINT) AS n_tokens
-                FROM b GROUP BY doc_id)
-        SELECT doc_id, n_tokens, wsum,
-               wsum / (256.0 * n_tokens) AS score,
-               wsum / (256.0 * n_tokens) > 0 AS keep
-        FROM agg
-    """,
-    # preference pairs: per (lang, source) domain, argmax-vs-argmin of the
-    # exact-bigint classifier score with doc_id tie-breaks; margin is a
-    # difference of bit-identical doubles so it hash-matches. Zero-margin
-    # (all-tied) domains are dropped on both sides.
-    "doc_preference_pairs": f"""
-        WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term
-                       FROM documents WHERE trim(text) <> ''),
-        b AS (SELECT doc_id,
-                     CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                          + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 - 128
-                          AS BIGINT) AS wgt
-              FROM (SELECT doc_id,
-                           md5(concat_ws(chr(31), 'cls7', term)) AS h
-                    FROM words)),
-        agg AS (SELECT doc_id, CAST(SUM(wgt) AS BIGINT) AS wsum,
-                       CAST(COUNT(*) AS BIGINT) AS n_tokens
-                FROM b GROUP BY doc_id),
-        s AS (SELECT a.doc_id, d.lang, d.source,
-                     a.wsum / (256.0 * a.n_tokens) AS score
-              FROM agg a JOIN documents d USING (doc_id)),
-        ranked AS (SELECT *,
-                     row_number() OVER (PARTITION BY lang, source
-                                        ORDER BY score DESC, doc_id) AS rk_hi,
-                     row_number() OVER (PARTITION BY lang, source
-                                        ORDER BY score ASC, doc_id) AS rk_lo,
-                     CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT)
-                        AS n_docs
-                   FROM s),
-        ch AS (SELECT lang, source, doc_id AS chosen_id, score AS cs, n_docs
-               FROM ranked WHERE rk_hi = 1),
-        rj AS (SELECT lang, source, doc_id AS rejected_id, score AS rs
-               FROM ranked WHERE rk_lo = 1)
-        SELECT ch.lang, ch.source, chosen_id, rejected_id,
-               cs - rs AS margin, n_docs
-        FROM ch JOIN rj USING (lang, source)
-        WHERE cs - rs > 0
-    """,
-    # curriculum ordering: per-language easy-to-hard rank (token count,
-    # doc_id tie-break) and a language-interleaved global position —
-    # pure integer ranks under total orders, bit-identical cross-engine
-    "doc_curriculum_order": f"""
-        WITH d AS (SELECT doc_id, lang, CAST({_NTOK} AS BIGINT) AS n_tokens
-                   FROM documents),
-        lr AS (SELECT *,
-                 CAST(row_number() OVER (PARTITION BY lang
-                                         ORDER BY n_tokens, doc_id)
-                      AS BIGINT) AS lang_rank
-               FROM d)
-        SELECT doc_id, lang, n_tokens, lang_rank,
-               CAST(row_number() OVER (ORDER BY lang_rank, lang)
-                    AS BIGINT) AS curriculum_rank
-        FROM lr
-    """,
-    # DSIR selection: per-bucket ln importance ratio fixed to integer
-    # micros at the 256-row weight table, so every per-doc score is an
-    # exact bigint SUM (no float accumulation order anywhere) and the
-    # top-n_docs//5 boundary is exact cross-engine
-    "doc_dsir_select": f"""
-        WITH tok AS (SELECT doc_id, lang, unnest({_TOKENS}) AS term
-                     FROM documents WHERE trim(text) <> ''),
-        tb AS (SELECT doc_id, lang,
-                      CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                           + strpos('0123456789abcdef', substr(h, 2, 1)) - 1
-                           AS INTEGER) AS bucket
-               FROM (SELECT doc_id, lang,
-                            md5(concat_ws(chr(31), 'dsir1', term)) AS h
-                     FROM tok)),
-        cnt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_s,
-                       CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT)
-                           AS c_t
-                FROM tb GROUP BY 1),
-        tot AS (SELECT CAST(SUM(c_s) AS BIGINT) AS n_s,
-                       CAST(SUM(c_t) AS BIGINT) AS n_t FROM cnt),
-        w AS (SELECT bucket,
-                     CAST(round((ln((c_t + 1.0) / (n_t + 256))
-                                 - ln((c_s + 1.0) / (n_s + 256))) * 1e6)
-                          AS BIGINT) AS lw
-              FROM cnt CROSS JOIN tot),
-        doc AS (SELECT doc_id, any_value(lang) AS lang,
-                       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                       CAST(SUM(lw) AS BIGINT) AS logw_micros
-                FROM tb JOIN w USING (bucket) GROUP BY doc_id),
-        d2 AS (SELECT *, CAST(logw_micros AS DOUBLE) / n_tokens
-                             AS lw_per_token
-               FROM doc),
-        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d2)
-        SELECT doc_id, lang, n_tokens, logw_micros, lw_per_token,
-               row_number() OVER (ORDER BY lw_per_token DESC, doc_id)
-                   <= n_docs // 5 AS selected
-        FROM d2 CROSS JOIN n
-    """,
-    # CCNet buckets: the proven bigram-LM oracle feeds per-language
-    # ntile(3) on (round-6 score in micros, doc_id) — a RANK cut, exact
-    # integer end-to-end; a percentile VALUE cut would interpolate floats
-    # and go boundary-unstable cross-engine
-    "doc_ccnet_buckets": f"""
-        WITH t AS (SELECT doc_id, {_TOKENS} AS w FROM documents
-                   WHERE trim(text) <> ''),
-        pos AS (SELECT doc_id, unnest(range(1, len(w))) AS i, w
-                FROM t WHERE len(w) >= 2),
-        bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM pos),
-        bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-               FROM bg GROUP BY 1, 2),
-        cc AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
-        vv AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v
-               FROM (SELECT unnest(w) AS s FROM t)),
-        sc AS (SELECT doc_id, c12, c1, v
-               FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN vv),
-        per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                       round(avg(-ln((c12 + 1) / (c1 + v))), 6) AS avg_surprisal
-                FROM sc GROUP BY 1),
-        sm AS (SELECT p.doc_id, p.n_bigrams, p.avg_surprisal, d.lang,
-                      CAST(round(p.avg_surprisal * 1e6) AS BIGINT)
-                          AS score_micros
-               FROM per p JOIN documents d USING (doc_id)),
-        r AS (SELECT *, ntile(3) OVER (PARTITION BY lang
-                                       ORDER BY score_micros, doc_id) AS t3
-              FROM sm)
-        SELECT doc_id, lang, n_bigrams, avg_surprisal,
-               CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                       ELSE 'tail' END AS ppl_bucket
-        FROM r
-    """,
-    # novelty: first-occurrence attribution over the SAME shingle CTE the
-    # jaccard oracles use (unreferenced CTE members are not evaluated);
-    # counts/min-owner are hash-independent given the dedup family's
-    # collision-free xxhash64 argument; the ratio divides identical
-    # bigints
-    "doc_ngram_novelty": f"""
-        WITH {_SHINGLE_CTE},
-        owner AS (SELECT s, MIN(doc_id) AS owner_doc FROM sh GROUP BY s)
-        SELECT sh.doc_id AS doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_shingles,
-               CAST(COUNT(*) FILTER (WHERE owner_doc = sh.doc_id)
-                    AS BIGINT) AS n_owned,
-               CAST(COUNT(*) FILTER (WHERE owner_doc = sh.doc_id)
-                    AS DOUBLE) / COUNT(*) AS novelty
-        FROM sh JOIN owner USING (s)
-        GROUP BY sh.doc_id
-    """,
-    # fertility census: three bigint sums per language; the two ratios
-    # are double divisions of identical bigints (bit-stable). DuckDB
-    # list_sum of a BIGINT list returns HUGEINT -> cast per doc AND after
-    # the outer SUM (the round-5 mismatch class). strlen = UTF-8 bytes
-    # (DuckDB length() is characters; Spark octet_length is bytes).
-    "text_tokenizer_fertility": f"""
-        WITH d AS (SELECT lang,
-                          CAST(len({_TOKENS}) AS BIGINT) AS n_w,
-                          CAST(list_sum(list_transform({_TOKENS},
-                               w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
-                               AS BIGINT) AS n_s,
-                          CAST(strlen(text) AS BIGINT) AS n_b
-                   FROM documents WHERE trim(text) <> ''),
-        agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                       CAST(SUM(n_w) AS BIGINT) AS n_words,
-                       CAST(SUM(n_s) AS BIGINT) AS n_subtokens,
-                       CAST(SUM(n_b) AS BIGINT) AS n_bytes
-                FROM d GROUP BY lang)
-        SELECT lang, n_docs, n_words, n_subtokens, n_bytes,
-               CAST(n_subtokens AS DOUBLE) / n_words AS fertility,
-               CAST(n_bytes AS DOUBLE) / n_subtokens AS bytes_per_subtoken
-        FROM agg
-    """,
-    # token-budgeted selection: the quality_classifier score feeds a
-    # greedy prefix under budget = total_tokens div 2 (exact integer —
-    # the running sum and the comparison never touch floats; the score
-    # ORDER is a double but both engines derive it from identical bigint
-    # (wsum, n_tokens) pairs, so the division is bit-identical)
-    "doc_token_budget_select": f"""
-        WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term
-                       FROM documents WHERE trim(text) <> ''),
-        b AS (SELECT doc_id,
-                     CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                          + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 - 128
-                          AS BIGINT) AS wgt
-              FROM (SELECT doc_id,
-                           md5(concat_ws(chr(31), 'cls7', term)) AS h
-                    FROM words)),
-        agg AS (SELECT doc_id, CAST(SUM(wgt) AS BIGINT) AS wsum,
-                       CAST(COUNT(*) AS BIGINT) AS n_tokens
-                FROM b GROUP BY doc_id),
-        scored AS (SELECT doc_id, n_tokens, wsum,
-                          wsum / (256.0 * n_tokens) AS score
-                   FROM agg),
-        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget
-                FROM scored),
-        ranked AS (SELECT *,
-                          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
-                              AS sel_rank,
-                          CAST(SUM(n_tokens) OVER (
-                              ORDER BY score DESC, doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                       AND CURRENT ROW) AS BIGINT)
-                              AS cum_tokens
-                   FROM scored)
-        SELECT doc_id, n_tokens, wsum, score,
-               CAST(sel_rank AS BIGINT) AS sel_rank, cum_tokens
-        FROM ranked CROSS JOIN tot WHERE cum_tokens <= budget
-    """,
-    "doc_unimax_resample": f"""
-        WITH d AS (SELECT source, CAST({_NTOK} AS BIGINT) AS wgt,
-                          md5(concat_ws(chr(31), '57', doc_id)) AS h
-                   FROM documents),
-        f AS (SELECT source, wgt,
-                     CAST((((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                        + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
-                        + strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-                        + strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 16
-                        + strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
-                        + strpos('0123456789abcdef', substr(h, 6, 1)) - 1 AS BIGINT)
-                     / 16777216.0 AS frac
-              FROM d),
-        totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
-                          CAST(SUM(wgt) AS BIGINT) AS grp_weight
-                   FROM f GROUP BY source),
-        overall AS (SELECT CAST(SUM(grp_weight) AS BIGINT) AS total_weight,
-                           CAST(COUNT(*) AS BIGINT) AS n_groups FROM totals),
-        cuts AS (SELECT source, n_rows, grp_weight,
-                        least(1.0, (0.5 * total_weight / n_groups) / grp_weight)
-                            AS keep_frac
-                 FROM totals CROSS JOIN overall)
-        SELECT f.source, c.n_rows, c.grp_weight, c.keep_frac,
-               CAST(SUM(CASE WHEN f.frac < c.keep_frac THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_kept,
-               CAST(SUM(CASE WHEN f.frac < c.keep_frac THEN f.wgt ELSE 0 END)
-                    AS BIGINT) AS weight_kept
-        FROM f JOIN cuts c USING (source)
-        GROUP BY f.source, c.n_rows, c.grp_weight, c.keep_frac
-    """,
-    "doc_dedup_keep_best": f"""
-        WITH RECURSIVE {_SHINGLE_CTE},
-        pairs AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5),
-        edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                  UNION SELECT d2, d1 FROM pairs),
-        reach(a, b) AS (SELECT a, b FROM edges
-                        UNION
-                        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        labels AS (SELECT a AS node, least(a, MIN(b)) AS cluster
-                   FROM reach GROUP BY a),
-        qf AS (SELECT doc_id,
-                      CAST({_NTOK} AS BIGINT) AS n_tokens,
-                      CAST(length(text) AS BIGINT) AS n_chars,
-                      CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))
-                           AS BIGINT) AS non_word,
-                      CAST(len(list_filter({_TOKENS},
-                           t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
-                           AS BIGINT) AS stop_hits
-               FROM documents),
-        q AS (SELECT doc_id,
-                     least(n_tokens / 100.0, 1.0) * 0.5
-                       + (CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END) * 0.3
-                       + (1 - (CASE WHEN n_chars > 0 THEN non_word / n_chars ELSE 0.0 END)) * 0.2
-                       AS quality_score
-              FROM qf),
-        lab AS (SELECT q.doc_id, COALESCE(l.cluster, q.doc_id) AS cluster,
-                       q.quality_score
-                FROM q LEFT JOIN labels l ON q.doc_id = l.node),
-        ranked AS (SELECT *,
-                          ROW_NUMBER() OVER (PARTITION BY cluster
-                              ORDER BY quality_score DESC, doc_id) AS rk,
-                          COUNT(*) OVER (PARTITION BY cluster) AS n_members
-                   FROM lab)
-        SELECT doc_id, cluster, CAST(n_members AS BIGINT) AS n_members,
-               quality_score
-        FROM ranked WHERE rk = 1
-    """,
-    "doc_chunk_census": f"""
-        WITH t AS (SELECT doc_id,
-                          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                               ELSE string_split_regex(trim(text), ' +') END AS w
-                   FROM documents),
-        c AS (SELECT doc_id, w,
-                     unnest(range(0, CAST(ceil(len(w) / 24.0) AS INT))) AS i
-              FROM t WHERE len(w) > 0)
-        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
-               CAST(i * 24 AS BIGINT) AS start_tok,
-               CAST(len(list_slice(w, i * 24 + 1, i * 24 + 32)) AS BIGINT)
-                   AS chunk_tokens,
-               md5(array_to_string(list_slice(w, i * 24 + 1, i * 24 + 32), ' '))
-                   AS chunk_fp
-        FROM c
-    """,
-    # ------------------------------------------------------------------
-    # round-3: event-time analytics
-    # ------------------------------------------------------------------
-    "events_funnel": """
-        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-        s1 AS (SELECT user_id, MIN(us) AS prev_us FROM e
-               WHERE event_type = 'view' GROUP BY 1),
-        s2 AS (SELECT e.user_id, MIN(us) AS prev_us FROM e JOIN s1 USING (user_id)
-               WHERE event_type = 'click' AND us > s1.prev_us GROUP BY 1),
-        s3 AS (SELECT e.user_id, MIN(us) AS prev_us FROM e JOIN s2 USING (user_id)
-               WHERE event_type = 'purchase' AND us > s2.prev_us GROUP BY 1)
-        SELECT CAST(1 AS INTEGER) AS stage, 'view' AS event_type,
-               CAST(COUNT(*) AS BIGINT) AS n_users,
-               CAST(NULL AS DOUBLE) AS avg_hop_seconds FROM s1
-        UNION ALL
-        SELECT 2, 'click', CAST(COUNT(*) AS BIGINT),
-               CAST(CAST(SUM(s2.prev_us - s1.prev_us) AS BIGINT) AS DOUBLE)
-                   / COUNT(*) / 1e6
-        FROM s2 JOIN s1 USING (user_id)
-        UNION ALL
-        SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
-               CAST(CAST(SUM(s3.prev_us - s2.prev_us) AS BIGINT) AS DOUBLE)
-                   / COUNT(*) / 1e6
-        FROM s3 JOIN s2 USING (user_id)
-    """,
-    # exact-dyadic EWMA: identical 16-lag power-of-two kernel; num/den
-    # are exact bigint sums, ewma divides identical bigints
-    "events_ewma": """
-        WITH hourly AS (
-            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-                   event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS v
-            FROM events GROUP BY 1, 2),
-        bounds AS (SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM hourly),
-        spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
-                  FROM bounds),
-        grid AS (SELECT s.hour_epoch, t.event_type,
-                        COALESCE(h.n, 0) AS n, COALESCE(h.v, 0) AS v
-                 FROM spine s
-                 CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t
-                 LEFT JOIN hourly h
-                   ON h.hour_epoch = s.hour_epoch
-                  AND h.event_type = t.event_type)
-        SELECT hour_epoch, event_type, n AS n_events, v AS v_micros,
-               CAST((COALESCE(v * 32768, 0) + COALESCE(lag(v, 1) OVER w * 16384, 0) + COALESCE(lag(v, 2) OVER w * 8192, 0) + COALESCE(lag(v, 3) OVER w * 4096, 0) + COALESCE(lag(v, 4) OVER w * 2048, 0) + COALESCE(lag(v, 5) OVER w * 1024, 0) + COALESCE(lag(v, 6) OVER w * 512, 0) + COALESCE(lag(v, 7) OVER w * 256, 0) + COALESCE(lag(v, 8) OVER w * 128, 0) + COALESCE(lag(v, 9) OVER w * 64, 0) + COALESCE(lag(v, 10) OVER w * 32, 0) + COALESCE(lag(v, 11) OVER w * 16, 0) + COALESCE(lag(v, 12) OVER w * 8, 0) + COALESCE(lag(v, 13) OVER w * 4, 0) + COALESCE(lag(v, 14) OVER w * 2, 0) + COALESCE(lag(v, 15) OVER w * 1, 0)) AS DOUBLE)
-                   / (CASE WHEN v IS NOT NULL THEN 32768 ELSE 0 END + CASE WHEN lag(v, 1) OVER w IS NOT NULL THEN 16384 ELSE 0 END + CASE WHEN lag(v, 2) OVER w IS NOT NULL THEN 8192 ELSE 0 END + CASE WHEN lag(v, 3) OVER w IS NOT NULL THEN 4096 ELSE 0 END + CASE WHEN lag(v, 4) OVER w IS NOT NULL THEN 2048 ELSE 0 END + CASE WHEN lag(v, 5) OVER w IS NOT NULL THEN 1024 ELSE 0 END + CASE WHEN lag(v, 6) OVER w IS NOT NULL THEN 512 ELSE 0 END + CASE WHEN lag(v, 7) OVER w IS NOT NULL THEN 256 ELSE 0 END + CASE WHEN lag(v, 8) OVER w IS NOT NULL THEN 128 ELSE 0 END + CASE WHEN lag(v, 9) OVER w IS NOT NULL THEN 64 ELSE 0 END + CASE WHEN lag(v, 10) OVER w IS NOT NULL THEN 32 ELSE 0 END + CASE WHEN lag(v, 11) OVER w IS NOT NULL THEN 16 ELSE 0 END + CASE WHEN lag(v, 12) OVER w IS NOT NULL THEN 8 ELSE 0 END + CASE WHEN lag(v, 13) OVER w IS NOT NULL THEN 4 ELSE 0 END + CASE WHEN lag(v, 14) OVER w IS NOT NULL THEN 2 ELSE 0 END + CASE WHEN lag(v, 15) OVER w IS NOT NULL THEN 1 ELSE 0 END) / 1e6 AS ewma
-        FROM grid
-        WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch)
-    """,
-    # cohort triangle: Monday epochs from date_trunc('week') in BOTH
-    # engines (ISO weeks), offsets are exact integer divisions; rates
-    # divide exact count-distincts
-    "users_cohort_matrix": """
-        WITH s AS (SELECT user_id,
-                          CAST(MIN(epoch(date_trunc('week', ts))) AS BIGINT)
-                              AS cohort_wk
-                   FROM events WHERE event_type = 'signup'
-                   GROUP BY user_id),
-        cs AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_cohort
-               FROM s GROUP BY 1),
-        a AS (SELECT DISTINCT user_id,
-                     CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS act_wk
-              FROM events),
-        cells AS (SELECT cohort_wk,
-                         CAST((act_wk - cohort_wk) / 604800 AS BIGINT)
-                             AS week_no,
-                         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
-                  FROM s JOIN a USING (user_id)
-                  WHERE act_wk >= cohort_wk
-                  GROUP BY 1, 2)
-        SELECT strftime(to_timestamp(cohort_wk), '%Y-%m-%d') AS cohort_week,
-               week_no, n_cohort, n_active,
-               CAST(n_active AS DOUBLE) / n_cohort AS retention_rate
-        FROM cells JOIN cs USING (cohort_wk)
-    """,
-    "events_gap_fill": """
-        WITH hourly AS (
-            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-                   event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                   arg_max(value, printf('%018d%010d', epoch_us(ts), event_id))
-                       AS close
-            FROM events GROUP BY 1, 2),
-        bounds AS (SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM hourly),
-        spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
-                  FROM bounds),
-        grid AS (SELECT hour_epoch, event_type
-                 FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM hourly))
-        SELECT g.hour_epoch, g.event_type,
-               COALESCE(h.n, 0) AS n_events,
-               last_value(h.close IGNORE NULLS)
-                   OVER (PARTITION BY g.event_type ORDER BY g.hour_epoch)
-                   AS filled_close
-        FROM grid g LEFT JOIN hourly h USING (hour_epoch, event_type)
-    """,
-    "events_anomaly_hours": """
-        WITH hourly AS (
-            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-                   event_type, CAST(COUNT(*) AS BIGINT) AS n
-            FROM events GROUP BY 1, 2),
-        stats AS (
-            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS h,
-                   CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS q
-            FROM hourly GROUP BY 1),
-        scored AS (
-            SELECT event_type, hour_epoch, n AS n_events,
-                   (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / h)
-                       / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / h)
-                              / (h - 1)) AS z
-            FROM hourly JOIN stats USING (event_type))
-        SELECT * FROM scored WHERE abs(z) > 2.5
-    """,
-    "events_value_bands": f"""
-        WITH bands(band, lo, hi) AS (VALUES
-            ('micro', CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)),
-            ('small', 1, 5), ('mid', 5, 20), ('large', 20, 100),
-            ('whale', 100, CAST('infinity' AS DOUBLE)))
-        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events,
-               {_money('value')} AS sum_value,
-               MIN(value) AS min_value, MAX(value) AS max_value
-        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
-        GROUP BY band
-    """,
-    "events_ohlc_daily": f"""
-        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-               arg_min(value, printf('%018d%010d', epoch_us(ts), event_id)) AS open,
-               MAX(value) AS high, MIN(value) AS low,
-               arg_max(value, printf('%018d%010d', epoch_us(ts), event_id)) AS close,
-               {_money('value')} AS volume,
-               CAST(COUNT(*) AS BIGINT) AS n_events
-        FROM events GROUP BY 1, 2
-    """,
-    "orders_profile": _profile_oracle_sql("orders", ORDERS_PROFILE_RENDERERS),
-    "text_bigram_surprisal": f"""
-        WITH t AS (SELECT doc_id, {_TOKENS} AS w FROM documents
-                   WHERE trim(text) <> ''),
-        pos AS (SELECT doc_id, unnest(range(1, len(w))) AS i, w
-                FROM t WHERE len(w) >= 2),
-        bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM pos),
-        bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-               FROM bg GROUP BY 1, 2),
-        cc AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
-        vv AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS v
-               FROM (SELECT unnest(w) AS s FROM t)),
-        sc AS (SELECT doc_id, c12, c1, v
-               FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN vv)
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               round(avg(-ln((c12 + 1) / (c1 + v))), 6) AS avg_surprisal
-        FROM sc GROUP BY 1
-    """,
-    "doc_mixture_temperature": """
-        WITH g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
-                   FROM documents GROUP BY 1, 2),
-        gw AS (SELECT *, CAST(round(sqrt(n_docs) * 1e6) AS BIGINT) AS w FROM g),
-        tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total,
-                       CAST(SUM(n_docs) AS BIGINT) AS corpus_docs FROM gw)
-        SELECT lang, source, n_docs,
-               CAST(n_docs AS DOUBLE) / corpus_docs AS share,
-               CAST(w AS DOUBLE) / w_total AS p_temp,
-               CAST(w AS DOUBLE) / w_total * corpus_docs / n_docs AS boost
-        FROM gw CROSS JOIN tot
-    """,
-    "embedding_pca_check": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, CAST(8 AS INTEGER) AS k,
-               TRUE AS orthonormal_ok, TRUE AS centered_ok, TRUE AS variance_ok
-        FROM embeddings
-    """,
-    "referential_integrity_census": _fk_oracle_sql(profiling.FK_EDGES),
-    "doc_probe_gram": (lambda: (
-        "WITH f AS (SELECT CAST(1 AS BIGINT) AS f0, "
-        "CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
-        "len(string_split_regex(trim(text), ' +')) END AS BIGINT) AS f1, "
-        "CAST(length(text) AS BIGINT) AS f2, "
-        "CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) "
-        "AS BIGINT) AS f3, "
-        "CAST(len(list_filter(string_split_regex(trim(text), ' +'), "
-        "t -> list_contains(['the','a','of','and','to','in','is','it'], t))) "
-        "AS BIGINT) AS f4, "
-        "CAST((lang = 'en') AS BIGINT) AS y FROM documents) "
-        + " UNION ALL ".join(
-            [
-                f"SELECT 'xx_{i}_{j}' AS stat, CAST(SUM(f{i} * f{j}) AS BIGINT)"
-                f" AS value FROM f"
-                for i in range(5)
-                for j in range(i, 5)
-            ]
-            + [
-                f"SELECT 'xy_{i}' AS stat, CAST(SUM(f{i} * y) AS BIGINT)"
-                f" AS value FROM f"
-                for i in range(5)
-            ]
-            + ["SELECT 'yy' AS stat, CAST(SUM(y * y) AS BIGINT) AS value FROM f"]
-        )
-    ))(),
-    "doc_probe_ridge_check": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS counts_match,
-               TRUE AS mse_nonneg, TRUE AS r2_in_range
-        FROM documents
-    """,
-    "orders_price_mad": """
-        WITH o AS (SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price
-                   FROM orders),
-        med AS (SELECT o_orderpriority, quantile_cont(price, 0.5) AS m,
-                       COUNT(*) AS n
-                FROM o GROUP BY o_orderpriority)
-        SELECT o.o_orderpriority,
-               any_value(med.n) AS n,
-               any_value(med.m) AS median,
-               quantile_cont(abs(o.price - med.m), 0.5) * 1.4826 AS mad,
-               quantile_cont(abs(o.price - med.m), 0.5) AS mad_raw
-        FROM o JOIN med USING (o_orderpriority)
-        GROUP BY o.o_orderpriority
-    """,
-    # Benford census: leading digit from the CENTS bigint's decimal
-    # string (canonical cross-engine, unlike double repr); stats combine
-    # identical bigints with identical log10 constants
-    "orders_benford": """
-        WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
-                                        AS BIGINT) AS VARCHAR), 1, 1)
-                              AS INTEGER) AS digit
-                   FROM orders
-                   WHERE o_totalprice > 0
-                     AND CAST(round(o_totalprice * 100) AS BIGINT) >= 1),
-        c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
-        t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
-        SELECT digit, n,
-               CAST(n AS DOUBLE) / n_total AS share,
-               log10(1.0 + 1.0 / digit) AS benford_p,
-               CAST(n AS DOUBLE) / n_total - log10(1.0 + 1.0 / digit)
-                   AS deviation,
-               (n - n_total * log10(1.0 + 1.0 / digit))
-                   * (n - n_total * log10(1.0 + 1.0 / digit))
-                   / (n_total * log10(1.0 + 1.0 / digit)) AS chi2_term
-        FROM c CROSS JOIN t
-    """,
-    "events_value_drift": """
-        WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v, ts FROM events),
-        base AS (SELECT * FROM ev WHERE ts < TIMESTAMP '2024-01-16'),
-        cur  AS (SELECT * FROM ev WHERE ts >= TIMESTAMP '2024-01-16'),
-        cuts AS (SELECT event_type,
-                        quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
-                 FROM base GROUP BY event_type),
-        bb AS (SELECT b.event_type,
-                      CAST((v > cs[1]) AS INT) + CAST((v > cs[2]) AS INT) +
-                      CAST((v > cs[3]) AS INT) + CAST((v > cs[4]) AS INT) +
-                      CAST((v > cs[5]) AS INT) + CAST((v > cs[6]) AS INT) +
-                      CAST((v > cs[7]) AS INT) + CAST((v > cs[8]) AS INT) +
-                      CAST((v > cs[9]) AS INT) AS bucket
-               FROM base b JOIN cuts USING (event_type)),
-        cb AS (SELECT c.event_type,
-                      CAST((v > cs[1]) AS INT) + CAST((v > cs[2]) AS INT) +
-                      CAST((v > cs[3]) AS INT) + CAST((v > cs[4]) AS INT) +
-                      CAST((v > cs[5]) AS INT) + CAST((v > cs[6]) AS INT) +
-                      CAST((v > cs[7]) AS INT) + CAST((v > cs[8]) AS INT) +
-                      CAST((v > cs[9]) AS INT) AS bucket
-               FROM cur c JOIN cuts USING (event_type)),
-        bn AS (SELECT event_type, bucket, COUNT(*) AS n_base FROM bb GROUP BY 1, 2),
-        cn AS (SELECT event_type, bucket, COUNT(*) AS n_cur FROM cb GROUP BY 1, 2),
-        per AS (SELECT COALESCE(bn.event_type, cn.event_type) AS event_type,
-                       COALESCE(bn.bucket, cn.bucket) AS bucket,
-                       COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
-                FROM bn FULL OUTER JOIN cn
-                  ON bn.event_type = cn.event_type AND bn.bucket = cn.bucket),
-        tot AS (SELECT event_type, SUM(n_base) AS tb, SUM(n_cur) AS tc
-                FROM per GROUP BY event_type),
-        p AS (SELECT per.event_type, bucket,
-                     (n_base + 0.5) / (tb + 0.5 * 10) AS pb,
-                     (n_cur + 0.5) / (tc + 0.5 * 10) AS pc
-              FROM per JOIN tot USING (event_type))
-        SELECT event_type,
-               ROUND(SUM((pc - pb) * ln(pc / pb)), 5) AS psi,
-               COUNT(*) AS n_buckets_used
-        FROM p GROUP BY event_type
-    """,
-    "events_attribution_decay": """
-        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-        c AS (SELECT user_id, us AS click_us FROM e WHERE event_type = 'click'),
-        p AS (SELECT user_id, us AS purchase_us FROM e
-              WHERE event_type = 'purchase'),
-        pairs AS (SELECT c.user_id, click_us, purchase_us
-                  FROM c JOIN p USING (user_id)
-                  WHERE click_us < purchase_us
-                    AND purchase_us - click_us <= 604800000000)
-        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_touch_pairs,
-               round(SUM(exp(-(purchase_us - click_us) / 86400000000.0)), 6)
-                   AS total_credit
-        FROM pairs GROUP BY 1
-    """,
-    # full recompute over ALL events — equality proves the base+delta merge
-    # of the mergeable (count, integer-micros hi/lo) states is lossless
-    "events_hourly_incremental": f"""
-        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-               event_type, COUNT(*) AS n_events,
-               {_money('value')} AS sum_value
-        FROM events GROUP BY 1, 2
-    """,
-    "docs_csv_roundtrip": """
-        WITH h AS (SELECT lang, n_chars, md5(text) AS h FROM documents)
-        SELECT lang, COUNT(*) AS n_docs,
-               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-               CAST(SUM(((((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1))) AS BIGINT) AS text_fp_sum
-        FROM h GROUP BY lang
-    """,
-    # systematic PPS on the n_chars tape in doc_id order: a doc is selected
-    # iff a stride multiple lands in its weight interval — exact integer
-    # arithmetic end to end (stride = total div 100, floored at 1)
-    "doc_sample_weighted": """
-        WITH tot AS (SELECT greatest(CAST(SUM(n_chars) AS BIGINT) // 100, 1)
-                         AS stride FROM documents),
-        c AS (SELECT doc_id, n_chars,
-                     CAST(SUM(n_chars) OVER (ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                          - n_chars AS BIGINT) AS cum
-              FROM documents)
-        SELECT doc_id, n_chars,
-               CAST((cum + stride - 1) // stride AS BIGINT) AS sample_rank
-        FROM c CROSS JOIN tot
-        WHERE n_chars > 0
-          AND (cum + n_chars - 1) // stride >= (cum + stride - 1) // stride
-    """,
-    "embedding_kmeans_check": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, CAST(10 AS INTEGER) AS k,
-               TRUE AS partition_ok, TRUE AS inertia_ok
-        FROM embeddings
-    """,
-    "events_active_users": """
-        WITH pairs AS (SELECT DISTINCT
-                           CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
-                               AS day_no,
-                           user_id
-                       FROM events),
-        hi AS (SELECT MAX(day_no) AS hi FROM pairs),
-        fan AS (
-            SELECT user_id, CAST(1 AS INTEGER) AS window_days,
-                   day_no AS report_day FROM pairs
-            UNION ALL
-            SELECT user_id, 7, day_no + x.i FROM pairs, range(0, 7) x(i)
-            UNION ALL
-            SELECT user_id, 30, day_no + x.i FROM pairs, range(0, 30) x(i))
-        SELECT strftime(make_timestamp(report_day * 86400 * 1000000),
-                        '%Y-%m-%d') AS day,
-               window_days,
-               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
-        FROM fan CROSS JOIN hi
-        WHERE report_day <= hi
-        GROUP BY 1, 2
-    """,
-    "events_mean_shift": """
-        WITH hourly AS (
-            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-                   event_type, CAST(COUNT(*) AS BIGINT) AS n
-            FROM events GROUP BY 1, 2),
-        bounds AS (SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM hourly),
-        spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
-                  FROM bounds),
-        grid AS (SELECT hour_epoch, event_type
-                 FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM hourly)),
-        filled AS (SELECT g.hour_epoch, g.event_type,
-                          COALESCE(h.n, 0) AS n_events
-                   FROM grid g LEFT JOIN hourly h USING (hour_epoch, event_type)),
-        scored AS (
-            SELECT event_type, hour_epoch,
-                   SUM(n_events) OVER w_prev AS s_prev,
-                   COUNT(*) OVER w_prev AS c_prev,
-                   SUM(n_events) OVER w_next AS s_next,
-                   COUNT(*) OVER w_next AS c_next
-            FROM filled
-            WINDOW w_prev AS (PARTITION BY event_type ORDER BY hour_epoch
-                              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
-                   w_next AS (PARTITION BY event_type ORDER BY hour_epoch
-                              ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)),
-        means AS (
-            SELECT event_type, hour_epoch,
-                   CAST(s_prev AS DOUBLE) / c_prev AS mean_prev,
-                   CAST(s_next AS DOUBLE) / c_next AS mean_next,
-                   CAST(s_next AS DOUBLE) / c_next
-                       - CAST(s_prev AS DOUBLE) / c_prev AS shift
-            FROM scored WHERE c_prev = 24 AND c_next = 24)
-        SELECT * FROM means WHERE abs(shift) > 0.75 * mean_prev
-    """,
-    "events_interarrival_histogram": """
-        WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
-                   FROM events),
-        g AS (SELECT event_type,
-                     (us - lag(us) OVER (PARTITION BY user_id, event_type
-                                         ORDER BY us, event_id)) // 1000000
-                         AS gap_s
-              FROM e),
-        f AS (SELECT event_type, gap_s,
-                     CASE WHEN gap_s < 60 THEN '<60s'
-                          WHEN gap_s < 600 THEN '<600s'
-                          WHEN gap_s < 3600 THEN '<3600s'
-                          WHEN gap_s < 21600 THEN '<21600s'
-                          WHEN gap_s < 86400 THEN '<86400s'
-                          ELSE '>86400s' END AS bucket
-              FROM g WHERE gap_s IS NOT NULL)
-        SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
-               CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s
-        FROM f GROUP BY 1, 2
-    """,
-    "users_rfm_segments": f"""
-        WITH per_user AS (
-            SELECT user_id, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us,
-                   CAST(COUNT(*) AS BIGINT) AS frequency,
-                   {_money('value')} AS monetary
-            FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        scored AS (
-            SELECT user_id, frequency, monetary,
-                   CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id)
-                        AS INTEGER) AS r_quintile,
-                   CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id)
-                        AS INTEGER) AS f_quintile,
-                   CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id)
-                        AS INTEGER) AS m_quintile
-            FROM per_user)
-        SELECT *, printf('R%dF%dM%d', r_quintile, f_quintile, m_quintile)
-                   AS segment
-        FROM scored
-    """,
-    "events_type_correlation": """
-        WITH hourly AS (
-            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-                   event_type, CAST(COUNT(*) AS BIGINT) AS n
-            FROM events GROUP BY 1, 2),
-        bounds AS (SELECT MIN(hour_epoch) AS lo, MAX(hour_epoch) AS hi FROM hourly),
-        spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
-                  FROM bounds),
-        grid AS (SELECT hour_epoch, event_type
-                 FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM hourly)),
-        filled AS (SELECT g.hour_epoch, g.event_type,
-                          COALESCE(h.n, 0) AS n_events
-                   FROM grid g LEFT JOIN hourly h USING (hour_epoch, event_type)),
-        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
-                     a.n_events AS x, b.n_events AS y
-              FROM filled a JOIN filled b USING (hour_epoch)
-              WHERE a.event_type < b.event_type),
-        mom AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n,
-                       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-                       CAST(SUM(x * y) AS BIGINT) AS sxy,
-                       CAST(SUM(x * x) AS BIGINT) AS sxx,
-                       CAST(SUM(y * y) AS BIGINT) AS syy
-                FROM p GROUP BY 1, 2)
-        SELECT type_a, type_b, n,
-               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                   / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                      * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
-                   AS pearson_r
-        FROM mom
-    """,
-    "users_dn_retention": """
-        WITH d AS (SELECT user_id, event_type,
-                          CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
-                              AS day_no
-                   FROM events),
-        signups AS (SELECT user_id, MIN(day_no) AS cohort_day
-                    FROM d WHERE event_type = 'signup' GROUP BY 1),
-        activity AS (SELECT DISTINCT user_id, day_no AS act_day FROM d),
-        j AS (SELECT s.user_id, s.cohort_day, a.act_day
-              FROM signups s JOIN activity a USING (user_id)),
-        agg AS (
-            SELECT cohort_day,
-                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_signups,
-                   CAST(COUNT(DISTINCT CASE WHEN act_day - cohort_day = 1
-                        THEN user_id END) AS BIGINT) AS d1_active,
-                   CAST(COUNT(DISTINCT CASE WHEN act_day - cohort_day = 7
-                        THEN user_id END) AS BIGINT) AS d7_active,
-                   CAST(COUNT(DISTINCT CASE WHEN act_day - cohort_day = 30
-                        THEN user_id END) AS BIGINT) AS d30_active
-            FROM j GROUP BY 1)
-        SELECT strftime(make_timestamp(cohort_day * 86400 * 1000000),
-                        '%Y-%m-%d') AS cohort,
-               n_signups, d1_active, d7_active, d30_active,
-               CAST(d1_active AS DOUBLE) / n_signups AS d1_rate,
-               CAST(d7_active AS DOUBLE) / n_signups AS d7_rate,
-               CAST(d30_active AS DOUBLE) / n_signups AS d30_rate
-        FROM agg
-    """,
-    "events_skew_report": """
-        WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
-                        FROM events GROUP BY 1),
-        ranked AS (SELECT c,
-                          row_number() OVER (ORDER BY c ASC, user_id ASC) AS i,
-                          row_number() OVER (ORDER BY c DESC, user_id ASC)
-                              AS r_desc
-                   FROM counts),
-        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-                     CAST(SUM(c) AS BIGINT) AS total,
-                     CAST(MAX(c) AS BIGINT) AS max_c,
-                     CAST(SUM(i * c) AS BIGINT) AS ic,
-                     CAST(SUM(CASE WHEN r_desc <= 10 THEN c ELSE 0 END)
-                          AS BIGINT) AS top10
-              FROM ranked)
-        SELECT n_keys, total AS total_events, max_c AS max_key_events,
-               CAST(max_c AS DOUBLE) / total AS top1_share,
-               CAST(top10 AS DOUBLE) / total AS top10_share,
-               (2.0 * ic - CAST(n_keys + 1 AS DOUBLE) * total)
-                   / (CAST(n_keys AS DOUBLE) * total) AS gini
-        FROM m
-    """,
-    "orders_equidepth_histogram": f"""
-        WITH cuts AS (SELECT
-            {', '.join(f'CAST(quantile_cont(o_totalprice, 0.{i}) AS DOUBLE) AS c{i}'
-                       for i in range(1, 10))}
-            FROM orders)
-        SELECT ({' + '.join(f'CAST(o_totalprice > c{i} AS INTEGER)'
-                            for i in range(1, 10))}) AS bucket,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
-               {_money('o_totalprice')} AS sum_total
-        FROM orders CROSS JOIN cuts
-        GROUP BY 1
-    """,
-    # tolerance oracle: exact WAU hash-compared; the HLL sketch result is
-    # asserted within 5% as a boolean the oracle states as TRUE
-    # round-12: exact percentiles (interpolated, round-6 — DuckDB
-    # quantile_cont mirrors Spark's percentile) + TRUE for the sketch gate
-    "events_percentile_sketch_check": """
-        SELECT event_type,
-               round(quantile_cont(value, 0.5), 6) AS p50_exact,
-               round(quantile_cont(value, 0.95), 6) AS p95_exact,
-               TRUE AS sketch_ok
-        FROM events GROUP BY event_type
-    """,
-    "events_active_users_approx": """
-        WITH pairs AS (SELECT DISTINCT
-                           CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
-                               AS day_no,
-                           user_id
-                       FROM events),
-        hi AS (SELECT MAX(day_no) AS hi FROM pairs),
-        fan AS (SELECT user_id, day_no + x.i AS report_day
-                FROM pairs, range(0, 7) x(i))
-        SELECT strftime(make_timestamp(report_day * 86400 * 1000000),
-                        '%Y-%m-%d') AS day,
-               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_exact,
-               TRUE AS sketch_ok
-        FROM fan CROSS JOIN hi
-        WHERE report_day <= hi
-        GROUP BY 1
-    """,
-    "text_zipf_fit": f"""
-        WITH vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
-                       FROM (SELECT unnest({_TOKENS}) AS w FROM documents
-                             WHERE trim(text) <> '')
-                       GROUP BY 1),
-        xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w ASC)
-                              AS DOUBLE)) AS x,
-                      ln(CAST(c AS DOUBLE)) AS y
-               FROM vocab),
-        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
-                     SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
-              FROM xy)
-        SELECT n AS n_vocab,
-               round((CAST(n AS DOUBLE) * sxy - sx * sy)
-                     / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
-               round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
-                           / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
-                     / CAST(n AS DOUBLE), 6) AS intercept,
-               round(((CAST(n AS DOUBLE) * sxy - sx * sy)
-                      * (CAST(n AS DOUBLE) * sxy - sx * sy))
-                     / ((CAST(n AS DOUBLE) * sxx - sx * sx)
-                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
-        FROM m
-    """,
-    # round-11: PQ invariant twin — the census itself is rows-only (Lloyd
-    # iterations); the oracle pins corpus size and the always-true-by-
-    # construction invariant verdicts the Spark side actually computes
-    "embedding_pq_check": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, CAST(4 AS INTEGER) AS m,
-               CAST(16 AS INTEGER) AS k, TRUE AS partition_ok,
-               TRUE AS codes_ok, TRUE AS quantization_ok
-        FROM embeddings
-    """,
-    # round-11: salt census — md5-derived portable salt byte, exact bytes
-    "kv_salt_census": (
-        "WITH cells AS (" + _unpivot_sql() + "), "
-        "pr AS (SELECT strpos('0123456789abcdef', substr(md5(row_key), 2, 1)) "
-        "              - 1 AS salt, row_key, "
-        "              CAST(SUM(strlen(row_key) + strlen(family) "
-        "                       + strlen(qualifier) + COALESCE(strlen(value), 0) + 8) "
-        "                   AS BIGINT) AS row_bytes "
-        "       FROM cells GROUP BY 1, 2) "
-        "SELECT CAST(salt AS INT) AS salt, CAST(COUNT(*) AS BIGINT) AS n_rows, "
-        "       CAST(SUM(row_bytes) AS BIGINT) AS total_bytes "
-        "FROM pr GROUP BY 1"
-    ),
-    # round-11: merge advisor — lead() over the prefix census in key order
-    "kv_merge_candidates": (
-        "WITH cells AS (" + _unpivot_sql() + "), "
-        "pr AS (SELECT substr(row_key, 1, 12) AS prefix, "
-        "              CAST(SUM(strlen(row_key) + strlen(family) "
-        "                       + strlen(qualifier) + COALESCE(strlen(value), 0) + 8) "
-        "                   AS BIGINT) AS total_bytes "
-        "       FROM cells GROUP BY 1), "
-        "pairs AS (SELECT prefix AS prefix_a, total_bytes AS bytes_a, "
-        "                 lead(prefix) OVER (ORDER BY prefix) AS prefix_b, "
-        "                 lead(total_bytes) OVER (ORDER BY prefix) AS bytes_b "
-        "          FROM pr) "
-        "SELECT prefix_a, prefix_b, "
-        "       CAST(bytes_a + bytes_b AS BIGINT) AS combined_bytes "
-        "FROM pairs WHERE prefix_b IS NOT NULL "
-        "AND bytes_a + bytes_b <= 16384"
-    ),
-    # round-11: duplicate-payment suspects — same-customer same-day
-    # multi-order groups, identical amounts flagged via exact cents
-    "orders_duplicate_payments": """
-        SELECT o_custkey, o_orderdate,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(COUNT(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
-                    AS BIGINT) AS n_distinct_amounts,
-               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                   AS total_cents,
-               array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
-        FROM orders
-        GROUP BY 1, 2
-        HAVING COUNT(*) >= 2
-    """,
-    # round-11: constraint census — one conditional-sum pass, NULL
-    # predicate = violation
-    "lineitem_constraint_check": """
-        WITH one AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-            CAST(SUM(CASE WHEN COALESCE(l_discount >= 0.00 AND l_discount <= 0.10, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
-            CAST(SUM(CASE WHEN COALESCE(l_tax >= 0.00 AND l_tax <= 0.08, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
-            CAST(SUM(CASE WHEN COALESCE(l_quantity >= 1 AND l_quantity <= 50, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v3,
-            CAST(SUM(CASE WHEN COALESCE(l_extendedprice > 0, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v4,
-            CAST(SUM(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v5,
-            CAST(SUM(CASE WHEN COALESCE(l_linestatus IN ('O','F'), FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v6,
-            CAST(SUM(CASE WHEN COALESCE(l_shipdate >= DATE'1992-01-01' AND l_shipdate <= DATE'1998-12-31', FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v7
-            FROM lineitem)
-        SELECT u.rule, u.n_violations, one.n_rows,
-               u.n_violations = 0 AS passes
-        FROM one, (
-            SELECT * FROM (
-                SELECT 'discount_in_range' AS rule, v1 AS n_violations FROM one
-                UNION ALL SELECT 'tax_in_range', v2 FROM one
-                UNION ALL SELECT 'quantity_in_range', v3 FROM one
-                UNION ALL SELECT 'positive_price', v4 FROM one
-                UNION ALL SELECT 'returnflag_domain', v5 FROM one
-                UNION ALL SELECT 'linestatus_domain', v6 FROM one
-                UNION ALL SELECT 'shipdate_bounds', v7 FROM one
-            )) u
-    """,
-    # round-11: ABC census — window cumsum under the same total order,
-    # identical integer class cuts
-    "customer_abc_analysis": """
-        WITH pc AS (SELECT o_custkey,
-                           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
-                                AS BIGINT) AS rev_cents
-                    FROM orders GROUP BY 1),
-        cum AS (SELECT o_custkey, rev_cents,
-                       CAST(SUM(rev_cents) OVER (
-                            ORDER BY rev_cents DESC, o_custkey
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                            AS BIGINT) AS cum_cents,
-                       CAST(SUM(rev_cents) OVER () AS BIGINT) AS total_cents
-                FROM pc),
-        cl AS (SELECT o_custkey, rev_cents, total_cents,
-                      CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
-                           WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
-                           ELSE 'C' END AS abc_class
-               FROM cum)
-        SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
-               CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents,
-               CAST(SUM(rev_cents) AS DOUBLE) / ANY_VALUE(total_cents)
-                   AS revenue_share
-        FROM cl GROUP BY 1
-    """,
-    # round-11: PQ-ADC serving recall floor (tolerance-oracle pattern)
-    "ann_pq_recall_check": """
-        SELECT 'pq' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
-        FROM embeddings
-    """,
-    # round-11: IVF-PQ composed-serving recall floor
-    "ann_ivfpq_recall_check": """
-        SELECT 'ivfpq' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
-        FROM embeddings
-    """,
-    # round-11: containment — same shingle CTE as the Jaccard oracles;
-    # C = i / min(n1, n2), no length filter by design
-    "doc_containment_pairs": """
-        WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
-        sh0 AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 1)),
-                    i -> w[i] || '|' || w[i+1] || '|' || w[i+2]) shl FROM t),
-        sh AS (SELECT DISTINCT doc_id, unnest(shl) s FROM sh0),
-        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM sh GROUP BY 1),
-        inter AS (SELECT a.doc_id d1, b.doc_id d2, CAST(COUNT(*) AS BIGINT) i
-                  FROM sh a JOIN sh b USING (s)
-                  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        cont AS (SELECT d1, d2, least(s1.n, s2.n) AS n_small,
-                        round(CAST(i AS DOUBLE) / least(s1.n, s2.n), 6)
-                            AS containment
-                 FROM inter JOIN sizes s1 ON d1 = s1.doc_id
-                            JOIN sizes s2 ON d2 = s2.doc_id)
-        SELECT d1, d2, n_small, containment FROM cont WHERE containment >= 0.8
-    """,
-    # round-11: rate-limit audit — tumbling-minute counts, exact integers
-    "events_burst_users": """
-        WITH pm AS (
-            SELECT user_id, (epoch_us(ts) // 60000000) * 60 AS m,
-                   CAST(COUNT(*) AS BIGINT) AS c
-            FROM events GROUP BY 1, 2)
-        SELECT user_id,
-               CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_burst_minutes,
-               CAST(MAX(c) AS BIGINT) AS max_per_minute,
-               CAST(SUM(c) AS BIGINT) AS total_events,
-               CAST(MIN(CASE WHEN c >= 2 THEN m END) AS BIGINT)
-                   AS first_burst_minute
-        FROM pm GROUP BY 1
-        HAVING SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) >= 1
-    """,
-    # round-12: planted-edit coverage for the perceptual near-dup path —
-    # the oracle pins n_planted (the >=8-byte doc count) and the boolean,
-    # like the embedding near-dup twins; the dHash fold itself is the
-    # engine-side claim
-    "multimodal_near_dup_check": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS coverage_ok
-        FROM documents
-        WHERE text IS NOT NULL AND octet_length(encode(text)) >= 8
-    """,
-    # round-12: greedy k-center invariants — the oracle pins the selection
-    # size (least(8, corpus)) and the two booleans the engine must earn
-    "embedding_kcenter_check": """
-        SELECT CAST(least(8, COUNT(*)) AS BIGINT) AS k_selected,
-               TRUE AS distinct_ok, TRUE AS monotone_ok
-        FROM embeddings
-    """,
-    # round-11: byte-identical payload dedup — sha-256 hex on both engines
-    "multimodal_payload_dedup": """
-        SELECT sha256(text) AS fp,
-               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_copies
-        FROM documents GROUP BY 1
-    """,
-    # round-11: diurnal profile — hour-of-day from pure integer epoch
-    # arithmetic (no session timezone on either engine); exact counts and
-    # micro-quantized value sums; the two divisions mirrored verbatim
-    "events_seasonal_hourly": """
-        WITH cell AS (
-            SELECT event_type,
-                   (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
-                   CAST(COUNT(*) AS BIGINT) AS n_events,
-                   CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sm
-            FROM events GROUP BY 1, 2),
-        tot AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS tot
-                FROM cell GROUP BY 1)
-        SELECT event_type, CAST(hour_of_day AS BIGINT) AS hour_of_day, n_events,
-               CAST(n_events AS DOUBLE) / tot AS share,
-               round(CAST(sm AS DOUBLE) / n_events / 1000000.0, 6) AS avg_value
-        FROM cell JOIN tot USING (event_type)
-    """,
-    # round-11: seasonal-naive backtest — full outer on the reduced hourly
-    # table against itself shifted 24h; missing sides are 0; scored range
-    # [min_hour + 24h, max_hour]; exact integer error sums
-    "events_seasonal_naive_backtest": """
-        WITH hourly AS (
-            SELECT event_type,
-                   (epoch_us(ts) // 3600000000) * 3600 AS h,
-                   CAST(COUNT(*) AS BIGINT) AS n
-            FROM events GROUP BY 1, 2),
-        bounds AS (SELECT MIN(h) AS h_min, MAX(h) AS h_max FROM hourly),
-        fc AS (SELECT event_type, h + 86400 AS h, n AS n_fc FROM hourly),
-        scored AS (
-            SELECT COALESCE(a.event_type, f.event_type) AS event_type,
-                   COALESCE(a.h, f.h) AS h,
-                   COALESCE(a.n, 0) AS n_act,
-                   COALESCE(f.n_fc, 0) AS n_fc
-            FROM hourly a FULL JOIN fc f
-              ON a.event_type = f.event_type AND a.h = f.h),
-        rng AS (SELECT * FROM scored CROSS JOIN bounds
-                WHERE h >= h_min + 86400 AND h <= h_max)
-        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
-               CAST(SUM(abs(n_act - n_fc)) AS BIGINT) AS total_abs_err,
-               round(CAST(SUM(abs(n_act - n_fc)) AS DOUBLE) / COUNT(*), 6) AS mae,
-               round(CAST(SUM(n_act - n_fc) AS DOUBLE) / COUNT(*), 6) AS bias
-        FROM rng GROUP BY 1
-    """,
-    # round-11: PMI collocations — bigram derivation is the
-    # text_bigram_surprisal CTE; counts exact, ln last, round BEFORE the
-    # (pmi desc, w1, w2) total-order cut so both engines cut identically
-    "text_pmi_collocations": """
-        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
-                   FROM documents WHERE trim(text) <> ''),
-        pos AS (SELECT doc_id, unnest(range(1, len(w))) AS i, w
-                FROM t WHERE len(w) >= 2),
-        bg AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM pos),
-        pairs AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
-                  FROM bg GROUP BY 1, 2),
-        cl AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS cl FROM pairs GROUP BY 1),
-        cr AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS cr FROM pairs GROUP BY 1),
-        nn AS (SELECT CAST(SUM(c12) AS BIGINT) AS nn FROM pairs)
-        SELECT w1, w2, c12,
-               round(ln(CAST(c12 AS DOUBLE) * CAST(nn AS DOUBLE)
-                        / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))), 6) AS pmi
-        FROM pairs JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nn
-        WHERE c12 >= 5
-        ORDER BY pmi DESC, w1, w2 LIMIT 200
-    """,
-    # round-11: per-doc word entropy — c*ln(c) terms frozen to the exact
-    # 1e-9 integer grid before summing (order-free), assembly mirrored
-    "text_word_entropy": """
-        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS w
-                   FROM documents WHERE trim(text) <> ''),
-        wc AS (SELECT doc_id, unnest(w) AS word FROM t),
-        cnt AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
-                FROM wc GROUP BY 1, 2),
-        pd AS (SELECT doc_id,
-                      CAST(SUM(c) AS BIGINT) AS n_tokens,
-                      CAST(COUNT(*) AS BIGINT) AS n_distinct,
-                      CAST(SUM(CAST(round(CAST(c AS DOUBLE)
-                                          * ln(CAST(c AS DOUBLE)) * 1e9)
-                               AS BIGINT)) AS BIGINT) AS clnc_1e9
-               FROM cnt GROUP BY 1),
-        e AS (SELECT doc_id, n_tokens, n_distinct,
-                     ln(CAST(n_tokens AS DOUBLE))
-                       - (CAST(clnc_1e9 AS DOUBLE) / 1e9)
-                         / CAST(n_tokens AS DOUBLE) AS raw
-              FROM pd)
-        SELECT doc_id, n_tokens, n_distinct, round(raw, 6) AS entropy,
-               round(CASE WHEN n_distinct > 1
-                          THEN raw / ln(CAST(n_distinct AS DOUBLE)) END,
-                     6) AS norm_entropy
-        FROM e
-    """,
-    # round-11: FD-violation census — one exact-distinct aggregate per
-    # candidate, unioned 1-row summaries
-    "orders_fd_check": """
-        SELECT 'o_orderkey -> o_custkey' AS fd,
-               CAST(COUNT(*) AS BIGINT) AS n_lhs,
-               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_violating_lhs,
-               CAST(MAX(n_rhs) AS BIGINT) AS max_fanout,
-               MAX(n_rhs) = 1 AS holds
-        FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS n_rhs
-              FROM orders GROUP BY 1)
-        UNION ALL
-        SELECT 'o_custkey -> o_orderpriority',
-               CAST(COUNT(*) AS BIGINT),
-               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
-               CAST(MAX(n_rhs) AS BIGINT), MAX(n_rhs) = 1
-        FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_rhs
-              FROM orders GROUP BY 1)
-        UNION ALL
-        SELECT 'o_orderdate -> o_orderstatus',
-               CAST(COUNT(*) AS BIGINT),
-               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
-               CAST(MAX(n_rhs) AS BIGINT), MAX(n_rhs) = 1
-        FROM (SELECT o_orderdate, COUNT(DISTINCT o_orderstatus) AS n_rhs
-              FROM orders GROUP BY 1)
-    """,
-}
 
 
 #: Every rows-only registry entry (no ORACLE_SQL twin — not SQL-expressible)

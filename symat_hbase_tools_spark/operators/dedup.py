@@ -674,6 +674,59 @@ def max_dup_spans(
     )
 
 
+def trim_dup_spans(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """The WRITE form of ``max_dup_spans``: remove every maximal
+    duplicated span's tokens from each document — the boilerplate-trim
+    step a curation pipeline actually materializes (Lee et al. 2022
+    pipeline: census -> spans -> trim).
+
+    Output: (doc_id, n_tokens, n_removed, n_kept, trimmed_text) for EVERY
+    document — untouched docs pass through with their original text.
+    n_removed = sum of span lengths (islands are disjoint by
+    construction, so the sum is exact coverage).
+
+    Shape: the span table is doc-keyed and much smaller than the corpus
+    (only duplicated docs appear); one left join back + a map-only HOF
+    pass that drops covered token positions (O(tokens x spans-per-doc),
+    spans-per-doc bounded by doc length / k). The HOF lives in a Project,
+    never a Filter.
+    """
+    spans = max_dup_spans(spark, sf_dir, k)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_pos", "span_tokens")).alias("spans"),
+        F.sum("span_tokens").alias("n_rm"),
+    )
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "words", F.split(F.col("text"), " ")
+    )
+    j = docs.join(per_doc, "doc_id", "left")
+    idx = F.sequence(F.lit(1), F.size("words"))
+    kept = F.when(F.col("spans").isNull(), F.col("words")).otherwise(
+        F.transform(
+            F.filter(
+                F.arrays_zip(F.col("words").alias("w"), idx.alias("i")),
+                lambda s: ~F.exists(
+                    F.col("spans"),
+                    lambda sp: s["i"].between(
+                        sp["start_pos"],
+                        sp["start_pos"] + sp["span_tokens"] - 1,
+                    ),
+                ),
+            ),
+            lambda s: s["w"],
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_rm"), F.lit(0)).cast("long").alias("n_removed"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, " ").alias("trimmed_text"),
+    )
+
+
 def simhash_portable_pairs(
     spark: SparkSession, sf_dir: str, n: int = 3, max_hamming: int = 3
 ) -> DataFrame:

@@ -95,6 +95,81 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Gopher rule thresholds (Rae et al. 2021 §A1.1, the rule-based filter
+#: reused by MassiveText/FineWeb lineages), adapted to the whitespace
+#: tokenization this repo's text family shares
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021): the classic
+    hand-rule gate every large text pipeline runs BEFORE model-based
+    scoring — word-count bounds, mean-word-length band, symbol ratio
+    ('#' and '...' per word), alphabetic-word fraction, and the
+    distinct-stopword floor; ``keep`` is the conjunction.
+
+    Exactness: every ratio is one division of identical bigints
+    (bit-stable cross-engine); the rule booleans compare those doubles
+    against literal thresholds, so the keep boundary is exact. Shape:
+    one fanned-out map-only projection — no shuffle at all; the HOF
+    (alphabetic-token filter) stays in a Project, never a Filter
+    (plans/explain.py gate).
+    """
+    from symat_hbase_tools_spark.plans.partitioning import fanout
+
+    docs = fanout(spark, load_table(spark, sf_dir, "documents"))
+    docs = docs.withColumn("words", tokens(F.col("text")))
+    text = F.col("text")
+    n_words = F.size("words").cast("bigint")
+    word_chars = F.length(F.translate(text, " ", "")).cast("bigint")
+    hash_cnt = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ).cast("bigint")
+    ell_cnt = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    ).cast("bigint")
+    alpha_words = F.size(
+        F.filter(F.col("words"), lambda w: w.rlike("[a-z]"))
+    ).cast("bigint")
+    n_stops = F.size(
+        F.array_intersect(
+            F.col("words"), F.array(*[F.lit(s) for s in STOPWORDS])
+        )
+    ).cast("bigint")
+    mean_wl = F.when(
+        n_words > 0, word_chars.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    sym_ratio = F.when(
+        n_words > 0, (hash_cnt + ell_cnt).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0, alpha_words.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_stops >= GOPHER_MIN_DISTINCT_STOPWORDS)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stops.alias("n_stop_distinct"),
+        keep.alias("keep"),
+    )
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token statistics per (lang, source) — the pre-training census."""
     docs = load_table(spark, sf_dir, "documents")

@@ -599,3 +599,45 @@ def test_exact_route_threshold_scales_with_parallelism(spark):
     live = dedup.exact_route_max_join_rows(spark)
     par = spark.sparkContext.defaultParallelism
     assert live == max(8_000_000, 250_000 * par)
+
+
+def test_trim_dup_spans_removes_exactly_the_planted_boilerplate(spark, tmp_path):
+    """The write form must remove exactly the planted span's tokens and
+    keep everything else in order; untouched docs pass through verbatim."""
+    plant = " ".join(f"boiler{i}" for i in range(40))
+    pre1 = " ".join(f"a{i}" for i in range(10))
+    post1 = " ".join(f"z{i}" for i in range(15))
+    rows = [
+        (1, pre1 + " " + plant + " " + post1),
+        (2, " ".join(f"b{i}" for i in range(30)) + " " + plant),
+        (3, " ".join(f"c{i}" for i in range(60))),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["n_kept"], r["trimmed_text"])
+        for r in dedup.trim_dup_spans(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (65, 40, 25, pre1 + " " + post1)
+    assert got[2] == (70, 40, 30, " ".join(f"b{i}" for i in range(30)))
+    assert got[3] == (60, 0, 60, rows[2][1])  # untouched doc verbatim
+
+
+def test_trim_dup_spans_counts_reconcile_with_spans(spark):
+    """Corpus invariant: n_removed == sum of the doc's maximal span
+    lengths; n_kept + n_removed == n_tokens; trimmed token count matches."""
+    from collections import defaultdict
+
+    span_sum: dict = defaultdict(int)
+    for r in dedup.max_dup_spans(spark, SF_DIR).collect():
+        span_sum[r["doc_id"]] += r["span_tokens"]
+    out = dedup.trim_dup_spans(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r["n_removed"] == span_sum.get(r["doc_id"], 0)
+        assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
+        want_kept = len(r["trimmed_text"].split()) if r["trimmed_text"] else 0
+        assert r["n_kept"] == want_kept

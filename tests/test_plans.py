@@ -494,6 +494,12 @@ def test_no_interpreted_hof_reinlined_into_filters(spark):
         "doc_containment_pairs",
         # round-12: the RRF fusion's zip_with/aggregate dot product
         "doc_hybrid_search_rrf",
+        # round-13: window-hash transforms (max/trim spans), the gopher
+        # alphabetic-token filter, and the unigram seed's substring HOF
+        "doc_max_dup_spans",
+        "doc_trim_dup_spans",
+        "doc_gopher_quality",
+        "unigram_learn_check",
     ]
     for name in hof_queries:
         assert_no_hof_in_filters(QUERIES[name](spark, SF_DIR))

@@ -880,3 +880,40 @@ def test_unigram_fertility_census_matches_python(spark, documents):
     assert got == want
     for lang, (nd, nw, np_) in got.items():
         assert nw <= np_  # every word is at least one piece
+
+
+def test_gopher_quality_flags_rule_by_rule(spark, tmp_path):
+    """One doc per violated rule + one clean doc: each rule flips keep for
+    exactly its own doc (thresholds: words in [50,1e5], mean word len in
+    [3,10], symbol ratio <= 0.1, alpha frac >= 0.8, >= 2 distinct
+    stopwords)."""
+    from symat_hbase_tools_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    filler = " ".join(
+        f"word{i:03d} the of" for i in range(20)
+    )  # 60 tokens, mean len ~4.6, stopwords present
+    rows = [
+        (1, filler),                                             # clean: keep
+        (2, "too short the of"),                                 # < 50 words
+        (3, " ".join("ab" for _ in range(58)) + " the of"),      # mean len < 3
+        (4, filler + " " + " ".join("#" for _ in range(10))),    # symbols
+        (5, " ".join("123" for _ in range(58)) + " the of"),     # alpha < 0.8
+        (6, " ".join(f"word{i:03d} extra pad" for i in range(20))),  # no stops
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(spark, str(tmp_path)).collect()
+    }
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["n_words"] < 50
+    assert got[3]["keep"] is False and got[3]["mean_word_len"] < 3.0
+    assert got[4]["keep"] is False and got[4]["symbol_ratio"] > 0.1
+    assert got[5]["keep"] is False and got[5]["alpha_frac"] < 0.8
+    assert got[6]["keep"] is False and got[6]["n_stop_distinct"] < 2
