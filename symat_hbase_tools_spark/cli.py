@@ -127,6 +127,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     dd.add_argument("--output", required=True, help="parquet path for survivors")
 
+    tsp = sub.add_parser(
+        "trim-spans",
+        help="write a corpus with maximal duplicated spans trimmed "
+        "(the Lee et al. 2022 exact-substring-dedup pipeline action)",
+    )
+    tsp.add_argument("--sfDir", default="/root/testdata/sf0.001")
+    tsp.add_argument(
+        "--minSpan",
+        type=int,
+        default=20,
+        help="window size k — only verbatim cross-document spans of >= k "
+        "tokens are detected and trimmed",
+    )
+    tsp.add_argument("--output", required=True, help="parquet path for the trimmed corpus")
+
     dc = sub.add_parser(
         "decontaminate",
         help="drop benchmark-contaminated docs and write the clean corpus",
@@ -439,6 +454,39 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"DOCS_BEFORE={n_before} DOCS_AFTER={n_after} "
                 f"DROPPED={n_before - n_after}"
+            )
+            return 0
+        if args.tool == "trim-spans":
+            from pyspark.sql import functions as F
+
+            from symat_hbase_tools_spark.operators import dedup as dd_ops
+            from symat_hbase_tools_spark.sources.tables import load_table
+
+            docs = load_table(spark, args.sfDir, "documents")
+            if args.minSpan < 1:
+                print("error: --minSpan must be >= 1", file=sys.stderr)
+                return 1
+            trimmed = dd_ops.trim_dup_spans(spark, args.sfDir, k=args.minSpan)
+            cols = docs.columns
+            out = (
+                docs.drop("text", "n_chars")
+                .join(
+                    trimmed.select("doc_id", "n_removed", "trimmed_text"),
+                    "doc_id",
+                )
+                .withColumn("text", F.col("trimmed_text"))
+                .withColumn("n_chars", F.length("text").cast("long"))
+                .select(*cols, "n_removed")
+            )
+            out.drop("n_removed").write.mode("overwrite").parquet(args.output)
+            stats = out.agg(
+                F.count(F.lit(1)).alias("total"),
+                F.count(F.when(F.col("n_removed") > 0, 1)).alias("touched"),
+                F.sum("n_removed").alias("removed"),
+            ).collect()[0]
+            print(
+                f"DOCS_TOTAL={stats['total']} DOCS_TRIMMED={stats['touched']} "
+                f"TOKENS_REMOVED={stats['removed']}"
             )
             return 0
         if args.tool == "decontaminate":

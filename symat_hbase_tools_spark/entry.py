@@ -71,8 +71,9 @@ QUERIES = dict(QUERIES)  # local copy: window ordering + plan cache below
 # registration (doc_max_dup_spans, doc_trim_dup_spans,
 # doc_gopher_quality + the two unigram check twins — the rows-only
 # unigram_learn_vocab / text_unigram_fertility are represented by those
-# twins per the check-twin policy), and fill the remaining 41 seats with
-# the STALEST oracle-paired entries — every one of them last had a
+# twins per the check-twin policy; the BQ tier seats its census + recall
+# check, ann_bq_topk rows-only via its twin), and fill the remaining 39
+# seats with the STALEST oracle-paired entries — every one of them last had a
 # driver row in rounds 1-3 (computed from CORRECTNESS_r*.json).
 # Everything rotated out is double-green-or-better and stays covered by
 # tests/test_oracle.py and the sf0.01/sf0.1 sweeps. Historical rotation
@@ -88,6 +89,8 @@ _DRIVER_WINDOW = [
     "doc_gopher_quality",
     "unigram_learn_check",
     "unigram_tokenize_check",
+    "embedding_binary_quantize",
+    "ann_bq_recall_check",
     "approx_distinct_parts",
     "cube_returnflag_linestatus",
     "customer_order_deltas",
@@ -127,8 +130,6 @@ _DRIVER_WINDOW = [
     "multimodal_frame_census",
     "text_doc_fingerprints",
     "text_token_stats",
-    "click_conversion_full",
-    "customer_running_totals",
 ]
 
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
@@ -223,6 +224,7 @@ ROWS_ONLY_CHECK_TWINS: dict[str, str] = {
     "embedding_pca_project": "embedding_pca_check",
     "embedding_pq_fit": "embedding_pq_check",
     "ann_pq_topk": "ann_pq_recall_check",
+    "ann_bq_topk": "ann_bq_recall_check",
     "ann_ivfpq_topk": "ann_ivfpq_recall_check",
     "embedding_kmeans_fit": "embedding_kmeans_check",
     "multimodal_near_dup": "multimodal_near_dup_check",

@@ -2712,6 +2712,157 @@ def ann_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BQ (asymmetric) with exact re-rank at the n/10 shortlist depth;
+#: measured recall@5 0.960/0.959/0.968 at sf0.001/0.01/0.1 (floor at the
+#: family's 0.9)
+BQ_RECALL_FLOOR = 0.9
+
+
+def _bq_word_expr(col: str, lo: int) -> F.Column:
+    """BIGINT packing 32 sign bits of ``col`` dims [lo, lo+32): bit j set
+    iff element lo+j+1 (1-based) > 0. Pure JVM fold — exact integers,
+    bit-identical to the DuckDB packing."""
+    return F.expr(
+        f"CAST(aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> "
+        f"acc + IF(element_at({col}, j + {lo + 1}) > CAST(0 AS DOUBLE), "
+        f"shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))) AS BIGINT)"
+    )
+
+
+def embedding_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization census — the 1-bit end of the
+    quantization ladder next to int8 (``embedding_quantize_int8``) and PQ
+    (``embedding_pq_fit``): each 64-dim vector packs to TWO bigint words
+    (bit j of word w = sign of dim 32w+j), a 32x read cut vs float64.
+    Output: (vec_id, bq_w0, bq_w1, n_pos) — exact integers, oracle-paired.
+
+    Shape: one map-only JVM fold per word, no shuffle; the packed table is
+    what ``ann_bq_topk`` scans (hamming distance in the compressed domain,
+    XOR + popcount — no floats until the re-rank).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        _bq_word_expr("embedding", 0).alias("bq_w0"),
+        _bq_word_expr("embedding", 32).alias("bq_w1"),
+        F.size(F.filter(F.col("embedding"), lambda v: v > 0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+
+
+def ann_bq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    shortlist_mult: int = 16,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via ASYMMETRIC binary
+    quantization + exact re-rank — the cheapest serving tier (1 bit/dim
+    of scan payload): the corpus scans as TWO bigint sign words per
+    vector (16 bytes — a 32x read cut vs float64), the query stays
+    full-precision, and the first-pass score is q . sign(c) (each corpus
+    dim contributes +-q_j). Asymmetric scoring is what vector stores
+    actually run for BQ (symmetric hamming measured recall@5 ~0.80 on
+    this fixture's 64 random dims — too coarse; asymmetric measures
+    0.960/0.959/0.968 at sf0.001/0.01/0.1 with the n/10 shortlist).
+
+    Scale shape: at 100 TB the first pass is I/O-bound — the packed table
+    scans distributed (Arrow batches of two int64 columns; the unpack to
+    +-1 and the (queries x 64) BLAS happen in cache, paid by rows READ at
+    1/32 the bytes); the query side broadcasts normalized float vectors
+    (the brute_topk/PQ contract); shortlist merge + re-rank join touch
+    O(n_queries x depth) rows. Rows-only in the registry; recall
+    floor-asserted by the oracle-paired ``ann_bq_recall_check``.
+    """
+    import numpy as np
+
+    from functools import reduce
+
+    base = _emb(spark, sf_dir)
+    packed = embedding_binary_quantize(spark, sf_dir)
+    n = base.count()
+    # 1 bit/dim is coarser than PQ's ~4 bits/dim, so the corpus-
+    # proportional shortlist must be deeper than flat PQ's n/100:
+    # measured recall@5 at n/100 depth reads 0.96/0.96/0.855 at
+    # sf0.001/0.01/0.1 — under the floor one decade up; n/10 holds it
+    # (same lesson as the PQ 10x probe, one notch deeper). At real scale
+    # BQ-flat pairs with IVF cell pruning exactly like flat PQ does.
+    R = max(int(shortlist_mult) * int(k), n // 10)
+
+    def bq_chunk(queries: DataFrame) -> DataFrame:
+        q_pdf = queries.toPandas().sort_values("vec_id")
+        q_ids = q_pdf["vec_id"].to_numpy()
+        Q = np.array(q_pdf["emb"].tolist(), dtype=np.float64)
+        Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        bc = spark.sparkContext.broadcast((q_ids, Q))
+
+        def scan(batches):
+            import pandas as pd
+
+            ids, Qm = bc.value
+            d = Qm.shape[1]
+            w_bits = np.arange(32, dtype=np.int64)
+            for b in batches:
+                if b.empty:
+                    continue
+                c_ids = b["vec_id"].to_numpy()
+                Cw = b[["bq_w0", "bq_w1"]].to_numpy().astype(np.int64)
+                # unpack word w bit j -> dim 32w+j, then to {-1,+1}
+                bits = (
+                    (Cw[:, :, None] >> w_bits[None, None, :]) & 1
+                ).reshape(len(c_ids), -1)[:, :d]
+                Bpm = (2.0 * bits - 1.0)
+                sims = Qm @ Bpm.T
+                sims[ids[:, None] == c_ids[None, :]] = -np.inf
+                rr = min(R, sims.shape[1])
+                top, nbr = _topk_rows(sims, c_ids, rr)
+                keep = np.isfinite(top).ravel()
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids, rr)[keep],
+                        "neighbor_id": nbr.ravel()[keep],
+                        "bq_score": top.ravel()[keep],
+                    }
+                )
+
+        return packed.mapInPandas(
+            scan, schema="query_id long, neighbor_id long, bq_score double"
+        )
+
+    # same broadcast gate as brute_topk/ann_pq_topk: above 1M queries the
+    # query side hash-chunks so resident broadcast memory stays bounded
+    if n > MAX_BROADCAST_QUERIES:
+        n_chunks = -(-n // MAX_BROADCAST_QUERIES)
+        scored = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                bq_chunk(
+                    base.filter(
+                        F.pmod(F.xxhash64("vec_id"), F.lit(n_chunks)) == i
+                    )
+                )
+                for i in range(n_chunks)
+            ],
+        )
+    else:
+        scored = bq_chunk(base)
+    wS = Window.partitionBy("query_id").orderBy(F.desc("bq_score"), "neighbor_id")
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(wS))
+        .filter(F.col("rk") <= R)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_cosine_rerank(shortlist, base, k)
+
+
+def ann_bq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_check(
+        spark, sf_dir, "bq", ann_bq_topk(spark, sf_dir, k=5),
+        floor=BQ_RECALL_FLOOR,
+    )
+
+
 def ann_ivfpq_topk(
     spark: SparkSession,
     sf_dir: str,

@@ -67,6 +67,11 @@ QUERIES = {
     "embedding_pq_fit": lambda spark, sf: similarity.embedding_pq_fit(spark, sf),
     "ann_pq_topk": lambda spark, sf: similarity.ann_pq_topk(spark, sf),
     "ann_pq_recall_check": similarity.ann_pq_recall_check,
+    # round-13: binary (sign-bit) quantization tier — census + hamming
+    # scan with exact re-rank + its recall floor
+    "embedding_binary_quantize": similarity.embedding_binary_quantize,
+    "ann_bq_topk": similarity.ann_bq_topk,
+    "ann_bq_recall_check": similarity.ann_bq_recall_check,
     # round-11: the COMPOSED serving architecture — IVF cell pruning +
     # compressed-domain ADC scan + exact refine
     "ann_ivfpq_topk": lambda spark, sf: similarity.ann_ivfpq_topk(spark, sf),
@@ -329,6 +334,25 @@ ORACLE_SQL = {
     # round-11: PQ-ADC serving recall floor (tolerance-oracle pattern)
     "ann_pq_recall_check": """
         SELECT 'pq' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
+        FROM embeddings
+    """,
+    "ann_bq_recall_check": """
+        SELECT 'bq' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
+        FROM embeddings
+    """,
+    # sign-bit packing: bit j of word w set iff dim 32w+j > 0 — exact
+    # integers, the identical fold on both engines
+    "embedding_binary_quantize": """
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(0, 32), j ->
+                    CASE WHEN embedding[CAST(j + 1 AS INT)] > 0
+                         THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bq_w0,
+               CAST(list_sum(list_transform(range(0, 32), j ->
+                    CASE WHEN embedding[CAST(j + 33 AS INT)] > 0
+                         THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bq_w1,
+               CAST(len(list_filter(embedding, v -> v > 0)) AS BIGINT) AS n_pos
         FROM embeddings
     """,
     # round-11: IVF-PQ composed-serving recall floor

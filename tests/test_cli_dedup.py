@@ -385,3 +385,35 @@ def test_cli_select_diverse(spark, tmp_path):
     assert len({r["vec_id"] for r in got}) == 4
     assert main(["select-diverse", "--sfDir", SF_DIR, "--k", "0",
                  "--output", out]) == 1
+
+
+def test_cli_trim_spans_writes_trimmed_corpus(spark, tmp_path, capsys):
+    """trim-spans pipeline action: the output corpus keeps every doc (trim,
+    not drop), text/n_chars stay consistent, counters reconcile with the
+    operator, and a bad --minSpan exits 1."""
+    out = str(tmp_path / "trimmed")
+    rc = main(["trim-spans", "--sfDir", SF_DIR, "--output", out])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "DOCS_TOTAL=500" in printed and "TOKENS_REMOVED=" in printed
+
+    got = spark.read.parquet(out)
+    docs = load_table(spark, SF_DIR, "documents")
+    assert got.count() == docs.count()
+    assert set(got.columns) == set(docs.columns)
+    # text/n_chars consistency after the rewrite
+    assert got.filter(F.length("text") != F.col("n_chars")).count() == 0
+    # trimmed text matches the operator's output doc by doc
+    want = {
+        r["doc_id"]: r["trimmed_text"]
+        for r in dedup.trim_dup_spans(spark, SF_DIR).collect()
+    }
+    mism = [
+        r["doc_id"]
+        for r in got.select("doc_id", "text").collect()
+        if r["text"] != want[r["doc_id"]]
+    ]
+    assert mism == []
+
+    rc = main(["trim-spans", "--sfDir", SF_DIR, "--minSpan", "0", "--output", out])
+    assert rc == 1

@@ -1282,3 +1282,50 @@ def test_serve_many_probe_cache_bounded_across_both_paths(spark, tmp_path):
         rows = fn(spark, idx, queries, k=3, n_probe=2).collect()
         assert len(rows) > 0
         assert len(S._IVF_PROBE_CACHES) <= 1, (i, S._IVF_PROBE_CACHES)
+
+
+def test_binary_quantize_packing_matches_numpy(spark):
+    """Sign-bit packing: bit j of word w == (dim 32w+j > 0), exact."""
+    from symat_hbase_tools_spark.operators.similarity import (
+        embedding_binary_quantize,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50).collect()
+    want = {}
+    for r in rows:
+        v = list(r["embedding"])
+        w0 = sum(1 << j for j in range(32) if v[j] > 0)
+        w1 = sum(1 << j for j in range(32) if v[32 + j] > 0)
+        want[r["vec_id"]] = (w0, w1, sum(1 for x in v if x > 0))
+    got = {
+        r["vec_id"]: (r["bq_w0"], r["bq_w1"], r["n_pos"])
+        for r in embedding_binary_quantize(spark, SF_DIR).collect()
+        if r["vec_id"] in want
+    }
+    assert got == want
+
+
+def test_ann_bq_topk_shape_and_exact_rerank(spark):
+    """BQ serving contract: k neighbors per query, no self-matches, sims
+    are the EXACT cosine of the reranked pairs (round-6)."""
+    import math
+
+    from symat_hbase_tools_spark.operators.similarity import ann_bq_topk
+
+    out = ann_bq_topk(spark, SF_DIR, k=3).collect()
+    per_q: dict = {}
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        per_q.setdefault(r["query_id"], []).append(r["sim"])
+    assert all(len(v) == 3 for v in per_q.values())
+    emb = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    for r in out[:50]:
+        a, b = emb[r["query_id"]], emb[r["neighbor_id"]]
+        dot = sum(x * y for x, y in zip(a, b))
+        sim = dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+        assert abs(r["sim"] - round(sim, 6)) < 2e-6
