@@ -2758,37 +2758,38 @@ def ann_bq_topk(
     shortlist_mult: int = 16,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via ASYMMETRIC binary
-    quantization + exact re-rank — the cheapest serving tier (1 bit/dim
-    of scan payload): the corpus scans as TWO bigint sign words per
-    vector (16 bytes — a 32x read cut vs float64), the query stays
-    full-precision, and the first-pass score is q . sign(c) (each corpus
-    dim contributes +-q_j). Asymmetric scoring is what vector stores
-    actually run for BQ (symmetric hamming measured recall@5 ~0.80 on
-    this fixture's 64 random dims — too coarse; asymmetric measures
-    0.960/0.959/0.968 at sf0.001/0.01/0.1 with the n/10 shortlist).
+    quantization with IN-KERNEL exact rescoring — the cheapest serving
+    tier (1 bit/dim of index payload): the first pass scores q . sign(c)
+    (float query x {-1,+1} corpus bits — what vector stores run for BQ;
+    symmetric hamming measured recall@5 ~0.80 on this fixture's 64
+    random dims and was rejected), keeps the per-batch top ~10% of
+    candidates, exact-rescores ONLY those against the co-located raw
+    vectors, and emits just k exact-scored rows per (query, batch).
 
-    Scale shape: at 100 TB the first pass is I/O-bound — the packed table
-    scans distributed (Arrow batches of two int64 columns; the unpack to
-    +-1 and the (queries x 64) BLAS happen in cache, paid by rows READ at
-    1/32 the bytes); the query side broadcasts normalized float vectors
-    (the brute_topk/PQ contract); shortlist merge + re-rank join touch
-    O(n_queries x depth) rows. Rows-only in the registry; recall
-    floor-asserted by the oracle-paired ``ann_bq_recall_check``.
+    Why rescoring lives INSIDE the scan: the first design shuffled the
+    n/10-deep shortlist to a global window + raw-vector re-rank join —
+    n x n/10 rows with 1 KB vector payloads, measured 205 s at the 20k
+    sf1 probe (a quadratic-row shuffle). Per-batch exact top-k commutes
+    with the global top-k (an exact-scored candidate can only win
+    globally if it wins its batch), so the shuffle carries
+    n_queries x k x n_batches skinny rows instead. Recall is the same
+    candidate criterion (a true neighbor is found iff it ranks in its
+    batch's BQ top fraction, rescored exactly).
+
+    Scale shape: at 100 TB the packed words are the INDEX (the
+    `embedding_binary_quantize` census table — 16 bytes/vector, 32x
+    smaller than raw); serving scans segments where codes and raw
+    vectors are co-located (the BQ + rescore segment layout) and the
+    query side broadcasts normalized float vectors under the 1M
+    hash-chunk gate (the brute_topk contract). Rows-only in the
+    registry; recall floor-asserted by the oracle-paired
+    ``ann_bq_recall_check`` (measured 0.96-0.99 at three scales).
     """
     import numpy as np
-
     from functools import reduce
 
     base = _emb(spark, sf_dir)
-    packed = embedding_binary_quantize(spark, sf_dir)
     n = base.count()
-    # 1 bit/dim is coarser than PQ's ~4 bits/dim, so the corpus-
-    # proportional shortlist must be deeper than flat PQ's n/100:
-    # measured recall@5 at n/100 depth reads 0.96/0.96/0.855 at
-    # sf0.001/0.01/0.1 — under the floor one decade up; n/10 holds it
-    # (same lesson as the PQ 10x probe, one notch deeper). At real scale
-    # BQ-flat pairs with IVF cell pruning exactly like flat PQ does.
-    R = max(int(shortlist_mult) * int(k), n // 10)
 
     def bq_chunk(queries: DataFrame) -> DataFrame:
         q_pdf = queries.toPandas().sort_values("vec_id")
@@ -2801,33 +2802,55 @@ def ann_bq_topk(
             import pandas as pd
 
             ids, Qm = bc.value
-            d = Qm.shape[1]
-            w_bits = np.arange(32, dtype=np.int64)
             for b in batches:
                 if b.empty:
                     continue
                 c_ids = b["vec_id"].to_numpy()
-                Cw = b[["bq_w0", "bq_w1"]].to_numpy().astype(np.int64)
-                # unpack word w bit j -> dim 32w+j, then to {-1,+1}
-                bits = (
-                    (Cw[:, :, None] >> w_bits[None, None, :]) & 1
-                ).reshape(len(c_ids), -1)[:, :d]
-                Bpm = (2.0 * bits - 1.0)
-                sims = Qm @ Bpm.T
-                sims[ids[:, None] == c_ids[None, :]] = -np.inf
-                rr = min(R, sims.shape[1])
-                top, nbr = _topk_rows(sims, c_ids, rr)
-                keep = np.isfinite(top).ravel()
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(ids, rr)[keep],
-                        "neighbor_id": nbr.ravel()[keep],
-                        "bq_score": top.ravel()[keep],
-                    }
+                E = np.array(b["emb"].tolist(), dtype=np.float64)
+                En = E / np.maximum(
+                    np.linalg.norm(E, axis=1, keepdims=True), 1e-12
                 )
+                Bpm = np.where(En > 0, 1.0, -1.0)
+                nb = len(c_ids)
+                # per-batch candidate depth: the measured ~10% fraction
+                # BQ needs at 64 bits (1 bit/dim is coarser than PQ's
+                # ~4 — see the recall sweep in the module docstring)
+                r_b = min(nb, max(int(shortlist_mult) * int(k), -(-nb // 10)))
+                # chunk queries so the (q, r_b, d) rescore gather stays
+                # ~256 MB
+                q_step = max(
+                    1, (1 << 25) // max(1, r_b * En.shape[1])
+                )
+                for lo in range(0, len(ids), q_step):
+                    ids_s = ids[lo : lo + q_step]
+                    Qs = Qm[lo : lo + q_step]
+                    s_bq = Qs @ Bpm.T
+                    s_bq[ids_s[:, None] == c_ids[None, :]] = -np.inf
+                    cand = np.argpartition(-s_bq, r_b - 1, axis=1)[:, :r_b]
+                    # exact cosine of candidates only: (q, r_b, d) gather
+                    sims = np.einsum(
+                        "qd,qrd->qr", Qs, En[cand], optimize=True
+                    )
+                    sims[np.take_along_axis(
+                        s_bq, cand, axis=1
+                    ) == -np.inf] = -np.inf
+                    kk = min(int(k), r_b)
+                    nbr_ids = c_ids[cand]
+                    # exact per-batch top-k with (sim desc, id asc) ties
+                    order = np.lexsort((nbr_ids, -sims), axis=1)[:, :kk]
+                    top = np.take_along_axis(sims, order, axis=1)
+                    nbr = np.take_along_axis(nbr_ids, order, axis=1)
+                    keep = np.isfinite(top).ravel()
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.repeat(ids_s, kk)[keep],
+                            "neighbor_id": nbr.ravel()[keep],
+                            "sim_raw": top.ravel()[keep],
+                        }
+                    )
 
-        return packed.mapInPandas(
-            scan, schema="query_id long, neighbor_id long, bq_score double"
+        return base.mapInPandas(
+            scan, schema="query_id long, neighbor_id long, sim_raw double"
         )
 
     # same broadcast gate as brute_topk/ann_pq_topk: above 1M queries the
@@ -2847,13 +2870,15 @@ def ann_bq_topk(
         )
     else:
         scored = bq_chunk(base)
-    wS = Window.partitionBy("query_id").orderBy(F.desc("bq_score"), "neighbor_id")
-    shortlist = (
+
+    wS = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
         scored.withColumn("rk", F.row_number().over(wS))
-        .filter(F.col("rk") <= R)
-        .select("query_id", "neighbor_id")
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim")
+        )
     )
-    return _exact_cosine_rerank(shortlist, base, k)
 
 
 def ann_bq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
