@@ -641,3 +641,47 @@ def test_trim_dup_spans_counts_reconcile_with_spans(spark):
         assert r["n_kept"] + r["n_removed"] == r["n_tokens"]
         want_kept = len(r["trimmed_text"].split()) if r["trimmed_text"] else 0
         assert r["n_kept"] == want_kept
+
+
+def test_max_and_trim_spans_on_short_and_empty_docs(spark, tmp_path):
+    """Docs shorter than k produce no windows: max_dup_spans must skip
+    them and trim_dup_spans must pass them through verbatim (including a
+    single-token doc); no crash, no spurious spans."""
+    rows = [
+        (1, "one two three"),              # < k tokens
+        (2, "solo"),                       # single token
+        (3, " ".join(f"x{i}" for i in range(25))),  # >= k but unique
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    assert dedup.max_dup_spans(spark, str(tmp_path)).count() == 0
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["trimmed_text"])
+        for r in dedup.trim_dup_spans(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (3, 0, "one two three"),
+        2: (1, 0, "solo"),
+        3: (25, 0, rows[2][1]),
+    }
+
+
+def test_trim_dup_spans_fully_covered_doc_yields_empty_text(spark, tmp_path):
+    """A doc that IS the shared span trims to the empty string (the
+    oracle's COALESCE('' ) case) with n_kept = 0."""
+    plant = " ".join(f"p{i}" for i in range(20))  # exactly k tokens
+    rows = [(1, plant), (2, plant + " " + " ".join(f"q{i}" for i in range(5)))]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["trimmed_text"])
+        for r in dedup.trim_dup_spans(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (20, 0, "")
+    assert got[2] == (25, 5, " ".join(f"q{i}" for i in range(5)))

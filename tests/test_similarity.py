@@ -1329,3 +1329,27 @@ def test_ann_bq_topk_shape_and_exact_rerank(spark):
             math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
         )
         assert abs(r["sim"] - round(sim, 6)) < 2e-6
+
+
+def test_binary_quantize_all_negative_and_zero_vectors(spark, tmp_path):
+    """Edge packing: an all-negative vector packs to (0, 0, n_pos=0); a
+    zero vector too (0 is NOT > 0); an all-positive packs both words to
+    2^32-1."""
+    rows = [
+        (1, [-1.0] * 64, 0),
+        (2, [0.0] * 64, 1),
+        (3, [1.0] * 64, 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from symat_hbase_tools_spark.operators.similarity import (
+        embedding_binary_quantize,
+    )
+
+    got = {
+        r["vec_id"]: (r["bq_w0"], r["bq_w1"], r["n_pos"])
+        for r in embedding_binary_quantize(spark, str(tmp_path)).collect()
+    }
+    full = (1 << 32) - 1
+    assert got == {1: (0, 0, 0), 2: (0, 0, 0), 3: (full, full, 64)}

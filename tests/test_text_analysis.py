@@ -917,3 +917,44 @@ def test_gopher_quality_flags_rule_by_rule(spark, tmp_path):
     assert got[4]["keep"] is False and got[4]["symbol_ratio"] > 0.1
     assert got[5]["keep"] is False and got[5]["alpha_frac"] < 0.8
     assert got[6]["keep"] is False and got[6]["n_stop_distinct"] < 2
+
+
+def test_unigram_learns_obvious_piece_on_constructed_corpus(spark, tmp_path):
+    """A corpus dominated by one repeated 4-char word: the trainer must
+    keep 'abab' (or its halves) as high-rank multi-char pieces and the
+    fertility census must show compression (pieces < chars)."""
+    from symat_hbase_tools_spark.operators import unigram
+
+    rows = [(i, "abab " * 30 + "xyzw", "en", "src", 125) for i in range(5)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    vocab = unigram.learn_unigram(spark, str(tmp_path)).collect()
+    pieces = {r["piece"]: r["rank"] for r in vocab}
+    multi = [p for p in pieces if len(p) > 1]
+    assert multi, "no multi-char pieces learned"
+    assert any(p in ("abab", "ab", "ba", "aba", "bab") for p in multi)
+    fert = unigram.unigram_fertility_census(spark, str(tmp_path)).collect()
+    assert len(fert) == 1
+    r = fert[0]
+    # 31 words/doc; 'abab' should encode in <= 2 pieces, far below 4 chars
+    assert r["n_pieces"] < 3 * r["n_words"]
+
+
+def test_gopher_quality_empty_text_is_dropped_not_crashed(spark, tmp_path):
+    """Empty/whitespace-only docs: zero words -> every ratio 0.0, keep
+    False; no division-by-zero or null leakage."""
+    from symat_hbase_tools_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    rows = [(1, ""), (2, "   "), (3, "the of " * 30)]
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in gopher_quality_flags(spark, str(tmp_path)).collect()}
+    assert got[1]["n_words"] == 0 and got[1]["keep"] is False
+    assert got[2]["n_words"] == 0 and got[2]["keep"] is False
+    assert got[2]["mean_word_len"] == 0.0 and got[2]["alpha_frac"] == 0.0
+    assert got[3]["n_words"] == 60
