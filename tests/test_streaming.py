@@ -527,3 +527,80 @@ def test_rollup_retry_drill_at_last_batch(spark, tmp_path):
     assert snap(rollup.rollup_view(spark, state_dir)) == snap(
         relational.events_hourly(spark, SF_DIR)
     )
+
+
+def test_watermark_actually_drops_late_event_across_restart(spark, tmp_path):
+    """The watermark proof the bounded-input tests can't give: batch A
+    advances event time to T (watermark persists in the checkpoint at
+    T - 1h); batch B redelivers one event 3 HOURS older than T (past the
+    watermark -> must be DROPPED from the append-mode window aggregate)
+    plus one fresh event at T + 2h (must appear, and must finalize A's
+    windows). Asserts both the drop and the legitimate late-arrival
+    handling in one drill."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base_us = 1_699_999_200 * 1_000_000  # hour-ALIGNED epoch (div by 3600)
+
+    def write_chunk(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts_us long, user_id long, event_type string, value double"
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+        s = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming.tumbling_hourly(s, watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    hour = 3600 * 1_000_000
+    # batch A: events in hours 0..4; max event time T = base + 4h
+    write_chunk([
+        (i, base_us + i * hour, 1, "click", 1.0) for i in range(5)
+    ])
+    drain()
+    time.sleep(0.1)
+    # batch B: one event 3h BEFORE T (hour 1 — watermark at T-1h=3h has
+    # passed its window) and one fresh event at T+2h
+    write_chunk([
+        (100, base_us + 1 * hour + 60_000_000, 1, "click", 1.0),  # LATE
+        (101, base_us + 6 * hour, 1, "click", 1.0),               # fresh
+    ])
+    drain()
+
+    out = spark.read.parquet(sink)
+    counts = {
+        r["hour_epoch"]: r["n_events"]
+        for r in out.filter(F.col("event_type") == "click").collect()
+    }
+    base_s = base_us // 1_000_000
+    # the late event must NOT bump hour 1 (its window was finalized with
+    # exactly the batch-A event); emitted windows are those the watermark
+    # closed — hours 0..3 after batch A's watermark, hour 4 after batch B
+    for h in (0, 1, 2, 3):
+        assert counts.get(base_s + h * 3600) == 1, (h, counts)
+    # hour 4 (batch A's last event) finalizes once batch B advances the
+    # watermark to T+2h-1h = 5h; the fresh hour-6 event stays OPEN
+    assert counts.get(base_s + 4 * 3600) == 1
+    assert base_s + 6 * 3600 not in counts  # not yet closed by watermark
+    assert sum(counts.values()) == 5  # late event contributed NOTHING
