@@ -417,3 +417,20 @@ def test_cli_trim_spans_writes_trimmed_corpus(spark, tmp_path, capsys):
 
     rc = main(["trim-spans", "--sfDir", SF_DIR, "--minSpan", "0", "--output", out])
     assert rc == 1
+
+
+def test_cli_trim_spans_noop_corpus(spark, tmp_path, capsys):
+    """A corpus with no cross-document spans: every doc passes through
+    verbatim, DOCS_TRIMMED=0 TOKENS_REMOVED=0."""
+    src = tmp_path / "corpus"
+    spark.createDataFrame(
+        [(i, " ".join(f"u{i}_{j}" for j in range(30)), "en", "s", 100)
+         for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(src / "documents.parquet"))
+    out = str(tmp_path / "trimmed")
+    rc = main(["trim-spans", "--sfDir", str(src), "--output", out])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "DOCS_TRIMMED=0" in printed and "TOKENS_REMOVED=0" in printed
+    assert spark.read.parquet(out).count() == 4
