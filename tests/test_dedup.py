@@ -685,3 +685,61 @@ def test_trim_dup_spans_fully_covered_doc_yields_empty_text(spark, tmp_path):
     }
     assert got[1] == (20, 0, "")
     assert got[2] == (25, 5, " ".join(f"q{i}" for i in range(5)))
+
+
+def test_max_dup_spans_matches_bruteforce_on_random_corpora(spark, tmp_path):
+    """Seeded randomized cross-check: on three random corpora with
+    planted shared fragments (varied lengths, overlaps, repeats), the
+    engine's islands must equal an independent brute-force python
+    computation (dict of window -> docs, consecutive-run merge)."""
+    import random
+
+    K = 20
+    for seed in (11, 22, 33):
+        rng = random.Random(seed)
+        frags = [
+            [f"f{seed}_{fi}_{j}" for j in range(rng.randint(K, 3 * K))]
+            for fi in range(3)
+        ]
+        docs = {}
+        for d in range(8):
+            toks = [f"u{seed}_{d}_{j}" for j in range(rng.randint(5, 40))]
+            for fi in rng.sample(range(3), rng.randint(0, 2)):
+                pos = rng.randint(0, len(toks))
+                toks = toks[:pos] + frags[fi] + toks[pos:]
+            docs[d] = toks
+
+        # brute force: window -> set of docs, then per-doc islands
+        from collections import defaultdict
+
+        owner = defaultdict(set)
+        for d, toks in docs.items():
+            for i in range(len(toks) - K + 1):
+                owner[tuple(toks[i:i + K])].add(d)
+        want = set()
+        for d, toks in docs.items():
+            dup = [
+                i + 1
+                for i in range(len(toks) - K + 1)
+                if len(owner[tuple(toks[i:i + K])]) > 1
+            ]
+            run_start = None
+            prev = None
+            for p in dup + [None]:
+                if p is not None and (prev is None or p == prev + 1):
+                    run_start = p if run_start is None else run_start
+                else:
+                    if run_start is not None:
+                        want.add((d, run_start, prev - run_start + K))
+                    run_start = p
+                prev = p
+        df = spark.createDataFrame(
+            [(d, " ".join(t), "en", "s", 1) for d, t in docs.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            (r["doc_id"], r["start_pos"], r["span_tokens"])
+            for r in dedup.max_dup_spans(spark, str(tmp_path)).collect()
+        }
+        assert got == want, (seed, got ^ want)

@@ -69,3 +69,16 @@ def test_entry_reexports_wrapper_surface():
         "_FIXTURE_ROOT",
     ):
         assert hasattr(entry, name), name
+
+
+def test_entry_reexports_every_wrapper_name():
+    """Anti-drift: EVERY public name defined in registry/wrappers.py must
+    remain importable from entry (the split's compatibility contract) —
+    a wrapper added without the star re-export surviving would break
+    external `from ...entry import X` silently."""
+    from symat_hbase_tools_spark.registry import wrappers
+
+    for name in dir(wrappers):
+        if name.startswith("_"):
+            continue
+        assert hasattr(entry, name), name
