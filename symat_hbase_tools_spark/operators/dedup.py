@@ -632,10 +632,17 @@ def max_dup_spans(
     away but quadratic in partners).
 
     Gaps-and-islands: island id = pos - row_number() per doc ordered by
-    pos — consecutive positions share the id. The window partitions by
-    doc_id, so its state is bounded by tokens-per-document, never corpus
-    size; everything wide (the window-hash groupBy, the semi join back)
-    keys on the 8-byte hash exactly like the census.
+    pos — consecutive positions share the id. Two islands separated by a
+    POSITIONAL gap of <= k-2 still overlap at the TOKEN level (island one's
+    extent reaches k-1 tokens past its last window start), so a second
+    interval-merge pass folds token-overlapping extents together; the
+    emitted spans are therefore truly disjoint in token space (Lee et al.
+    merge-before-trim) and summing span_tokens is exact coverage.
+    Adjacent-but-disjoint extents (positional gap exactly k-1) stay
+    separate. Both window passes partition by doc_id, so state is bounded
+    by tokens-per-document, never corpus size; everything wide (the
+    window-hash groupBy, the semi join back) keys on the 8-byte hash
+    exactly like the census.
     """
     from pyspark.sql import Window
 
@@ -664,11 +671,25 @@ def max_dup_spans(
     dup = wins.join(shared, "h", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    ext = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + (k - 1)).alias("e"),
+    )
+    # interval merge: a new merged group starts where this extent begins
+    # past every earlier extent's end (running max over starts-so-far)
+    w2 = Window.partitionBy("doc_id").orderBy("s")
+    prev_end = F.max("e").over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    merged = ext.withColumn(
+        "ng",
+        F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "gid", F.sum("ng").over(w2.rowsBetween(Window.unboundedPreceding, 0))
+    )
     return (
-        isl.groupBy("doc_id", "grp")
+        merged.groupBy("doc_id", "gid")
         .agg(
-            F.min("pos").cast("long").alias("start_pos"),
-            (F.count(F.lit(1)) + (k - 1)).cast("long").alias("span_tokens"),
+            F.min("s").cast("long").alias("start_pos"),
+            (F.max("e") - F.min("s") + 1).cast("long").alias("span_tokens"),
         )
         .select("doc_id", "start_pos", "span_tokens")
     )
@@ -684,8 +705,10 @@ def trim_dup_spans(
 
     Output: (doc_id, n_tokens, n_removed, n_kept, trimmed_text) for EVERY
     document — untouched docs pass through with their original text.
-    n_removed = sum of span lengths (islands are disjoint by
-    construction, so the sum is exact coverage).
+    n_removed is computed from ACTUAL coverage (n_tokens - n_kept), not by
+    summing span lengths: coverage is correct by construction even if a
+    spans source ever emits token-overlapping extents (max_dup_spans now
+    merges them, but the count must not depend on that invariant).
 
     Shape: the span table is doc-keyed and much smaller than the corpus
     (only duplicated docs appear); one left join back + a map-only HOF
@@ -696,7 +719,6 @@ def trim_dup_spans(
     spans = max_dup_spans(spark, sf_dir, k)
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("start_pos", "span_tokens")).alias("spans"),
-        F.sum("span_tokens").alias("n_rm"),
     )
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "words", F.split(F.col("text"), " ")
@@ -721,7 +743,7 @@ def trim_dup_spans(
     return j.select(
         "doc_id",
         F.size("words").cast("long").alias("n_tokens"),
-        F.coalesce(F.col("n_rm"), F.lit(0)).cast("long").alias("n_removed"),
+        (F.size("words") - F.size(kept)).cast("long").alias("n_removed"),
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, " ").alias("trimmed_text"),
     )

@@ -310,14 +310,22 @@ def unigram_fertility_census(
     docs = load_table(spark, sf_dir, "documents")
 
     def encode(batches):
+        import re
+
         import pandas as pd
+
+        # ' +' on trimmed text, NOT str.split(): matches tokens()/_TOKENS
+        # semantics everywhere else in the text family (a tab or newline is
+        # a token character there, not a separator)
+        def toks(text):
+            return [w for w in re.split(" +", text.strip(" ")) if w]
 
         for pdf in batches:
             cache: dict[str, int] = {}
 
             def n_pieces(text):
                 total = 0
-                for w in text.split():
+                for w in toks(text):
                     hit = cache.get(w)
                     if hit is None:
                         hit = cache[w] = len(_viterbi(w, logp, max_len))
@@ -327,7 +335,7 @@ def unigram_fertility_census(
             out = pd.DataFrame(
                 {
                     "lang": pdf["lang"],
-                    "n_w": pdf["text"].map(lambda t: len(t.split())),
+                    "n_w": pdf["text"].map(lambda t: len(toks(t))),
                     "n_p": pdf["text"].map(n_pieces),
                 }
             )

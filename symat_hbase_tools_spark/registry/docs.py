@@ -294,8 +294,11 @@ ORACLE_SQL = {
         HAVING count(CASE WHEN nd > 1 THEN 1 END) > 0
     """,
     # doc_max_dup_spans: gaps-and-islands over the SAME window-match table
-    # as doc_dup_spans — maximal duplicated extents (Lee et al. 2022).
-    # Engine-internal hashes again only need to GROUP identically.
+    # as doc_dup_spans — maximal duplicated extents (Lee et al. 2022) —
+    # then an interval-merge pass folding token-overlapping extents
+    # (islands with positional gap <= k-2) into disjoint spans, mirroring
+    # the engine's merge-before-trim. Engine-internal hashes again only
+    # need to GROUP identically.
     "doc_max_dup_spans": """
         WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
              pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS i
@@ -310,10 +313,24 @@ ORACLE_SQL = {
              isl AS (SELECT doc_id, pos,
                             pos - ROW_NUMBER() OVER (PARTITION BY doc_id
                                                      ORDER BY pos) AS g
-                     FROM dup)
-        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
-               CAST(COUNT(*) + 19 AS BIGINT) AS span_tokens
-        FROM isl GROUP BY doc_id, g
+                     FROM dup),
+             ext AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 19 AS e
+                     FROM isl GROUP BY doc_id, g),
+             ng AS (SELECT doc_id, s, e,
+                           CASE WHEN s > COALESCE(MAX(e) OVER (
+                                    PARTITION BY doc_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), -1)
+                                THEN 1 ELSE 0 END AS f
+                    FROM ext),
+             grp AS (SELECT doc_id, s, e,
+                            SUM(f) OVER (PARTITION BY doc_id ORDER BY s
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW) AS gid
+                     FROM ng)
+        SELECT doc_id, CAST(MIN(s) AS BIGINT) AS start_pos,
+               CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+        FROM grp GROUP BY doc_id, gid
     """,
     # trim = drop every covered token position; docs a span fully covers
     # COALESCE to '' (the engine emits an empty trimmed_text row)

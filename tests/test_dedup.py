@@ -687,11 +687,41 @@ def test_trim_dup_spans_fully_covered_doc_yields_empty_text(spark, tmp_path):
     assert got[2] == (25, 5, " ".join(f"q{i}" for i in range(5)))
 
 
+def test_overlapping_islands_merge_and_trim_counts_exact(spark, tmp_path):
+    """Regression (round-14 advice): islands separated by a positional gap
+    <= k-2 overlap at the token level. doc1 shares tokens 1-20 with doc2
+    and tokens 3-22 with doc3 — two islands whose extents overlap; the
+    engine must emit ONE merged disjoint span (1, 22) and trim must report
+    n_removed = 22 (actual coverage), not sum-of-spans = 40 > n_tokens."""
+    s = [f"s{i}" for i in range(1, 21)]
+    doc1 = " ".join(s + ["t1", "t2"])
+    doc2 = " ".join(s)
+    doc3 = " ".join(s[2:] + ["t1", "t2"])
+    df = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in [(1, doc1), (2, doc2), (3, doc3)]],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    spans = {
+        (r["doc_id"], r["start_pos"], r["span_tokens"])
+        for r in dedup.max_dup_spans(spark, str(tmp_path)).collect()
+    }
+    assert spans == {(1, 1, 22), (2, 1, 20), (3, 1, 20)}
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["n_kept"], r["trimmed_text"])
+        for r in dedup.trim_dup_spans(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (22, 22, 0, "")
+    assert got[2] == (20, 20, 0, "")
+    assert got[3] == (20, 20, 0, "")
+
+
 def test_max_dup_spans_matches_bruteforce_on_random_corpora(spark, tmp_path):
     """Seeded randomized cross-check: on three random corpora with
     planted shared fragments (varied lengths, overlaps, repeats), the
-    engine's islands must equal an independent brute-force python
-    computation (dict of window -> docs, consecutive-run merge)."""
+    engine's spans must equal an independent brute-force python
+    computation (dict of window -> docs, consecutive-run merge, then
+    token-extent interval merge — the disjoint Lee et al. form)."""
     import random
 
     K = 20
@@ -723,6 +753,7 @@ def test_max_dup_spans_matches_bruteforce_on_random_corpora(spark, tmp_path):
                 for i in range(len(toks) - K + 1)
                 if len(owner[tuple(toks[i:i + K])]) > 1
             ]
+            extents = []
             run_start = None
             prev = None
             for p in dup + [None]:
@@ -730,9 +761,18 @@ def test_max_dup_spans_matches_bruteforce_on_random_corpora(spark, tmp_path):
                     run_start = p if run_start is None else run_start
                 else:
                     if run_start is not None:
-                        want.add((d, run_start, prev - run_start + K))
+                        extents.append((run_start, prev + K - 1))
                     run_start = p
                 prev = p
+            # interval-merge token-overlapping extents (disjoint spans)
+            merged = []
+            for s, e in sorted(extents):
+                if merged and s <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            for s, e in merged:
+                want.add((d, s, e - s + 1))
         df = spark.createDataFrame(
             [(d, " ".join(t), "en", "s", 1) for d, t in docs.items()],
             "doc_id long, text string, lang string, source string, n_chars long",

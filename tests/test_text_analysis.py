@@ -859,6 +859,8 @@ def test_unigram_fertility_census_matches_python(spark, documents):
     from symat_hbase_tools_spark.operators import unigram
     from symat_hbase_tools_spark.operators.unigram import _viterbi
 
+    import re
+
     vocab = {
         r["piece"]: r["logprob"]
         for r in unigram.learn_unigram(spark, SF_DIR).collect()
@@ -866,7 +868,7 @@ def test_unigram_fertility_census_matches_python(spark, documents):
     maxl = max(len(p) for p in vocab)
     want: dict = {}
     for r in documents.select("lang", "text").collect():
-        ws = r["text"].split()
+        ws = [w for w in re.split(" +", r["text"].strip(" ")) if w]
         if not ws:
             continue
         d = want.setdefault(r["lang"], [0, 0, 0])
@@ -880,6 +882,23 @@ def test_unigram_fertility_census_matches_python(spark, documents):
     assert got == want
     for lang, (nd, nw, np_) in got.items():
         assert nw <= np_  # every word is at least one piece
+
+
+def test_unigram_fertility_tab_newline_are_token_chars(spark, tmp_path):
+    """Round-14 advice: the fertility kernel must tokenize with the
+    family's ' +' regex on space-trimmed text — a tab or newline is a
+    token CHARACTER, not a separator. 'aa\\tbb cc' is 2 words ('aa\\tbb',
+    'cc'), where str.split() would have said 3."""
+    from symat_hbase_tools_spark.operators import unigram
+
+    rows = [(1, "aa\tbb cc", "en", "src", 8), (2, "dd\nee ff gg", "en", "src", 11)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = unigram.unigram_fertility_census(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 2
+    assert got[0]["n_words"] == 5  # 2 + 3, not 3 + 4
 
 
 def test_gopher_quality_flags_rule_by_rule(spark, tmp_path):
