@@ -609,8 +609,69 @@ def dup_span_census(
     )
 
 
+def _window_hash_positions(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(doc_id, pos, h) for every overlapping k-token window: the shared
+    input table of the exact-substring-dedup family (census / maximal
+    spans / trim / per-partner refinement). pos is 1-based token position;
+    h is xxhash64 of the space-joined window (engine-internal — only the
+    grouping must agree with the oracle's md5, and it does because both
+    hash identical window strings)."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = _scan_fanout(spark, docs)
+    if docs.rdd.getNumPartitions() < target:  # fan OUT only, never coalesce
+        docs = docs.repartition(target)
+    words = docs.withColumn("words", F.split(F.col("text"), " ")).filter(
+        F.size("words") >= k
+    )
+    return words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - (k - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("words", i, k))),
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+
+
+def _merged_spans(dup: DataFrame, keys: list, k: int) -> DataFrame:
+    """Gaps-and-islands over duplicated positions, then an interval-merge
+    pass folding token-overlapping extents (islands with positional gap
+    <= k-2) into truly disjoint maximal spans (Lee et al. merge-before-
+    trim). Both window passes partition by the span keys, so state is
+    bounded per document, never corpus-sized. Input: (keys..., pos);
+    output: (keys..., start_pos, span_tokens)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("pos")
+    isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    ext = isl.groupBy(*keys, "grp").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + (k - 1)).alias("e"),
+    )
+    # a new merged group starts where this extent begins past every
+    # earlier extent's end (running max over starts-so-far); adjacent-
+    # but-disjoint extents (gap exactly k-1) stay separate
+    w2 = Window.partitionBy(*keys).orderBy("s")
+    prev_end = F.max("e").over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    merged = ext.withColumn(
+        "ng",
+        F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "gid", F.sum("ng").over(w2.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        merged.groupBy(*keys, "gid")
+        .agg(
+            F.min("s").cast("long").alias("start_pos"),
+            (F.max("e") - F.min("s") + 1).cast("long").alias("span_tokens"),
+        )
+        .select(*keys, "start_pos", "span_tokens")
+    )
+
+
 def max_dup_spans(
-    spark: SparkSession, sf_dir: str, k: int = 20
+    spark: SparkSession, sf_dir: str, k: int = 20, within_doc: bool = False
 ) -> DataFrame:
     """MAXIMAL duplicated-span extraction: merge runs of adjacent
     duplicated k-token windows per document into (doc_id, start_pos,
@@ -643,60 +704,28 @@ def max_dup_spans(
     by tokens-per-document, never corpus size; everything wide (the
     window-hash groupBy, the semi join back) keys on the 8-byte hash
     exactly like the census.
-    """
-    from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    target = _scan_fanout(spark, docs)
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
-    words = docs.withColumn("words", F.split(F.col("text"), " ")).filter(
-        F.size("words") >= k
+    ``k`` is the window width AND the detection floor: a duplicated span
+    of < k tokens is invisible by construction — run with k=8 (registry:
+    ``doc_max_dup_spans_k8``) to catch sub-20-token boilerplate at ~2.5x
+    the window-row volume. ``within_doc=True`` additionally counts a
+    window repeated ONLY inside one document as duplicated (the full Lee
+    et al. criterion: the suffix array sees self-repeats too); the
+    default counts cross-document sharing only.
+    """
+    wins = _window_hash_positions(spark, sf_dir, k)
+    dup_cond = (
+        (F.count(F.lit(1)) > 1)
+        if within_doc
+        else (F.count_distinct("doc_id") > 1)
     )
-    wins = words.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("words") - (k - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("words", i, k))),
-            )
-        ).alias("p0", "h"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
-    shared = (
-        wins.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h")
-    )
+    shared = wins.groupBy("h").agg(dup_cond.alias("dup")).filter("dup").select("h")
     dup = wins.join(shared, "h", "left_semi")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
-    ext = isl.groupBy("doc_id", "grp").agg(
-        F.min("pos").alias("s"),
-        (F.max("pos") + (k - 1)).alias("e"),
-    )
-    # interval merge: a new merged group starts where this extent begins
-    # past every earlier extent's end (running max over starts-so-far)
-    w2 = Window.partitionBy("doc_id").orderBy("s")
-    prev_end = F.max("e").over(w2.rowsBetween(Window.unboundedPreceding, -1))
-    merged = ext.withColumn(
-        "ng",
-        F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
-    ).withColumn(
-        "gid", F.sum("ng").over(w2.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return (
-        merged.groupBy("doc_id", "gid")
-        .agg(
-            F.min("s").cast("long").alias("start_pos"),
-            (F.max("e") - F.min("s") + 1).cast("long").alias("span_tokens"),
-        )
-        .select("doc_id", "start_pos", "span_tokens")
-    )
+    return _merged_spans(dup, ["doc_id"], k)
 
 
 def trim_dup_spans(
-    spark: SparkSession, sf_dir: str, k: int = 20
+    spark: SparkSession, sf_dir: str, k: int = 20, within_doc: bool = False
 ) -> DataFrame:
     """The WRITE form of ``max_dup_spans``: remove every maximal
     duplicated span's tokens from each document — the boilerplate-trim
@@ -716,7 +745,7 @@ def trim_dup_spans(
     spans-per-doc bounded by doc length / k). The HOF lives in a Project,
     never a Filter.
     """
-    spans = max_dup_spans(spark, sf_dir, k)
+    spans = max_dup_spans(spark, sf_dir, k, within_doc=within_doc)
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("start_pos", "span_tokens")).alias("spans"),
     )
@@ -747,6 +776,36 @@ def trim_dup_spans(
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, " ").alias("trimmed_text"),
     )
+
+
+def dup_span_partners(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Per-PARTNER duplicated-span refinement: (doc_id, partner_id,
+    start_pos, span_tokens) — the attribution form of ``max_dup_spans``.
+    Where the doc-level spans merge runs matched against ANY other
+    document (the trim criterion), this keys the gaps-and-islands +
+    interval-merge per (doc, partner), so a trim decision can be traced
+    to the document(s) the text was shared with (licensing audits,
+    boilerplate-source attribution, crawl-overlap forensics).
+
+    Scale: deliberately the quadratic-in-partners refinement the
+    doc-level form avoids — a window shared by m documents contributes
+    m*(m-1) pair rows. Hot boilerplate hashes are exactly the skewed
+    keys; AQE skew-join splits them, and the pair table stays bounded by
+    (shared windows) x (partners), never corpus^2, because only hashes
+    that collide at all enter the join. Run the doc-level form for trim;
+    run this on the (much smaller) already-flagged subset for forensics.
+    """
+    wins = _window_hash_positions(spark, sf_dir, k)
+    other = wins.select(F.col("doc_id").alias("partner_id"), "h").distinct()
+    pairs = (
+        wins.join(other, "h")
+        .filter(F.col("doc_id") != F.col("partner_id"))
+        .select("doc_id", "partner_id", "pos")
+        .distinct()
+    )
+    return _merged_spans(pairs, ["doc_id", "partner_id"], k)
 
 
 def simhash_portable_pairs(

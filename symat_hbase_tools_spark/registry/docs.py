@@ -58,6 +58,20 @@ QUERIES = {
     "doc_dup_spans": dedup.dup_span_census,
     "doc_max_dup_spans": dedup.max_dup_spans,
     "doc_trim_dup_spans": dedup.trim_dup_spans,
+    # round-14: the sub-k floor (k=8 catches 8-19-token boilerplate the
+    # default k=20 is blind to), the within-doc-repeat criterion (full
+    # Lee et al.: a span repeated only inside one document counts), and
+    # the per-partner attribution refinement
+    "doc_max_dup_spans_k8": lambda spark, sf: dedup.max_dup_spans(
+        spark, sf, k=8
+    ),
+    "doc_trim_dup_spans_k8": lambda spark, sf: dedup.trim_dup_spans(
+        spark, sf, k=8
+    ),
+    "doc_max_dup_spans_withindoc": lambda spark, sf: dedup.max_dup_spans(
+        spark, sf, within_doc=True
+    ),
+    "doc_dup_span_partners": dedup.dup_span_partners,
     "pipeline_curated_search": pipeline.curated_similarity_search,
     # round-12: hybrid lexical+semantic retrieval (reciprocal-rank fusion)
     "doc_hybrid_search_rrf": pipeline.hybrid_search_rrf,
@@ -190,6 +204,108 @@ QUERIES = {
     "doc_ngram_novelty": text_analysis.ngram_novelty,
 }
 
+# ---------------------------------------------------------------------------
+# exact-substring-dedup oracle templates (parameterized by window width k and
+# the duplication criterion) — one SQL body serves doc_max_dup_spans,
+# doc_max_dup_spans_k8, doc_max_dup_spans_withindoc, the trim forms, and the
+# per-partner refinement. Engine-internal hashes (Spark xxhash64 vs DuckDB
+# md5) only need to GROUP identically — both hash the same space-joined
+# k-token window strings.
+
+
+def _span_wins_cte(k: int) -> str:
+    """words -> overlapping k-token window positions -> md5 window hash."""
+    return f"""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             pos AS (SELECT doc_id, w, unnest(range(1, len(w) - {k - 2})) AS i
+                     FROM words WHERE len(w) >= {k}),
+             wins AS (SELECT doc_id, i AS pos,
+                             md5(array_to_string(w[i:i+{k - 1}], ' ')) AS h
+                      FROM pos)"""
+
+
+def _merge_sql(keys: str, k: int) -> str:
+    """islands over dup(keys..., pos) -> token extents -> interval-merge
+    into disjoint maximal spans; mirrors operators/dedup.py::_merged_spans."""
+    return f"""
+             isl AS (SELECT {keys}, pos,
+                            pos - ROW_NUMBER() OVER (PARTITION BY {keys}
+                                                     ORDER BY pos) AS g
+                     FROM dup),
+             ext AS (SELECT {keys}, MIN(pos) AS s, MAX(pos) + {k - 1} AS e
+                     FROM isl GROUP BY {keys}, g),
+             ng AS (SELECT {keys}, s, e,
+                           CASE WHEN s > COALESCE(MAX(e) OVER (
+                                    PARTITION BY {keys} ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), -1)
+                                THEN 1 ELSE 0 END AS f
+                    FROM ext),
+             grp AS (SELECT {keys}, s, e,
+                            SUM(f) OVER (PARTITION BY {keys} ORDER BY s
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW) AS gid
+                     FROM ng)
+        SELECT {keys}, CAST(MIN(s) AS BIGINT) AS start_pos,
+               CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+        FROM grp GROUP BY {keys}, gid"""
+
+
+def _max_dup_spans_sql(k: int, within_doc: bool = False) -> str:
+    crit = "count(*) > 1" if within_doc else "count(DISTINCT doc_id) > 1"
+    return f"""{_span_wins_cte(k)},
+             hs AS (SELECT h FROM wins GROUP BY h HAVING {crit}),
+             dup AS (SELECT doc_id, pos FROM wins
+                     WHERE h IN (SELECT h FROM hs)),{_merge_sql("doc_id", k)}
+    """
+
+
+def _dup_span_partners_sql(k: int) -> str:
+    return f"""{_span_wins_cte(k)},
+             dup AS (SELECT DISTINCT a.doc_id, b.doc_id AS partner_id, a.pos
+                     FROM wins a
+                     JOIN (SELECT DISTINCT doc_id, h FROM wins) b USING (h)
+                     WHERE a.doc_id <> b.doc_id),{
+        _merge_sql("doc_id, partner_id", k)}
+    """
+
+
+def _trim_dup_spans_sql(k: int) -> str:
+    # coverage is the UNION of extents, so the trim oracle can use the
+    # unmerged islands directly — identical covered-position set
+    return f"""{_span_wins_cte(k)},
+             hs AS (SELECT h FROM wins GROUP BY h
+                    HAVING count(DISTINCT doc_id) > 1),
+             dup AS (SELECT doc_id, pos FROM wins
+                     WHERE h IN (SELECT h FROM hs)),
+             isl AS (SELECT doc_id, pos,
+                            pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                     ORDER BY pos) AS g
+                     FROM dup),
+             ext AS (SELECT doc_id, MIN(pos) AS s,
+                            CAST(COUNT(*) + {k - 1} AS BIGINT) AS L
+                     FROM isl GROUP BY doc_id, g),
+             cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + L)) AS p
+                     FROM ext),
+             tok AS (SELECT doc_id, unnest(w) AS token,
+                            generate_subscripts(w, 1) AS p
+                     FROM words),
+             kept AS (SELECT t.doc_id,
+                             string_agg(t.token, ' ' ORDER BY t.p) AS trimmed,
+                             CAST(COUNT(*) AS BIGINT) AS n_kept
+                      FROM tok t LEFT JOIN cov c
+                        ON t.doc_id = c.doc_id AND t.p = c.p
+                      WHERE c.p IS NULL
+                      GROUP BY t.doc_id)
+        SELECT w.doc_id,
+               CAST(len(w.w) AS BIGINT) AS n_tokens,
+               CAST(len(w.w) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(k.trimmed, '') AS trimmed_text
+        FROM words w LEFT JOIN kept k ON w.doc_id = k.doc_id
+    """
+
+
 ORACLE_SQL = {
     "dedup_exact": r"""
         SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
@@ -297,79 +413,15 @@ ORACLE_SQL = {
     # as doc_dup_spans — maximal duplicated extents (Lee et al. 2022) —
     # then an interval-merge pass folding token-overlapping extents
     # (islands with positional gap <= k-2) into disjoint spans, mirroring
-    # the engine's merge-before-trim. Engine-internal hashes again only
-    # need to GROUP identically.
-    "doc_max_dup_spans": """
-        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS i
-                     FROM words WHERE len(w) >= 20),
-             wins AS (SELECT doc_id, i AS pos,
-                             md5(array_to_string(w[i:i+19], ' ')) AS h
-                      FROM pos),
-             hs AS (SELECT h FROM wins GROUP BY h
-                    HAVING count(DISTINCT doc_id) > 1),
-             dup AS (SELECT doc_id, pos FROM wins
-                     WHERE h IN (SELECT h FROM hs)),
-             isl AS (SELECT doc_id, pos,
-                            pos - ROW_NUMBER() OVER (PARTITION BY doc_id
-                                                     ORDER BY pos) AS g
-                     FROM dup),
-             ext AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 19 AS e
-                     FROM isl GROUP BY doc_id, g),
-             ng AS (SELECT doc_id, s, e,
-                           CASE WHEN s > COALESCE(MAX(e) OVER (
-                                    PARTITION BY doc_id ORDER BY s
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                             AND 1 PRECEDING), -1)
-                                THEN 1 ELSE 0 END AS f
-                    FROM ext),
-             grp AS (SELECT doc_id, s, e,
-                            SUM(f) OVER (PARTITION BY doc_id ORDER BY s
-                                         ROWS BETWEEN UNBOUNDED PRECEDING
-                                                  AND CURRENT ROW) AS gid
-                     FROM ng)
-        SELECT doc_id, CAST(MIN(s) AS BIGINT) AS start_pos,
-               CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
-        FROM grp GROUP BY doc_id, gid
-    """,
+    # the engine's merge-before-trim (templates above).
+    "doc_max_dup_spans": _max_dup_spans_sql(20),
+    "doc_max_dup_spans_k8": _max_dup_spans_sql(8),
+    "doc_max_dup_spans_withindoc": _max_dup_spans_sql(20, within_doc=True),
+    "doc_dup_span_partners": _dup_span_partners_sql(20),
+    "doc_trim_dup_spans_k8": _trim_dup_spans_sql(8),
     # trim = drop every covered token position; docs a span fully covers
     # COALESCE to '' (the engine emits an empty trimmed_text row)
-    "doc_trim_dup_spans": """
-        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             pos AS (SELECT doc_id, w, unnest(range(1, len(w) - 18)) AS i
-                     FROM words WHERE len(w) >= 20),
-             wins AS (SELECT doc_id, i AS pos,
-                             md5(array_to_string(w[i:i+19], ' ')) AS h
-                      FROM pos),
-             hs AS (SELECT h FROM wins GROUP BY h
-                    HAVING count(DISTINCT doc_id) > 1),
-             dup AS (SELECT doc_id, pos FROM wins
-                     WHERE h IN (SELECT h FROM hs)),
-             isl AS (SELECT doc_id, pos,
-                            pos - ROW_NUMBER() OVER (PARTITION BY doc_id
-                                                     ORDER BY pos) AS g
-                     FROM dup),
-             ext AS (SELECT doc_id, MIN(pos) AS s,
-                            CAST(COUNT(*) + 19 AS BIGINT) AS L
-                     FROM isl GROUP BY doc_id, g),
-             cov AS (SELECT doc_id, unnest(range(s, s + L)) AS p FROM ext),
-             tok AS (SELECT doc_id, unnest(w) AS token,
-                            generate_subscripts(w, 1) AS p
-                     FROM words),
-             kept AS (SELECT t.doc_id,
-                             string_agg(t.token, ' ' ORDER BY t.p) AS trimmed,
-                             CAST(COUNT(*) AS BIGINT) AS n_kept
-                      FROM tok t LEFT JOIN cov c
-                        ON t.doc_id = c.doc_id AND t.p = c.p
-                      WHERE c.p IS NULL
-                      GROUP BY t.doc_id)
-        SELECT w.doc_id,
-               CAST(len(w.w) AS BIGINT) AS n_tokens,
-               CAST(len(w.w) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
-               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
-               COALESCE(k.trimmed, '') AS trimmed_text
-        FROM words w LEFT JOIN kept k ON w.doc_id = k.doc_id
-    """,
+    "doc_trim_dup_spans": _trim_dup_spans_sql(20),
     "text_vocab_coverage": """
         WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
                       FROM documents),

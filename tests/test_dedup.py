@@ -716,6 +716,98 @@ def test_overlapping_islands_merge_and_trim_counts_exact(spark, tmp_path):
     assert got[3] == (20, 20, 0, "")
 
 
+def test_sub_k_spans_recovered_at_k8(spark, tmp_path):
+    """Round-14: planted 10-19-token duplicated fragments are invisible at
+    the default k=20 and recovered EXACTLY at k=8 (start position and
+    length), including one of exactly 8 tokens (the new floor)."""
+    frag10 = [f"d{i}" for i in range(10)]
+    frag19 = [f"e{i}" for i in range(19)]
+    frag8 = [f"f{i}" for i in range(8)]
+    docs = {
+        1: [f"u1_{j}" for j in range(12)] + frag10 + [f"v1_{j}" for j in range(9)],
+        2: [f"u2_{j}" for j in range(5)] + frag10,
+        3: frag19 + [f"v3_{j}" for j in range(14)],
+        4: [f"u4_{j}" for j in range(22)] + frag19,
+        5: frag8 + [f"v5_{j}" for j in range(30)],
+        6: [f"u6_{j}" for j in range(11)] + frag8 + [f"v6_{j}" for j in range(11)],
+    }
+    df = spark.createDataFrame(
+        [(d, " ".join(t), "en", "s", 1) for d, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    assert dedup.max_dup_spans(spark, str(tmp_path), k=20).count() == 0
+    got = {
+        (r["doc_id"], r["start_pos"], r["span_tokens"])
+        for r in dedup.max_dup_spans(spark, str(tmp_path), k=8).collect()
+    }
+    assert got == {
+        (1, 13, 10), (2, 6, 10),
+        (3, 1, 19), (4, 23, 19),
+        (5, 1, 8), (6, 12, 8),
+    }
+    trimmed = {
+        r["doc_id"]: (r["n_removed"], r["n_kept"])
+        for r in dedup.trim_dup_spans(spark, str(tmp_path), k=8).collect()
+    }
+    assert trimmed[1] == (10, 21) and trimmed[5] == (8, 30)
+
+
+def test_within_doc_repeats_need_the_flag(spark, tmp_path):
+    """A k-token span repeated ONLY inside one document: invisible to the
+    default cross-document criterion, a span under within_doc=True (the
+    full Lee et al. self-repeat case). Both engine forms asserted."""
+    rep = [f"r{i}" for i in range(20)]
+    doc1 = rep + [f"m{j}" for j in range(7)] + rep  # self-repeat, 47 tokens
+    doc2 = [f"x{j}" for j in range(25)]
+    df = spark.createDataFrame(
+        [(1, " ".join(doc1), "en", "s", 1), (2, " ".join(doc2), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    assert dedup.max_dup_spans(spark, str(tmp_path)).count() == 0
+    got = {
+        (r["doc_id"], r["start_pos"], r["span_tokens"])
+        for r in dedup.max_dup_spans(spark, str(tmp_path), within_doc=True).collect()
+    }
+    assert got == {(1, 1, 20), (1, 28, 20)}
+    # trim under the flag removes both occurrences
+    t = {
+        r["doc_id"]: (r["n_removed"], r["n_kept"])
+        for r in dedup.trim_dup_spans(
+            spark, str(tmp_path), within_doc=True
+        ).collect()
+    }
+    assert t[1] == (40, 7) and t[2] == (0, 25)
+
+
+def test_dup_span_partners_attributes_each_partner(spark, tmp_path):
+    """Per-partner refinement: doc1 shares fragment A with doc2 and
+    fragment B with doc3; the doc-level form merges nothing (disjoint,
+    far apart) but the partner form must attribute each span to exactly
+    its partner — and a doc-level span merged across partners splits."""
+    A = [f"a{i}" for i in range(20)]
+    B = [f"b{i}" for i in range(20)]
+    docs = {
+        1: A + [f"m{j}" for j in range(30)] + B,
+        2: [f"x{j}" for j in range(6)] + A,
+        3: B + [f"y{j}" for j in range(9)],
+    }
+    df = spark.createDataFrame(
+        [(d, " ".join(t), "en", "s", 1) for d, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_id"], r["partner_id"], r["start_pos"], r["span_tokens"])
+        for r in dedup.dup_span_partners(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, 2, 1, 20), (1, 3, 51, 20),
+        (2, 1, 7, 20), (3, 1, 1, 20),
+    }
+
+
 def test_max_dup_spans_matches_bruteforce_on_random_corpora(spark, tmp_path):
     """Seeded randomized cross-check: on three random corpora with
     planted shared fragments (varied lengths, overlaps, repeats), the
