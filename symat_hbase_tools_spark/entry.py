@@ -226,6 +226,7 @@ ROWS_ONLY_CHECK_TWINS: dict[str, str] = {
     "ann_pq_topk": "ann_pq_recall_check",
     "ann_bq_topk": "ann_bq_recall_check",
     "ann_ivfpq_topk": "ann_ivfpq_recall_check",
+    "ann_ivfbq_topk": "ann_ivfbq_recall_check",
     "embedding_kmeans_fit": "embedding_kmeans_check",
     "multimodal_near_dup": "multimodal_near_dup_check",
     "embedding_kcenter_select": "embedding_kcenter_check",

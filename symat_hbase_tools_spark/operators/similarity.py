@@ -2888,6 +2888,171 @@ def ann_bq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfbq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
+    n_assign: int = 3,
+    cell_shortlist_mult: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-BQ approximate top-k — the 1-bit in-cell rung of the serving
+    ladder (round-13 verdict lead 5): IVF's coarse quantizer prunes to
+    ``n_probe`` cells per query (the ``ann_ivf_topk`` half), the scan
+    INSIDE each probed cell runs over 1-bit sign codes (the
+    ``ann_bq_topk`` half: asymmetric q . sign(c) scoring — symmetric
+    hamming measured ~0.80 recall and was rejected for the flat tier),
+    and an exact cosine re-rank of the merged shortlist restores
+    precision (the shared ``_exact_cosine_rerank`` refine).
+
+    vs IVF-PQ (``ann_ivfpq_topk``): the cogrouped member payload is TWO
+    bigints per vector (16 B — 4x under PQ's m=16 int32 codes, 32x under
+    raw float64) and the in-cell kernel is one gemm against a {-1,+1}
+    matrix instead of m LUT gathers per candidate; the price is a coarser
+    first-pass score (1 bit/dim vs PQ's ~4), paid for with a deeper
+    per-cell shortlist (mult 16 vs PQ's 8). vs flat BQ: each query scans
+    only ~n_assign * n_probe / n_cells of the corpus instead of all of
+    it, so the scan cost per query grows as sqrt(n), not n.
+
+    Scale shape: codebook broadcast; member packing is a narrow Arrow
+    map over the spilled assignment; the only wide ops are the cogroup
+    shuffle on cell id (16 B payloads) and the skinny shortlist
+    re-rank join. Rows-only in the registry (k-means is not
+    SQL-expressible); the oracle-paired ``ann_ivfbq_recall_check``
+    floor-asserts the composition end-to-end.
+    """
+    import numpy as np
+
+    base = _emb(spark, sf_dir)
+    n = base.count()
+    if n_cells is None:
+        n_cells = _adaptive_cells(n)
+    if n_probe is None:
+        n_probe = max(3, n_cells // 3)  # constant FRACTION (see ann_ivf_topk)
+    centers, with_vec = _codebook_cached(spark, sf_dir, n_cells, seed)
+    bc_centers = spark.sparkContext.broadcast(centers)
+    assigned = _cell_assign(with_vec, bc_centers, n_assign)
+
+    def pack(batches):
+        import pandas as pd
+
+        for b in batches:
+            if b.empty:
+                continue
+            E = np.array(b["emb"].tolist(), dtype=np.float64)
+            bits = E > 0  # sign(raw) == sign(normalized): norm > 0
+            j32 = np.arange(32, dtype=np.uint64)
+            w0 = (bits[:, :32].astype(np.uint64) << j32[None, :]).sum(axis=1)
+            w1 = (bits[:, 32:64].astype(np.uint64) << j32[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": b["vec_id"],
+                    "cell": b["cell"],
+                    "w0": w0.astype(np.int64),
+                    "w1": w1.astype(np.int64),
+                }
+            )
+
+    members = assigned.mapInPandas(
+        pack, schema="neighbor_id long, cell int, w0 long, w1 long"
+    )
+
+    def query_probes(batches):
+        import pandas as pd
+
+        C = bc_centers.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            dq = _sqdist_to_centers(Q, C)
+            probes = np.argsort(dq, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"].repeat(n_probe),
+                    "qe": pdf["emb"].repeat(n_probe),
+                    "cell": probes.ravel(),
+                }
+            )
+
+    q = base.mapInPandas(
+        query_probes, schema="query_id long, qe array<double>, cell int"
+    )
+
+    R_cell = int(cell_shortlist_mult) * int(k)
+
+    def bq_cell_kernel(qg, cg):
+        import pandas as pd
+
+        if qg.empty or cg.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "s_bq": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "s_bq": "float64"}
+            )
+        Q = np.array(qg["qe"].tolist(), dtype=np.float64)
+        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        q_ids = qg["query_id"].to_numpy()
+        c_ids = cg["neighbor_id"].to_numpy()
+        # unpack the two packed words to a (members, 64) {-1,+1} matrix
+        j32 = np.arange(32, dtype=np.uint64)
+        w0 = cg["w0"].to_numpy().astype(np.uint64)
+        w1 = cg["w1"].to_numpy().astype(np.uint64)
+        bits = np.concatenate(
+            [
+                (w0[:, None] >> j32[None, :]) & 1,
+                (w1[:, None] >> j32[None, :]) & 1,
+            ],
+            axis=1,
+        )
+        Bpm = bits.astype(np.float64) * 2.0 - 1.0
+        out_q, out_n, out_s = [], [], []
+        q_step = max(1, KERNEL_SLICE_ELEMS // max(1, len(c_ids)))
+        for lo in range(0, len(q_ids), q_step):
+            Qs = Q[lo : lo + q_step]
+            ids_s = q_ids[lo : lo + q_step]
+            sims = Qs @ Bpm.T
+            sims[ids_s[:, None] == c_ids[None, :]] = -np.inf
+            rr = min(R_cell, sims.shape[1])
+            top, nbr = _topk_rows(sims, c_ids, rr)
+            keep = np.isfinite(top).ravel()
+            out_q.append(np.repeat(ids_s, rr)[keep])
+            out_n.append(nbr.ravel()[keep])
+            out_s.append(top.ravel()[keep])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "s_bq": np.concatenate(out_s),
+            }
+        )
+
+    local = (
+        q.groupby("cell")
+        .cogroup(members.groupby("cell"))
+        .applyInPandas(
+            bq_cell_kernel, schema="query_id long, neighbor_id long, s_bq double"
+        )
+    )
+    wS = Window.partitionBy("query_id").orderBy(F.desc("s_bq"), "neighbor_id")
+    shortlist = (
+        local.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(wS))
+        .filter(F.col("rk") <= R_cell * max(1, n_probe // 2))
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_cosine_rerank(shortlist, base, k)
+
+
+def ann_ivfbq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall_check(
+        spark, sf_dir, "ivfbq", ann_ivfbq_topk(spark, sf_dir, k=5),
+        floor=BQ_RECALL_FLOOR,
+    )
+
+
 def ann_ivfpq_topk(
     spark: SparkSession,
     sf_dir: str,

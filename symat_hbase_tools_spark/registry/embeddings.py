@@ -76,6 +76,10 @@ QUERIES = {
     # compressed-domain ADC scan + exact refine
     "ann_ivfpq_topk": lambda spark, sf: similarity.ann_ivfpq_topk(spark, sf),
     "ann_ivfpq_recall_check": similarity.ann_ivfpq_recall_check,
+    # round-14: the 1-bit in-cell rung — IVF cell pruning + packed
+    # sign-bit scan (16 B/member payload) + exact refine
+    "ann_ivfbq_topk": lambda spark, sf: similarity.ann_ivfbq_topk(spark, sf),
+    "ann_ivfbq_recall_check": similarity.ann_ivfbq_recall_check,
     "embedding_pq_check": lambda spark, sf: similarity.embedding_pq_check(
         spark, sf
     ),
@@ -358,6 +362,11 @@ ORACLE_SQL = {
     # round-11: IVF-PQ composed-serving recall floor
     "ann_ivfpq_recall_check": """
         SELECT 'ivfpq' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
+        FROM embeddings
+    """,
+    # round-14: IVF-BQ composed-serving recall floor
+    "ann_ivfbq_recall_check": """
+        SELECT 'ivfbq' AS method, COUNT(*) AS n_queries, TRUE AS recall_ok
         FROM embeddings
     """,
     # round-12: greedy k-center invariants — the oracle pins the selection

@@ -1135,6 +1135,42 @@ def test_ivfpq_cell_scan_is_compressed_domain(spark):
     assert check["recall_ok"] is True and check["method"] == "ivfpq"
 
 
+def test_ivfbq_cell_scan_carries_packed_words_only(spark):
+    """The IVF-BQ member side shuffled into the cell cogroup must carry
+    the TWO packed sign-bit bigints (16 B/member), not raw embedding
+    arrays — the 1-bit compression must be in the PLAN; raw vectors
+    appear only in the final refine join. Recall floor holds."""
+    from symat_hbase_tools_spark.operators import similarity as S
+
+    df = S.ann_ivfbq_topk(spark, SF_DIR, k=3)
+    plan = df._jdf.queryExecution().toString()
+    assert "w0" in plan and "w1" in plan
+    check = S.ann_ivfbq_recall_check(spark, SF_DIR).collect()[0]
+    assert check["recall_ok"] is True and check["method"] == "ivfbq"
+
+
+def test_ivfbq_exhaustive_probe_equals_exact_knn(spark):
+    """With every cell probed and an exhaustive per-cell shortlist, the
+    BQ first pass prunes nothing and the exact refine must reproduce
+    exact brute-force top-k bit-for-bit (ids AND rounded sims) — pins
+    the composition's plumbing (probe fanout, cogroup, dedup, rerank)
+    separately from its approximation quality."""
+    from symat_hbase_tools_spark.operators import similarity as S
+
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["sim"])
+        for r in S.knn_cosine_topk(spark, SF_DIR, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["sim"])
+        for r in S.ann_ivfbq_topk(
+            spark, SF_DIR, k=3, n_cells=6, n_probe=6, n_assign=1,
+            cell_shortlist_mult=10_000,
+        ).collect()
+    }
+    assert got == exact
+
+
 def test_persisted_ivfpq_lifecycle(spark, tmp_path):
     """build -> add-pq -> query-pq end to end: PQ-served results EXACTLY
     match the exact-in-cell persisted query at the same probes (the ADC
