@@ -346,7 +346,11 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"no data found for row key {args.rowKey!r}; nothing written")
                 return 0
             if args.output is not None:
-                new_dest.write.mode("overwrite").parquet(args.output)
+                from symat_hbase_tools_spark.sources.bloom import with_row_bloom
+
+                with_row_bloom(new_dest.write.mode("overwrite")).parquet(
+                    args.output
+                )
             else:
                 # reference semantics: CopyRow mutates the destination TABLE
                 # itself (CopyRow.java:118-131) — no --output flag exists
@@ -371,7 +375,9 @@ def main(argv: list[str] | None = None) -> int:
             auth = _load_cells(spark, args.authoritativeTable)
             replica = _load_cells(spark, args.replicaTable)
             repaired, changeset = repair(auth, replica, ts)
-            repaired.write.mode("overwrite").parquet(args.output)
+            from symat_hbase_tools_spark.sources.bloom import with_row_bloom
+
+            with_row_bloom(repaired.write.mode("overwrite")).parquet(args.output)
             c = repair_counters(changeset).collect()[0]
             print(
                 f"RESTORED_CELLS={c['restored']} BACKFILLED_CELLS={c['backfilled']} "
@@ -386,7 +392,11 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             cells = _load_cells(spark, args.table)
-            major_compact(cells).write.mode("overwrite").parquet(args.output)
+            from symat_hbase_tools_spark.sources.bloom import with_row_bloom
+
+            with_row_bloom(major_compact(cells).write.mode("overwrite")).parquet(
+                args.output
+            )
             r = compaction_report(cells).collect()[0]
             print(
                 f"CELLS_BEFORE={r['cells_before']} CELLS_AFTER={r['cells_after']} "

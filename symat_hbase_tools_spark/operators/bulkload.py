@@ -23,12 +23,20 @@ CELL_SORT = ["row", "family", "qualifier", "ts"]
 
 
 def bulk_load_cells(cells: DataFrame, path: str, num_regions: int = 16) -> None:
-    """Write cells as num_regions sorted, range-disjoint parquet files."""
+    """Write cells as num_regions sorted, range-disjoint parquet files.
+
+    Each file carries a row-key bloom filter (the HFile bloom analog, see
+    sources/bloom.py): range layout makes FILE pruning free via footer
+    stats, the bloom adds ROW-GROUP pruning for point gets inside the one
+    surviving file."""
+    from symat_hbase_tools_spark.sources.bloom import with_row_bloom
+
     (
-        cells.repartitionByRange(num_regions, "row")
-        .sortWithinPartitions(*CELL_SORT)
-        .write.mode("overwrite")
-        .parquet(path)
+        with_row_bloom(
+            cells.repartitionByRange(num_regions, "row")
+            .sortWithinPartitions(*CELL_SORT)
+            .write.mode("overwrite")
+        ).parquet(path)
     )
 
 

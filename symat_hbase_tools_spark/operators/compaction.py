@@ -99,11 +99,14 @@ def compact_files(
     ]
     total_bytes = sum(s.getLen() for s in statuses)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    from symat_hbase_tools_spark.sources.bloom import with_row_bloom
+
     (
-        df.repartitionByRange(n_files, "row")
-        .sortWithinPartitions("row", "family", "qualifier", "ts")
-        .write.mode("overwrite")
-        .parquet(dst_path)
+        with_row_bloom(
+            df.repartitionByRange(n_files, "row")
+            .sortWithinPartitions("row", "family", "qualifier", "ts")
+            .write.mode("overwrite")
+        ).parquet(dst_path)
     )
     dst = jvm.org.apache.hadoop.fs.Path(dst_path)
     files_after = sum(

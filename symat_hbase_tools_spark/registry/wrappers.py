@@ -188,7 +188,13 @@ def _materialized_fixture(spark, sf_dir, name, build) -> DataFrame:
     if path is None:
         path = _scratch_path(f"{name}_{abs(hash(key)):x}")
         try:
-            build().write.mode("overwrite").parquet(path)
+            df = build()
+            writer = df.write.mode("overwrite")
+            if "row" in df.columns:  # cells fixtures carry the row bloom
+                from symat_hbase_tools_spark.sources.bloom import with_row_bloom
+
+                writer = with_row_bloom(writer)
+            writer.parquet(path)
         except Exception:
             return build()
         _FIXTURE_CACHE[key] = path

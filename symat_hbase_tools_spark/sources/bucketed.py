@@ -39,10 +39,16 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Persist ``df`` as a bucketed+sorted managed table."""
+    """Persist ``df`` as a bucketed+sorted managed table. The lead bucket
+    column gets a row-group bloom filter (sources/bloom.py): every bucket
+    holds an interleaved 1/n hash-subset of the key space, so a point get
+    on the lead column alone (no bucket pruning — Spark requires ALL
+    bucket columns for that) passes every file's min/max footer stats;
+    the bloom rejects the n-1 buckets that cannot contain the key."""
+    from symat_hbase_tools_spark.sources.bloom import with_row_bloom
+
     (
-        df.write.format("parquet")
-        .mode(mode)
+        with_row_bloom(df.write.format("parquet").mode(mode), bucket_cols[0])
         .bucketBy(n_buckets, *bucket_cols)
         .sortBy(*(sort_cols or bucket_cols))
         .saveAsTable(table)

@@ -201,7 +201,12 @@ def overwrite_table_in_place(df, path: str) -> None:
                 )
             if stale:
                 fs.delete(st.getPath(), True)
-    df.write.mode("overwrite").parquet(tmp.toString())
+    writer = df.write.mode("overwrite")
+    if "row" in df.columns:  # cells tables get the row-key bloom (HFile analog)
+        from symat_hbase_tools_spark.sources.bloom import with_row_bloom
+
+        writer = with_row_bloom(writer)
+    writer.parquet(tmp.toString())
     dest_existed = fs.exists(dest)
     if dest_existed and not fs.rename(dest, old):
         fs.delete(tmp, True)

@@ -157,10 +157,14 @@ def write_region_store(cells: DataFrame, path: str, n_regions: int = 8) -> list[
         rid = rid + F.when(F.col("row") >= F.lit(b), 1).otherwise(0)
     os.makedirs(path, exist_ok=True)
     with_region = cells.withColumn("_region", rid.cast("int"))
+    from symat_hbase_tools_spark.sources.bloom import with_row_bloom
+
     (
-        with_region.repartition(n_regions, "_region")
-        .sortWithinPartitions("row", "family", "qualifier", "ts")
-        .write.mode("overwrite")
+        with_row_bloom(
+            with_region.repartition(n_regions, "_region")
+            .sortWithinPartitions("row", "family", "qualifier", "ts")
+            .write.mode("overwrite")
+        )
         .partitionBy("_region")
         .parquet(os.path.join(path, "regions"))
     )
