@@ -218,6 +218,7 @@ ROWS_ONLY_CHECK_TWINS: dict[str, str] = {
     "bpe_tokenize_census": "bpe_tokenize_check",
     "unigram_learn_vocab": "unigram_learn_check",
     "text_unigram_fertility": "unigram_tokenize_check",
+    "text_unigram_sampled": "unigram_sample_check",
     "dedup_simhash": "dedup_simhash_portable",
     "ann_lsh_topk": "ann_lsh_recall_check",
     "ann_ivf_topk": "ann_ivf_recall_check",

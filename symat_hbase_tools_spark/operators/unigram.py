@@ -398,3 +398,226 @@ def unigram_tokenize_check(
             ).alias("pieces_bounded_ok"),
         )
     )
+
+
+def _sample_segmentation(
+    word: str, logp: dict, max_len: int, alpha: float, rng
+) -> list:
+    """SAMPLE a segmentation with P(seg) proportional to p(seg)^alpha —
+    subword regularization (Kudo 2018 §3): forward-filtering (log
+    partition over prefixes at temperature alpha) then backward-sampling
+    of split points. alpha -> inf recovers the Viterbi path; alpha -> 0
+    approaches uniform over feasible segmentations. Single chars are
+    always in ``logp``, so the lattice is never empty."""
+    n = len(word)
+    Z = [0.0] + [-math.inf] * n
+    for i in range(1, n + 1):
+        terms = []
+        for j in range(max(0, i - max_len), i):
+            lp = logp.get(word[j:i])
+            if lp is not None and Z[j] != -math.inf:
+                terms.append(Z[j] + alpha * lp)
+        if terms:
+            m = max(terms)
+            Z[i] = m + math.log(sum(math.exp(t - m) for t in terms))
+    pieces, i = [], n
+    while i > 0:
+        cands = []
+        for j in range(max(0, i - max_len), i):
+            lp = logp.get(word[j:i])
+            if lp is not None and Z[j] != -math.inf:
+                cands.append((j, Z[j] + alpha * lp))
+        m = max(t for _, t in cands)
+        weights = [math.exp(t - m) for _, t in cands]
+        u = rng.random() * sum(weights)
+        acc, pick = 0.0, cands[-1][0]
+        for (j, _), w in zip(cands, weights):
+            acc += w
+            if u <= acc:
+                pick = j
+                break
+        pieces.append(word[pick:i])
+        i = pick
+    return pieces[::-1]
+
+
+def _word_rng(seed: int, word: str):
+    """Deterministic, partition-layout-independent RNG per word TYPE:
+    keyed by (seed, word) through crc32 — the same word samples the same
+    segmentation wherever it lands, so the census is reproducible across
+    runs, partitionings, and retries (Python's builtin hash is salted per
+    process and would not be)."""
+    import random
+    import zlib
+
+    return random.Random(zlib.crc32(f"{seed}:{word}".encode("utf-8")))
+
+
+def unigram_sampled_fertility(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.2,
+    seed: int = 42,
+    **kw,
+) -> DataFrame:
+    """Per-language fertility census under SAMPLED segmentations — the
+    training-time counterpart of ``unigram_fertility_census`` (which
+    serves the deterministic Viterbi path): subword regularization feeds
+    a model segmentation DIVERSITY, and this census quantifies how much
+    the sampled encoding inflates piece counts vs the ML path at a given
+    temperature.
+
+    Sampling is per word TYPE (deterministically keyed by (seed, word)),
+    not per token occurrence: reproducibility and distributed stability
+    outrank within-corpus variance here — a per-occurrence variant is a
+    cache-key change away, but its output would depend on nothing
+    checkable. Output: (lang, n_docs, n_words, n_pieces_sampled,
+    n_pieces_viterbi, sampled_overhead) for documents with >= 1 word.
+
+    Scale: identical shape to the Viterbi census — learn (histogram
+    passes) + ONE corpus encode pass with the vocab broadcast; the
+    per-batch word cache amortizes both lattice passes over repeated
+    words.
+    """
+    vocab_rows = learn_unigram(spark, sf_dir, **kw).collect()
+    logp = {r["piece"]: r["logprob"] for r in vocab_rows}
+    max_len = max((len(p) for p in logp), default=1)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def encode(batches):
+        import re
+
+        import pandas as pd
+
+        def toks(text):
+            return [w for w in re.split(" +", text.strip(" ")) if w]
+
+        for pdf in batches:
+            cache: dict[str, tuple] = {}
+
+            def counts(text):
+                ns = nv = 0
+                for w in toks(text):
+                    hit = cache.get(w)
+                    if hit is None:
+                        hit = cache[w] = (
+                            len(
+                                _sample_segmentation(
+                                    w, logp, max_len, alpha, _word_rng(seed, w)
+                                )
+                            ),
+                            len(_viterbi(w, logp, max_len)),
+                        )
+                    ns += hit[0]
+                    nv += hit[1]
+                return ns, nv
+
+            both = pdf["text"].map(counts)
+            out = pd.DataFrame(
+                {
+                    "lang": pdf["lang"],
+                    "n_w": pdf["text"].map(lambda t: len(toks(t))),
+                    "n_s": both.map(lambda t: t[0]),
+                    "n_v": both.map(lambda t: t[1]),
+                }
+            )
+            yield out[out["n_w"] >= 1]
+
+    per_doc = docs.select("lang", "text").mapInPandas(
+        encode, schema="lang string, n_w long, n_s long, n_v long"
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_w").alias("n_words"),
+            F.sum("n_s").alias("n_pieces_sampled"),
+            F.sum("n_v").alias("n_pieces_viterbi"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_pieces_sampled",
+            "n_pieces_viterbi",
+            (
+                F.col("n_pieces_sampled").cast("double")
+                / F.col("n_pieces_viterbi").cast("double")
+            ).alias("sampled_overhead"),
+        )
+    )
+
+
+def unigram_sample_check(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.2, seed: int = 42, **kw
+) -> DataFrame:
+    """Oracle-paired verification of subword-regularization sampling (the
+    unigram_learn_check pattern): SQL states the exact anchor (corpus
+    word count under the family's ' +' tokenizer), the engine asserts the
+    lattice-sampling invariants over EVERY distinct corpus word:
+
+    * valid_ok — every sampled segmentation concatenates back to its word;
+    * ml_dominates_ok — log-likelihood of the sampled path never exceeds
+      the Viterbi path's (Viterbi is the argmax; a sampler that beats it
+      is reading a different lattice);
+    * greedy_limit_ok — at alpha=1e9 the sampler returns the Viterbi path
+      exactly (temperature semantics, piece by piece);
+    * pieces_cover_ok — sampled piece count >= 1 per word and every piece
+      is in the learned vocab.
+    """
+    vocab_rows = learn_unigram(spark, sf_dir, **kw).collect()
+    logp = {r["piece"]: r["logprob"] for r in vocab_rows}
+    max_len = max((len(p) for p in logp), default=1)
+    hist = word_histogram(spark, sf_dir)
+
+    def kernel(batches):
+        import pandas as pd
+
+        valid = ml_dom = greedy = cover = True
+        for pdf in batches:
+            for word in pdf["word"]:
+                samp = _sample_segmentation(
+                    word, logp, max_len, alpha, _word_rng(seed, word)
+                )
+                vit = _viterbi(word, logp, max_len)
+                valid &= "".join(samp) == word
+                lp_s = sum(logp[p] for p in samp)
+                lp_v = sum(logp[p] for p in vit)
+                ml_dom &= lp_s <= lp_v + 1e-9
+                greedy &= (
+                    _sample_segmentation(
+                        word, logp, max_len, 1e9, _word_rng(seed, word)
+                    )
+                    == vit
+                )
+                cover &= len(samp) >= 1 and all(p in logp for p in samp)
+        yield pd.DataFrame(
+            {
+                "valid": [valid],
+                "ml_dom": [ml_dom],
+                "greedy": [greedy],
+                "cover": [cover],
+            }
+        )
+
+    flags = (
+        hist.mapInPandas(
+            kernel,
+            schema="valid boolean, ml_dom boolean, greedy boolean, cover boolean",
+        )
+        .agg(
+            F.bool_and("valid").alias("valid_ok"),
+            F.bool_and("ml_dom").alias("ml_dominates_ok"),
+            F.bool_and("greedy").alias("greedy_limit_ok"),
+            F.bool_and("cover").alias("pieces_cover_ok"),
+        )
+    )
+    from symat_hbase_tools_spark.functions.text import tokens
+
+    n_words = load_table(spark, sf_dir, "documents").agg(
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_words")
+    )
+    return n_words.crossJoin(flags).select(
+        "n_words", "valid_ok", "ml_dominates_ok", "greedy_limit_ok",
+        "pieces_cover_ok",
+    )

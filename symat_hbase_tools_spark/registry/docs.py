@@ -148,6 +148,14 @@ QUERIES = {
     "unigram_learn_check": lambda spark, sf: unigram.unigram_learn_check(spark, sf),
     "text_unigram_fertility": lambda spark, sf: unigram.unigram_fertility_census(spark, sf),
     "unigram_tokenize_check": lambda spark, sf: unigram.unigram_tokenize_check(spark, sf),
+    # round-14: subword regularization (Kudo 2018 sampled segmentations) —
+    # rows-only census + the oracle-paired lattice-invariant twin
+    "text_unigram_sampled": lambda spark, sf: unigram.unigram_sampled_fertility(
+        spark, sf
+    ),
+    "unigram_sample_check": lambda spark, sf: unigram.unigram_sample_check(
+        spark, sf
+    ),
     "dedup_incremental": dedup.incremental_dedup,
     # window evictions (oracle-verified locally + by the sf0.1 sweep;
     # each has an in-window sibling covering the same operator family —
@@ -1027,6 +1035,17 @@ ORACLE_SQL = {
                CAST(SUM(n_w) AS BIGINT) AS n_words,
                TRUE AS pieces_bounded_ok
         FROM d GROUP BY lang
+    """,
+    # unigram_sample_check: SQL-exact corpus word count + the sampling-
+    # lattice invariants as engine-side booleans (unigram_learn_check
+    # pattern)
+    "unigram_sample_check": f"""
+        SELECT CAST(SUM(CASE WHEN trim(text) <> ''
+                             THEN len({_TOKENS}) ELSE 0 END) AS BIGINT)
+                   AS n_words,
+               TRUE AS valid_ok, TRUE AS ml_dominates_ok,
+               TRUE AS greedy_limit_ok, TRUE AS pieces_cover_ok
+        FROM documents
     """,
     "text_tfidf_topk": f"""
         WITH words AS (SELECT doc_id, unnest({_TOKENS}) AS term

@@ -977,3 +977,187 @@ def test_gopher_quality_empty_text_is_dropped_not_crashed(spark, tmp_path):
     assert got[2]["n_words"] == 0 and got[2]["keep"] is False
     assert got[2]["mean_word_len"] == 0.0 and got[2]["alpha_frac"] == 0.0
     assert got[3]["n_words"] == 60
+
+
+def test_unigram_sampled_fertility_and_temperature_limits(spark):
+    """Subword-regularization census (round 14): deterministic across
+    runs (word-type-keyed RNG), sampled piece counts bounded below by the
+    word count, and the alpha -> inf limit collapses to the Viterbi
+    census exactly."""
+    from symat_hbase_tools_spark.operators import unigram
+
+    a = {
+        r["lang"]: (r["n_pieces_sampled"], r["n_pieces_viterbi"], r["n_words"])
+        for r in unigram.unigram_sampled_fertility(spark, SF_DIR).collect()
+    }
+    b = {
+        r["lang"]: (r["n_pieces_sampled"], r["n_pieces_viterbi"], r["n_words"])
+        for r in unigram.unigram_sampled_fertility(spark, SF_DIR).collect()
+    }
+    assert a == b and a
+    for ns, nv, nw in a.values():
+        assert ns >= nw and nv >= nw
+    hot = {
+        r["lang"]: r["n_pieces_sampled"]
+        for r in unigram.unigram_sampled_fertility(
+            spark, SF_DIR, alpha=1e9
+        ).collect()
+    }
+    assert hot == {k: nv for k, (ns, nv, nw) in a.items()}
+    # a genuinely soft temperature diversifies at least one segmentation
+    cold = {
+        r["lang"]: r["n_pieces_sampled"]
+        for r in unigram.unigram_sampled_fertility(
+            spark, SF_DIR, alpha=0.01
+        ).collect()
+    }
+    assert any(
+        cold[k] != a[k][1] for k in cold
+    ), "alpha=0.01 sampled exactly the Viterbi census — sampler inert?"
+
+
+def test_unigram_large_budget_parity_at_sf01(spark):
+    """Round-14 'realistic budget' run: at sf0.1 with a 1024-piece budget
+    the corpus (31 distinct synthetic words, 259 distinct substrings)
+    cannot fill it — the trainer must keep EVERY live multi-char piece,
+    stay a probability model, and still match the pure-python reference
+    rank by rank (the parity loop extended beyond census defaults)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from symat_hbase_tools_spark.operators import unigram
+
+    SF01 = "/root/testdata/sf0.1"
+    got = [
+        (r["rank"], r["piece"], r["count"], r["logprob"])
+        for r in unigram.learn_unigram(
+            spark, SF01, vocab_size=1024, seed_multi=4096
+        ).collect()
+    ]
+    assert abs(sum(math.exp(lp) for *_, lp in got) - 1.0) < 1e-4
+
+    words = Counter()
+    con = duckdb.connect()
+    for w, f in con.execute(
+        "SELECT w, count(*) FROM (SELECT unnest(string_split_regex(trim(text),"
+        f"' +')) AS w FROM read_parquet('{SF01}/documents.parquet')) "
+        "WHERE w <> '' GROUP BY w"
+    ).fetchall():
+        words[w] = f
+    want = _python_unigram_reference(words, vocab=1024, seed_multi=4096)
+    assert got == want
+
+
+def test_unigram_vocab_1k_on_rich_corpus(spark, tmp_path):
+    """A corpus with enough lexical diversity for a REAL >= 1k vocabulary
+    (the testdata's 31-word synthetic vocab cannot): 1500 distinct
+    seeded pseudo-words. The trainer must fill >= 1000 pieces, keep the
+    rank order, stay a probability model, and match the python reference
+    rank by rank at this budget."""
+    import math
+    import random
+    from collections import Counter
+
+    from symat_hbase_tools_spark.operators import unigram
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnop"
+    vocab_words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(4, 10)))
+        for _ in range(1500)
+    ]
+    docs = [
+        (i, " ".join(rng.choices(vocab_words, k=40)), "en", "s", 1)
+        for i in range(300)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = [
+        (r["rank"], r["piece"], r["count"], r["logprob"])
+        for r in unigram.learn_unigram(
+            spark, str(tmp_path), vocab_size=1100, seed_multi=4096
+        ).collect()
+    ]
+    assert len(got) >= 1000, len(got)
+    assert abs(sum(math.exp(lp) for *_, lp in got) - 1.0) < 1e-4
+
+    words = Counter()
+    for _, text, *_ in docs:
+        words.update(text.split(" "))
+    want = _python_unigram_reference(words, vocab=1100, seed_multi=4096)
+    assert got == want
+
+
+def _python_unigram_reference(words, vocab, seed_multi, maxl=6, iters=3):
+    """The pure-python spec reference shared by the parity tests (same
+    loop as test_unigram_learn_matches_python_reference, parameterized)."""
+    import math
+
+    def viterbi(word, logp):
+        n = len(word)
+        dp = [0.0] + [-math.inf] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            best, bj = -math.inf, -1
+            for j in range(max(0, i - maxl), i):
+                lp = logp.get(word[j:i])
+                if lp is None or dp[j] == -math.inf:
+                    continue
+                if dp[j] + lp > best:
+                    best, bj = dp[j] + lp, j
+            dp[i], back[i] = best, bj
+        out, i = [], n
+        while i > 0:
+            out.append(word[back[i]:i])
+            i = back[i]
+        return out[::-1]
+
+    from collections import Counter
+
+    subc: Counter = Counter()
+    chars = set()
+    for w, f in words.items():
+        for i in range(len(w)):
+            chars.add(w[i])
+            for length in range(1, min(maxl, len(w) - i) + 1):
+                subc[w[i:i + length]] += f
+    multi = sorted(
+        ((p, c) for p, c in subc.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:seed_multi]
+    counts = dict(multi)
+    for ch in chars:
+        counts[ch] = subc[ch]
+
+    target_multi = max(0, vocab - len(chars))
+    for it in range(iters):
+        total = sum(counts.values())
+        logp = {p: math.log(c / total) for p, c in counts.items()}
+        newc: dict = {}
+        for w, f in words.items():
+            for p in viterbi(w, logp):
+                newc[p] = newc.get(p, 0) + f
+        live = sorted(
+            ((p, c) for p, c in newc.items() if len(p) > 1 and c > 0),
+            key=lambda x: (-x[1], x[0]),
+        )
+        keep_n = (
+            target_multi
+            if it == iters - 1
+            else max(target_multi, math.ceil(len(live) * 0.75))
+        )
+        counts = dict(live[:keep_n])
+        for ch in chars:
+            counts[ch] = max(newc.get(ch, 0), 1)
+
+    total = sum(counts.values())
+    return [
+        (rank, p, c, round(math.log(c / total), 6))
+        for rank, (p, c) in enumerate(
+            sorted(counts.items(), key=lambda x: (-x[1], x[0]))
+        )
+    ]
