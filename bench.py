@@ -162,6 +162,14 @@ HEADLINE = [
     "doc_max_dup_spans",
     "doc_trim_dup_spans",
     "doc_gopher_quality",
+    # round-14 operators (ann_ivfbq_topk stays out like the other ANN topk
+    # serving paths — the recall checks carry their claims in the sweeps;
+    # unigram sampling is training-time like the learners)
+    "doc_max_dup_spans_k8",
+    "doc_trim_dup_spans_k8",
+    "doc_max_dup_spans_withindoc",
+    "doc_dup_span_partners",
+    "ann_ivfbq_recall_check",
 ]
 
 
@@ -357,15 +365,40 @@ def main() -> None:
                 if k != "queries"
             }
     if not only:  # adjudication runs never overwrite the official record
+        repo = os.path.dirname(os.path.abspath(__file__))
         detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "BASELINE_DETAIL.json" if baseline else "BENCH_DETAIL.json",
+            repo, "BASELINE_DETAIL.json" if baseline else "BENCH_DETAIL.json"
         )
         try:
             with open(detail_path, "w") as f:
                 json.dump(detail, f, indent=1)
         except OSError:
             pass
+        # round-keyed sidecar (round-13 verdict: BENCH_DETAIL.json is
+        # overwritten in place and the driver's BENCH_r{N} tail capture
+        # truncates the per-query map — this file is the stable
+        # round-over-round per-query record). Round = SPARK_GRAFT_ROUND if
+        # set, else one past the newest driver CORRECTNESS artifact.
+        if not baseline:
+            rnd = os.environ.get("SPARK_GRAFT_ROUND")
+            if not rnd:
+                import re as _re
+
+                seen = [
+                    int(m.group(1))
+                    for fn in os.listdir(repo)
+                    for m in [_re.match(r"CORRECTNESS_r(\d+)\.json$", fn)]
+                    if m
+                ]
+                rnd = str(max(seen) + 1) if seen else "0"
+            try:
+                with open(
+                    os.path.join(repo, f"BENCH_DETAIL_r{int(rnd):02d}.json"),
+                    "w",
+                ) as f:
+                    json.dump(detail, f, indent=1)
+            except (OSError, ValueError):
+                pass
     line = json.dumps(summary)
     if len(line) > 1900:
         # drop the cheapest per-query entries until the line fits; the full
