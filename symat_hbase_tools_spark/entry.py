@@ -63,73 +63,72 @@ QUERIES = dict(QUERIES)  # local copy: window ordering + plan cache below
 
 
 # ---------------------------------------------------------------------------
-# driver verification window (round-13 rotation)
+# driver verification window (round-14 rotation)
 #
 # The driver hash-verifies the FIRST 50 entries in dict order against the
-# DuckDB oracles at sf0.01. Round-13 policy (r12 verdict ask #4): keep the
-# kv core trio + the exactly-once streaming rep, seat every round-13
-# registration (doc_max_dup_spans, doc_trim_dup_spans,
-# doc_gopher_quality + the two unigram check twins — the rows-only
-# unigram_learn_vocab / text_unigram_fertility are represented by those
-# twins per the check-twin policy; the BQ tier seats its census + recall
-# check, ann_bq_topk rows-only via its twin), and fill the remaining 39
-# seats with the STALEST oracle-paired entries — every one of them last had a
-# driver row in rounds 1-3 (computed from CORRECTNESS_r*.json).
-# Everything rotated out is double-green-or-better and stays covered by
-# tests/test_oracle.py and the sf0.01/sf0.1 sweeps. Historical rotation
-# notes live in git history (rounds 5-12 window comments).
+# DuckDB oracles at sf0.01. Round-14 policy (r13 verdict ask #2): keep the
+# kv core trio + the exactly-once streaming rep, seat every round-14
+# oracle-paired birth (the span family's k=8 / within-doc / per-partner
+# forms, the IVF-BQ recall check, the subword-sampling check — the
+# rows-only ann_ivfbq_topk / text_unigram_sampled are represented by
+# their twins per the check-twin policy), and fill the remaining 40
+# seats with the STALEST oracle-paired entries computed from
+# CORRECTNESS_r*.json (this cohort: 14 whose last driver row was r3 +
+# 26 from r4). Everything rotated out is double-green-or-better and
+# stays covered by tests/test_oracle.py and the sf0.01/sf0.1 sweeps.
+# Historical rotation notes live in git history (rounds 5-13 comments).
 
 _DRIVER_WINDOW = [
     "kv_point_get",
     "kv_audit_report",
     "kv_copy_row_bump",
     "events_rollup_exactly_once",
-    "doc_max_dup_spans",
-    "doc_trim_dup_spans",
-    "doc_gopher_quality",
-    "unigram_learn_check",
-    "unigram_tokenize_check",
-    "embedding_binary_quantize",
-    "ann_bq_recall_check",
-    "approx_distinct_parts",
-    "cube_returnflag_linestatus",
-    "customer_order_deltas",
-    "events_by_segment",
-    "events_hourly",
-    "events_sliding_6h",
-    "fuzzy_name_pairs",
-    "kv_apply_changeset",
-    "kv_compaction_report",
-    "kv_expire_ttl",
-    "kv_index_lookup",
-    "kv_major_compact",
-    "kv_repair_counters",
-    "kv_repair_replica",
-    "kv_retain_versions",
-    "kv_snapshot_as_of",
-    "monthly_order_stats",
-    "orders_without_lineitems",
-    "part_name_analysis",
-    "pivot_status_by_priority",
-    "price_percentiles",
-    "price_percentiles_approx",
-    "q13_customer_order_histogram",
-    "q5_local_supplier_volume",
-    "rollup_order_counts",
-    "segment_distinct_counts",
-    "top_parts_per_brand",
-    "boilerplate_shingles",
-    "click_conversion",
-    "dedup_bow_fingerprint",
-    "doc_length_histogram",
-    "doc_pack_stats",
-    "doc_reservoir_per_lang",
-    "doc_sample_stratified",
-    "doc_shuffle_assign",
-    "embedding_label_centroids",
-    "multimodal_frame_census",
-    "text_doc_fingerprints",
-    "text_token_stats",
+    "doc_max_dup_spans_k8",
+    "doc_trim_dup_spans_k8",
+    "doc_max_dup_spans_withindoc",
+    "doc_dup_span_partners",
+    "ann_ivfbq_recall_check",
+    "unigram_sample_check",
+    "click_conversion_full",
+    "customer_running_totals",
+    "doc_unimax_resample",
+    "events_kv_state",
+    "kv_audit_counters",
+    "kv_column_projection",
+    "kv_keyonly_scan",
+    "nation_setops",
+    "pipeline_curated_search",
+    "purchase_attribution",
+    "text_cleaning",
+    "text_repetition_signals",
+    "text_tfidf_topk",
+    "text_unigram_logprob",
+    "ann_ivf_recall_check",
+    "asof_purchase_signup",
+    "bpe_pair_stats",
+    "customer_balance_distribution",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_portable",
+    "doc_dedup_clusters",
+    "doc_dedup_keep_best",
+    "doc_dup_spans",
+    "doc_mixture_weights",
+    "doc_quality_classifier",
+    "doc_sample_weighted",
+    "embedding_near_dup",
+    "events_funnel",
+    "events_gap_fill",
+    "events_hourly_incremental",
+    "events_json_extract",
+    "events_ohlc_daily",
+    "events_session_paths",
+    "events_skew_report",
+    "kv_scd2_history",
+    "market_share",
+    "min_cost_supplier",
+    "orders_equidepth_histogram",
+    "q3_shipping_priority",
+    "referential_integrity_census",
 ]
 
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
