@@ -140,6 +140,13 @@ def main(argv: list[str] | None = None) -> int:
         help="window size k — only verbatim cross-document spans of >= k "
         "tokens are detected and trimmed",
     )
+    tsp.add_argument(
+        "--withinDoc",
+        action="store_true",
+        help="also trim spans repeated ONLY inside one document (the full "
+        "Lee et al. self-repeat criterion; default trims cross-document "
+        "sharing only)",
+    )
     tsp.add_argument("--output", required=True, help="parquet path for the trimmed corpus")
 
     dc = sub.add_parser(
@@ -476,7 +483,9 @@ def main(argv: list[str] | None = None) -> int:
             if args.minSpan < 1:
                 print("error: --minSpan must be >= 1", file=sys.stderr)
                 return 1
-            trimmed = dd_ops.trim_dup_spans(spark, args.sfDir, k=args.minSpan)
+            trimmed = dd_ops.trim_dup_spans(
+                spark, args.sfDir, k=args.minSpan, within_doc=args.withinDoc
+            )
             cols = docs.columns
             out = (
                 docs.drop("text", "n_chars")

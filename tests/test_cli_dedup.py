@@ -419,6 +419,37 @@ def test_cli_trim_spans_writes_trimmed_corpus(spark, tmp_path, capsys):
     assert rc == 1
 
 
+def test_cli_trim_spans_within_doc_flag(spark, tmp_path, capsys):
+    """--withinDoc trims a span repeated only inside one document; the
+    default leaves it (cross-document criterion)."""
+    rep = " ".join(f"r{i}" for i in range(20))
+    src = tmp_path / "corpus"
+    spark.createDataFrame(
+        [
+            (1, rep + " " + " ".join(f"m{j}" for j in range(7)) + " " + rep,
+             "en", "s", 1),
+            (2, " ".join(f"x{j}" for j in range(25)), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(src / "documents.parquet"))
+    out = str(tmp_path / "t1")
+    assert main(["trim-spans", "--sfDir", str(src), "--output", out]) == 0
+    assert "TOKENS_REMOVED=0" in capsys.readouterr().out
+    out2 = str(tmp_path / "t2")
+    assert (
+        main(
+            ["trim-spans", "--sfDir", str(src), "--withinDoc", "--output", out2]
+        )
+        == 0
+    )
+    printed = capsys.readouterr().out
+    assert "DOCS_TRIMMED=1" in printed and "TOKENS_REMOVED=40" in printed
+    kept = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(out2).collect()
+    }
+    assert kept[1] == " ".join(f"m{j}" for j in range(7))
+
+
 def test_cli_trim_spans_noop_corpus(spark, tmp_path, capsys):
     """A corpus with no cross-document spans: every doc passes through
     verbatim, DOCS_TRIMMED=0 TOKENS_REMOVED=0."""
