@@ -291,11 +291,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     ai.add_argument(
         "--action",
-        choices=["build", "append", "query", "add-pq", "query-pq"],
+        choices=["build", "append", "query", "add-pq", "query-pq", "add-bq", "query-bq"],
         required=True,
         help="add-pq attaches the compressed PQ layer (codebooks + "
         "cell-partitioned codes); query-pq serves from it (ADC scan of "
-        "codes only + exact refine). Re-run add-pq after append.",
+        "codes only + exact refine). add-bq/query-bq are the 1-bit "
+        "sibling (packed sign bits, 16 B/row scan). Re-run add-pq/"
+        "add-bq after append.",
     )
     ai.add_argument("--indexDir", required=True, help="index root (centroids/ + assignments/)")
     ai.add_argument("--sfDir", default="/root/testdata/sf0.001",
@@ -786,6 +788,11 @@ def main(argv: list[str] | None = None) -> int:
                 n = spark.read.parquet(f"{args.indexDir}/pq_codes").count()
                 print(f"encoded {n} rows into {args.indexDir}/pq_codes")
                 return 0
+            if args.action == "add-bq":
+                S.ivf_index_add_bq(spark, args.indexDir)
+                n = spark.read.parquet(f"{args.indexDir}/bq_codes").count()
+                print(f"packed {n} rows into {args.indexDir}/bq_codes")
+                return 0
             if not args.vectors:
                 print("error: --vectors required for append/query", file=sys.stderr)
                 return 1
@@ -801,9 +808,10 @@ def main(argv: list[str] | None = None) -> int:
             n_probe = (
                 args.nProbe if args.nProbe is not None else max(3, n_cells // 4)
             )
-            query_fn = (
-                S.ann_ivfpq_query if args.action == "query-pq" else S.ann_ivf_query
-            )
+            query_fn = {
+                "query-pq": S.ann_ivfpq_query,
+                "query-bq": S.ann_ivfbq_query,
+            }.get(args.action, S.ann_ivf_query)
             out = query_fn(spark, args.indexDir, vecs, k=args.k, n_probe=n_probe)
             out.show(20, truncate=False)
             if args.output:

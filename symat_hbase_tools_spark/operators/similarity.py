@@ -3489,3 +3489,227 @@ def ann_ivfpq_query(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+def ivf_index_add_bq(spark: SparkSession, index_dir: str) -> None:
+    """Attach a BINARY-quantization layer to a PERSISTED IVF index — the
+    serve-many form of the in-session ``ann_ivfbq_topk`` and the 1-bit
+    sibling of ``ivf_index_add_pq``: every indexed vector's sign bits
+    packed once into two bigint words and stored as their OWN
+    cell-partitioned tree, so the first-pass scan opens 16-byte rows and
+    never touches the raw-vector files.
+
+    Simpler than the PQ layer by construction: sign-bit packing has no
+    codebooks to fit (it is data-independent), so there is nothing to
+    train, nothing to broadcast at build time, and the encode is a pure
+    narrow map over the assignment tree. Layout added (existing trees
+    untouched): ``bq_codes/cell=N/`` (vec_id, w0, w1), mirroring the
+    assignment tree's partitioning so the probe list prunes the SAME
+    directories. Appends after add_bq leave the layer STALE —
+    ``ann_ivfbq_query`` refuses with the re-encode instruction (same
+    guard as the PQ layer).
+    """
+    import numpy as np
+
+    assigned = _ivf_relation(spark, index_dir, "assignments")
+
+    def pack(batches):
+        import pandas as pd
+
+        j32 = np.arange(32, dtype=np.uint64)
+        for b in batches:
+            if b.empty:
+                continue
+            E = np.array(b["emb"].tolist(), dtype=np.float64)
+            bits = E > 0
+            w0 = (bits[:, :32].astype(np.uint64) << j32[None, :]).sum(axis=1)
+            w1 = (bits[:, 32:64].astype(np.uint64) << j32[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"],
+                    "cell": b["cell"],
+                    "w0": w0.astype(np.int64),
+                    "w1": w1.astype(np.int64),
+                }
+            )
+
+    (
+        assigned.select("vec_id", "emb", "cell")
+        .mapInPandas(pack, schema="vec_id long, cell int, w0 long, w1 long")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/bq_codes")
+    )
+    _invalidate_ivf_relations(index_dir)
+
+
+def ann_ivfbq_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    cell_shortlist_mult: int = 16,
+) -> DataFrame:
+    """Top-k search against a persisted IVF index's BQ LAYER: probe-list
+    directory pruning on ``bq_codes/cell=N/`` (16-byte rows; the raw
+    tree is not opened for the scan), per-cell asymmetric sign-bit first
+    pass, exact cosine refine of the merged shortlist against the PRUNED
+    raw cells. The serve-many composition of ``ann_ivf_query`` (pruning)
+    and ``ann_bq_topk`` (scoring); shortlist mult defaults 16 — one
+    notch deeper than PQ's 8, the 1-bit coarseness lever (see
+    ``ann_ivfbq_topk``).
+
+    Staleness guard: raw appends without a re-encode leave bq_codes
+    smaller than assignments — refused with the fix instruction.
+    """
+    import os
+
+    import numpy as np
+
+    if not os.path.isdir(os.path.join(index_dir, "bq_codes")):
+        raise ValueError(
+            f"index at {index_dir} has no BQ layer; run ivf_index_add_bq first"
+        )
+    n_assigned = _ivf_relation(spark, index_dir, "assignments").count()
+    n_bq_rows = _ivf_relation(spark, index_dir, "bq_codes").count()
+    if n_assigned != n_bq_rows:
+        raise ValueError(
+            f"BQ layer is STALE ({n_bq_rows} encoded of {n_assigned} "
+            "indexed rows — vectors were appended after ivf_index_add_bq); "
+            "re-run ivf_index_add_bq to re-encode"
+        )
+    cent = _ivf_relation(spark, index_dir, "centroids").orderBy("cell").collect()
+    C = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    bc_cent = spark.sparkContext.broadcast(C)
+
+    def probes_for(batches):
+        import pandas as pd
+
+        cmat = bc_cent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf["qe"].tolist(), dtype=np.float64)
+            dq = _sqdist_to_centers(Q, cmat)
+            probes = np.argsort(dq, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].repeat(n_probe),
+                    "qe": pdf["qe"].repeat(n_probe),
+                    "cell": probes.ravel(),
+                }
+            )
+
+    from pyspark import StorageLevel
+
+    _release_probe_caches()
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double(F.col("embedding")).alias("qe"),
+        )
+        .mapInPandas(probes_for, schema="query_id long, qe array<double>, cell int")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _IVF_PROBE_CACHES.append(q)
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    codes_rel = _ivf_relation(spark, index_dir, "bq_codes").filter(
+        F.col("cell").isin(probed)
+    )
+
+    R_cell = int(cell_shortlist_mult) * int(k)
+
+    def bq_cell_kernel(qg, cg):
+        import pandas as pd
+
+        if qg.empty or cg.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "s_bq": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "s_bq": "float64"}
+            )
+        Q = np.array(qg["qe"].tolist(), dtype=np.float64)
+        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        q_ids = qg["query_id"].to_numpy()
+        c_ids = cg["vec_id"].to_numpy()
+        j32 = np.arange(32, dtype=np.uint64)
+        w0 = cg["w0"].to_numpy().astype(np.uint64)
+        w1 = cg["w1"].to_numpy().astype(np.uint64)
+        bits = np.concatenate(
+            [
+                (w0[:, None] >> j32[None, :]) & 1,
+                (w1[:, None] >> j32[None, :]) & 1,
+            ],
+            axis=1,
+        )
+        Bpm = bits.astype(np.float64) * 2.0 - 1.0
+        out_q, out_n, out_s = [], [], []
+        q_step = max(1, KERNEL_SLICE_ELEMS // max(1, len(c_ids)))
+        for lo in range(0, len(q_ids), q_step):
+            Qs = Q[lo : lo + q_step]
+            ids_s = q_ids[lo : lo + q_step]
+            sims = Qs @ Bpm.T
+            # same same-id mask as the PQ persisted path
+            sims[ids_s[:, None] == c_ids[None, :]] = -np.inf
+            rr = min(R_cell, sims.shape[1])
+            top, nbr = _topk_rows(sims, c_ids, rr)
+            keep = np.isfinite(top).ravel()
+            out_q.append(np.repeat(ids_s, rr)[keep])
+            out_n.append(nbr.ravel()[keep])
+            out_s.append(top.ravel()[keep])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "s_bq": np.concatenate(out_s),
+            }
+        )
+
+    local = (
+        q.groupby("cell")
+        .cogroup(codes_rel.groupby("cell"))
+        .applyInPandas(
+            bq_cell_kernel, schema="query_id long, neighbor_id long, s_bq double"
+        )
+    )
+    wS = Window.partitionBy("query_id").orderBy(F.desc("s_bq"), "neighbor_id")
+    shortlist = (
+        local.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(wS))
+        .filter(F.col("rk") <= R_cell * max(1, n_probe // 2))
+        .select("query_id", "neighbor_id")
+    )
+    nv = (
+        _ivf_relation(spark, index_dir, "assignments")
+        .filter(F.col("cell").isin(probed))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
+        .dropDuplicates(["neighbor_id"])
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ne", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    ranked = (
+        shortlist.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (nrm(F.col("qe")) * nrm(F.col("ne")))).alias("sim_raw"),
+        )
+    )
+    wF = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        ranked.withColumn("rk", F.row_number().over(wF))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )

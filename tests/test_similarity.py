@@ -1231,6 +1231,59 @@ def test_persisted_ivfpq_lifecycle(spark, tmp_path):
     assert hits == 4
 
 
+def test_persisted_ivfbq_lifecycle(spark, tmp_path):
+    """build -> add-bq -> query-bq end to end (the 1-bit persisted layer,
+    round 14): high id-recall and near-zero mean quality gap vs the
+    exact-in-cell persisted query at the SAME probes; the bq_codes tree
+    is partition-pruned by the probe list; appending raw vectors STALES
+    the layer (refused with the re-encode message); re-encoding finds
+    appended clones at sim 1.0."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from symat_hbase_tools_spark.operators import similarity as S
+
+    idx = str(tmp_path / "idx")
+    S.build_ivf_index(spark, SF_DIR, idx, n_cells=8, n_assign=2)
+    # querying before add-bq refuses with the build instruction
+    qs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(30)
+    with _pytest.raises(ValueError, match="no BQ layer"):
+        S.ann_ivfbq_query(spark, idx, qs, k=3).count()
+    S.ivf_index_add_bq(spark, idx)
+    bq = S.ann_ivfbq_query(spark, idx, qs, k=3, n_probe=4)
+    ex = S.ann_ivf_query(spark, idx, qs, k=3, n_probe=4)
+    n_ex = ex.count()
+    hits = bq.join(ex, ["query_id", "neighbor_id"], "left_semi").count()
+    assert hits >= 0.9 * n_ex, (hits, n_ex)
+    gap = (
+        ex.groupBy("query_id").agg(F.sum("sim").alias("se"))
+        .join(bq.groupBy("query_id").agg(F.sum("sim").alias("sp")), "query_id")
+        .agg(F.avg(F.col("se") - F.col("sp")).alias("mean"))
+        .collect()[0]["mean"]
+    )
+    assert gap <= 0.005, gap
+    from symat_hbase_tools_spark.plans.explain import plan_string
+
+    codes_plan = plan_string(
+        spark.read.parquet(f"{idx}/bq_codes").filter("cell IN (1, 2)")
+    )
+    assert (
+        "PartitionFilters" in codes_plan
+        and "cell" in codes_plan.split("PartitionFilters")[1].split("]")[0]
+    )
+    clones = qs.limit(4).withColumn("vec_id", F.col("vec_id") + 9_000_000)
+    S.ivf_index_append(spark, idx, clones, n_assign=1)
+    with _pytest.raises(ValueError, match="STALE"):
+        S.ann_ivfbq_query(spark, idx, qs, k=3).count()
+    S.ivf_index_add_bq(spark, idx)
+    found = S.ann_ivfbq_query(spark, idx, clones, k=3, n_probe=4)
+    hits = found.filter(
+        (F.col("neighbor_id") == F.col("query_id") - 9_000_000)
+        & (F.abs(F.col("sim") - 1.0) < 1e-6)
+    ).count()
+    assert hits == 4
+
+
 def test_ivfpq_concurrent_writer_drill(spark, tmp_path):
     """Concurrent-writer drill (r12 verdict ask): a SECOND session appends
     raw vectors between this reader's build and its query. The reader's
