@@ -1241,3 +1241,63 @@ def events_burst_users(
         )
         .filter(F.col("n_burst_minutes") >= 1)
     )
+
+
+def events_heavy_hitters(
+    spark: SparkSession, sf_dir: str, phi: int = 128, capacity: int = 256
+) -> DataFrame:
+    """EXACT heavy hitters (users with > n/phi of all events) found at
+    bounded state: per-partition Misra-Gries summaries (mergeable-summary
+    merge: add batch value_counts, then subtract the (capacity+1)-th
+    largest and drop non-positive — Agarwal et al., "Mergeable
+    Summaries") generate a candidate set that PROVABLY contains every
+    global item with frequency > n/(capacity+1); the candidates are then
+    exactly recounted with one semi join and thresholded. With phi <=
+    capacity the guarantee covers the asked threshold, so the output is
+    EXACT — the sketch is the candidate generator, not the answer.
+
+    Why not plain groupBy(user).count() alone: at 100 TB the full
+    per-user count table is itself corpus-scale state through the
+    shuffle; MG caps per-task state at `capacity` entries and the only
+    wide ops are a candidate-set distinct (<= capacity x tasks tiny
+    rows) and one recount aggregate over the semi-joined slice. Output:
+    (user_id, n_events, share) for users over the threshold; share is
+    the division of identical bigints (bit-stable cross-engine).
+    """
+    if phi > capacity:
+        raise ValueError(f"phi={phi} must be <= capacity={capacity}")
+    events = load_table(spark, sf_dir, "events")
+
+    def mg(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for u, c in pdf["user_id"].value_counts().items():
+                counts[u] = counts.get(u, 0) + int(c)
+            if len(counts) > capacity:
+                kth = sorted(counts.values(), reverse=True)[capacity]
+                counts = {u: c - kth for u, c in counts.items() if c > kth}
+        yield pd.DataFrame({"user_id": list(counts.keys())})
+
+    cands = events.select("user_id").mapInPandas(
+        mg, schema="user_id long"
+    ).dropDuplicates(["user_id"])
+    tot = events.agg(F.count(F.lit(1)).alias("n_total"))
+    counted = (
+        events.join(F.broadcast(cands), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_events") * phi > F.col("n_total"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )

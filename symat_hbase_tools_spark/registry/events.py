@@ -46,6 +46,11 @@ QUERIES = {
     "events_seasonal_hourly": timeseries.events_seasonal_hourly,
     "events_seasonal_naive_backtest": timeseries.events_seasonal_naive_backtest,
     "events_burst_users": lambda spark, sf: timeseries.events_burst_users(spark, sf),
+    # round-14: exact heavy hitters at bounded state (Misra-Gries
+    # candidates + exact recount)
+    "events_heavy_hitters": lambda spark, sf: timeseries.events_heavy_hitters(
+        spark, sf
+    ),
     # round-10: full weekly cohort-retention triangle
     "users_cohort_matrix": timeseries.users_cohort_matrix,
     "events_value_drift": events_value_drift,
@@ -736,6 +741,17 @@ ORACLE_SQL = {
         GROUP BY 1
     """,
     # round-11: rate-limit audit — tumbling-minute counts, exact integers
+    # events_heavy_hitters: the sketch is only the candidate generator —
+    # the OUTPUT is exact, so plain SQL states it directly (threshold as
+    # an integer product, share as a division of identical bigints)
+    "events_heavy_hitters": """
+        WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               round(CAST(COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share
+        FROM events CROSS JOIN tot
+        GROUP BY user_id, n
+        HAVING COUNT(*) * 128 > n
+    """,
     "events_burst_users": """
         WITH pm AS (
             SELECT user_id, (epoch_us(ts) // 60000000) * 60 AS m,

@@ -336,3 +336,59 @@ def test_cohort_matrix_matches_python_and_dn_consistency(spark, events):
     for cw, users in cohorts.items():
         n_c, n_a, rate = got[(cw.isoformat(), 0)]
         assert n_c == len(users) and n_a == len(users) and rate == 1.0
+
+
+def test_heavy_hitters_exact_vs_plain_groupby(spark):
+    """The MG candidate stage must not change the answer: output ==
+    plain groupBy count thresholded, on the real fixture (phi=128)."""
+    import pyspark.sql.functions as F
+
+    from symat_hbase_tools_spark.operators.timeseries import events_heavy_hitters
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in events_heavy_hitters(spark, SF_DIR).collect()
+    }
+    events = load_table(spark, SF_DIR, "events")
+    n = events.count()
+    want = {
+        (r["user_id"], r["cnt"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * 128 > n)
+        .collect()
+    }
+    assert got == want
+
+
+def test_heavy_hitters_mg_guarantee_under_tiny_capacity(spark, tmp_path):
+    """Planted skew: one user owns ~30% of events among 500 distinct
+    light users. Even with capacity=8 (far fewer slots than distinct
+    keys, many decrement rounds) the MG candidates must retain the heavy
+    user — the n/(capacity+1) guarantee — and the exact recount returns
+    exactly that user at phi=4."""
+    import pyspark.sql.functions as F
+
+    from symat_hbase_tools_spark.operators.timeseries import events_heavy_hitters
+
+    rows = [(i, 999, "click", 0.0, "{}") for i in range(600)]
+    rows += [(600 + i, i % 500, "click", 0.0, "{}") for i in range(1400)]
+    df = spark.createDataFrame(
+        [(eid, u, t, v, p) for eid, u, t, v, p in rows],
+        "event_id long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    df.select("event_id", "ts", "user_id", "event_type", "value", "props").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    got = events_heavy_hitters(spark, str(tmp_path), phi=4, capacity=8).collect()
+    assert [(r["user_id"], r["n_events"]) for r in got] == [(999, 600)]
+
+
+def test_heavy_hitters_phi_over_capacity_refused(spark):
+    import pytest
+
+    from symat_hbase_tools_spark.operators.timeseries import events_heavy_hitters
+
+    with pytest.raises(ValueError, match="phi"):
+        events_heavy_hitters(spark, SF_DIR, phi=512, capacity=256)
