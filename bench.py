@@ -170,6 +170,7 @@ HEADLINE = [
     "doc_max_dup_spans_withindoc",
     "doc_dup_span_partners",
     "ann_ivfbq_recall_check",
+    "events_heavy_hitters",
 ]
 
 

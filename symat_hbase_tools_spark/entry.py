@@ -74,7 +74,8 @@ QUERIES = dict(QUERIES)  # local copy: window ordering + plan cache below
 # their twins per the check-twin policy), and fill the remaining 40
 # seats with the STALEST oracle-paired entries computed from
 # CORRECTNESS_r*.json (this cohort: 14 whose last driver row was r3 +
-# 26 from r4). Everything rotated out is double-green-or-better and
+# 25 from r4; events_heavy_hitters, born after the first rotation,
+# took the last fill seat). Everything rotated out is double-green-or-better and
 # stays covered by tests/test_oracle.py and the sf0.01/sf0.1 sweeps.
 # Historical rotation notes live in git history (rounds 5-13 comments).
 
@@ -89,6 +90,7 @@ _DRIVER_WINDOW = [
     "doc_dup_span_partners",
     "ann_ivfbq_recall_check",
     "unigram_sample_check",
+    "events_heavy_hitters",
     "click_conversion_full",
     "customer_running_totals",
     "doc_unimax_resample",
@@ -128,7 +130,6 @@ _DRIVER_WINDOW = [
     "min_cost_supplier",
     "orders_equidepth_histogram",
     "q3_shipping_priority",
-    "referential_integrity_census",
 ]
 
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50
