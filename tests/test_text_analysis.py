@@ -1161,3 +1161,21 @@ def _python_unigram_reference(words, vocab, seed_multi, maxl=6, iters=3):
             sorted(counts.items(), key=lambda x: (-x[1], x[0]))
         )
     ]
+
+
+def test_unigram_sample_check_survives_tied_lattices(spark, tmp_path):
+    """Exactly-tied segmentations (['a','aaa'] vs ['aaa','a'] on 'aaaa')
+    make the zero-temperature limit ambiguous up to ties — the check's
+    greedy invariant compares LIKELIHOOD, not path, and must hold on a
+    corpus engineered to produce such ties."""
+    from symat_hbase_tools_spark.operators import unigram
+
+    rows = [
+        (i, "aaaa aaa aa a baba bab ba b", "en", "s", 1) for i in range(6)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = unigram.unigram_sample_check(spark, str(tmp_path)).collect()[0]
+    assert got["valid_ok"] and got["ml_dominates_ok"]
+    assert got["greedy_limit_ok"] and got["pieces_cover_ok"]
