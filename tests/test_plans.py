@@ -500,6 +500,12 @@ def test_no_interpreted_hof_reinlined_into_filters(spark):
         "doc_trim_dup_spans",
         "doc_gopher_quality",
         "unigram_learn_check",
+        # round-14: the parameterized span family reuses the same
+        # window-hash transform shape
+        "doc_max_dup_spans_k8",
+        "doc_trim_dup_spans_k8",
+        "doc_max_dup_spans_withindoc",
+        "doc_dup_span_partners",
     ]
     for name in hof_queries:
         assert_no_hof_in_filters(QUERIES[name](spark, SF_DIR))
