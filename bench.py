@@ -380,7 +380,12 @@ def main() -> None:
         # truncates the per-query map — this file is the stable
         # round-over-round per-query record). Round = SPARK_GRAFT_ROUND if
         # set, else one past the newest driver CORRECTNESS artifact.
-        if not baseline:
+        # Official-sf runs only: an sf1-probe run must not clobber the
+        # round's sf0.1 record (BENCH_DETAIL.json restore already covers
+        # the in-place file; this covers the sidecar).
+        if not baseline and os.path.realpath(SF_DIR) == os.path.realpath(
+            "/root/testdata/sf0.1"
+        ):
             rnd = os.environ.get("SPARK_GRAFT_ROUND")
             if not rnd:
                 import re as _re
