@@ -875,3 +875,68 @@ def test_max_dup_spans_matches_bruteforce_on_random_corpora(spark, tmp_path):
             for r in dedup.max_dup_spans(spark, str(tmp_path)).collect()
         }
         assert got == want, (seed, got ^ want)
+
+
+def test_dup_span_partners_matches_bruteforce_on_random_corpora(spark, tmp_path):
+    """Seeded randomized cross-check for the per-partner refinement: on
+    random corpora with planted shared fragments, (doc, partner) spans
+    must equal an independent brute-force computation (per-pair dup
+    positions -> islands -> token-extent interval merge)."""
+    import random
+    from collections import defaultdict
+
+    K = 20
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        frags = [
+            [f"g{seed}_{fi}_{j}" for j in range(rng.randint(K, 2 * K + 5))]
+            for fi in range(3)
+        ]
+        docs = {}
+        for d in range(7):
+            toks = [f"w{seed}_{d}_{j}" for j in range(rng.randint(5, 30))]
+            for fi in rng.sample(range(3), rng.randint(0, 2)):
+                pos = rng.randint(0, len(toks))
+                toks = toks[:pos] + frags[fi] + toks[pos:]
+            docs[d] = toks
+
+        owner = defaultdict(set)
+        for d, toks in docs.items():
+            for i in range(len(toks) - K + 1):
+                owner[tuple(toks[i:i + K])].add(d)
+        want = set()
+        for d, toks in docs.items():
+            wins = [tuple(toks[i:i + K]) for i in range(len(toks) - K + 1)]
+            partners = {p for w in wins for p in owner[w] if p != d}
+            for p in partners:
+                dup = [
+                    i + 1 for i, w in enumerate(wins) if p in owner[w]
+                ]
+                extents = []
+                run_start = prev = None
+                for q in dup + [None]:
+                    if q is not None and (prev is None or q == prev + 1):
+                        run_start = q if run_start is None else run_start
+                    else:
+                        if run_start is not None:
+                            extents.append((run_start, prev + K - 1))
+                        run_start = q
+                    prev = q
+                merged = []
+                for s, e in sorted(extents):
+                    if merged and s <= merged[-1][1]:
+                        merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                    else:
+                        merged.append((s, e))
+                for s, e in merged:
+                    want.add((d, p, s, e - s + 1))
+        df = spark.createDataFrame(
+            [(d, " ".join(t), "en", "s", 1) for d, t in docs.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            (r["doc_id"], r["partner_id"], r["start_pos"], r["span_tokens"])
+            for r in dedup.dup_span_partners(spark, str(tmp_path)).collect()
+        }
+        assert got == want, (seed, got ^ want)

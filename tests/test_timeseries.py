@@ -392,3 +392,45 @@ def test_heavy_hitters_phi_over_capacity_refused(spark):
 
     with pytest.raises(ValueError, match="phi"):
         events_heavy_hitters(spark, SF_DIR, phi=512, capacity=256)
+
+
+def test_heavy_hitters_randomized_exactness(spark, tmp_path):
+    """Seeded randomized check: for random zipf-ish user distributions and
+    random (phi, capacity) with phi <= capacity, the MG-candidates +
+    exact-recount output must equal the plain thresholded groupBy — the
+    sketch may never change the answer, only bound the state."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    for seed in (3, 31, 99):
+        rng = random.Random(seed)
+        n_users = rng.randint(20, 300)
+        weights = [1.0 / (i + 1) ** rng.uniform(0.5, 1.5) for i in range(n_users)]
+        users = rng.choices(range(n_users), weights=weights, k=4000)
+        rows = [(i, u, "click", 0.0, "{}") for i, u in enumerate(users)]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+        df.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+        capacity = rng.randint(8, 64)
+        phi = rng.randint(4, capacity)
+        from symat_hbase_tools_spark.operators.timeseries import (
+            events_heavy_hitters,
+        )
+
+        got = {
+            (r["user_id"], r["n_events"])
+            for r in events_heavy_hitters(
+                spark, str(tmp_path), phi=phi, capacity=capacity
+            ).collect()
+        }
+        from collections import Counter
+
+        cnt = Counter(users)
+        want = {(u, c) for u, c in cnt.items() if c * phi > len(users)}
+        assert got == want, (seed, phi, capacity, got ^ want)
