@@ -707,8 +707,9 @@ def max_dup_spans(
 
     ``k`` is the window width AND the detection floor: a duplicated span
     of < k tokens is invisible by construction — run with k=8 (registry:
-    ``doc_max_dup_spans_k8``) to catch sub-20-token boilerplate at ~2.5x
-    the window-row volume. ``within_doc=True`` additionally counts a
+    ``doc_max_dup_spans_k8``) to catch sub-20-token boilerplate at
+    modestly more window rows (len-k+1 per doc; ~1.3x at this corpus's
+    lengths) and cheaper per-window hashing (8 tokens joined vs 20). ``within_doc=True`` additionally counts a
     window repeated ONLY inside one document as duplicated (the full Lee
     et al. criterion: the suffix array sees self-repeats too); the
     default counts cross-document sharing only.
