@@ -172,3 +172,32 @@ def test_in_place_overwrite_and_fixture_writes_carry_bloom(spark, tmp_path):
     spark.range(5).write.mode("overwrite").parquet(plain)
     overwrite_table_in_place(spark.read.parquet(plain), plain)
     assert spark.read.parquet(plain).count() == 5
+
+
+def test_bucketed_table_write_carries_row_bloom(spark):
+    """The one distinct writer mechanism: per-column bloom options must
+    survive the bucketBy().saveAsTable() path too (verified at a
+    cardinality past the dictionary regime so the blooms actually
+    materialize)."""
+    from symat_hbase_tools_spark.sources.bucketed import write_bucketed
+
+    df = spark.range(0, 150_000).select(
+        F.encode(F.format_string("cust#%08d", F.col("id")), "UTF-8").alias("row"),
+        F.lit("f").alias("family"),
+        F.encode(F.lit("q"), "UTF-8").alias("qualifier"),
+        (F.col("id") % 5).alias("ts"),
+    )
+    spark.sql("DROP TABLE IF EXISTS bloom_bucketed_tbl")
+    try:
+        write_bucketed(
+            df, "bloom_bucketed_tbl", ["row", "family", "qualifier"], n_buckets=4
+        )
+        loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED bloom_bucketed_tbl")
+            .filter("col_name = 'Location'")
+            .collect()[0]["data_type"]
+        ).replace("file:", "")
+        offsets = _bloom_offsets(spark, f"{loc}/*.parquet")
+        assert offsets and all(o >= 0 for o in offsets), offsets
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bloom_bucketed_tbl")
