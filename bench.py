@@ -171,6 +171,7 @@ HEADLINE = [
     "doc_dup_span_partners",
     "ann_ivfbq_recall_check",
     "events_heavy_hitters",
+    "doc_dup_spans_indexed",
 ]
 
 

@@ -74,8 +74,8 @@ QUERIES = dict(QUERIES)  # local copy: window ordering + plan cache below
 # their twins per the check-twin policy), and fill the remaining 40
 # seats with the STALEST oracle-paired entries computed from
 # CORRECTNESS_r*.json (this cohort: 14 whose last driver row was r3 +
-# 25 from r4; events_heavy_hitters, born after the first rotation,
-# took the last fill seat). Everything rotated out is double-green-or-better and
+# 24 from r4; events_heavy_hitters and doc_dup_spans_indexed, born
+# after the first rotation, took the last fill seats). Everything rotated out is double-green-or-better and
 # stays covered by tests/test_oracle.py and the sf0.01/sf0.1 sweeps.
 # Historical rotation notes live in git history (rounds 5-13 comments).
 
@@ -91,6 +91,7 @@ _DRIVER_WINDOW = [
     "ann_ivfbq_recall_check",
     "unigram_sample_check",
     "events_heavy_hitters",
+    "doc_dup_spans_indexed",
     "click_conversion_full",
     "customer_running_totals",
     "doc_unimax_resample",
@@ -129,7 +130,6 @@ _DRIVER_WINDOW = [
     "market_share",
     "min_cost_supplier",
     "orders_equidepth_histogram",
-    "q3_shipping_priority",
 ]
 
 assert len(_DRIVER_WINDOW) == 50 and len(set(_DRIVER_WINDOW)) == 50

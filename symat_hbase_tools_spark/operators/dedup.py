@@ -609,14 +609,14 @@ def dup_span_census(
     )
 
 
-def _window_hash_positions(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
-    """(doc_id, pos, h) for every overlapping k-token window: the shared
-    input table of the exact-substring-dedup family (census / maximal
-    spans / trim / per-partner refinement). pos is 1-based token position;
-    h is xxhash64 of the space-joined window (engine-internal — only the
-    grouping must agree with the oracle's md5, and it does because both
-    hash identical window strings)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _window_hashes_of(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, h) for every overlapping k-token window of ``docs``:
+    the shared input table of the exact-substring-dedup family (census /
+    maximal spans / trim / per-partner refinement / persisted index). pos
+    is 1-based token position; h is xxhash64 of the space-joined window
+    (engine-internal — only the grouping must agree with the oracle's
+    md5, and it does because both hash identical window strings)."""
+    spark = docs.sparkSession
     target = _scan_fanout(spark, docs)
     if docs.rdd.getNumPartitions() < target:  # fan OUT only, never coalesce
         docs = docs.repartition(target)
@@ -632,6 +632,10 @@ def _window_hash_positions(spark: SparkSession, sf_dir: str, k: int) -> DataFram
             )
         ).alias("p0", "h"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+
+
+def _window_hash_positions(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    return _window_hashes_of(load_table(spark, sf_dir, "documents"), k)
 
 
 def _merged_spans(dup: DataFrame, keys: list, k: int) -> DataFrame:
@@ -807,6 +811,75 @@ def dup_span_partners(
         .distinct()
     )
     return _merged_spans(pairs, ["doc_id", "partner_id"], k)
+
+
+def build_span_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, k: int = 20
+) -> None:
+    """Persist the exact-substring-dedup WINDOW-HASH INDEX over a corpus —
+    the build-once half of incremental span dedup: a nightly crawl batch
+    is trimmed against the full historical corpus WITHOUT recomputing the
+    corpus side (the dedup-family sibling of ``build_ivf_index``).
+
+    Layout: ``span_hashes/`` (h, nd, d0) — one narrow row per DISTINCT
+    k-token window: its 8-byte hash, the count of distinct owning docs,
+    and one owner id (nd + d0 together let a corpus-member batch doc
+    exclude ITSELF exactly: a window is duplicated for doc d iff nd > 1
+    or its sole owner is not d). ``meta/`` records k so a query with a
+    mismatched window width is refused instead of silently diluted.
+
+    Scale: the index is one partial-aggregated groupBy on the 8-byte hash
+    — the same shuffle the direct operators pay once per RUN, paid here
+    once per CORPUS; it stores distinct windows (narrow), not positions.
+    """
+    wins = _window_hash_positions(spark, sf_dir, k)
+    (
+        wins.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("d0"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/span_hashes")
+    )
+    spark.createDataFrame([(int(k),)], "k int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/meta")
+
+
+def max_dup_spans_indexed(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    assume_new: bool = False,
+) -> DataFrame:
+    """Maximal duplicated spans of a BATCH of documents against a
+    persisted ``build_span_index`` corpus index — the query-many half of
+    incremental span dedup. Semantics match ``max_dup_spans`` exactly
+    when the batch docs are corpus members (a window counts as duplicated
+    iff it occurs in at least one OTHER corpus document: nd > 1 or the
+    sole indexed owner differs); with ``assume_new=True`` the batch is
+    treated as disjoint from the corpus (any indexed occurrence counts —
+    the nightly-crawl case), and intra-batch sharing is deliberately NOT
+    consulted (run the in-batch operator for that; composing both is a
+    union of the two dup tables before the islands pass).
+
+    Shape: batch windows inner-join the index on the 8-byte hash (the
+    batch side is the small side — broadcast below the threshold), then
+    the shared islands+merge. The corpus is never rescanned.
+    """
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()
+    k = int(meta[0]["k"])
+    idx = spark.read.parquet(f"{index_dir}/span_hashes")
+    wins = _window_hashes_of(docs, k)
+    j = wins.join(idx, "h")
+    cond = (
+        F.lit(True)
+        if assume_new
+        else (F.col("nd") > 1) | (F.col("d0") != F.col("doc_id"))
+    )
+    dup = j.filter(cond).select("doc_id", "pos")
+    return _merged_spans(dup, ["doc_id"], k)
 
 
 def simhash_portable_pairs(

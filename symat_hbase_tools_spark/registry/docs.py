@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from symat_hbase_tools_spark.registry.wrappers import (
     _md5_cut,
+    doc_dup_spans_indexed,
     bpe,
     contamination,
     dedup,
@@ -72,6 +73,9 @@ QUERIES = {
         spark, sf, within_doc=True
     ),
     "doc_dup_span_partners": dedup.dup_span_partners,
+    # round-14: the persisted-index incremental form (batch spans served
+    # off the standing window-hash index; oracle = direct computation)
+    "doc_dup_spans_indexed": doc_dup_spans_indexed,
     "pipeline_curated_search": pipeline.curated_similarity_search,
     # round-12: hybrid lexical+semantic retrieval (reciprocal-rank fusion)
     "doc_hybrid_search_rrf": pipeline.hybrid_search_rrf,
@@ -426,6 +430,11 @@ ORACLE_SQL = {
     "doc_max_dup_spans_k8": _max_dup_spans_sql(8),
     "doc_max_dup_spans_withindoc": _max_dup_spans_sql(20, within_doc=True),
     "doc_dup_span_partners": _dup_span_partners_sql(20),
+    # indexed = direct spans restricted to the batch (hash-equality is the
+    # proof the persisted path loses and invents nothing)
+    "doc_dup_spans_indexed": f"""
+        SELECT * FROM ({_max_dup_spans_sql(20)}) WHERE doc_id % 10 = 0
+    """,
     "doc_trim_dup_spans_k8": _trim_dup_spans_sql(8),
     # trim = drop every covered token position; docs a span fully covers
     # COALESCE to '' (the engine emits an empty trimmed_text row)

@@ -890,6 +890,41 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+#: persisted span (window-hash) indexes, keyed (sf_dir, mtime) like the
+#: IVF cache — testdata regeneration rebuilds
+_SPAN_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def doc_dup_spans_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans of the doc_id % 10 == 0 batch served OFF
+    THE PERSISTED window-hash index (operators/dedup.py::
+    build_span_index / max_dup_spans_indexed) — the incremental-pipeline
+    shape: trim tonight's crawl against the standing corpus index
+    without rescanning the corpus. The batch docs ARE corpus members
+    here, so self-occurrences must be excluded via the index's (nd, d0)
+    pair; the oracle is the DIRECT spans computation restricted to the
+    batch — hash-equality proves the indexed path loses and invents
+    nothing. Index amortized per (sf_dir, mtime) in process scratch."""
+    import pyspark.sql.functions as F
+
+    from symat_hbase_tools_spark.operators import dedup as _dd
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        key = (os.path.abspath(sf_dir), os.path.getmtime(src))
+    except OSError:
+        key = (os.path.abspath(sf_dir), None)
+    idx = _SPAN_INDEX_CACHE.get(key)
+    if idx is None:
+        idx = _scratch_path(f"spanindex_{abs(hash(key)):x}")
+        _dd.build_span_index(spark, sf_dir, idx)
+        _SPAN_INDEX_CACHE[key] = idx
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return _dd.max_dup_spans_indexed(spark, batch, idx)
+
+
 def hard_negatives_indexed_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall floor check for hard-negative mining OFF THE PERSISTED
     label-bearing IVF index (``ann_ivf_query_negatives``) — the serving

@@ -940,3 +940,80 @@ def test_dup_span_partners_matches_bruteforce_on_random_corpora(spark, tmp_path)
             for r in dedup.dup_span_partners(spark, str(tmp_path)).collect()
         }
         assert got == want, (seed, got ^ want)
+
+
+def test_span_index_incremental_batch(spark, tmp_path):
+    """Persisted window-hash index (round 14): a NEW batch doc sharing a
+    planted fragment with the corpus gets its span recovered exactly off
+    the index (corpus never rescanned); a unique new doc gets nothing.
+    assume_new=True must count a window whose SOLE indexed owner shares
+    the batch doc's id (the id-collision case the member criterion would
+    wrongly self-exclude)."""
+    frag = [f"s{i}" for i in range(25)]
+    corpus = {
+        1: [f"a{j}" for j in range(8)] + frag,
+        2: [f"b{j}" for j in range(30)],
+    }
+    spark.createDataFrame(
+        [(d, " ".join(t), "en", "s", 1) for d, t in corpus.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    idx = str(tmp_path / "span_idx")
+    dedup.build_span_index(spark, str(tmp_path), idx)
+
+    batch = spark.createDataFrame(
+        [
+            (100, " ".join([f"n{j}" for j in range(5)] + frag), "en", "s", 1),
+            (101, " ".join(f"u{j}" for j in range(40)), "en", "s", 1),
+            # id COLLIDES with corpus doc 1 but carries doc 2's unique text
+            # prefix plus the fragment — member semantics would self-exclude
+            # nothing here (frag is owned by doc 1, d0=1 == this batch id),
+            (1, " ".join([f"v{j}" for j in range(3)] + frag), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r["doc_id"], r["start_pos"], r["span_tokens"])
+        for r in dedup.max_dup_spans_indexed(spark, batch, idx).collect()
+    }
+    # doc 100: frag at positions 6..30; doc 1 (collision): frag owned
+    # solely by corpus doc 1 -> self-excluded under member semantics
+    assert got == {(100, 6, 25)}
+    got_new = {
+        (r["doc_id"], r["start_pos"], r["span_tokens"])
+        for r in dedup.max_dup_spans_indexed(
+            spark, batch, idx, assume_new=True
+        ).collect()
+    }
+    assert got_new == {(100, 6, 25), (1, 4, 25)}
+
+
+def test_span_index_member_batch_equals_direct(spark, tmp_path):
+    """Corpus-member batch served off the index == the direct operator
+    restricted to the batch (the registry oracle's claim, pinned here on
+    a planted corpus with overlapping islands to exercise the merge)."""
+    s = [f"s{i}" for i in range(1, 21)]
+    docs = {
+        1: s + ["t1", "t2"],
+        2: s,
+        3: s[2:] + ["t1", "t2"],
+        4: [f"u{j}" for j in range(25)],
+    }
+    spark.createDataFrame(
+        [(d, " ".join(t), "en", "s", 1) for d, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    idx = str(tmp_path / "span_idx")
+    dedup.build_span_index(spark, str(tmp_path), idx)
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    batch = load_table(spark, str(tmp_path), "documents")
+    indexed = {
+        (r["doc_id"], r["start_pos"], r["span_tokens"])
+        for r in dedup.max_dup_spans_indexed(spark, batch, idx).collect()
+    }
+    direct = {
+        (r["doc_id"], r["start_pos"], r["span_tokens"])
+        for r in dedup.max_dup_spans(spark, str(tmp_path)).collect()
+    }
+    assert indexed == direct == {(1, 1, 22), (2, 1, 20), (3, 1, 20)}
