@@ -201,3 +201,35 @@ def test_bucketed_table_write_carries_row_bloom(spark):
         assert offsets and all(o >= 0 for o in offsets), offsets
     finally:
         spark.sql("DROP TABLE IF EXISTS bloom_bucketed_tbl")
+
+
+def test_absent_key_point_get_scans_nothing_with_bloom(spark, tmp_path):
+    """The canonical bloom win is the NEGATIVE lookup: probing a key that
+    exists nowhere must emit zero scan rows from the armed file (every
+    row group rejected), while the unarmed twin full-scans — the shape
+    of CorruptRowsMR's per-row re-get against a missing/corrupt row."""
+    n = 60_000
+    df = spark.range(0, n).select(
+        F.encode(
+            F.format_string(
+                "cust#%08d", F.pmod(F.col("id") * 48271 + 11, F.lit(n))
+            ),
+            "UTF-8",
+        ).alias("row"),
+        (F.col("id") % 7).alias("v"),
+    )
+    on, off = str(tmp_path / "on"), str(tmp_path / "off")
+    opts = {"parquet.block.size": str(128 * 1024)}
+    with_row_bloom(
+        df.repartition(1).write.mode("overwrite").options(**opts), ndv=8192
+    ).parquet(on)
+    df.repartition(1).write.mode("overwrite").options(**opts).parquet(off)
+    # absent key INSIDE the key range: 'cust#00012345x' sorts between two
+    # existing keys, so min/max stats cannot reject it ('ghost#...' would
+    # be pruned by the file-level range on both sides and prove nothing)
+    key = F.encode(F.lit("cust#00012345x"), "UTF-8")
+    got_on = spark.read.parquet(on).filter(F.col("row") == key)
+    got_off = spark.read.parquet(off).filter(F.col("row") == key)
+    assert got_on.count() == 0 and got_off.count() == 0
+    assert _scan_output_rows(got_on) == 0
+    assert _scan_output_rows(got_off) == n
