@@ -149,6 +149,37 @@ def main(argv: list[str] | None = None) -> int:
     )
     tsp.add_argument("--output", required=True, help="parquet path for the trimmed corpus")
 
+    si = sub.add_parser(
+        "span-index",
+        help="build a persisted window-hash index over a corpus, or trim "
+        "a batch of documents against it (incremental exact-substring "
+        "dedup: the corpus is never rescanned)",
+    )
+    si.add_argument("--action", choices=["build", "trim"], required=True)
+    si.add_argument(
+        "--sfDir",
+        default="/root/testdata/sf0.001",
+        help="corpus table dir (build) or batch table dir (trim)",
+    )
+    si.add_argument("--indexDir", required=True)
+    si.add_argument(
+        "--minSpan",
+        type=int,
+        default=20,
+        help="window size k recorded in the index (build only; trim reads "
+        "k from the index meta)",
+    )
+    si.add_argument(
+        "--assumeNew",
+        action="store_true",
+        help="treat the batch as disjoint from the indexed corpus (any "
+        "indexed occurrence counts; default excludes each batch doc's own "
+        "indexed windows by id)",
+    )
+    si.add_argument(
+        "--output", default=None, help="trimmed batch path (trim only)"
+    )
+
     dc = sub.add_parser(
         "decontaminate",
         help="drop benchmark-contaminated docs and write the clean corpus",
@@ -488,6 +519,52 @@ def main(argv: list[str] | None = None) -> int:
             trimmed = dd_ops.trim_dup_spans(
                 spark, args.sfDir, k=args.minSpan, within_doc=args.withinDoc
             )
+            cols = docs.columns
+            out = (
+                docs.drop("text", "n_chars")
+                .join(
+                    trimmed.select("doc_id", "n_removed", "trimmed_text"),
+                    "doc_id",
+                )
+                .withColumn("text", F.col("trimmed_text"))
+                .withColumn("n_chars", F.length("text").cast("long"))
+                .select(*cols, "n_removed")
+            )
+            out.drop("n_removed").write.mode("overwrite").parquet(args.output)
+            stats = out.agg(
+                F.count(F.lit(1)).alias("total"),
+                F.count(F.when(F.col("n_removed") > 0, 1)).alias("touched"),
+                F.sum("n_removed").alias("removed"),
+            ).collect()[0]
+            print(
+                f"DOCS_TOTAL={stats['total']} DOCS_TRIMMED={stats['touched']} "
+                f"TOKENS_REMOVED={stats['removed']}"
+            )
+            return 0
+        if args.tool == "span-index":
+            from pyspark.sql import functions as F
+
+            from symat_hbase_tools_spark.operators import dedup as dd_ops
+            from symat_hbase_tools_spark.sources.tables import load_table
+
+            if args.action == "build":
+                if args.minSpan < 1:
+                    print("error: --minSpan must be >= 1", file=sys.stderr)
+                    return 1
+                dd_ops.build_span_index(
+                    spark, args.sfDir, args.indexDir, k=args.minSpan
+                )
+                n = spark.read.parquet(f"{args.indexDir}/span_hashes").count()
+                print(f"SPAN_INDEX_BUILT windows={n} k={args.minSpan}")
+                return 0
+            if not args.output:
+                print("error: --output required for trim", file=sys.stderr)
+                return 1
+            docs = load_table(spark, args.sfDir, "documents")
+            spans = dd_ops.max_dup_spans_indexed(
+                spark, docs, args.indexDir, assume_new=args.assumeNew
+            )
+            trimmed = dd_ops.trim_with_spans(docs, spans)
             cols = docs.columns
             out = (
                 docs.drop("text", "n_chars")

@@ -751,12 +751,18 @@ def trim_dup_spans(
     never a Filter.
     """
     spans = max_dup_spans(spark, sf_dir, k, within_doc=within_doc)
+    return trim_with_spans(load_table(spark, sf_dir, "documents"), spans)
+
+
+def trim_with_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Apply a (doc_id, start_pos, span_tokens) span table to ``docs`` —
+    the trim-application half shared by the in-corpus operator and the
+    indexed incremental path (CLI ``span-index --action trim``). Output
+    and counting contract as ``trim_dup_spans``."""
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("start_pos", "span_tokens")).alias("spans"),
     )
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "words", F.split(F.col("text"), " ")
-    )
+    docs = docs.withColumn("words", F.split(F.col("text"), " "))
     j = docs.join(per_doc, "doc_id", "left")
     idx = F.sequence(F.lit(1), F.size("words"))
     kept = F.when(F.col("spans").isNull(), F.col("words")).otherwise(

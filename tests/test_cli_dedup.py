@@ -465,3 +465,48 @@ def test_cli_trim_spans_noop_corpus(spark, tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "DOCS_TRIMMED=0" in printed and "TOKENS_REMOVED=0" in printed
     assert spark.read.parquet(out).count() == 4
+
+
+def test_cli_span_index_build_and_trim(spark, tmp_path, capsys):
+    """span-index end to end: build over a corpus, trim a NEW batch
+    against it (the corpus never rescanned); the planted shared fragment
+    is removed from the batch doc, the unique doc passes verbatim;
+    TOKENS_REMOVED sums actual coverage; trim without --output exits 1."""
+    frag = " ".join(f"s{i}" for i in range(25))
+    corpus = tmp_path / "corpus"
+    spark.createDataFrame(
+        [
+            (1, " ".join(f"a{j}" for j in range(8)) + " " + frag, "en", "s", 1),
+            (2, " ".join(f"b{j}" for j in range(30)), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(corpus / "documents.parquet"))
+    idx = str(tmp_path / "idx")
+    assert main(["span-index", "--action", "build", "--sfDir", str(corpus),
+                 "--indexDir", idx]) == 0
+    printed = capsys.readouterr().out
+    assert "SPAN_INDEX_BUILT" in printed and "k=20" in printed
+
+    batch = tmp_path / "batch"
+    pre = " ".join(f"n{j}" for j in range(5))
+    spark.createDataFrame(
+        [
+            (100, pre + " " + frag, "en", "s", 1),
+            (101, " ".join(f"u{j}" for j in range(40)), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(batch / "documents.parquet"))
+    out = str(tmp_path / "trimmed")
+    assert main(["span-index", "--action", "trim", "--sfDir", str(batch),
+                 "--indexDir", idx, "--assumeNew", "--output", out]) == 0
+    printed = capsys.readouterr().out
+    assert "DOCS_TOTAL=2" in printed and "DOCS_TRIMMED=1" in printed
+    assert "TOKENS_REMOVED=25" in printed
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got[100] == pre
+    assert got[101] == " ".join(f"u{j}" for j in range(40))
+
+    assert main(["span-index", "--action", "trim", "--sfDir", str(batch),
+                 "--indexDir", idx]) == 1
+    assert main(["span-index", "--action", "build", "--sfDir", str(corpus),
+                 "--indexDir", idx, "--minSpan", "0"]) == 1
