@@ -34,6 +34,8 @@ Everything is built-in expressions — xxhash64, array ops, joins. No UDFs.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,6 +47,8 @@ from symat_hbase_tools_spark.functions.text import (
     simhash_vote_aggs,
 )
 from symat_hbase_tools_spark.sources.tables import load_table
+
+_LOG = logging.getLogger(__name__)
 
 #: 16 bands x 4 rows: for a true pair at jaccard j, P(missed) = (1-j^4)^16 —
 #: 1.6e-7 at j=0.89, 2.2e-4 at j=0.8, 0.36 at j=0.5. The t2-gate corpus
@@ -789,8 +793,56 @@ def trim_with_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
     )
 
 
+#: partner-refinement fan-out cap: a window hash owned by MORE than this
+#: many distinct documents (corpus-wide boilerplate — license headers,
+#: navigation chrome) is DEMOTED from pair-level to doc-level attribution.
+#: Without the cap a hash shared by m docs emits Theta(m^2) pair rows —
+#: AQE skew-split spreads that work but cannot shrink it. 64 partners is
+#: already past what a human forensics pass reads pair-by-pair; above it
+#: "shared with the hot-list boilerplate" is the useful answer.
+DEFAULT_MAX_PARTNERS_PER_HASH = 64
+
+#: partner_id emitted for spans attributed at doc level because every
+#: covering window hash exceeded the partner cap (doc ids are >= 0)
+HOT_PARTNER_SENTINEL = -1
+
+#: bounded collect for the demotion log line (examples only — the full
+#: hot list is a first-class query, ``dup_span_hot_list``)
+MAX_LOGGED_HOT_SPAN_HASHES = 1_000
+
+
+def _span_partner_census(wins: DataFrame) -> DataFrame:
+    """(h, nd) per distinct window hash: nd = distinct owning docs. The
+    shared fan-out census of the partner refinement and its hot list."""
+    return (
+        wins.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+
+
 def dup_span_partners(
-    spark: SparkSession, sf_dir: str, k: int = 20
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    max_partners_per_hash: int = DEFAULT_MAX_PARTNERS_PER_HASH,
+    log_hot: bool = True,
+) -> DataFrame:
+    """``dup_span_partners_of`` over the corpus ``documents`` table."""
+    return dup_span_partners_of(
+        load_table(spark, sf_dir, "documents"),
+        k=k,
+        max_partners_per_hash=max_partners_per_hash,
+        log_hot=log_hot,
+    )
+
+
+def dup_span_partners_of(
+    docs: DataFrame,
+    k: int = 20,
+    max_partners_per_hash: int = DEFAULT_MAX_PARTNERS_PER_HASH,
+    log_hot: bool = True,
 ) -> DataFrame:
     """Per-PARTNER duplicated-span refinement: (doc_id, partner_id,
     start_pos, span_tokens) — the attribution form of ``max_dup_spans``.
@@ -800,23 +852,118 @@ def dup_span_partners(
     to the document(s) the text was shared with (licensing audits,
     boilerplate-source attribution, crawl-overlap forensics).
 
-    Scale: deliberately the quadratic-in-partners refinement the
-    doc-level form avoids — a window shared by m documents contributes
-    m*(m-1) pair rows. Hot boilerplate hashes are exactly the skewed
-    keys; AQE skew-join splits them, and the pair table stays bounded by
-    (shared windows) x (partners), never corpus^2, because only hashes
-    that collide at all enter the join. Run the doc-level form for trim;
-    run this on the (much smaller) already-flagged subset for forensics.
+    Fan-out cap (round 15): a window hash owned by more than
+    ``max_partners_per_hash`` distinct docs would contribute m*(m-1)
+    pair rows — Theta(m^2) for corpus-wide boilerplate, the one shape
+    AQE skew-split spreads but cannot shrink. Such HOT hashes are
+    demoted to doc-level attribution: each owning doc still gets its
+    span, keyed ``partner_id = HOT_PARTNER_SENTINEL`` (-1) instead of
+    one row per partner, and the demotion is logged (bounded collect of
+    the census — no silent caps). The hot boilerplate itself is a
+    first-class query: ``dup_span_hot_list`` returns (window_text, nd)
+    per demoted hash. Hashes at or below the cap keep exact pair-level
+    attribution, so output is unchanged on corpora with no hot
+    boilerplate. Pair volume is now bounded by
+    (shared windows) x min(partners, cap), never corpus^2.
     """
-    wins = _window_hash_positions(spark, sf_dir, k)
+    wins = _window_hashes_of(docs, k)
+    census = _span_partner_census(wins)
+    hot = census.filter(F.col("nd") > max_partners_per_hash)
+    if log_hot:
+        top = (
+            hot.orderBy(F.desc("nd"))
+            .limit(MAX_LOGGED_HOT_SPAN_HASHES)
+            .collect()
+        )
+        if top:
+            _LOG.warning(
+                "dup_span_partners: %s%d window hash(es) exceed "
+                "max_partners_per_hash=%d (max nd=%d) — demoted to "
+                "doc-level attribution (partner_id=%d); run "
+                "dup_span_hot_list for the boilerplate text",
+                ">=" if len(top) == MAX_LOGGED_HOT_SPAN_HASHES else "",
+                len(top),
+                max_partners_per_hash,
+                top[0]["nd"],
+                HOT_PARTNER_SENTINEL,
+            )
+    cold_wins = wins.join(
+        census.filter(F.col("nd") <= max_partners_per_hash).select("h"),
+        "h",
+        "left_semi",
+    )
     other = wins.select(F.col("doc_id").alias("partner_id"), "h").distinct()
     pairs = (
-        wins.join(other, "h")
+        cold_wins.join(other, "h")
         .filter(F.col("doc_id") != F.col("partner_id"))
         .select("doc_id", "partner_id", "pos")
         .distinct()
     )
-    return _merged_spans(pairs, ["doc_id", "partner_id"], k)
+    hot_doc = (
+        wins.join(hot.select("h"), "h", "left_semi")
+        .select(
+            "doc_id",
+            F.lit(HOT_PARTNER_SENTINEL).cast("long").alias("partner_id"),
+            "pos",
+        )
+        .distinct()
+    )
+    return _merged_spans(
+        pairs.unionByName(hot_doc), ["doc_id", "partner_id"], k
+    )
+
+
+def dup_span_hot_list(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    max_partners_per_hash: int = DEFAULT_MAX_PARTNERS_PER_HASH,
+) -> DataFrame:
+    """``dup_span_hot_list_of`` over the corpus ``documents`` table."""
+    return dup_span_hot_list_of(
+        load_table(spark, sf_dir, "documents"),
+        k=k,
+        max_partners_per_hash=max_partners_per_hash,
+    )
+
+
+def dup_span_hot_list_of(
+    docs: DataFrame,
+    k: int = 20,
+    max_partners_per_hash: int = DEFAULT_MAX_PARTNERS_PER_HASH,
+) -> DataFrame:
+    """The partner-refinement HOT LIST as a first-class query:
+    (window_text, nd) per window hash owned by more than
+    ``max_partners_per_hash`` distinct documents — exactly the hashes
+    ``dup_span_partners`` demotes to doc-level attribution. window_text
+    is reconstructed from the lexicographically-first occurrence
+    ((doc_id, pos) min), which is well-defined because every occurrence
+    of a hash is the identical k-token string.
+
+    Shape: census groupBy on the 8-byte hash (the same shuffle the
+    partner op pays), then ONE representative occurrence per hot hash
+    joins back to its document row to slice the window out — the join is
+    hot-list-sized (tiny by construction), never corpus-sized.
+    """
+    wins = _window_hashes_of(docs, k)
+    hot = _span_partner_census(wins).filter(
+        F.col("nd") > max_partners_per_hash
+    )
+    rep = (
+        wins.join(hot, "h")
+        .groupBy("h", "nd")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("o"))
+        .select("h", "nd", F.col("o.doc_id").alias("doc_id"), F.col("o.pos").alias("pos"))
+    )
+    docs = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    )
+    return rep.join(docs, "doc_id").select(
+        F.concat_ws(" ", F.slice("words", F.col("pos"), k)).alias(
+            "window_text"
+        ),
+        F.col("nd").cast("long").alias("nd"),
+    )
 
 
 def build_span_index(

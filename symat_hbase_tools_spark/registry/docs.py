@@ -73,6 +73,19 @@ QUERIES = {
         spark, sf, within_doc=True
     ),
     "doc_dup_span_partners": dedup.dup_span_partners,
+    # round-15: partner fan-out cap — on a planted corpus where every doc
+    # shares one boilerplate footer (nd = n_docs >> cap=8), the footer
+    # demotes to doc-level attribution (partner_id = -1) while organic
+    # nd<=3 fragments keep exact pair attribution; the hot list exposes
+    # the demoted boilerplate text itself
+    "doc_dup_span_partners_capped": lambda spark, sf: (
+        dedup.dup_span_partners_of(
+            _planted_hot_docs(spark, sf), k=20, max_partners_per_hash=8
+        )
+    ),
+    "doc_dup_span_hot_list": lambda spark, sf: dedup.dup_span_hot_list_of(
+        _planted_hot_docs(spark, sf), k=20, max_partners_per_hash=8
+    ),
     # round-14: the persisted-index incremental form (batch spans served
     # off the standing window-hash index; oracle = direct computation)
     "doc_dup_spans_indexed": doc_dup_spans_indexed,
@@ -225,10 +238,12 @@ QUERIES = {
 # k-token window strings.
 
 
-def _span_wins_cte(k: int) -> str:
-    """words -> overlapping k-token window positions -> md5 window hash."""
+def _span_wins_cte(k: int, src: str = "documents") -> str:
+    """words -> overlapping k-token window positions -> md5 window hash.
+    ``src`` is the (doc_id, text) relation — ``documents`` or a derived
+    subquery (the planted-hot-boilerplate rows use one)."""
     return f"""
-        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
              pos AS (SELECT doc_id, w, unnest(range(1, len(w) - {k - 2})) AS i
                      FROM words WHERE len(w) >= {k}),
              wins AS (SELECT doc_id, i AS pos,
@@ -272,14 +287,70 @@ def _max_dup_spans_sql(k: int, within_doc: bool = False) -> str:
     """
 
 
-def _dup_span_partners_sql(k: int) -> str:
-    return f"""{_span_wins_cte(k)},
+def _dup_span_partners_sql(
+    k: int, cap: int = 64, src: str = "documents"
+) -> str:
+    # mirrors dedup.dup_span_partners_of: hashes owned by <= cap docs get
+    # exact pair-level attribution; hotter hashes demote to doc-level rows
+    # keyed partner_id = -1 (HOT_PARTNER_SENTINEL)
+    return f"""{_span_wins_cte(k, src)},
+             own AS (SELECT DISTINCT doc_id, h FROM wins),
+             hh AS (SELECT h, COUNT(*) AS nd FROM own GROUP BY h),
              dup AS (SELECT DISTINCT a.doc_id, b.doc_id AS partner_id, a.pos
                      FROM wins a
-                     JOIN (SELECT DISTINCT doc_id, h FROM wins) b USING (h)
-                     WHERE a.doc_id <> b.doc_id),{
+                     JOIN own b ON a.h = b.h
+                     JOIN hh ON a.h = hh.h
+                     WHERE hh.nd <= {cap} AND a.doc_id <> b.doc_id
+                     UNION
+                     SELECT DISTINCT a.doc_id,
+                            CAST(-1 AS BIGINT) AS partner_id, a.pos
+                     FROM wins a JOIN hh ON a.h = hh.h
+                     WHERE hh.nd > {cap}),{
         _merge_sql("doc_id, partner_id", k)}
     """
+
+
+def _dup_span_hot_list_sql(
+    k: int, cap: int = 64, src: str = "documents"
+) -> str:
+    # mirrors dedup.dup_span_hot_list_of: (window_text, nd) per hash owned
+    # by more than cap docs, text from the (doc_id, pos)-min occurrence
+    return f"""{_span_wins_cte(k, src)},
+             own AS (SELECT DISTINCT doc_id, h FROM wins),
+             hot AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS nd FROM own
+                     GROUP BY h HAVING COUNT(*) > {cap}),
+             rep AS (SELECT w.doc_id, w.pos, w.h,
+                            ROW_NUMBER() OVER (PARTITION BY w.h
+                                               ORDER BY w.doc_id, w.pos) AS rn
+                     FROM wins w JOIN hot ON w.h = hot.h)
+        SELECT array_to_string(wd.w[r.pos:r.pos+{k - 1}], ' ') AS window_text,
+               hot.nd AS nd
+        FROM rep r
+        JOIN hot ON r.h = hot.h
+        JOIN words wd ON wd.doc_id = r.doc_id
+        WHERE r.rn = 1
+    """
+
+
+#: planted hot-boilerplate corpus for the capped-partner oracle rows: the
+#: same 20-token footer appended to EVERY document, so its window is owned
+#: by the whole corpus (nd = n_docs >> cap) and must demote, while the
+#: organic nd<=3 shared fragments stay exactly pair-attributed
+_BOILER_TOKENS = [f"zzboiler{i}" for i in range(20)]
+_PLANTED_SRC = (
+    "(SELECT doc_id, text || ' "
+    + " ".join(_BOILER_TOKENS)
+    + "' AS text FROM documents)"
+)
+
+
+def _planted_hot_docs(spark, sf):
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf, "documents").withColumn(
+        "text",
+        F.concat_ws(" ", F.col("text"), F.lit(" ".join(_BOILER_TOKENS))),
+    )
 
 
 def _trim_dup_spans_sql(k: int) -> str:
@@ -430,6 +501,12 @@ ORACLE_SQL = {
     "doc_max_dup_spans_k8": _max_dup_spans_sql(8),
     "doc_max_dup_spans_withindoc": _max_dup_spans_sql(20, within_doc=True),
     "doc_dup_span_partners": _dup_span_partners_sql(20),
+    "doc_dup_span_partners_capped": _dup_span_partners_sql(
+        20, cap=8, src=_PLANTED_SRC
+    ),
+    "doc_dup_span_hot_list": _dup_span_hot_list_sql(
+        20, cap=8, src=_PLANTED_SRC
+    ),
     # indexed = direct spans restricted to the batch (hash-equality is the
     # proof the persisted path loses and invents nothing)
     "doc_dup_spans_indexed": f"""

@@ -1017,3 +1017,73 @@ def test_span_index_member_batch_equals_direct(spark, tmp_path):
         for r in dedup.max_dup_spans(spark, str(tmp_path)).collect()
     }
     assert indexed == direct == {(1, 1, 22), (2, 1, 20), (3, 1, 20)}
+
+
+def test_dup_span_partners_hot_hash_demotes_to_doc_level(spark, tmp_path, caplog):
+    """Round-15 fan-out cap: a 20-token boilerplate footer shared by 1200
+    docs (nd=1200 >> cap) must NOT emit 1200*1199 pair rows — each owner
+    gets ONE doc-level span keyed partner_id = HOT_PARTNER_SENTINEL, and
+    the demotion is logged. An organic nd=2 fragment in the same corpus
+    keeps exact pair-level attribution."""
+    import logging
+
+    B = [f"hot{i}" for i in range(20)]
+    A = [f"frag{i}" for i in range(20)]
+    rows = [
+        (d, " ".join([f"p{d}_0", f"p{d}_1", f"p{d}_2"] + B), "en", "s", 1)
+        for d in range(1200)
+    ]
+    rows.append((2000, " ".join([f"x{j}" for j in range(6)] + A), "en", "s", 1))
+    rows.append((2001, " ".join(A + [f"y{j}" for j in range(9)]), "en", "s", 1))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    with caplog.at_level(
+        logging.WARNING, logger="symat_hbase_tools_spark.operators.dedup"
+    ):
+        got = {
+            (r["doc_id"], r["partner_id"], r["start_pos"], r["span_tokens"])
+            for r in dedup.dup_span_partners(spark, str(tmp_path)).collect()
+        }
+    want = {(d, dedup.HOT_PARTNER_SENTINEL, 4, 20) for d in range(1200)}
+    want |= {(2000, 2001, 7, 20), (2001, 2000, 1, 20)}
+    assert got == want
+    assert any(
+        "max_partners_per_hash" in r.message and "demoted" in r.message
+        for r in caplog.records
+    )
+
+    hot = {
+        (r["window_text"], r["nd"])
+        for r in dedup.dup_span_hot_list(spark, str(tmp_path)).collect()
+    }
+    assert hot == {(" ".join(B), 1200)}
+
+
+def test_dup_span_partners_cap_boundary_is_strict(spark, tmp_path):
+    """nd == cap stays exact pair-level; nd == cap+1 demotes — the cap is
+    'more than', matching the oracle's HAVING COUNT(*) > cap."""
+    s = [f"s{i}" for i in range(20)]
+    docs = {d: [f"u{d}_{j}" for j in range(3)] + s for d in (1, 2, 3)}
+    spark.createDataFrame(
+        [(d, " ".join(t), "en", "s", 1) for d, t in docs.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    at_cap = {
+        (r["doc_id"], r["partner_id"])
+        for r in dedup.dup_span_partners(
+            spark, str(tmp_path), max_partners_per_hash=3
+        ).collect()
+    }
+    assert at_cap == {(1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 2)}
+
+    over_cap = {
+        (r["doc_id"], r["partner_id"], r["start_pos"], r["span_tokens"])
+        for r in dedup.dup_span_partners(
+            spark, str(tmp_path), max_partners_per_hash=2, log_hot=False
+        ).collect()
+    }
+    assert over_cap == {(d, dedup.HOT_PARTNER_SENTINEL, 4, 20) for d in (1, 2, 3)}
