@@ -50,6 +50,36 @@ def _parse_bool(v) -> bool:
     return str(v).strip().lower() == "true"
 
 
+def _write_trimmed_corpus(docs, trimmed, output: str) -> None:
+    """Rejoin a span-trim result to its corpus, write the trimmed corpus,
+    and print the DOCS_TOTAL/DOCS_TRIMMED/TOKENS_REMOVED counters — the
+    output contract shared by ``trim-spans`` and ``span-index --action
+    trim``."""
+    from pyspark.sql import functions as F
+
+    cols = docs.columns
+    out = (
+        docs.drop("text", "n_chars")
+        .join(
+            trimmed.select("doc_id", "n_removed", "trimmed_text"),
+            "doc_id",
+        )
+        .withColumn("text", F.col("trimmed_text"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .select(*cols, "n_removed")
+    )
+    out.drop("n_removed").write.mode("overwrite").parquet(output)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("n_removed") > 0, 1)).alias("touched"),
+        F.sum("n_removed").alias("removed"),
+    ).collect()[0]
+    print(
+        f"DOCS_TOTAL={stats['total']} DOCS_TRIMMED={stats['touched']} "
+        f"TOKENS_REMOVED={stats['removed']}"
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="symat-spark")
     sub = parser.add_subparsers(dest="tool", required=True)
@@ -155,11 +185,15 @@ def main(argv: list[str] | None = None) -> int:
         "a batch of documents against it (incremental exact-substring "
         "dedup: the corpus is never rescanned)",
     )
-    si.add_argument("--action", choices=["build", "trim"], required=True)
+    si.add_argument(
+        "--action", choices=["build", "append", "trim"], required=True
+    )
     si.add_argument(
         "--sfDir",
         default="/root/testdata/sf0.001",
-        help="corpus table dir (build) or batch table dir (trim)",
+        help="corpus table dir (build) or batch table dir (append/trim); "
+        "append merges the batch's window hashes into the index in place "
+        "(batch doc ids must be new to the index — nightly-crawl contract)",
     )
     si.add_argument("--indexDir", required=True)
     si.add_argument(
@@ -519,27 +553,7 @@ def main(argv: list[str] | None = None) -> int:
             trimmed = dd_ops.trim_dup_spans(
                 spark, args.sfDir, k=args.minSpan, within_doc=args.withinDoc
             )
-            cols = docs.columns
-            out = (
-                docs.drop("text", "n_chars")
-                .join(
-                    trimmed.select("doc_id", "n_removed", "trimmed_text"),
-                    "doc_id",
-                )
-                .withColumn("text", F.col("trimmed_text"))
-                .withColumn("n_chars", F.length("text").cast("long"))
-                .select(*cols, "n_removed")
-            )
-            out.drop("n_removed").write.mode("overwrite").parquet(args.output)
-            stats = out.agg(
-                F.count(F.lit(1)).alias("total"),
-                F.count(F.when(F.col("n_removed") > 0, 1)).alias("touched"),
-                F.sum("n_removed").alias("removed"),
-            ).collect()[0]
-            print(
-                f"DOCS_TOTAL={stats['total']} DOCS_TRIMMED={stats['touched']} "
-                f"TOKENS_REMOVED={stats['removed']}"
-            )
+            _write_trimmed_corpus(docs, trimmed, args.output)
             return 0
         if args.tool == "span-index":
             from pyspark.sql import functions as F
@@ -557,6 +571,14 @@ def main(argv: list[str] | None = None) -> int:
                 n = spark.read.parquet(f"{args.indexDir}/span_hashes").count()
                 print(f"SPAN_INDEX_BUILT windows={n} k={args.minSpan}")
                 return 0
+            if args.action == "append":
+                docs = load_table(spark, args.sfDir, "documents")
+                st = dd_ops.span_index_append(spark, docs, args.indexDir)
+                print(
+                    f"SPAN_INDEX_APPENDED windows={st['windows']} "
+                    f"added={st['added']} k={st['k']}"
+                )
+                return 0
             if not args.output:
                 print("error: --output required for trim", file=sys.stderr)
                 return 1
@@ -565,27 +587,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark, docs, args.indexDir, assume_new=args.assumeNew
             )
             trimmed = dd_ops.trim_with_spans(docs, spans)
-            cols = docs.columns
-            out = (
-                docs.drop("text", "n_chars")
-                .join(
-                    trimmed.select("doc_id", "n_removed", "trimmed_text"),
-                    "doc_id",
-                )
-                .withColumn("text", F.col("trimmed_text"))
-                .withColumn("n_chars", F.length("text").cast("long"))
-                .select(*cols, "n_removed")
-            )
-            out.drop("n_removed").write.mode("overwrite").parquet(args.output)
-            stats = out.agg(
-                F.count(F.lit(1)).alias("total"),
-                F.count(F.when(F.col("n_removed") > 0, 1)).alias("touched"),
-                F.sum("n_removed").alias("removed"),
-            ).collect()[0]
-            print(
-                f"DOCS_TOTAL={stats['total']} DOCS_TRIMMED={stats['touched']} "
-                f"TOKENS_REMOVED={stats['removed']}"
-            )
+            _write_trimmed_corpus(docs, trimmed, args.output)
             return 0
         if args.tool == "decontaminate":
             from pyspark.sql import functions as F

@@ -1000,6 +1000,68 @@ def build_span_index(
     ).parquet(f"{index_dir}/meta")
 
 
+def span_index_append(
+    spark: SparkSession, docs: DataFrame, index_dir: str
+) -> dict:
+    """Merge a BATCH of documents' window hashes into a persisted
+    ``build_span_index`` index IN PLACE — the incremental-maintenance
+    half the overwrite-only builder lacked (round 15): a nightly crawl
+    both trims against the standing index AND joins it for the next
+    night, without ever rebuilding over the full corpus (the dedup
+    sibling of the IVF index's raw-append path; matches the reference's
+    operate-on-a-live-table posture, CorruptRowsMR.java:127-166).
+
+    Recombine is ONE aggregate + ONE full-outer join on the 8-byte hash:
+    per hash, nd adds the batch's distinct-owner count and d0 takes the
+    least owner id. This is EXACT (appended index == full rebuild over
+    corpus + batch) precisely when the batch's doc ids are new to the
+    index — the nightly-crawl contract, identical to ``assume_new``
+    trim semantics. Re-appending an already-indexed doc id inflates nd
+    for its hashes (the index stores counts, not owner sets); dedupe the
+    batch stream upstream or rebuild.
+
+    Commit: the merged table is written BESIDE the live one and swapped
+    in with two directory renames (a parquet dir cannot be overwritten
+    while it is an input to the job writing it). On HDFS/S3 committers
+    this maps to FileSystem.rename / a manifest swap.
+
+    k is read from the index meta — a batch windowed at a different k
+    cannot be appended by construction. Returns {"windows", "added",
+    "k"} for the CLI counters.
+    """
+    import shutil
+
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()
+    k = int(meta[0]["k"])
+    live = f"{index_dir}/span_hashes"
+    old = spark.read.parquet(live)
+    batch = (
+        _window_hashes_of(docs, k)
+        .groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd_b"),
+            F.min("doc_id").alias("d0_b"),
+        )
+    )
+    merged = old.join(batch, "h", "full_outer").select(
+        "h",
+        (
+            F.coalesce(F.col("nd"), F.lit(0))
+            + F.coalesce(F.col("nd_b"), F.lit(0))
+        ).cast("long").alias("nd"),
+        F.least("d0", "d0_b").alias("d0"),
+    )
+    tmp = f"{index_dir}/span_hashes__new"
+    merged.write.mode("overwrite").parquet(tmp)
+    n_old = old.count()
+    bak = f"{index_dir}/span_hashes__old"
+    shutil.move(live, bak)
+    shutil.move(tmp, live)
+    shutil.rmtree(bak)
+    n_after = spark.read.parquet(live).count()
+    return {"windows": n_after, "added": n_after - n_old, "k": k}
+
+
 def max_dup_spans_indexed(
     spark: SparkSession,
     docs: DataFrame,

@@ -510,3 +510,40 @@ def test_cli_span_index_build_and_trim(spark, tmp_path, capsys):
                  "--indexDir", idx]) == 1
     assert main(["span-index", "--action", "build", "--sfDir", str(corpus),
                  "--indexDir", idx, "--minSpan", "0"]) == 1
+
+
+def test_cli_span_index_append(spark, tmp_path, capsys):
+    """span-index --action append: a nightly batch merges into the live
+    index in place; a later batch sharing the APPENDED doc's fragment is
+    trimmed (proof the merge is live), and counters report the window
+    delta."""
+    corpus, batch = tmp_path / "corpus", tmp_path / "batch"
+    frag = " ".join(f"q{i}" for i in range(25))
+    spark.createDataFrame(
+        [(1, " ".join(f"a{j}" for j in range(30)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(corpus / "documents.parquet"))
+    spark.createDataFrame(
+        [(50, " ".join(f"m{j}" for j in range(4)) + " " + frag, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(batch / "documents.parquet"))
+
+    idx = str(tmp_path / "idx")
+    assert main(["span-index", "--action", "build", "--sfDir", str(corpus),
+                 "--indexDir", idx]) == 0
+    capsys.readouterr()
+    assert main(["span-index", "--action", "append", "--sfDir", str(batch),
+                 "--indexDir", idx]) == 0
+    printed = capsys.readouterr().out
+    assert "SPAN_INDEX_APPENDED" in printed and "k=20" in printed
+    assert "added=10" in printed  # 29-20+1 new windows from the batch doc
+
+    probe, out = tmp_path / "probe", str(tmp_path / "trimmed")
+    spark.createDataFrame(
+        [(200, frag + " " + " ".join(f"t{j}" for j in range(6)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(probe / "documents.parquet"))
+    assert main(["span-index", "--action", "trim", "--sfDir", str(probe),
+                 "--indexDir", idx, "--assumeNew", "--output", out]) == 0
+    printed = capsys.readouterr().out
+    assert "DOCS_TRIMMED=1" in printed and "TOKENS_REMOVED=25" in printed

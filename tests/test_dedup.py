@@ -1087,3 +1087,78 @@ def test_dup_span_partners_cap_boundary_is_strict(spark, tmp_path):
         ).collect()
     }
     assert over_cap == {(d, dedup.HOT_PARTNER_SENTINEL, 4, 20) for d in (1, 2, 3)}
+
+
+def test_span_index_append_equals_full_rebuild(spark, tmp_path):
+    """Round-15 incremental append: building over corpus A then appending
+    disjoint batch B must yield the SAME index content as a full rebuild
+    over A+B — and a probe batch trimmed against either index must be
+    hash-equal. (nd/d0 recombine: nd adds, d0 takes the least owner.)"""
+    frag = [f"s{i}" for i in range(25)]
+    A = {
+        1: [f"a{j}" for j in range(8)] + frag,
+        2: [f"b{j}" for j in range(30)],
+    }
+    B = {
+        10: [f"c{j}" for j in range(5)] + frag,          # joins the frag owners
+        11: A[2][:25],                                   # duplicates doc 2's prefix
+        12: [f"d{j}" for j in range(22)],                # unique
+    }
+
+    def write_docs(d, path):
+        spark.createDataFrame(
+            [(i, " ".join(t), "en", "s", 1) for i, t in d.items()],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.mode("overwrite").parquet(str(path / "documents.parquet"))
+
+    corpus, batch, full = tmp_path / "A", tmp_path / "B", tmp_path / "AB"
+    write_docs(A, corpus)
+    write_docs(B, batch)
+    write_docs({**A, **B}, full)
+
+    idx_inc, idx_full = str(tmp_path / "idx_inc"), str(tmp_path / "idx_full")
+    dedup.build_span_index(spark, str(corpus), idx_inc)
+    from symat_hbase_tools_spark.sources.tables import load_table
+
+    st = dedup.span_index_append(
+        spark, load_table(spark, str(batch), "documents"), idx_inc
+    )
+    assert st["k"] == 20 and st["windows"] > 0 and st["added"] > 0
+    dedup.build_span_index(spark, str(full), idx_full)
+
+    inc = {
+        (r["h"], r["nd"], r["d0"])
+        for r in spark.read.parquet(f"{idx_inc}/span_hashes").collect()
+    }
+    fullset = {
+        (r["h"], r["nd"], r["d0"])
+        for r in spark.read.parquet(f"{idx_full}/span_hashes").collect()
+    }
+    assert inc == fullset
+    assert st["windows"] == len(fullset)
+
+    probe = tmp_path / "probe"
+    write_docs(
+        {100: [f"n{j}" for j in range(3)] + frag,
+         101: [f"z{j}" for j in range(40)]},
+        probe,
+    )
+    probe_docs = load_table(spark, str(probe), "documents")
+    for idx in (idx_inc, idx_full):
+        spans = dedup.max_dup_spans_indexed(
+            spark, probe_docs, idx, assume_new=True
+        )
+        got = {
+            tuple(r)
+            for r in dedup.trim_with_spans(probe_docs, spans)
+            .select("doc_id", "n_removed", "trimmed_text")
+            .collect()
+        }
+        assert got == {
+            (100, 25, " ".join(f"n{j}" for j in range(3))),
+            (101, 0, " ".join(f"z{j}" for j in range(40))),
+        }
+    # the swap must leave no tmp/backup dirs behind
+    import os
+
+    assert sorted(os.listdir(idx_inc)) == ["meta", "span_hashes"]
