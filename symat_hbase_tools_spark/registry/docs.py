@@ -126,6 +126,13 @@ QUERIES = {
     # (numpy fingerprint fold), claim carried by the planted-edit twin
     "multimodal_near_dup": multimodal.multimodal_near_dup,
     "multimodal_near_dup_check": multimodal.multimodal_near_dup_check,
+    # round-15: REAL-pixel decode tier — raster fixtures generated by an
+    # SQL-restatable law, decoded from bytes (netpbm header parse, BMP
+    # padding + bottom-up order), censused; and the planted crop/
+    # brightness recovery proof over decoded dHash (the edit classes the
+    # byte-raster fingerprint provably cannot catch)
+    "multimodal_decode_census": multimodal.multimodal_decode_census,
+    "multimodal_decode_edit_check": multimodal.multimodal_decode_edit_check,
     # sampling surface
     "doc_sample": doc_sample,
     # training-pipeline assembly
@@ -1583,6 +1590,33 @@ ORACLE_SQL = {
         SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, TRUE AS coverage_ok
         FROM documents
         WHERE text IS NOT NULL AND octet_length(encode(text)) >= 8
+    """,
+    # round-15: the raster-fixture generation law restated verbatim —
+    # w = doc_id%13+4, h = doc_id%11+4, pixel i = (doc_id*7 + i*13)%256,
+    # even doc_id -> PGM, odd -> BMP. The engine side must genuinely
+    # parse the container bytes to reproduce these sums.
+    "multimodal_decode_census": """
+        WITH dims AS (SELECT doc_id, source,
+                             doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+                      FROM documents),
+        px AS (SELECT doc_id, unnest(range(0, w * h)) AS i FROM dims),
+        sums AS (SELECT doc_id,
+                        SUM((doc_id * 7 + i * 13) % 256) AS ps
+                 FROM px GROUP BY doc_id)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(SUM(w) AS BIGINT) AS sum_width,
+               CAST(SUM(h) AS BIGINT) AS sum_height,
+               CAST(SUM(ps) AS BIGINT) AS sum_pixels,
+               CAST(COUNT(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS n_bmp,
+               CAST(COUNT(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS n_pgm
+        FROM dims JOIN sums USING (doc_id) GROUP BY source
+    """,
+    # round-15: the oracle pins the plant count and the guaranteed-by-
+    # construction booleans (see multimodal_decode_edit_check docstring)
+    "multimodal_decode_edit_check": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+               TRUE AS brightness_ok, TRUE AS crop_ok
+        FROM documents
     """,
     # round-11: byte-identical payload dedup — sha-256 hex on both engines
     "multimodal_payload_dedup": """

@@ -29,13 +29,15 @@ def test_features_match_python(spark, documents):
         assert got["height"] == doc_id % 480 + 1
 
 
-def test_real_decoder_is_stubbed(spark, documents):
+def test_real_decoder_rejects_non_raster_and_compressed(spark, documents):
+    """The round-15 real tier decodes uncompressed rasters only: the
+    synthetic txt payloads are refused as undecodable, and compressed
+    containers (png) keep the honest NotImplementedError stub."""
     rec = multimodal.attach_payload(documents.limit(2))
-    with pytest.raises(Exception) as exc_info:
+    with pytest.raises(Exception, match="undecodable"):
         multimodal.extract_features(rec, use_real_decoder=True).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
-    )
+    with pytest.raises(NotImplementedError, match="compressed container"):
+        multimodal.decode_raster(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
 
 
 def test_features_survive_repartition(spark, documents):
@@ -136,8 +138,9 @@ def test_resize_aspect_and_bytes(spark, documents):
         assert r["out_len"] <= in_len
 
 
-def test_resize_real_decoder_is_stubbed(spark, documents):
-    """The real-PIL path must refuse up front in this container."""
+def test_resize_real_decoder_rejects_non_raster(spark, documents):
+    """The real resize path decodes uncompressed rasters only — the
+    synthetic txt payloads are refused as undecodable."""
     import pytest
 
     from symat_hbase_tools_spark.operators.multimodal import (
@@ -145,7 +148,7 @@ def test_resize_real_decoder_is_stubbed(spark, documents):
         resize_images,
     )
 
-    with pytest.raises(Exception, match="PIL"):
+    with pytest.raises(Exception, match="undecodable"):
         resize_images(attach_payload(documents), use_real_decoder=True).collect()
 
 
@@ -227,3 +230,99 @@ def test_near_dup_pairs_band_join_is_exact(spark):
 def test_multimodal_near_dup_check_covers_all_plants(spark):
     row = multimodal.multimodal_near_dup_check(spark, SF_DIR).collect()[0]
     assert row["coverage_ok"] and row["n_planted"] > 0
+
+
+def test_decode_raster_roundtrips_all_containers():
+    """Round-15 real decoder: asymmetric fixtures round-trip exactly
+    through P5 (header parse), P6 (luma fold), and 24-bpp BMP (row
+    padding + bottom-up order); headers may carry comments; unknown
+    bytes raise ValueError."""
+    import numpy as np
+
+    g = (np.arange(7 * 5, dtype=np.int64).reshape(5, 7) * 11) % 256
+    assert np.array_equal(multimodal.decode_raster(multimodal.encode_pgm(g)), g)
+    assert np.array_equal(
+        multimodal.decode_raster(multimodal.encode_bmp24_gray(g)), g
+    )
+    rgb = np.arange(3 * 4 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    p6 = b"P6\n4 3\n255\n" + rgb.tobytes()
+    assert np.array_equal(
+        multimodal.decode_raster(p6), rgb.astype(np.int64).sum(2) // 3
+    )
+    commented = b"P5\n# fixture\n7 5\n255\n" + g.astype(np.uint8).tobytes()
+    assert np.array_equal(multimodal.decode_raster(commented), g)
+    with pytest.raises(ValueError, match="undecodable"):
+        multimodal.decode_raster(b"not a raster at all")
+
+
+def test_resize_real_path_box_filters_decoded_pixels(spark):
+    """resize_images(use_real_decoder=True) on a genuine PGM: output is
+    the exact 8x8 block-mean thumbnail, re-encoded as decodable P5, with
+    dims from the DECODED raster (not metadata)."""
+    import numpy as np
+
+    g = (np.add.outer(np.arange(64), np.arange(64)) * 3) % 200
+    rec = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_pgm(g)))], "doc_id long, payload binary"
+    )
+    row = multimodal.resize_images(
+        rec, max_side=8, use_real_decoder=True
+    ).collect()[0]
+    assert (row["out_width"], row["out_height"]) == (8, 8)
+    got = multimodal.decode_raster(bytes(row["out_bytes"]))
+    want = np.rint(multimodal._block_means(g.astype(np.int64), 8, 8)).astype(
+        np.int64
+    )
+    assert np.array_equal(got, want)
+
+
+def test_decoded_dhash_survives_crop_where_byte_dhash_cannot(spark):
+    """The round-15 claim, pinned: a 2-row+2-col crop leaves the DECODED
+    dHash exactly unchanged (banded-ramp construction — see
+    multimodal_decode_edit_check), while the byte-raster dHash of the
+    same payload pair lands far outside max_hamming=3 (the reflowed
+    stream misaligns every grid cell). Brightness +20 is also exact."""
+    import numpy as np
+
+    rows = []
+    for d in (1, 5, 42, 123):
+        g = multimodal._banded_ramp_gray(d)
+        rows.append((d, bytearray(multimodal.encode_pgm(g))))
+        rows.append((d + 1000, bytearray(multimodal.encode_pgm(g[:-2, :-2]))))
+        rows.append((d + 2000, bytearray(multimodal.encode_pgm(g + 20))))
+    rec = spark.createDataFrame(rows, "doc_id long, payload binary")
+    dec = {
+        r["doc_id"]: r["fp"]
+        for r in multimodal.decoded_perceptual_hashes(rec).collect()
+    }
+    byt = {
+        r["doc_id"]: r["fp"] for r in multimodal.perceptual_hashes(rec).collect()
+    }
+    for d in (1, 5, 42, 123):
+        assert dec[d] == dec[d + 1000] == dec[d + 2000]
+        byte_crop_hamming = bin(
+            (byt[d] ^ byt[d + 1000]) & ((1 << 64) - 1)
+        ).count("1")
+        assert byte_crop_hamming > 3, (d, byte_crop_hamming)
+
+
+def test_decode_features_reports_decoded_dims_not_meta(spark):
+    """extract_features(use_real_decoder=True) and decode_features both
+    report dims read from the BYTES; a payload whose raster disagrees
+    with any metadata claim surfaces the truth."""
+    import numpy as np
+
+    g = (np.arange(6 * 9, dtype=np.int64).reshape(6, 9) * 7) % 256
+    rec = spark.createDataFrame(
+        [(7, bytearray(multimodal.encode_bmp24_gray(g)))],
+        "doc_id long, payload binary",
+    ).withColumn(
+        "meta",
+        __import__("pyspark.sql.functions", fromlist=["struct"]).struct(),
+    )
+    row = multimodal.decode_features(rec).collect()[0]
+    assert (row["format"], row["width"], row["height"]) == ("bmp", 9, 6)
+    assert row["pixel_sum"] == int(g.sum())
+    feat = multimodal.extract_features(rec, use_real_decoder=True).collect()[0]
+    assert (feat["width"], feat["height"]) == (9, 6)
+    assert feat["checksum"] == int(g.sum()) % multimodal.CHECKSUM_MOD
