@@ -99,13 +99,18 @@ def compact_files(
     ]
     total_bytes = sum(s.getLen() for s in statuses)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    from symat_hbase_tools_spark.sources.bloom import with_row_bloom
+    from symat_hbase_tools_spark.sources.bloom import ndv_for_bytes, with_row_bloom
 
+    # bloom ndv sized from the actual byte budget: a row group can never
+    # hold more than min(target file size, the 128 MB row-group default)
+    # of rows, so the 1M default would bloat small-target rewrites
+    ndv = ndv_for_bytes(min(int(target_file_bytes), 128 * 1024 * 1024))
     (
         with_row_bloom(
             df.repartitionByRange(n_files, "row")
             .sortWithinPartitions("row", "family", "qualifier", "ts")
-            .write.mode("overwrite")
+            .write.mode("overwrite"),
+            ndv=ndv,
         ).parquet(dst_path)
     )
     dst = jvm.org.apache.hadoop.fs.Path(dst_path)

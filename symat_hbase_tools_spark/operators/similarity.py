@@ -2888,6 +2888,62 @@ def ann_bq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bq_cell_kernel_factory(id_col: str, r_cell: int):
+    """Shared IVF-BQ in-cell scan kernel for the session (``ann_ivfbq_topk``)
+    and persisted (``ann_ivfbq_query``) tiers, which differ only in the
+    member id column name: unpack the two packed sign-bit words to a
+    (members, 64) {-1,+1} matrix, sliced-gemm queries against it with the
+    same-id mask, and emit each query's top ``r_cell`` per cell."""
+
+    def kernel(qg, cg):
+        import numpy as np
+        import pandas as pd
+
+        if qg.empty or cg.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "s_bq": []}
+            ).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "s_bq": "float64"}
+            )
+        Q = np.array(qg["qe"].tolist(), dtype=np.float64)
+        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        q_ids = qg["query_id"].to_numpy()
+        c_ids = cg[id_col].to_numpy()
+        j32 = np.arange(32, dtype=np.uint64)
+        w0 = cg["w0"].to_numpy().astype(np.uint64)
+        w1 = cg["w1"].to_numpy().astype(np.uint64)
+        bits = np.concatenate(
+            [
+                (w0[:, None] >> j32[None, :]) & 1,
+                (w1[:, None] >> j32[None, :]) & 1,
+            ],
+            axis=1,
+        )
+        Bpm = bits.astype(np.float64) * 2.0 - 1.0
+        out_q, out_n, out_s = [], [], []
+        q_step = max(1, KERNEL_SLICE_ELEMS // max(1, len(c_ids)))
+        for lo in range(0, len(q_ids), q_step):
+            Qs = Q[lo : lo + q_step]
+            ids_s = q_ids[lo : lo + q_step]
+            sims = Qs @ Bpm.T
+            sims[ids_s[:, None] == c_ids[None, :]] = -np.inf
+            rr = min(r_cell, sims.shape[1])
+            top, nbr = _topk_rows(sims, c_ids, rr)
+            keep = np.isfinite(top).ravel()
+            out_q.append(np.repeat(ids_s, rr)[keep])
+            out_n.append(nbr.ravel()[keep])
+            out_s.append(top.ravel()[keep])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "s_bq": np.concatenate(out_s),
+            }
+        )
+
+    return kernel
+
+
 def ann_ivfbq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -2982,52 +3038,7 @@ def ann_ivfbq_topk(
     )
 
     R_cell = int(cell_shortlist_mult) * int(k)
-
-    def bq_cell_kernel(qg, cg):
-        import pandas as pd
-
-        if qg.empty or cg.empty:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "s_bq": []}
-            ).astype(
-                {"query_id": "int64", "neighbor_id": "int64", "s_bq": "float64"}
-            )
-        Q = np.array(qg["qe"].tolist(), dtype=np.float64)
-        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-        q_ids = qg["query_id"].to_numpy()
-        c_ids = cg["neighbor_id"].to_numpy()
-        # unpack the two packed words to a (members, 64) {-1,+1} matrix
-        j32 = np.arange(32, dtype=np.uint64)
-        w0 = cg["w0"].to_numpy().astype(np.uint64)
-        w1 = cg["w1"].to_numpy().astype(np.uint64)
-        bits = np.concatenate(
-            [
-                (w0[:, None] >> j32[None, :]) & 1,
-                (w1[:, None] >> j32[None, :]) & 1,
-            ],
-            axis=1,
-        )
-        Bpm = bits.astype(np.float64) * 2.0 - 1.0
-        out_q, out_n, out_s = [], [], []
-        q_step = max(1, KERNEL_SLICE_ELEMS // max(1, len(c_ids)))
-        for lo in range(0, len(q_ids), q_step):
-            Qs = Q[lo : lo + q_step]
-            ids_s = q_ids[lo : lo + q_step]
-            sims = Qs @ Bpm.T
-            sims[ids_s[:, None] == c_ids[None, :]] = -np.inf
-            rr = min(R_cell, sims.shape[1])
-            top, nbr = _topk_rows(sims, c_ids, rr)
-            keep = np.isfinite(top).ravel()
-            out_q.append(np.repeat(ids_s, rr)[keep])
-            out_n.append(nbr.ravel()[keep])
-            out_s.append(top.ravel()[keep])
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "s_bq": np.concatenate(out_s),
-            }
-        )
+    bq_cell_kernel = _bq_cell_kernel_factory("neighbor_id", R_cell)
 
     local = (
         q.groupby("cell")
@@ -3620,52 +3631,7 @@ def ann_ivfbq_query(
     )
 
     R_cell = int(cell_shortlist_mult) * int(k)
-
-    def bq_cell_kernel(qg, cg):
-        import pandas as pd
-
-        if qg.empty or cg.empty:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "s_bq": []}
-            ).astype(
-                {"query_id": "int64", "neighbor_id": "int64", "s_bq": "float64"}
-            )
-        Q = np.array(qg["qe"].tolist(), dtype=np.float64)
-        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-        q_ids = qg["query_id"].to_numpy()
-        c_ids = cg["vec_id"].to_numpy()
-        j32 = np.arange(32, dtype=np.uint64)
-        w0 = cg["w0"].to_numpy().astype(np.uint64)
-        w1 = cg["w1"].to_numpy().astype(np.uint64)
-        bits = np.concatenate(
-            [
-                (w0[:, None] >> j32[None, :]) & 1,
-                (w1[:, None] >> j32[None, :]) & 1,
-            ],
-            axis=1,
-        )
-        Bpm = bits.astype(np.float64) * 2.0 - 1.0
-        out_q, out_n, out_s = [], [], []
-        q_step = max(1, KERNEL_SLICE_ELEMS // max(1, len(c_ids)))
-        for lo in range(0, len(q_ids), q_step):
-            Qs = Q[lo : lo + q_step]
-            ids_s = q_ids[lo : lo + q_step]
-            sims = Qs @ Bpm.T
-            # same same-id mask as the PQ persisted path
-            sims[ids_s[:, None] == c_ids[None, :]] = -np.inf
-            rr = min(R_cell, sims.shape[1])
-            top, nbr = _topk_rows(sims, c_ids, rr)
-            keep = np.isfinite(top).ravel()
-            out_q.append(np.repeat(ids_s, rr)[keep])
-            out_n.append(nbr.ravel()[keep])
-            out_s.append(top.ravel()[keep])
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "s_bq": np.concatenate(out_s),
-            }
-        )
+    bq_cell_kernel = _bq_cell_kernel_factory("vec_id", R_cell)
 
     local = (
         q.groupby("cell")

@@ -1275,9 +1275,15 @@ def events_heavy_hitters(
         for pdf in batches:
             for u, c in pdf["user_id"].value_counts().items():
                 counts[u] = counts.get(u, 0) + int(c)
-            if len(counts) > capacity:
-                kth = sorted(counts.values(), reverse=True)[capacity]
-                counts = {u: c - kth for u, c in counts.items() if c > kth}
+                # prune as soon as the dict overflows so task state is
+                # truly <= capacity + 1 entries at every point (not
+                # capacity + one batch's distinct keys); subtracting the
+                # (capacity+1)-th largest drops at least the min entry,
+                # and MG's decrement-mass bound holds for any prune
+                # schedule, so the candidate guarantee is unchanged
+                if len(counts) > capacity:
+                    kth = sorted(counts.values(), reverse=True)[capacity]
+                    counts = {x: v - kth for x, v in counts.items() if v > kth}
         yield pd.DataFrame({"user_id": list(counts.keys())})
 
     cands = events.select("user_id").mapInPandas(

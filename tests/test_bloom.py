@@ -233,3 +233,18 @@ def test_absent_key_point_get_scans_nothing_with_bloom(spark, tmp_path):
     assert got_on.count() == 0 and got_off.count() == 0
     assert _scan_output_rows(got_on) == 0
     assert _scan_output_rows(got_off) == n
+
+
+def test_ndv_for_bytes_sizes_from_budget():
+    """Round-15 ADVICE fix: bloom ndv derives from the row-group byte
+    budget (clamped to [1024, default]) instead of the fixed 1M — the
+    measured small-row-group file-bloat case."""
+    from symat_hbase_tools_spark.sources.bloom import (
+        EST_CELL_ROW_BYTES,
+        ROW_BLOOM_NDV,
+        ndv_for_bytes,
+    )
+
+    assert ndv_for_bytes(128 * 1024 * 1024) == ROW_BLOOM_NDV
+    assert ndv_for_bytes(1024 * 1024) == (1024 * 1024) // EST_CELL_ROW_BYTES
+    assert ndv_for_bytes(0) == 1024  # floor
