@@ -1540,6 +1540,10 @@ def build_ivf_index(
     )
     # a rebuild replaces the on-disk layout: drop any cached relations
     _invalidate_ivf_relations(index_dir)
+    # persist the drift baseline (round 15): per-cell sizes + assignment
+    # distances at build time, the yardstick ivf_index_drift_census
+    # measures frozen-codebook append drift against
+    ivf_index_write_stats(spark, index_dir, n_assign=n_assign)
 
 
 def ivf_index_append(
@@ -1626,6 +1630,210 @@ def ivf_index_append(
     )
     # new files on disk: cached relations would miss them
     _invalidate_ivf_relations(index_dir)
+
+
+# --- IVF index drift census + rebalance (round 15) -------------------------
+#
+# Frozen-codebook appends (ivf_index_append) degrade cell balance and
+# recall over sustained ingest with no measurement: a drifting embedding
+# distribution piles new vectors into few cells (probe cost concentrates,
+# per-cell kernels skew) and pushes mean assignment distance up (the
+# quantizer fits the data worse, so a fixed n_probe recalls less). The
+# census makes that drift a measured, thresholded quantity against a
+# build-time baseline persisted in stats/; the rebalance op is the re-fit
+# + re-encode maintenance step (the LSM-compaction analog the append
+# docstring promised).
+
+#: drift flags when cell-size imbalance grows past this multiple of the
+#: build-time baseline...
+DRIFT_IMBALANCE_RATIO = 1.5
+#: ...or mean assignment distance grows past this multiple of baseline
+DRIFT_DIST_RATIO = 1.2
+
+
+def _ivf_percell_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(cell, n_members, sum_dist) over the CURRENT assignments: one
+    Arrow-batched pass computing each stored vector's L2 distance to its
+    own cell's centroid (broadcast codebook), partially aggregated per
+    batch so the shuffle carries one row per (task, cell)."""
+    import numpy as np
+
+    cent = _ivf_relation(spark, index_dir, "centroids").orderBy("cell").collect()
+    C = np.array([r["centroid"] for r in cent], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(C)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        Cv = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            cells = pdf["cell"].to_numpy().astype(np.int64)
+            d = np.linalg.norm(E - Cv[cells], axis=1)
+            g = (
+                pd.DataFrame({"cell": cells, "d": d})
+                .groupby("cell")["d"]
+                .agg(["count", "sum"])
+                .reset_index()
+            )
+            yield pd.DataFrame(
+                {"cell": g["cell"], "n": g["count"], "s": g["sum"]}
+            )
+
+    part = (
+        _ivf_relation(spark, index_dir, "assignments")
+        .select("emb", "cell")
+        .mapInPandas(gen, schema="cell int, n long, s double")
+    )
+    return part.groupBy("cell").agg(
+        F.sum("n").alias("n_members"), F.sum("s").alias("sum_dist")
+    )
+
+
+def ivf_index_write_stats(
+    spark: SparkSession, index_dir: str, n_assign: int = 1
+) -> None:
+    """Persist the drift BASELINE: stats/percell (cell, n_members,
+    sum_dist) + stats/meta (n_assign — rebalance re-assigns with the
+    build's spill factor). Called by build_ivf_index and
+    ivf_index_rebalance; appends deliberately do NOT refresh it — the
+    baseline is what drift is measured against."""
+    _ivf_percell_stats(spark, index_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/stats/percell")
+    spark.createDataFrame(
+        [(int(n_assign),)], "n_assign int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats/meta")
+
+
+def ivf_index_drift_census(spark: SparkSession, index_dir: str) -> DataFrame:
+    """One-row drift report for a persisted IVF index vs its build-time
+    baseline: (n_vectors, baseline_n_vectors, imbalance,
+    baseline_imbalance, mean_dist, baseline_mean_dist, drift_flagged).
+    imbalance = max cell size / mean cell size (1.0 = perfectly even);
+    mean_dist = corpus-mean L2 distance to the assigned centroid.
+    drift_flagged when either metric grows past its ratio threshold
+    (DRIFT_IMBALANCE_RATIO / DRIFT_DIST_RATIO) — the signal to run
+    ivf_index_rebalance. Cost: one scan of assignments (the same pass a
+    single query's cell kernel pays over probed cells, here over all)."""
+    import os
+
+    if not os.path.isdir(os.path.join(index_dir, "stats", "percell")):
+        raise ValueError(
+            f"index at {index_dir} has no stats/ baseline — rebuild with "
+            "build_ivf_index (round 15+) or run ivf_index_write_stats once"
+        )
+
+    def summarize(percell: DataFrame, prefix: str) -> DataFrame:
+        return percell.agg(
+            F.sum("n_members").alias(f"{prefix}n_vectors"),
+            (
+                F.max("n_members").cast("double")
+                / F.avg("n_members")
+            ).alias(f"{prefix}imbalance"),
+            (F.sum("sum_dist") / F.sum("n_members")).alias(
+                f"{prefix}mean_dist"
+            ),
+        )
+
+    cur = summarize(_ivf_percell_stats(spark, index_dir), "")
+    base = summarize(
+        spark.read.parquet(f"{index_dir}/stats/percell"), "baseline_"
+    )
+    return cur.crossJoin(base).select(
+        "n_vectors",
+        "baseline_n_vectors",
+        F.round("imbalance", 4).alias("imbalance"),
+        F.round("baseline_imbalance", 4).alias("baseline_imbalance"),
+        F.round("mean_dist", 6).alias("mean_dist"),
+        F.round("baseline_mean_dist", 6).alias("baseline_mean_dist"),
+        (
+            (
+                F.col("imbalance")
+                > F.col("baseline_imbalance") * F.lit(DRIFT_IMBALANCE_RATIO)
+            )
+            | (
+                F.col("mean_dist")
+                > F.col("baseline_mean_dist") * F.lit(DRIFT_DIST_RATIO)
+            )
+        ).alias("drift_flagged"),
+    )
+
+
+def ivf_index_rebalance(
+    spark: SparkSession, index_dir: str, seed: int = 43
+) -> None:
+    """Re-fit + re-encode maintenance for a drifted IVF index: fit a fresh
+    codebook on the CURRENT contents (hash-capped sample, driver-side
+    Lloyd — the build's own fit path), re-assign every vector with the
+    build's n_assign (from stats/meta), and swap the new
+    centroids/assignments in with directory renames (write-beside — the
+    span_index_append commit pattern; a parquet tree can't be overwritten
+    while it is the job's input). The baseline stats/ are refreshed so
+    the next census measures drift from THIS rebalance.
+
+    Derived code layers (pq_codes/bq_codes + their codebooks) are DROPPED
+    with a warning: their rows are keyed by the OLD cell partitioning, and
+    the count-based staleness guard cannot see a same-count re-layout —
+    re-run ivf_index_add_pq / ivf_index_add_bq to re-encode. Labels ride
+    through like ivf_index_append."""
+    import shutil
+    import warnings
+
+    meta = spark.read.parquet(f"{index_dir}/stats/meta").collect()
+    n_assign = int(meta[0]["n_assign"])
+    n_cells = _ivf_relation(spark, index_dir, "centroids").count()
+    asg = _ivf_relation(spark, index_dir, "assignments")
+    has_label = "label" in asg.columns
+    cols = ["vec_id", "emb"] + (["label"] if has_label else [])
+    vecs = asg.select(*cols).dropDuplicates(["vec_id"])
+    centers, _ = _fit_codebook(
+        vecs.select("vec_id", "emb"), int(n_cells), seed
+    )
+    import numpy as np
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame(
+            {"cell": range(len(centers)), "centroid": centers.tolist()}
+        )
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids__new")
+    bc = spark.sparkContext.broadcast(np.asarray(centers))
+    extra = (
+        {"label": asg.schema["label"].dataType.simpleString()}
+        if has_label
+        else None
+    )
+    (
+        _cell_assign(vecs, bc, n_assign, extra_cols=extra)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_dir}/assignments__new")
+    )
+    for part in ("centroids", "assignments"):
+        live, new = f"{index_dir}/{part}", f"{index_dir}/{part}__new"
+        bak = f"{index_dir}/{part}__old"
+        shutil.move(live, bak)
+        shutil.move(new, live)
+        shutil.rmtree(bak)
+    import os
+
+    for layer in ("pq_codes", "pq_codebooks", "bq_codes"):
+        p = os.path.join(index_dir, layer)
+        if os.path.isdir(p):
+            warnings.warn(
+                f"ivf_index_rebalance: dropping derived layer {layer} — "
+                "its rows are keyed by the old cell partitioning; re-run "
+                "the matching add-pq/add-bq to re-encode",
+                stacklevel=2,
+            )
+            shutil.rmtree(p)
+    _invalidate_ivf_relations(index_dir)
+    ivf_index_write_stats(spark, index_dir, n_assign=n_assign)
 
 
 #: probe-table caches outstanding from ann_ivf_query / ann_ivfpq_query

@@ -8,6 +8,7 @@ assembled by registry/__init__.py; split out of entry.py in round 13.
 from __future__ import annotations
 
 from symat_hbase_tools_spark.registry.wrappers import (
+    ann_ivf_drift_check,
     ann_ivf_indexed_recall_check,
     ann_ivfpq_indexed_recall_check,
     kcenter_check,
@@ -27,6 +28,10 @@ QUERIES = {
     "ann_ivf_indexed_recall_check": ann_ivf_indexed_recall_check,
     # round-12: the persisted add-pq/query-pq serving path's recall row
     "ann_ivfpq_indexed_recall_check": ann_ivfpq_indexed_recall_check,
+    # round-15: drift census + rebalance maintenance lifecycle (build ->
+    # drifting append -> census flags -> re-fit/re-encode -> census clears,
+    # quantization error drops, planted clones still retrievable)
+    "ann_ivf_drift_check": ann_ivf_drift_check,
     "embedding_near_dup": lambda spark, sf: similarity.embedding_near_dup_pairs(
         spark, sf, threshold=0.4
     ),
@@ -274,6 +279,16 @@ ORACLE_SQL = {
     "ann_ivfpq_indexed_recall_check": """
         SELECT 'ivfpq_indexed' AS method, COUNT(*) AS n_queries,
                TRUE AS recall_ok
+        FROM embeddings
+    """,
+    # round-15: drift lifecycle — counts are exact SQL (the planted set is
+    # vec_id % 5 == 0); the four booleans are guaranteed by construction
+    # (see wrappers.ann_ivf_drift_check docstring)
+    "ann_ivf_drift_check": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_base,
+               CAST(COUNT(*) FILTER (vec_id % 5 = 0) AS BIGINT) AS n_planted,
+               TRUE AS drift_flagged, TRUE AS cleared_ok,
+               TRUE AS improved_ok, TRUE AS recovery_ok
         FROM embeddings
     """,
     # embedding_near_dup_lsh itself is rows-only (bucket collisions are

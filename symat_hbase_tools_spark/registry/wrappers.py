@@ -890,6 +890,70 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
     return idx
 
 
+def ann_ivf_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full drift-maintenance LIFECYCLE for the persisted IVF index
+    (round 15): build -> append a drift-inducing batch -> census flags ->
+    rebalance -> census clears + quantization error actually improves ->
+    planted vectors still retrievable. Exercises
+    similarity.ivf_index_drift_census / ivf_index_rebalance end to end.
+
+    The drift batch: every vec_id % 5 == 0 corpus vector, scaled x5 with
+    an offset id. Scaling moves the vector FAR from the frozen codebook
+    (mean assignment distance rises well past DRIFT_DIST_RATIO — the
+    fits-the-data-worse signal) while leaving its DIRECTION unchanged, so
+    after the re-fit each original must still retrieve its clone at
+    cosine 1.0 (cosine is scale-invariant) — recovery is guaranteed by
+    geometry, not probability. Uses its own mutable scratch index, never
+    the shared read-only one (_ivf_index_for).
+
+    Output one row: n_base, n_planted, drift_flagged (census after
+    append), cleared_ok (census after rebalance), improved_ok (mean
+    assignment distance strictly dropped), recovery_ok (>= 90% of
+    planted clones retrieved in their original's top-5). The oracle pins
+    the counts and the four booleans."""
+    idx = _scratch_path("ivf_drift_lifecycle")
+    similarity.build_ivf_index(spark, sf_dir, idx, n_cells=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_base = emb.count()
+    max_id = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"] or 0
+    offset = max(10_000_000, int(max_id) + 1)
+    planted_src = emb.filter(F.col("vec_id") % 5 == 0)
+    n_planted = planted_src.count()
+    clones = planted_src.select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(5.0)).alias("embedding"),
+    )
+    similarity.ivf_index_append(spark, idx, clones)
+    after_append = similarity.ivf_index_drift_census(spark, idx).collect()[0]
+    similarity.ivf_index_rebalance(spark, idx)
+    after_rebal = similarity.ivf_index_drift_census(spark, idx).collect()[0]
+    found = (
+        similarity.ann_ivf_query(
+            spark, idx, planted_src.select("vec_id", "embedding"),
+            k=5, n_probe=6,
+        )
+        .filter(F.col("neighbor_id") == F.col("query_id") + offset)
+        .select("query_id")
+        .distinct()
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_base,
+                n_planted,
+                bool(after_append["drift_flagged"]),
+                not bool(after_rebal["drift_flagged"]),
+                float(after_rebal["mean_dist"])
+                < float(after_append["mean_dist"]),
+                found >= 0.9 * n_planted,
+            )
+        ],
+        "n_base long, n_planted long, drift_flagged boolean, "
+        "cleared_ok boolean, improved_ok boolean, recovery_ok boolean",
+    )
+
+
 #: persisted span (window-hash) indexes, keyed (sf_dir, mtime) like the
 #: IVF cache — testdata regeneration rebuilds
 _SPAN_INDEX_CACHE: dict[tuple, str] = {}

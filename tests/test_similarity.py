@@ -1442,3 +1442,61 @@ def test_binary_quantize_all_negative_and_zero_vectors(spark, tmp_path):
     }
     full = (1 << 32) - 1
     assert got == {1: (0, 0, 0), 2: (0, 0, 0), 3: (full, full, 64)}
+
+
+def test_ivf_drift_census_and_rebalance_mechanics(spark, tmp_path):
+    """Round-15 maintenance ops, mechanics pinned on a tiny controlled
+    corpus: build writes the stats/ baseline; a fresh census is unflagged;
+    a far-from-codebook append flags via the mean-dist ratio; rebalance
+    swaps in a re-fit codebook, refreshes the baseline, DROPS a stale
+    derived BQ layer with a warning, and the post-rebalance census is
+    clean; census without a baseline raises."""
+    import os
+    import warnings
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64))
+    rows = [(i, base[i].tolist(), 0) for i in range(60)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    idx = str(tmp_path / "idx")
+    similarity.build_ivf_index(spark, str(tmp_path), idx, n_cells=4)
+    assert os.path.isdir(os.path.join(idx, "stats", "percell"))
+
+    c0 = similarity.ivf_index_drift_census(spark, idx).collect()[0]
+    assert not c0["drift_flagged"]
+    assert c0["n_vectors"] == c0["baseline_n_vectors"]
+
+    # derived layer present before rebalance -> must be dropped with warning
+    similarity.ivf_index_add_bq(spark, idx)
+
+    far = spark.createDataFrame(
+        [(1000 + i, (base[i] * 25.0).tolist(), 0) for i in range(20)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    similarity.ivf_index_append(spark, idx, far)
+    c1 = similarity.ivf_index_drift_census(spark, idx).collect()[0]
+    assert c1["drift_flagged"] and c1["mean_dist"] > c1["baseline_mean_dist"]
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        similarity.ivf_index_rebalance(spark, idx)
+    assert any("dropping derived layer" in str(x.message) for x in w)
+    assert not os.path.isdir(os.path.join(idx, "bq_codes"))
+    assert sorted(
+        d for d in os.listdir(idx) if not d.startswith("_")
+    ) == ["assignments", "centroids", "stats"]
+
+    c2 = similarity.ivf_index_drift_census(spark, idx).collect()[0]
+    assert not c2["drift_flagged"]
+    assert c2["mean_dist"] < c1["mean_dist"]
+    assert c2["n_vectors"] == 80 == c2["baseline_n_vectors"]
+
+    import shutil
+
+    shutil.rmtree(os.path.join(idx, "stats"))
+    with pytest.raises(ValueError, match="no stats"):
+        similarity.ivf_index_drift_census(spark, idx).collect()
