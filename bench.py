@@ -397,7 +397,21 @@ def main() -> None:
                     for m in [_re.match(r"CORRECTNESS_r(\d+)\.json$", fn)]
                     if m
                 ]
-                rnd = str(max(seen) + 1) if seen else "0"
+                if not seen:
+                    rnd = "0"
+                else:
+                    # the round being MEASURED (round-14 verdict: the
+                    # driver writes CORRECTNESS_r{N} BEFORE benching
+                    # round N and BENCH_r{N} after, so newest-corr+1
+                    # mislabeled the driver's own capture): a missing
+                    # BENCH_r{N} for the newest correctness round means
+                    # round N is still being measured; both present
+                    # means this run is mid round N+1.
+                    n = max(seen)
+                    done = os.path.exists(
+                        os.path.join(repo, f"BENCH_r{n:02d}.json")
+                    )
+                    rnd = str(n + 1 if done else n)
             try:
                 with open(
                     os.path.join(repo, f"BENCH_DETAIL_r{int(rnd):02d}.json"),
