@@ -59,6 +59,16 @@ _STOPWORD_RE = (
 )
 
 
+#: whole-token "contains no lowercase letter" matcher (round 15): a token of
+#: tokens() — a maximal space-bounded run of non-space chars — contains no
+#: [a-z] iff it is a maximal space-bounded run of [^a-z ] chars, which is
+#: exactly one match of this regex (leading space-or-start consumed, trailing
+#: space left unconsumed by the lookahead so adjacent alpha-free tokens each
+#: match — the _STOPWORD_RE construction). One codegen'd regexp_count pass
+#: replaces the interpreted per-element HOF filter in gopher_quality_flags.
+_ALPHA_FREE_RE = "(^| )[^a-z ]+(?=( |$))"
+
+
 def stopword_hits(text: Column) -> Column:
     """Number of tokens of ``text`` that are STOPWORDS members — single
     codegen'd regexp_count pass (see ``_STOPWORD_RE``)."""

@@ -42,8 +42,20 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
 
 def _fake_decode_features(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for a real image/audio decode."""
-    return len(payload), sum(payload) % CHECKSUM_MOD
+    """Deterministic stand-in for a real image/audio decode.
+
+    The byte sum runs through numpy (round-15 optimization, guide §4.2):
+    ``sum(payload)`` iterates the buffer byte-by-byte in interpreted
+    Python (~7 µs per 1.5 KB payload, ~12 ms per 2 MiB payload); the
+    vectorized form is 3-10x faster and identical (int64 cannot overflow:
+    255 * len caps far below 2^63 for any realistic payload)."""
+    import numpy as np
+
+    return (
+        len(payload),
+        int(np.frombuffer(payload, dtype=np.uint8).sum(dtype=np.int64))
+        % CHECKSUM_MOD,
+    )
 
 
 def extract_features(records: DataFrame, use_real_decoder: bool = False) -> DataFrame:

@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from symat_hbase_tools_spark.functions.text import (
-    STOPWORDS,
     bpe_ish_token_count,
     rolling_fingerprint,
     shingles_from_words,
@@ -73,7 +72,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = F.col("text")
     n_tokens = token_count(text)
     n_chars = F.length(text).cast("bigint")
-    # characters that are neither lowercase letters nor spaces = "punct-ish"
+    # characters that are neither lowercase letters nor spaces = "punct-ish".
+    # (round-15 A/B note: len(translate(text, "a-z ", "")) computes the same
+    # count and LOOKS cheaper, but measured 0.082 s vs 0.069 s for this
+    # regexp_replace over the sf0.1 scan floor — StringTranslate's per-char
+    # map lookup loses to the regex engine's char-class scan. Kept as-is.)
     non_word = n_chars - F.length(F.regexp_replace(text, "[^a-z ]", "")).cast("bigint")
     word_chars = F.length(F.translate(text, " ", "")).cast("bigint")
     stop_hits = stopword_hits(text)
@@ -117,16 +120,22 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: every ratio is one division of identical bigints
     (bit-stable cross-engine); the rule booleans compare those doubles
     against literal thresholds, so the keep boundary is exact. Shape:
-    one fanned-out map-only projection — no shuffle at all; the HOF
-    (alphabetic-token filter) stays in a Project, never a Filter
-    (plans/explain.py gate).
+    one fanned-out map-only projection — no shuffle at all, and since
+    round 15 no higher-order functions either: the alphabetic-token
+    filter and the distinct-stopword count are single codegen'd regex
+    passes (see _ALPHA_FREE_RE / _STOPWORD_RE), so the whole operator is
+    one WholeStageCodegen span with no interpreted per-element work and
+    no materialized token array.
     """
     from symat_hbase_tools_spark.plans.partitioning import fanout
+    from symat_hbase_tools_spark.functions.text import (
+        _ALPHA_FREE_RE,
+        _STOPWORD_RE,
+    )
 
     docs = fanout(spark, load_table(spark, sf_dir, "documents"))
-    docs = docs.withColumn("words", tokens(F.col("text")))
     text = F.col("text")
-    n_words = F.size("words").cast("bigint")
+    n_words = token_count(text)
     word_chars = F.length(F.translate(text, " ", "")).cast("bigint")
     hash_cnt = (
         F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
@@ -135,13 +144,29 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit(""))))
         / F.lit(3)
     ).cast("bigint")
-    alpha_words = F.size(
-        F.filter(F.col("words"), lambda w: w.rlike("[a-z]"))
+    # round-15 optimization (guide §4.1): the per-token higher-order
+    # F.filter(words, w -> w.rlike("[a-z]")) ran INTERPRETED per element
+    # (HOFs get no whole-stage codegen) — one codegen'd regexp_count pass
+    # counts the alpha-free tokens instead. Equivalence: tokens() splits
+    # trimmed text on runs of spaces, so a token contains no [a-z] iff it
+    # is a maximal space-bounded run of non-space non-[a-z] characters —
+    # exactly what _ALPHA_FREE_RE matches (the lookahead leaves the
+    # trailing space unconsumed so consecutive alpha-free tokens each
+    # match; same construction as _STOPWORD_RE). Measured: the HOF form
+    # +0.075 s over the scan floor at sf0.1, the regex form +0.012 s.
+    alpha_words = (
+        n_words - F.regexp_count(text, F.lit(_ALPHA_FREE_RE))
     ).cast("bigint")
+    # distinct-stopword count via one regexp_extract_all pass over the SAME
+    # whole-token stopword regex stopword_hits() uses (group 2 = the
+    # matched stopword), de-duped with array_distinct. Replaces
+    # array_intersect(words, lit-array) — measured cost-neutral by itself,
+    # but together with the regex alpha count it removes the LAST consumer
+    # of the materialized words array, so the split() token-array
+    # allocation drops out of the plan entirely (the only remaining
+    # tokens() use is size() for n_words).
     n_stops = F.size(
-        F.array_intersect(
-            F.col("words"), F.array(*[F.lit(s) for s in STOPWORDS])
-        )
+        F.array_distinct(F.regexp_extract_all(text, F.lit(_STOPWORD_RE), 2))
     ).cast("bigint")
     mean_wl = F.when(
         n_words > 0, word_chars.cast("double") / n_words

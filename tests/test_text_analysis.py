@@ -979,6 +979,84 @@ def test_gopher_quality_empty_text_is_dropped_not_crashed(spark, tmp_path):
     assert got[3]["n_words"] == 60
 
 
+def test_gopher_regex_counts_match_token_semantics(spark, tmp_path):
+    """Round-15 regression for the regex rewrite of the alpha-free token
+    count and distinct-stopword count: adversarial tokenization edges —
+    consecutive alpha-free tokens, leading/trailing/multiple spaces,
+    stopwords at string edges and back-to-back, mixed alnum tokens —
+    must count exactly what the old per-token formulation counted
+    (filter(words, w -> w.rlike('[a-z]')) / array_intersect(words,
+    STOPWORDS))."""
+    from pyspark.sql import functions as F
+
+    from symat_hbase_tools_spark.functions.text import STOPWORDS, tokens
+    from symat_hbase_tools_spark.operators.text_analysis import (
+        gopher_quality_flags,
+    )
+
+    rows = [
+        (1, "!! ?? 123 456 a1 b"),          # 2 alpha among 6; no stopwords
+        (2, "  the of the  "),              # padded, consecutive stopwords
+        (3, "of"),                          # single stopword = whole string
+        (4, "x #### ... ## y"),             # symbol runs between alphas
+        (5, "a-z 0-9 --- [a]"),             # punctuation-mixed tokens
+        (6, "the!! the of9 andof in"),      # stopword-PREFIXED non-stopwords
+        (7, "7 77 7a a7 _ __"),             # digit/underscore salad
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(spark, str(tmp_path)).collect()
+    }
+    # reference counts straight from the token array (the old formulation)
+    ref = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "documents.parquet"))
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(tokens(F.col("text")), lambda w: w.rlike("[a-z]"))
+            ).alias("alpha"),
+            F.size(
+                F.array_intersect(
+                    tokens(F.col("text")),
+                    F.array(*[F.lit(s) for s in STOPWORDS]),
+                )
+            ).alias("stops"),
+            F.size(tokens(F.col("text"))).alias("n"),
+        )
+        .collect()
+    }
+    for i, _ in rows:
+        assert got[i]["n_words"] == ref[i]["n"], i
+        n = ref[i]["n"]
+        assert got[i]["alpha_frac"] == (ref[i]["alpha"] / n if n else 0.0), i
+        assert got[i]["n_stop_distinct"] == ref[i]["stops"], i
+
+
+def test_gopher_plan_has_no_hof_and_no_split(spark):
+    """Round-15 plan gate: the gopher rewrite removed every higher-order
+    function AND the materialized token array — the executed plan must
+    contain no lambdafunction and no split() other than inside
+    token_count's size(split(...))."""
+    from symat_hbase_tools_spark.entry import QUERIES
+    from symat_hbase_tools_spark.plans.explain import plan_string
+
+    plan = plan_string(
+        QUERIES["doc_gopher_quality"](spark, SF_DIR), mode="simple"
+    )
+    assert "lambdafunction" not in plan, plan
+    assert "array_intersect" not in plan, plan
+    # map-only: one WholeStageCodegen project over the scan, no Exchange
+    # beyond the fanout repartition
+    assert "SortAggregate" not in plan and "Window" not in plan, plan
+    # (split(trim(text)) appears once PER CONSUMER in the display; runtime
+    # subexpression elimination shares the evaluation, so no count assert)
+
+
 def test_unigram_sampled_fertility_and_temperature_limits(spark):
     """Subword-regularization census (round 14): deterministic across
     runs (word-type-keyed RNG), sampled piece counts bounded below by the
