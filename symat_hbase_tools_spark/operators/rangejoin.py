@@ -231,14 +231,31 @@ def interval_concurrency(
     zero-length touch still counts as concurrent).
 
     Output: one row per boundary with the running ``n_active`` AFTER the
-    boundary — the full step function of concurrency over time."""
-    starts = intervals.select(
-        F.col("start_us").alias("t_us"), F.lit(1).alias("delta"), "*"
-    ).drop("start_us", "end_us")
-    ends = intervals.select(
-        F.col("end_us").alias("t_us"), F.lit(-1).alias("delta"), "*"
-    ).drop("start_us", "end_us")
-    deltas = starts.unionByName(ends)
+    boundary — the full step function of concurrency over time.
+
+    Boundary generation is one ``explode`` of a two-struct array per
+    interval (round-15 optimization, guide §2.4 "remove shuffles/passes
+    outright"): the previous Union-of-two-projections form duplicated the
+    ENTIRE upstream subplan — Spark does not dedupe common subplans, so
+    events_concurrency ran its sessionize window stack (scan + two
+    windows + two aggregates) TWICE, once per Union branch (visible as
+    two identical Scan->Window->HashAggregate towers in the r15 before
+    plan). The explode form computes the intervals once and emits both
+    boundary rows from each; output rows are identical (set-equal
+    verified at sf0.001/0.01/0.1, and the downstream prefix sum imposes
+    the total order)."""
+    other = [c for c in intervals.columns if c not in ("start_us", "end_us")]
+    boundary = F.explode(
+        F.array(
+            F.struct(F.col("start_us").alias("t_us"), F.lit(1).alias("delta")),
+            F.struct(F.col("end_us").alias("t_us"), F.lit(-1).alias("delta")),
+        )
+    ).alias("_b")
+    deltas = intervals.select(boundary, *other).select(
+        F.col("_b.t_us").alias("t_us"),
+        F.col("_b.delta").alias("delta"),
+        *other,
+    )
     return ordered_prefix_sum(
         deltas,
         [F.col("t_us"), F.desc("delta"), *order_tail],
