@@ -400,34 +400,50 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp(day) / 86400).cast("long").alias("day_no"),
         "user_id",
     ).distinct()
-    bounds = pairs.agg(F.max("day_no").alias("hi"))
-    reports = []
-    for win in ACTIVE_WINDOWS:
-        fan = pairs.select(
-            "user_id",
-            F.explode(
-                F.sequence(F.col("day_no"), F.col("day_no") + win - 1)
-            ).alias("report_day"),
-        )
-        counted = (
-            fan.join(F.broadcast(bounds), F.col("report_day") <= F.col("hi"))
-            .groupBy("report_day")
-            .agg(F.count_distinct("user_id").alias("n_active"))
-            .select(
-                F.col("report_day").alias("day_no"),
-                F.lit(win).cast("int").alias("window_days"),
-                "n_active",
-            )
-        )
-        reports.append(counted)
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out.select(
+    bounds = pairs.groupBy().agg(F.max("day_no").alias("hi"))
+    # Round-15 rewrite (guide §2.4 — do fewer passes): the previous
+    # per-window loop referenced the distinct-pairs subplan FOUR times
+    # (one fan per window + the bounds aggregate), and Spark does not
+    # dedupe common subplans, so the event scan + pair-distinct shuffle
+    # ran 4x. One fan to the WIDEST window now emits each pair's
+    # (report_day, window) memberships directly — gap = report_day -
+    # day_no falls in window w iff gap < w, so the second explode picks
+    # the suffix of the sorted window list via a codegen'd when-chain
+    # (no interpreted HOF per fanned row) — and a single
+    # count_distinct(user) per (report_day, window) replaces the three
+    # per-window aggregates + union. Total fanned rows are identical
+    # (sum of window lengths per pair); scans and distinct shuffles drop
+    # 4x -> 1x. Output proven set-equal at sf0.001/sf0.1.
+    ws = sorted(ACTIVE_WINDOWS)
+    gap = F.col("report_day") - F.col("day_no")
+    # when-chain over the sorted windows: the first branch containing gap
+    # selects its window suffix (gap < ws[-1] always holds — the fan stops
+    # at ws[-1] - 1 — so the innermost otherwise is the last window alone)
+    memberships = F.array(F.lit(ws[-1]))
+    for i in range(len(ws) - 2, -1, -1):
+        memberships = F.when(
+            gap < ws[i], F.array(*[F.lit(w) for w in ws[i:]])
+        ).otherwise(memberships)
+    fan = pairs.select(
+        "user_id",
+        "day_no",
+        F.explode(
+            F.sequence(F.col("day_no"), F.col("day_no") + ws[-1] - 1)
+        ).alias("report_day"),
+    )
+    fan2 = fan.select(
+        "user_id", "report_day", F.explode(memberships).alias("window_days")
+    )
+    counted = (
+        fan2.join(F.broadcast(bounds), F.col("report_day") <= F.col("hi"))
+        .groupBy("report_day", "window_days")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return counted.select(
         F.date_format(
-            F.to_timestamp(F.col("day_no") * 86400), "yyyy-MM-dd"
+            F.to_timestamp(F.col("report_day") * 86400), "yyyy-MM-dd"
         ).alias("day"),
-        "window_days",
+        F.col("window_days").cast("int").alias("window_days"),
         "n_active",
     )
 
