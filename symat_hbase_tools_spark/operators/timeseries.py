@@ -400,7 +400,9 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp(day) / 86400).cast("long").alias("day_no"),
         "user_id",
     ).distinct()
-    bounds = pairs.groupBy().agg(F.max("day_no").alias("hi"))
+    # (bounds off `pairs` is safe: RemoveRedundantAggregates drops the
+    # distinct under the max, so this branch is scan -> partial max only)
+    bounds = pairs.agg(F.max("day_no").alias("hi"))
     # Round-15 rewrite (guide §2.4 — do fewer passes): the previous
     # per-window loop referenced the distinct-pairs subplan FOUR times
     # (one fan per window + the bounds aggregate), and Spark does not
@@ -833,6 +835,10 @@ def events_active_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.date_trunc("day", F.col("ts"))) / 86400
     ).cast("long")
     pairs = events.select(day_no.alias("day_no"), "user_id").distinct()
+    # (round-15 audit note: this pairs reference does NOT re-run the
+    # distinct — Catalyst's RemoveRedundantAggregates drops the distinct
+    # under a max, so the bounds branch is already scan -> partial max;
+    # verified in plans/r15/events_active_users_approx_before.txt)
     bounds = pairs.agg(F.max("day_no").alias("hi"))
     fan = pairs.select(
         "user_id",
