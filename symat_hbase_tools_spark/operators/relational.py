@@ -354,8 +354,17 @@ def events_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     base = events.select("event_id", "ts", "event_type", "value")
-    redelivered = base.unionByName(
-        base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+    # redelivery via ONE explode of (ts, ts+1s) per row instead of a Union
+    # of the scan with itself (round 15, guide §2.4): Spark does not dedupe
+    # common subplans, so the Union form scanned events twice to emit the
+    # same rows this single pass emits. Row set identical.
+    redelivered = base.select(
+        "event_id",
+        F.explode(
+            F.array(F.col("ts"), F.col("ts") + F.expr("INTERVAL 1 SECOND"))
+        ).alias("ts"),
+        "event_type",
+        "value",
     )
     w = Window.partitionBy("event_id").orderBy("ts")
     deduped = (
