@@ -583,6 +583,8 @@ def dup_span_census(
     # the work is inherently O(tokens * k) characters either way; xxhash64
     # keeps the grouping key fixed-width (the hash never leaves the plan,
     # so it need not match the oracle's md5 — only group identically).
+    from pyspark import StorageLevel
+
     wins = words.select(
         "doc_id",
         F.explode(
@@ -591,7 +593,10 @@ def dup_span_census(
                 lambda i: F.xxhash64(F.concat_ws(" ", F.slice("words", i, k))),
             )
         ).alias("h"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: the plan references wins twice (shared-count aggregate +
+    # join back) and the slice+hash transform is the expensive pass — see
+    # _window_hashes_of(persist=True) for the full rationale (round 15)
     shared = wins.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
     return (
         wins.join(shared, "h")
@@ -613,13 +618,24 @@ def dup_span_census(
     )
 
 
-def _window_hashes_of(docs: DataFrame, k: int) -> DataFrame:
+def _window_hashes_of(docs: DataFrame, k: int, persist: bool = False) -> DataFrame:
     """(doc_id, pos, h) for every overlapping k-token window of ``docs``:
     the shared input table of the exact-substring-dedup family (census /
     maximal spans / trim / per-partner refinement / persisted index). pos
     is 1-based token position; h is xxhash64 of the space-joined window
     (engine-internal — only the grouping must agree with the oracle's
-    md5, and it does because both hash identical window strings)."""
+    md5, and it does because both hash identical window strings).
+
+    ``persist=True`` for callers whose plan references the window table
+    more than once (round 15, same rationale as ``_doc_shingles``): the
+    slice+concat+xxhash transform is the family's expensive pass
+    (O(tokens x k) characters, interpreted HOF), Spark does not dedupe
+    common subplans, and runtime exchange reuse cannot fire here because
+    the two consumers shuffle different row shapes (partial-agg counts vs
+    raw positions). Without caching, dup_span_census / max_dup_spans ran
+    the pass twice and dup_span_partners FOUR times per action (verified
+    in executed plans). MEMORY_AND_DISK — the cached unit is ~24 bytes
+    per token, the same order as the input text."""
     spark = docs.sparkSession
     target = _scan_fanout(spark, docs)
     if docs.rdd.getNumPartitions() < target:  # fan OUT only, never coalesce
@@ -627,7 +643,7 @@ def _window_hashes_of(docs: DataFrame, k: int) -> DataFrame:
     words = docs.withColumn("words", F.split(F.col("text"), " ")).filter(
         F.size("words") >= k
     )
-    return words.select(
+    out = words.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -636,10 +652,19 @@ def _window_hashes_of(docs: DataFrame, k: int) -> DataFrame:
             )
         ).alias("p0", "h"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    if persist:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
 
 
-def _window_hash_positions(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
-    return _window_hashes_of(load_table(spark, sf_dir, "documents"), k)
+def _window_hash_positions(
+    spark: SparkSession, sf_dir: str, k: int, persist: bool = False
+) -> DataFrame:
+    return _window_hashes_of(
+        load_table(spark, sf_dir, "documents"), k, persist=persist
+    )
 
 
 def _merged_spans(dup: DataFrame, keys: list, k: int) -> DataFrame:
@@ -722,7 +747,7 @@ def max_dup_spans(
     et al. criterion: the suffix array sees self-repeats too); the
     default counts cross-document sharing only.
     """
-    wins = _window_hash_positions(spark, sf_dir, k)
+    wins = _window_hash_positions(spark, sf_dir, k, persist=True)
     dup_cond = (
         (F.count(F.lit(1)) > 1)
         if within_doc
@@ -866,7 +891,7 @@ def dup_span_partners_of(
     boilerplate. Pair volume is now bounded by
     (shared windows) x min(partners, cap), never corpus^2.
     """
-    wins = _window_hashes_of(docs, k)
+    wins = _window_hashes_of(docs, k, persist=True)
     census = _span_partner_census(wins)
     hot = census.filter(F.col("nd") > max_partners_per_hash)
     if log_hot:
@@ -945,7 +970,7 @@ def dup_span_hot_list_of(
     joins back to its document row to slice the window out — the join is
     hot-list-sized (tiny by construction), never corpus-sized.
     """
-    wins = _window_hashes_of(docs, k)
+    wins = _window_hashes_of(docs, k, persist=True)
     hot = _span_partner_census(wins).filter(
         F.col("nd") > max_partners_per_hash
     )
