@@ -174,6 +174,37 @@ HEADLINE = [
     "doc_dup_spans_indexed",
 ]
 
+#: Names kept (in priority order) when the one-line summary must be
+#: truncated to the driver's ~2000-char stdout window. Round-15 verdict:
+#: "drop the cheapest until it fits" was noise-ordered, so ~9 sub-0.06 s
+#: queries churned in/out of the driver's PERF per-query record every round
+#: and were mislabeled dropped_from_bench/new_in_bench. This FIXED list (the
+#: 53 queries that survived in BENCH_r15.json, ordered by their committed
+#: r15 cost, most expensive first) makes the surviving subset a deterministic
+#: function of the query-name set: names not listed here drop first
+#: (name-sorted), then listed names drop from the END of this list. The full
+#: per-query map is always in BENCH_DETAIL.json and the verbose detail line.
+SUMMARY_KEEP = [
+    "text_quality_score", "multimodal_features", "doc_gopher_quality",
+    "q18_large_volume_customers", "kv_latest_version", "orders_price_mad",
+    "dedup_prefix_filter", "doc_containment_pairs", "events_concurrency",
+    "events_percentile_sketch_check", "dedup_ngram_jaccard", "customer_order_deltas",
+    "doc_trim_dup_spans_k8", "min_cost_supplier", "doc_dsir_select",
+    "events_active_users_approx", "kv_repair_replica", "part_affinity_lift",
+    "orders_duplicate_payments", "events_sessionize", "knn_cosine_topk",
+    "doc_curriculum_order", "price_quantity_stats", "doc_trim_dup_spans",
+    "doc_ccnet_buckets", "kv_audit_report", "text_tfidf_topk",
+    "purchase_attribution", "events_ewma", "q3_shipping_priority",
+    "events_gap_fill", "doc_dedup_keep_best", "doc_hybrid_search_rrf",
+    "events_funnel", "dedup_minhash_lsh", "doc_quality_classifier",
+    "doc_token_budget_select", "events_hourly_incremental", "text_repetition_signals",
+    "events_ohlc_daily", "embedding_hard_negatives", "multimodal_resize_census",
+    "doc_max_dup_spans_k8", "events_session_paths", "doc_pack_sequences",
+    "events_attribution_decay", "events_hourly", "orders_zorder_census",
+    "q1_pricing_summary", "q5_local_supplier_volume", "doc_dup_span_partners",
+    "text_token_stats", "events_type_correlation",
+]
+
 
 def run_spark() -> tuple[dict, dict]:
     from symat_hbase_tools_spark import entry as entry_mod
@@ -319,6 +350,7 @@ def main() -> None:
             "cold_total_sec": round(sum(cold.values()), 3),
             "cold_queries": cold,
             "sf": SF_DIR,
+            "cpus": int(CPUS),
         }
         # SAME-SESSION DuckDB control (round-10 lesson: a hot host inflated
         # the r10 artifact 1.5x and cost a regression investigation that
@@ -357,7 +389,12 @@ def main() -> None:
         # headline — BENCH_r03.json "parsed": null). So: full detail goes
         # to a file + a verbose first line; the LAST line is a compact
         # summary (no cold_queries) guarded to stay inside the window.
-        summary = {k: v for k, v in detail.items() if k != "cold_queries"}
+        # cpus stays detail-only: the summary line is at its 1900-char budget
+        # and 12 more chars of overhead would push the 53rd SUMMARY_KEEP
+        # query out of the driver's per-query record
+        summary = {
+            k: v for k, v in detail.items() if k not in ("cold_queries", "cpus")
+        }
         if "duckdb_control" in summary:
             # compact control for the driver's 2000-char stdout window; the
             # per-query control timings live in BENCH_DETAIL.json
@@ -368,11 +405,24 @@ def main() -> None:
             }
     if not only:  # adjudication runs never overwrite the official record
         repo = os.path.dirname(os.path.abspath(__file__))
-        detail_path = os.path.join(
-            repo, "BASELINE_DETAIL.json" if baseline else "BENCH_DETAIL.json"
+        # Only a default-CPU run at the official SF owns the in-place record;
+        # a low-core scaling run (round-15 verdict: the driver's
+        # SPARK_GRAFT_CPUS=8 pass clobbered BENCH_DETAIL.json and pre-seeded
+        # the next round's sidecar with 8-core numbers) or an sf-probe run
+        # (the long-standing "git checkout BENCH_DETAIL.json after an sf1
+        # probe" gotcha) writes to a suffixed file instead.
+        default_cpus = int(CPUS) == (os.cpu_count() or int(CPUS))
+        official_sf = os.path.realpath(SF_DIR) == os.path.realpath(
+            "/root/testdata/sf0.1"
         )
+        detail_name = "BASELINE_DETAIL.json" if baseline else "BENCH_DETAIL.json"
+        if not default_cpus:
+            detail_name = detail_name.replace(".json", f"_c{int(CPUS)}.json")
+        elif not official_sf:
+            tag = os.path.basename(os.path.normpath(SF_DIR)) or "probe"
+            detail_name = detail_name.replace(".json", f"_{tag}.json")
         try:
-            with open(detail_path, "w") as f:
+            with open(os.path.join(repo, detail_name), "w") as f:
                 json.dump(detail, f, indent=1)
         except OSError:
             pass
@@ -384,9 +434,7 @@ def main() -> None:
         # Official-sf runs only: an sf1-probe run must not clobber the
         # round's sf0.1 record (BENCH_DETAIL.json restore already covers
         # the in-place file; this covers the sidecar).
-        if not baseline and os.path.realpath(SF_DIR) == os.path.realpath(
-            "/root/testdata/sf0.1"
-        ):
+        if not baseline and default_cpus and official_sf:
             rnd = os.environ.get("SPARK_GRAFT_ROUND")
             if not rnd:
                 import re as _re
@@ -422,11 +470,18 @@ def main() -> None:
                 pass
     line = json.dumps(summary)
     if len(line) > 1900:
-        # drop the cheapest per-query entries until the line fits; the full
-        # dict is always in BENCH_DETAIL.json
+        # deterministic truncation (round-15 verdict ask #1): drop entries in
+        # a FIXED order — names outside SUMMARY_KEEP first (name-sorted),
+        # then SUMMARY_KEEP names from the end of the list — so the surviving
+        # subset is identical round-over-round instead of churning with
+        # timing noise. The full dict is always in BENCH_DETAIL.json.
         q = dict(summary.get("queries", {}))
         summary["queries_truncated"] = True
-        for name in sorted(q, key=q.get):
+        keep_rank = {n: i for i, n in enumerate(SUMMARY_KEEP)}
+        drop_order = sorted(
+            (n for n in q if n not in keep_rank), reverse=True
+        ) + [n for n in reversed(SUMMARY_KEEP) if n in q]
+        for name in drop_order:
             q.pop(name)
             summary["queries"] = q
             line = json.dumps(summary)
