@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from symat_hbase_tools_spark.functions.text import shingle_hashes
-from symat_hbase_tools_spark.operators.dedup import _doc_shingles
+from symat_hbase_tools_spark.operators.dedup import _doc_shingles, _pin
 
 
 def benchmark_contamination(
@@ -168,9 +168,23 @@ def contamination_overlap_census(
     double, so the value is bit-identical cross-engine and the severity
     band compares are deterministic.
     """
-    # persist=True: the shingle table feeds BOTH the bench and train sides
-    hs = _doc_shingles(spark, sf_dir, n, persist=True).select(
-        "doc_id", shingle_hashes(F.col("sh")).alias("hs")
+    # pin the POST-HASH (doc_id, hs) table, not the shingle arrays (round
+    # 16, the minhash_lsh_pairs discipline): it feeds BOTH the bench and
+    # train sides, the cached unit is ~8 bytes/shingle instead of the
+    # shingle text, and — the correctness-of-plan point — the later
+    # explodes make InferFiltersFromGenerate inject `size(hs) > 0 AND
+    # isnotnull(hs)` filters, which over a cached hs column are cheap
+    # column reads. With the cache one level lower (the sh arrays), those
+    # inferred filters re-inlined the interpreted shingle_hashes transform
+    # into a Filter above the cache (the round-9 double-eval class, caught
+    # by the HOF plan gate — it had been masked by a leaked minhash cache
+    # entry for exactly this subplan, which the round-16 pin hygiene
+    # stopped leaking).
+    hs = _pin(
+        _doc_shingles(spark, sf_dir, n).select(
+            "doc_id", shingle_hashes(F.col("sh")).alias("hs")
+        ),
+        "contamination_hs",
     )
     is_bench = F.col("doc_id") % benchmark_mod == 0
     bench = (

@@ -85,6 +85,37 @@ def bow_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from symat_hbase_tools_spark.plans.partitioning import scan_fanout as _scan_fanout
 
+#: persisted intermediates outstanding from PREVIOUS dedup-operator calls
+#: (serve-many hygiene, plans/serve_cache.py — the _INTERVAL_CACHES pattern),
+#: keyed by PIN SITE: each pinning helper releases its own slot's previous
+#: pin immediately before pinning the new one, so a long-lived session holds
+#: at most one outstanding table per pin site. Release lives at the PIN SITE,
+#: never at an operator entry point (round-16 lesson, caught by the HOF plan
+#: gate): Spark's CacheManager matches cache entries by analyzed plan, and
+#: several operators pin the SAME shared subplan (_doc_shingles serves
+#: incremental_dedup AND the contamination family; _window_hashes_of serves
+#: the whole span family) — an entry-point release therefore removed the
+#: InMemoryRelation pushdown barrier from another operator's plan, and
+#: Catalyst re-inlined the interpreted shingle HOF into a Filter (the
+#: round-9 double-eval class). Release-then-repin at the pin site is
+#: self-healing: when the released entry's plan is shared, the immediate
+#: re-pin restores the cache entry before any other plan can be analyzed.
+_DEDUP_CACHES: dict = {}
+
+
+def _pin(df: DataFrame, slot: str) -> DataFrame:
+    """Release ``slot``'s previous pin, then persist(MEMORY_AND_DISK) and
+    register the new one (see _DEDUP_CACHES)."""
+    from pyspark import StorageLevel
+
+    from symat_hbase_tools_spark.plans.serve_cache import release_all
+
+    caches = _DEDUP_CACHES.setdefault(slot, [])
+    release_all(caches)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    caches.append(df)
+    return df
+
 
 def _doc_shingles(
     spark: SparkSession, sf_dir: str, n: int, persist: bool = False
@@ -110,9 +141,7 @@ def _doc_shingles(
         "doc_id", shingles_from_words(F.col("words"), n=n).alias("sh")
     )
     if persist:
-        from pyspark import StorageLevel
-
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out = _pin(out, "doc_shingles")
     return out
 
 
@@ -142,7 +171,11 @@ def ngram_jaccard_pairs(
     corpora's max shingle df is far below the default cap; see MAX_SHINGLE_DF
     for the capped-Jaccard caveat on corpora that exceed it).
     """
-    sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
+    # no persist on the shingle arrays (round-16 advice): this path's ONLY
+    # consumer is _intersection_pairs, which persists the downstream
+    # exploded table — the upstream cache had one plan reference, costing
+    # a cache-write pass with zero reuse
+    sh = _doc_shingles(spark, sf_dir, n).select(
         "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
     )
     return _jaccard_pairs_from_shingles(sh, threshold, max_shingle_df)
@@ -163,18 +196,21 @@ def _intersection_pairs(
     With ``max_shingle_df``, capped shingles leave both the intersection
     and the sizes (consistent capped semantics, see MAX_SHINGLE_DF).
     """
+    # persist the exploded (doc_id, s) table BEFORE the df cap (round 16;
+    # supersedes the round-15 post-cap pin): the pre-cap table has FIVE
+    # logical references (hot census + sizes aggregate + both self-join
+    # sides, with the anti-join replayed on three of them), so pinning here
+    # lets every consumer read the cache — the explode+xxhash shingle pass
+    # runs exactly once — while the re-applied cap is one broadcast hash
+    # anti-probe per cached row (codegen'd, and the BroadcastExchange of the
+    # hot set is built once and reused). The round-15 post-cap pin left the
+    # hot census + anti-join left side reading the UPSTREAM shingle-array
+    # cache, which cost a second corpus-sized cache; this shape needs only
+    # the 16 B/row exploded table. 10x-probe evidence in OPTIMIZATION_r16.md.
+    sh = _pin(sh, "intersection_pairs")
     if max_shingle_df is not None:
         hot = sh.groupBy("s").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(F.broadcast(hot.select("s")), "s", "left_anti")
-    # persist the exploded, df-capped (doc_id, s) table (round 15): THREE
-    # plan references follow (sizes aggregate + both self-join sides), so
-    # without caching the explode+xxhash pass and the hot anti-join re-run
-    # per reference — the upstream _doc_shingles cache stops at the shingle
-    # ARRAYS. 16 bytes/row; measured at the 10x probe on
-    # dedup_ngram_jaccard: 0.389/0.52 -> 0.333/0.384 s (min/med).
-    from pyspark import StorageLevel
-
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # SHUFFLE_HASH: the equi-self-join would default to sort-merge, paying a
     # full sort of the exploded shingle table on BOTH sides; hash join skips
@@ -421,8 +457,6 @@ def minhash_lsh_pairs(
     a corpus with a 10^7-copy group owes C(10^7,2) rows by contract; the
     expansion here is a distributed self-join, not a per-task blowup.
     """
-    from pyspark import StorageLevel
-
     # persist the HASHED shingle table (long arrays, not strings): it feeds
     # the signature kernel AND both verification sides — three plan
     # references (see _doc_shingles docstring) — and caching post-hash
@@ -436,12 +470,12 @@ def minhash_lsh_pairs(
     # runs TWICE per row (measured 0.3 -> 5.4 s at sf0.1, round 9). The
     # InMemoryRelation is a pushdown barrier, so the filter is one cheap
     # size() over cached arrays.
-    hashed = (
-        _doc_shingles(spark, sf_dir, n)
-        .select("doc_id", shingle_hashes(F.col("sh")).alias("hs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        .filter(F.size("hs") > 0)
-    )
+    hashed = _pin(
+        _doc_shingles(spark, sf_dir, n).select(
+            "doc_id", shingle_hashes(F.col("sh")).alias("hs")
+        ),
+        "minhash_hashed",
+    ).filter(F.size("hs") > 0)
     members, reps, candidates = _lsh_group_candidates(
         hashed, num_hashes, num_bands, max_bucket_size
     )
@@ -592,17 +626,20 @@ def dup_span_census(
     # the work is inherently O(tokens * k) characters either way; xxhash64
     # keeps the grouping key fixed-width (the hash never leaves the plan,
     # so it need not match the oracle's md5 — only group identically).
-    from pyspark import StorageLevel
-
-    wins = words.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("words") - (k - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("words", i, k))),
-            )
-        ).alias("h"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    wins = _pin(
+        words.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - (k - 1)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("words", i, k))
+                    ),
+                )
+            ).alias("h"),
+        ),
+        "span_census",
+    )
     # persisted: the plan references wins twice (shared-count aggregate +
     # join back) and the slice+hash transform is the expensive pass — see
     # _window_hashes_of(persist=True) for the full rationale (round 15)
@@ -662,9 +699,7 @@ def _window_hashes_of(docs: DataFrame, k: int, persist: bool = False) -> DataFra
         ).alias("p0", "h"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
     if persist:
-        from pyspark import StorageLevel
-
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out = _pin(out, "window_hashes")
     return out
 
 
@@ -1187,13 +1222,14 @@ def simhash_portable_pairs(
                 ids.append(doc_id)
             yield pd.DataFrame({"doc_id": ids, "fp_lo": lows, "fp_hi": highs})
 
-    from pyspark import StorageLevel
-
     # persist: one 24-byte row per doc, referenced by BOTH sides of the
     # band self-join — without it the shingle+md5+vote pipeline runs twice
-    fps = docs.mapInPandas(
-        fp_kernel, schema="doc_id long, fp_lo long, fp_hi long"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    fps = _pin(
+        docs.mapInPandas(
+            fp_kernel, schema="doc_id long, fp_lo long, fp_hi long"
+        ),
+        "simhash_fps",
+    )
     mask = F.lit(0xFFFF).cast("long")
     bands = F.array(
         *[
@@ -1586,8 +1622,6 @@ def prefix_filter_pairs(
       (round-3 measurement: 310k candidates for 256 real pairs at sf0.1
       without this; the verify join was ~2/3 of the operator).
     """
-    from pyspark import StorageLevel
-
     eps = 1e-9
     if route not in ("auto", "exact", "prefix"):
         raise ValueError(
@@ -1622,7 +1656,9 @@ def prefix_filter_pairs(
         # self-join). Sampling exposure is shared by both routes and is a
         # volume risk only, never a correctness risk (a missed hot shingle
         # adds join rows here exactly as it adds candidate rows there).
-        sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
+        # No persist on the shingle arrays (round-16 advice): single
+        # consumer — _intersection_pairs persists the exploded table.
+        sh = _doc_shingles(spark, sf_dir, n).select(
             "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
         )
         # orientation already canonical: the self-join keeps a.doc_id <
@@ -1632,7 +1668,7 @@ def prefix_filter_pairs(
         # forced prefix route on a cold corpus (route="prefix" — tests pin
         # this to keep the no-demotion canonical order covered): hash order,
         # built map-only per row — no exchange before the prefix join
-        per_doc = (
+        per_doc = _pin(
             _doc_shingles(spark, sf_dir, n)
             .select(
                 "doc_id",
@@ -1640,8 +1676,8 @@ def prefix_filter_pairs(
                     "toks"
                 ),
             )
-            .withColumn("n_sh", F.size("toks"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .withColumn("n_sh", F.size("toks")),
+            "prefix_per_doc",
         )
     else:
         # demote boilerplate: order by (is_hot, s). The hot set is a capped
@@ -1655,7 +1691,7 @@ def prefix_filter_pairs(
                 "hot", F.lit(1)
             )
         )
-        per_doc = (
+        per_doc = _pin(
             sh.join(hot_df, "s", "left")
             .groupBy("doc_id")
             .agg(
@@ -1665,8 +1701,8 @@ def prefix_filter_pairs(
                 F.count(F.lit(1)).alias("n_sh"),
             )
             .withColumn("toks", F.col("o.s"))
-            .drop("o")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .drop("o"),
+            "prefix_per_doc",
         )
     t = float(threshold)
     long_len = (
@@ -1767,7 +1803,9 @@ def containment_pairs(
     always agrees with the containment denominator), n_small,
     containment (rounded 6).
     """
-    sh = _doc_shingles(spark, sf_dir, n, persist=True).select(
+    # no persist on the shingle arrays (round-16 advice): single consumer —
+    # _intersection_pairs persists the downstream exploded table
+    sh = _doc_shingles(spark, sf_dir, n).select(
         "doc_id", F.explode(shingle_hashes(F.col("sh"))).alias("s")
     )
     return (

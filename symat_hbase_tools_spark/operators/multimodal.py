@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,9 +49,10 @@ def _fake_decode_features(payload: bytes) -> tuple[int, int]:
     ``sum(payload)`` iterates the buffer byte-by-byte in interpreted
     Python (~7 µs per 1.5 KB payload, ~12 ms per 2 MiB payload); the
     vectorized form is 3-10x faster and identical (int64 cannot overflow:
-    255 * len caps far below 2^63 for any realistic payload)."""
-    import numpy as np
-
+    255 * len caps far below 2^63 for any realistic payload). numpy is
+    imported at module scope (round-16 advice): this function runs once
+    per payload row via Series.map, and the per-call sys.modules lookup
+    eroded part of the vectorization win on small (~1.5 KB) payloads."""
     return (
         len(payload),
         int(np.frombuffer(payload, dtype=np.uint8).sum(dtype=np.int64))

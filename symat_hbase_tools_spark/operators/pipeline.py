@@ -91,15 +91,23 @@ def hybrid_search_rrf(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     )
-    q = emb.filter(F.col("vec_id") == int(query_vec_id)).select(
-        F.col("emb").alias("q")
-    )
-    dot = "aggregate(zip_with(emb, q, (x, y) -> x * y), 0D, (a, v) -> a + v)"
     nrm = (
         "sqrt(aggregate(zip_with({c}, {c}, (x, y) -> x * y), 0D, (a, v) -> a + v))"
     )
+    # q-norm hoisted into the 1-row broadcast side (round 16, guide §4.1
+    # spirit: the aggregate/zip_with HOFs run interpreted, so per-row array
+    # passes are the cost unit): computing sqrt(q.q) per candidate row spent
+    # one of three interpreted 64-element folds on a constant. Same double
+    # (identical fold over the identical array), so sim is bit-unchanged.
+    # Interleaved A/B at the 10x probe (with the bm25 doclen pin):
+    # 0.387/0.441 -> 0.315/0.365 s min/med.
+    q = emb.filter(F.col("vec_id") == int(query_vec_id)).select(
+        F.col("emb").alias("q"),
+        F.expr(nrm.format(c="emb")).alias("qn"),
+    )
+    dot = "aggregate(zip_with(emb, q, (x, y) -> x * y), 0D, (a, v) -> a + v)"
     sim = F.round(
-        F.expr(dot) / (F.expr(nrm.format(c="emb")) * F.expr(nrm.format(c="q"))),
+        F.expr(dot) / (F.expr(nrm.format(c="emb")) * F.col("qn")),
         6,
     )
     sem = (

@@ -23,6 +23,26 @@ from symat_hbase_tools_spark.functions.text import (
 )
 from symat_hbase_tools_spark.sources.tables import load_table
 
+#: persisted intermediates outstanding from previous text-operator calls
+#: (serve-many hygiene, plans/serve_cache.py — the _INTERVAL_CACHES pattern),
+#: keyed by PIN SITE; release happens at the pin site right before the new
+#: pin — see dedup._DEDUP_CACHES for the round-16 shared-plan lesson.
+_TEXT_CACHES: dict = {}
+
+
+def _pin(df: DataFrame, slot: str) -> DataFrame:
+    """Release ``slot``'s previous pin, then persist(MEMORY_AND_DISK) and
+    register the new one (see _TEXT_CACHES)."""
+    from pyspark import StorageLevel
+
+    from symat_hbase_tools_spark.plans.serve_cache import release_all
+
+    caches = _TEXT_CACHES.setdefault(slot, [])
+    release_all(caches)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    caches.append(df)
+    return df
+
 
 def lang_id_expr(text: F.Column) -> F.Column:
     """Rule-based language ID: Unicode-script presence, then stopword cues.
@@ -477,8 +497,18 @@ def bm25_search(
     """
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    doclen = docs.select(
-        "doc_id", token_count(F.col("text")).alias("dl")
+    # pin the (doc_id, dl) table (round 16): it has TWO plan references
+    # (the 1-row corpus stats aggregate + the per-candidate length join) and
+    # each re-ran the documents scan + tokenize — with the words explode
+    # that made THREE tokenize passes over the corpus per action. The cached
+    # unit is 16 bytes/doc. Interleaved A/B on doc_hybrid_search_rrf at the
+    # 10x probe: 0.387/0.441 -> 0.315/0.365 s min/med (with the q-norm hoist
+    # in pipeline.py); a corpus-sized token-array pin measured the same win,
+    # so the tiny doclen cache is kept (guide §5: cache competes with
+    # execution memory).
+    doclen = _pin(
+        docs.select("doc_id", token_count(F.col("text")).alias("dl")),
+        "bm25_doclen",
     )
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -71,3 +71,40 @@ def test_bench_headline_names_resolve():
     unpaired = [n for n in bench.HEADLINE if n not in ORACLE_SQL]
     assert unpaired == [], unpaired
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+
+
+def test_dedup_pin_hygiene_bounded(spark):
+    """Serve-many hygiene (round 16): repeated dedup-operator calls keep at
+    most ONE outstanding pinned table per pin site — previous calls' pins
+    are released at the site before the new pin (plans/serve_cache.py)."""
+    from symat_hbase_tools_spark.operators import dedup
+
+    for _ in range(3):
+        dedup.ngram_jaccard_pairs(spark, SF_DIR).collect()
+        dedup.containment_pairs(spark, SF_DIR).collect()
+    assert dedup._DEDUP_CACHES, "expected pinned slots to be registered"
+    for slot, caches in dedup._DEDUP_CACHES.items():
+        assert len(caches) <= 1, (
+            f"slot {slot!r} accumulated {len(caches)} pins — release-"
+            "before-pin hygiene broken"
+        )
+
+
+def test_shared_plan_pin_release_keeps_pushdown_barrier(spark):
+    """Round-16 regression (caught by the HOF plan gate): several operators
+    pin the SAME shared subplan (_doc_shingles serves the contamination
+    family AND incremental_dedup), and Spark's CacheManager matches entries
+    by analyzed plan — so releasing another operator's pin removed the
+    InMemoryRelation pushdown barrier and Catalyst re-inlined the
+    interpreted shingle HOF into a Filter (double-eval class). The pin-site
+    release-then-repin discipline must keep the barrier intact for a plan
+    built before the other operator ran."""
+    from symat_hbase_tools_spark.operators import contamination, dedup
+    from symat_hbase_tools_spark.plans.explain import assert_no_hof_in_filters
+
+    df = contamination.contamination_overlap_census(spark, SF_DIR)
+    # a different operator re-pinning the same shingle subplan must not
+    # strip df's barrier (the old entry-point release did exactly that)
+    dedup.incremental_dedup(spark, SF_DIR).collect()
+    assert_no_hof_in_filters(df)
+    assert df.count() > 0
